@@ -1,0 +1,132 @@
+"""Differential tester: Spark query vs DuckDB oracle on the same parquet.
+
+Local replica of the driver's correctness gate (row-count + column
+names + order-insensitive value comparison), deliberately *stricter*
+on values: floats must match bit-exactly (our whole numeric discipline
+— exact decimal sums, sequential folds — exists to make that true), so
+any sane driver-side hash normalization also passes.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+
+from pyspark.sql import SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif s.dtype == object:
+            # decimals / lists → canonical string
+            df[c] = s.map(lambda v: repr(v))
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@dataclass
+class DiffResult:
+    name: str
+    ok: bool
+    n_spark: int
+    n_oracle: int | None
+    issues: list[str] = field(default_factory=list)
+
+    def __str__(self) -> str:
+        status = "OK " if self.ok else "FAIL"
+        extra = "" if not self.issues else " | " + "; ".join(self.issues[:4])
+        return f"[{status}] {self.name}: spark={self.n_spark} oracle={self.n_oracle}{extra}"
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> DiffResult:
+    issues: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        issues.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        )
+        return DiffResult(name, False, len(spark_pdf), len(oracle_pdf), issues)
+    if len(spark_pdf) != len(oracle_pdf):
+        issues.append("row count mismatch")
+        return DiffResult(name, False, len(spark_pdf), len(oracle_pdf), issues)
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    for c in a.columns:
+        sa, sb = a[c], b[c]
+        if pd.api.types.is_float_dtype(sa) and pd.api.types.is_float_dtype(sb):
+            exact = (
+                (sa.isna() & sb.isna())
+                | (sa == sb)
+                | (sa.isin([math.inf, -math.inf]) & (sa == sb))
+            )
+            if not exact.all():
+                bad = (~exact).sum()
+                i = (~exact).idxmax()
+                issues.append(
+                    f"col {c}: {bad} float mismatches, first at row {i}: {sa[i]!r} vs {sb[i]!r}"
+                )
+        else:
+            eq = (sa.isna() & sb.isna()) | (sa == sb)
+            if not eq.all():
+                bad = (~eq).sum()
+                i = (~eq).idxmax()
+                issues.append(
+                    f"col {c}: {bad} mismatches, first at row {i}: {sa[i]!r} vs {sb[i]!r}"
+                )
+    return DiffResult(name, not issues, len(spark_pdf), len(oracle_pdf), issues)
+
+
+def run_one(
+    spark: SparkSession,
+    con: duckdb.DuckDBPyConnection,
+    sf_dir: str,
+    name: str,
+) -> DiffResult:
+    from steam_data_pipeline_spark.plans.registry import QUERIES
+
+    q = QUERIES[name]
+    sdf = q.spark(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if q.oracle is None:
+        ok = len(spark_pdf) >= 0
+        return DiffResult(name, ok, len(spark_pdf), None, ["rows-only (no oracle)"])
+    oracle_pdf = con.execute(q.oracle).df()
+    return compare_frames(name, spark_pdf, oracle_pdf)
+
+
+def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[DiffResult]:
+    from steam_data_pipeline_spark.plans.registry import QUERIES
+
+    con = duckdb_connect(sf_dir)
+    results = []
+    for name in names or QUERIES:
+        try:
+            results.append(run_one(spark, con, sf_dir, name))
+        except Exception as e:  # noqa: BLE001 - report, don't abort the sweep
+            results.append(
+                DiffResult(name, False, -1, None, [f"EXCEPTION: {type(e).__name__}: {e}"])
+            )
+    return results

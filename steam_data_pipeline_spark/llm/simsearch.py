@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10
+``llm_sim_search``).
+
+Two tiers:
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
+  query set against the corpus; dot products via ``zip_with`` +
+  ``aggregate`` (strictly sequential fold → bit-reproducible), top-k
+  per query via a per-partition heap pattern (window rank ≤ k after
+  AQE-coalesced shuffle on query_id). Cost O(|Q|·N) — the correctness
+  baseline and perfectly fine when |Q| is small.
+* ``ivf_topk`` — IVF-style partitioned search: k-means-lite centroid
+  table (deterministic seed), every corpus vector assigned to its
+  nearest centroid once (one narrow pass), queries probe only the
+  ``n_probe`` nearest centroids → cost O(|Q|·N·n_probe/C). The index
+  (assignments) is a DataFrame you persist and reuse — at 100 TB this
+  is the difference between a full scan and touching ~n_probe/C of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot_expr(a: str | Column, b: str | Column) -> Column:
+    """Sequential-fold dot product in float64 — deterministic order."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca.cast("array<double>"), cb.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: str | Column) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(ca.cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (small by contract); the scored cross
+    product never materializes — Catalyst pipelines scan → score →
+    window-rank, and the rank filter keeps k rows per query.
+    Deterministic tie-break: (score desc, vec_id asc).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_key), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = corpus.select(key, vec_col).crossJoin(q).select(
+        query_key,
+        key,
+        cosine_expr(vec_col, "__qvec").alias("cosine"),
+    )
+    w = Window.partitionBy(query_key).orderBy(F.col("cosine").desc(), F.col(key).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _centroids(corpus: DataFrame, key: str, vec_col: str, n_centroids: int) -> DataFrame:
+    """Deterministic centroid seeds: one-pass average per hash-assigned
+    seed group (k-means||'s init step, single iteration — adequate as a
+    partitioner; swap in ml.clustering.KMeans for a tuned index)."""
+    seeded = corpus.select(
+        (F.xxhash64(F.col(key)) % n_centroids).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("centroid_id", F.abs("centroid_id"))
+    n_dim = F.size("v")
+    return (
+        seeded.groupBy("centroid_id")
+        .agg(
+            F.array(
+                *[
+                    F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
+                    for i in range(64)
+                ]
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Assign every vector to its nearest centroid (the IVF inverted
+    lists). Returns (centroids, assignments); persist the assignments
+    table partitioned by centroid_id for reuse."""
+    cents = _centroids(corpus, key, vec_col, n_centroids)
+    c = F.broadcast(cents.select("centroid_id", "centroid"))
+    scored = corpus.select(key, vec_col).crossJoin(c).select(
+        key,
+        vec_col,
+        "centroid_id",
+        cosine_expr(vec_col, "centroid").alias("__sim"),
+    )
+    w = Window.partitionBy(key).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    assign = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key, vec_col, "centroid_id")
+    )
+    return cents, assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``n_probe`` centroids nearest
+    each query, exact cosine within the probed lists."""
+    cents, assign = build_ivf_index(corpus, key, vec_col, n_centroids)
+    c = F.broadcast(cents.select("centroid_id", "centroid"))
+    qprobe = (
+        queries.select(query_key, F.col(vec_col).alias("__qvec"))
+        .crossJoin(c)
+        .select(
+            query_key,
+            "__qvec",
+            "centroid_id",
+            cosine_expr("__qvec", "centroid").alias("__sim"),
+        )
+    )
+    wq = Window.partitionBy(query_key).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    probes = (
+        qprobe.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_key, "__qvec", "centroid_id")
+    )
+    scored = assign.join(F.broadcast(probes), on="centroid_id").select(
+        query_key,
+        key,
+        cosine_expr(vec_col, "__qvec").alias("cosine"),
+    )
+    w = Window.partitionBy(query_key).orderBy(F.col("cosine").desc(), F.col(key).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,114 @@
+"""Aggregation operators (SURVEY.md §2.5).
+
+Numeric policy: monetary/measure doubles in the testdata are exact
+2-decimal values, so aggregates cast to DECIMAL first —
+``sum(cast(x as decimal(18,2)))`` is exact and **order-independent**,
+which both matches the reference's Numeric(10,2) money semantics
+(main.py:96) and makes differential tests against the DuckDB oracle
+value-exact regardless of partitioning. The final result is cast to
+double (one deterministic rounding) for a stable interchange type.
+
+Catalyst provides partial (map-side) + final hash aggregation for all
+of these automatically — at 100 TB the shuffle carries only per-group
+partial states, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dec_sum(col: str | Column, scale: int = 2) -> Column:
+    """Exact, order-independent sum of a 2-dp double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})"))
+
+
+def dec_avg(col: str | Column, scale: int = 2) -> Column:
+    """Exact-sum average: decimal sum cast to double, divided by count.
+
+    One double division at the end — deterministic on any engine and
+    any partitioning (a plain avg(double) is summation-order-dependent).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return dec_sum(c, scale).cast("double") / F.count(c)
+
+
+def count_rows(df: DataFrame, label: str) -> DataFrame:
+    """Validation row count (GUIDE:181-182)."""
+    return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit(label).alias("table_name"), "n_rows"
+    )
+
+
+def capped_count_per_key(
+    df: DataFrame, key: str, cap: int, out_col: str = "n_capped"
+) -> DataFrame:
+    """Per-key count with a page-size cap: ``least(count(*), cap)`` —
+    the Twitch streamer count, capped at 100 by pagination
+    (main.py:347,352)."""
+    return df.groupBy(key).agg(
+        F.least(F.count(F.lit(1)), F.lit(cap).cast("long")).alias(out_col)
+    )
+
+
+def daily_counts(df: DataFrame, ts: str = "ts") -> DataFrame:
+    """Daily ingest heartbeat (PLAN:25): records per day.
+
+    ``date_trunc`` groupBy ≡ a tumbling 1-day window; the streaming
+    twin lives in ``streaming.ingest``.
+    """
+    return (
+        df.groupBy(F.date_trunc("day", F.col(ts)).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def conditional_roi(
+    df: DataFrame,
+    key: str,
+    value: str,
+    in_flag: Column,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Discount-ROI conditional aggregate (PLAN:50-53): per key, mean of
+    ``value`` where the flag holds vs where it doesn't; ROI = ratio - 1.
+
+    Single pass, two conditional exact-sum aggregates — no self-join.
+    """
+    in_sum = F.sum(F.when(in_flag, F.col(value).cast("decimal(18,2)")))
+    in_cnt = F.count(F.when(in_flag, F.lit(1)))
+    out_sum = F.sum(F.when(~in_flag, F.col(value).cast("decimal(18,2)")))
+    out_cnt = F.count(F.when(~in_flag, F.lit(1)))
+    avg_in = (in_sum.cast("double") / in_cnt).alias(f"{out_prefix}avg_in")
+    avg_out = (out_sum.cast("double") / out_cnt).alias(f"{out_prefix}avg_out")
+    return df.groupBy(key).agg(
+        avg_in,
+        avg_out,
+        (
+            (in_sum.cast("double") / in_cnt) / (out_sum.cast("double") / out_cnt)
+            - F.lit(1.0)
+        ).alias(f"{out_prefix}roi"),
+    )
+
+
+def profile_column(df: DataFrame, col: str, label: str | None = None) -> DataFrame:
+    """Min/max/avg/null-rate validation profile (PLAN:26 sampling grid,
+    automated as an aggregate)."""
+    return df.agg(
+        F.lit(label or col).alias("column_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(col).alias("n_nonnull"),
+        F.min(col).alias("min_value"),
+        F.max(col).alias("max_value"),
+        dec_avg(col).alias("avg_value"),
+    )
+
+
+def rollup_daily_by_type(df: DataFrame, ts: str, type_col: str) -> DataFrame:
+    """ROLLUP (day, type) extension of the daily heartbeat — PLAN phase-1
+    dashboards slice by both time and category (SURVEY §2.5 note)."""
+    return (
+        df.rollup(F.date_trunc("day", F.col(ts)).alias("day"), F.col(type_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").cast("double").alias("sum_value"))
+    )

@@ -1,0 +1,74 @@
+"""KV run-state semantics (SURVEY.md §2.1 ``state_kv_rw``; main.py:107-111).
+
+The reference uses a 2-column table as a distributed lock + run journal:
+``is_scraping_active`` / ``last_started_utc`` (main.py:387-404), with a
+2-hour staleness takeover (main.py:392-394).
+
+In Spark the *real* home for this is the streaming checkpoint (a
+running query is its own lock); this module keeps the explicit KV
+semantics available as (a) a pure DataFrame upsert used by the oracle
+query, and (b) a tiny file-backed journal used by the batch pipeline
+to reproduce the lock/staleness protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame
+
+from steam_data_pipeline_spark.operators.upsert import merge_upsert
+
+LOCK_KEY = "is_scraping_active"
+STARTED_KEY = "last_started_utc"
+STALE_AFTER = timedelta(hours=2)  # main.py:393
+
+
+def kv_upsert(state: DataFrame | None, writes: DataFrame) -> DataFrame:
+    """Apply a batch of KV writes (``db.merge`` semantics, main.py:398-402):
+    new value wins per key, untouched keys survive."""
+    return merge_upsert(state, writes, key="key")
+
+
+class FileRunJournal:
+    """Single-writer lock + journal file (the checkpoint-as-lock analog).
+
+    ``acquire`` fails if an active, non-stale lock exists — mirroring
+    main.py:389-396 (stale after 2 h ⇒ takeover).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _read(self) -> dict:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _write(self, state: dict) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.path)
+
+    def acquire(self, now: datetime | None = None) -> bool:
+        now = now or datetime.now(timezone.utc)
+        state = self._read()
+        if state.get(LOCK_KEY) == "true":
+            started = state.get(STARTED_KEY)
+            if started:
+                age = now - datetime.fromisoformat(started)
+                if age <= STALE_AFTER:
+                    return False  # held and fresh → abort (main.py:395-396)
+        state[LOCK_KEY] = "true"
+        state[STARTED_KEY] = now.isoformat()
+        self._write(state)
+        return True
+
+    def release(self) -> None:
+        state = self._read()
+        state[LOCK_KEY] = "false"  # main.py:489
+        self._write(state)

@@ -1,0 +1,713 @@
+"""Core relational queries: sources/sinks (§2.1), projections/filters
+(§2.2), set ops/limits/top-k (§2.4), aggregations (§2.5).
+
+Fixture mapping follows FIXTURES.md §B: ``part`` plays the
+games_metadata dimension, ``events`` the games_timeseries fact, ranked
+order/lineitem scans play the two candidate listings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from steam_data_pipeline_spark.operators import aggregates as agg
+from steam_data_pipeline_spark.operators import relational as rel
+from steam_data_pipeline_spark.operators.upsert import merge_upsert
+from steam_data_pipeline_spark.plans.base import Registry, t
+
+CORE = Registry()
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@CORE.add(
+    "src_full_catalog",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS app_id
+    FROM part WHERE p_partkey IS NOT NULL
+    """,
+    doc="Full-catalog scan: project key, cast to string, drop nulls (main.py:244-259).",
+    tags=("source",),
+)
+def src_full_catalog(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey").isNotNull())
+        .select(F.col("p_partkey").cast("string").alias("app_id"))
+    )
+
+
+@CORE.add(
+    "src_paginated_limit",
+    oracle="""
+    SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 500
+    """,
+    doc="Paginated scan with client-side LIMIT: ordered scan, stop at n (main.py:215-242).",
+    tags=("source", "limit"),
+)
+def src_paginated_limit(spark, sf_dir):
+    return rel.topk(t(spark, sf_dir, "orders").select("o_orderkey"), ["o_orderkey"], 500)
+
+
+@CORE.add(
+    "src_top_selling",
+    oracle="""
+    SELECT CAST(o_custkey AS VARCHAR) AS app_id,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 500
+    """,
+    doc="Ranked top-sellers listing, position = rank (main.py:261-272).",
+    tags=("source", "topk"),
+)
+def src_top_selling(spark, sf_dir):
+    ranked = rel.ranked_topk(
+        t(spark, sf_dir, "orders"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        500,
+    )
+    return ranked.select(
+        F.col("o_custkey").cast("string").alias("app_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@CORE.add(
+    "src_most_played",
+    oracle="""
+    WITH played AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(l_partkey AS VARCHAR) AS app_id, total_qty,
+           CAST(row_number() OVER (ORDER BY total_qty DESC, l_partkey) AS BIGINT) AS rank
+    FROM played
+    ORDER BY total_qty DESC, l_partkey
+    LIMIT 100
+    """,
+    doc="Ranked most-played chart: top-100 keys by summed quantity (main.py:274-286).",
+    tags=("source", "topk", "agg"),
+)
+def src_most_played(spark, sf_dir):
+    played = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(agg.dec_sum("l_quantity").cast("double").alias("total_qty"))
+    )
+    ranked = rel.ranked_topk(
+        played, [F.col("total_qty").desc(), F.col("l_partkey")], 100
+    )
+    return ranked.select(
+        F.col("l_partkey").cast("string").alias("app_id"),
+        "total_qty",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@CORE.add(
+    "src_details_lookup",
+    oracle="""
+    WITH played AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY total_qty DESC, l_partkey LIMIT 100
+    )
+    SELECT CAST(p.p_partkey AS VARCHAR) AS app_id, p.p_name AS name,
+           p.p_brand AS developer, p.p_type AS type, played.total_qty
+    FROM part p JOIN played ON p.p_partkey = played.l_partkey
+    """,
+    doc="Point lookups per candidate key ≡ broadcast join against details (main.py:288-316).",
+    tags=("source", "join"),
+)
+def src_details_lookup(spark, sf_dir):
+    played = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(agg.dec_sum("l_quantity").cast("double").alias("total_qty"))
+    )
+    candidates = rel.topk(played, [F.col("total_qty").desc(), F.col("l_partkey")], 100)
+    part = t(spark, sf_dir, "part")
+    return part.join(
+        F.broadcast(candidates), part.p_partkey == candidates.l_partkey, "inner"
+    ).select(
+        F.col("p_partkey").cast("string").alias("app_id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("developer"),
+        F.col("p_type").alias("type"),
+        "total_qty",
+    )
+
+
+@CORE.add(
+    "src_timeseries_enrich",
+    oracle="""
+    WITH played AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS player_count
+      FROM lineitem GROUP BY l_partkey
+    ),
+    streams AS (
+      SELECT user_id, CAST(LEAST(COUNT(*), 100) AS BIGINT) AS streamer_count
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(p.p_partkey AS VARCHAR) AS app_id, p.p_name AS name,
+           COALESCE(played.player_count, 0.0) AS player_count,
+           COALESCE(streams.streamer_count, 0) AS streamer_count,
+           p.p_retailprice AS price_numeric
+    FROM part p
+    LEFT JOIN played ON p.p_partkey = played.l_partkey
+    LEFT JOIN streams ON (p.p_partkey - 1) % 150 = streams.user_id
+    """,
+    doc=(
+        "Per-key fact enrichment: dim ⟕ players ⟕ streams (derived join key) "
+        "with coalesce defaults (main.py:322-374)."
+    ),
+    tags=("source", "join"),
+)
+def src_timeseries_enrich(spark, sf_dir):
+    part = t(spark, sf_dir, "part")
+    played = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(agg.dec_sum("l_quantity").cast("double").alias("player_count"))
+    )
+    streams = agg.capped_count_per_key(
+        t(spark, sf_dir, "events"), "user_id", 100, "streamer_count"
+    )
+    out = (
+        part.join(played, part.p_partkey == played.l_partkey, "left")
+        .join(streams, (part.p_partkey - 1) % 150 == streams.user_id, "left")
+    )
+    return out.select(
+        F.col("p_partkey").cast("string").alias("app_id"),
+        F.col("p_name").alias("name"),
+        F.coalesce("player_count", F.lit(0.0)).alias("player_count"),
+        F.coalesce("streamer_count", F.lit(0).cast("long")).alias("streamer_count"),
+        F.col("p_retailprice").alias("price_numeric"),
+    )
+
+
+@CORE.add(
+    "sink_upsert_metadata",
+    oracle="""
+    WITH updates AS (
+      SELECT p_partkey, p_name, p_brand, p_retailprice + 1.0 AS p_retailprice
+      FROM part WHERE p_partkey % 10 = 0
+    )
+    SELECT p_partkey, p_name, p_brand, p_retailprice FROM updates
+    UNION ALL
+    SELECT p.p_partkey, p.p_name, p.p_brand, p.p_retailprice
+    FROM part p WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.p_partkey = p.p_partkey)
+    """,
+    doc=(
+        "MERGE upsert: updated rows win per key, untouched keys survive "
+        "(INSERT … ON CONFLICT DO UPDATE, main.py:451-457)."
+    ),
+    tags=("sink", "merge"),
+)
+def sink_upsert_metadata(spark, sf_dir):
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    updates = part.filter(F.col("p_partkey") % 10 == 0).withColumn(
+        "p_retailprice", F.col("p_retailprice") + F.lit(1.0)
+    )
+    return merge_upsert(part, updates, key="p_partkey")
+
+
+@CORE.add(
+    "sink_append_timeseries",
+    oracle="""
+    WITH appended AS (
+      SELECT event_id, event_type FROM events
+      UNION ALL
+      SELECT event_id + 10000000 AS event_id, event_type
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM appended GROUP BY event_type
+    """,
+    doc="Append-only fact sink: batch append then per-type counts (main.py:475).",
+    tags=("sink",),
+)
+def sink_append_timeseries(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type")
+    batch = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "event_id", F.col("event_id") + F.lit(10000000)
+    )
+    return (
+        ev.unionByName(batch)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@CORE.add(
+    "state_kv_rw",
+    oracle="""
+    WITH state(key, value) AS (
+      VALUES ('is_scraping_active', 'false'), ('last_started_utc', '2024-01-01T00:00:00')
+    ),
+    writes(key, value) AS (
+      VALUES ('is_scraping_active', 'true'), ('run_count', '1')
+    )
+    SELECT key, value FROM writes
+    UNION ALL
+    SELECT s.key, s.value FROM state s
+    WHERE NOT EXISTS (SELECT 1 FROM writes w WHERE w.key = s.key)
+    """,
+    doc="KV lock/journal upsert: new value wins per key (main.py:387-404).",
+    tags=("state",),
+)
+def state_kv_rw(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.state import kv_upsert
+
+    state = spark.createDataFrame(
+        [("is_scraping_active", "false"), ("last_started_utc", "2024-01-01T00:00:00")],
+        "key string, value string",
+    )
+    writes = spark.createDataFrame(
+        [("is_scraping_active", "true"), ("run_count", "1")],
+        "key string, value string",
+    )
+    return kv_upsert(state, writes)
+
+
+@CORE.add(
+    "api_read_sample",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part ORDER BY p_partkey LIMIT 5
+    """,
+    doc="Read endpoint first-5 sample, made deterministic by key order (main.py:514-523).",
+    tags=("limit",),
+)
+def api_read_sample(spark, sf_dir):
+    return rel.topk(t(spark, sf_dir, "part"), ["p_partkey"], 5)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@CORE.add(
+    "proj_flatten_details",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           event_type
+    FROM events
+    """,
+    doc="Nested JSON flatten: from_json + dot-path projection (main.py:299-313).",
+    tags=("projection", "json"),
+)
+def proj_flatten_details(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.withColumn("__p", F.from_json("props", "k LONG"))
+    return parsed.select(
+        "event_id", F.col("__p.k").alias("k_value"), "event_type"
+    )
+
+
+@CORE.add(
+    "proj_drop_col",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+    doc="Drop transient column before sink (main.py:449).",
+    tags=("projection",),
+)
+def proj_drop_col(spark, sf_dir):
+    return t(spark, sf_dir, "events").drop("props")
+
+
+@CORE.add(
+    "proj_tuple",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    """,
+    doc="Narrow 3-column projection for the next stage (main.py:464).",
+    tags=("projection",),
+)
+def proj_tuple(spark, sf_dir):
+    return t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+
+
+@CORE.add(
+    "filt_valid_meta",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_name IS NOT NULL AND p_name <> ''
+    """,
+    doc="Drop null/empty-name records (main.py:445).",
+    tags=("filter",),
+)
+def filt_valid_meta(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").isNotNull() & (F.col("p_name") != ""))
+        .select("p_partkey", "p_name")
+    )
+
+
+@CORE.add(
+    "filt_pool_clean",
+    oracle="""
+    SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS app_id
+    FROM lineitem
+    WHERE l_partkey IS NOT NULL AND LENGTH(CAST(l_partkey AS VARCHAR)) > 0
+    """,
+    doc="Falsy-id / null-row drop during scan (main.py:234,254,283,472).",
+    tags=("filter",),
+)
+def filt_pool_clean(spark, sf_dir):
+    ids = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("app_id")
+    )
+    return ids.filter(
+        F.col("app_id").isNotNull() & (F.length("app_id") > 0)
+    ).distinct()
+
+
+@CORE.add(
+    "filt_anti_type",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_non_game
+    FROM part WHERE p_type <> 'ECONOMY'
+    """,
+    doc="Anti-predicate observability count: rows of unexpected type (main.py:467-469).",
+    tags=("filter", "agg"),
+)
+def filt_anti_type(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type") != "ECONOMY")
+        .agg(F.count(F.lit(1)).alias("n_non_game"))
+    )
+
+
+@CORE.add(
+    "pred_lock_expiry",
+    oracle="""
+    SELECT event_id, user_id, ts FROM events
+    WHERE ts < (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+    """,
+    doc="Stale-lock interval predicate: older than now − 2 h (main.py:392-394).",
+    tags=("filter", "interval"),
+)
+def pred_lock_expiry(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("__cutoff")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") < F.col("__cutoff"))
+        .select("event_id", "user_id", "ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 set ops / dedup / sort / limit / top-k / batching
+# ---------------------------------------------------------------------------
+
+_POOL_SQL = """
+    WITH top_selling AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS app_id
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 500
+    ),
+    most_played AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS app_id
+      FROM (
+        SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+        FROM lineitem GROUP BY l_partkey
+      ) ORDER BY tq DESC, l_partkey LIMIT 100
+    ),
+    pool AS (
+      SELECT DISTINCT app_id FROM (
+        SELECT app_id FROM top_selling UNION ALL SELECT app_id FROM most_played
+      )
+    )
+"""
+
+
+def _candidate_pool(spark, sf_dir):
+    """The two ranked listings feeding the pipeline's signature op."""
+    top_selling = rel.topk(
+        t(spark, sf_dir, "orders"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        500,
+    ).select(F.col("o_custkey").cast("string").alias("app_id"))
+    played = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(agg.dec_sum("l_quantity").alias("tq"))
+    )
+    most_played = rel.topk(
+        played, [F.col("tq").desc(), F.col("l_partkey")], 100
+    ).select(F.col("l_partkey").cast("string").alias("app_id"))
+    return top_selling, most_played
+
+
+@CORE.add(
+    "set_union_distinct_sort",
+    oracle=_POOL_SQL
+    + """
+    SELECT app_id,
+           CAST(row_number() OVER (ORDER BY app_id) AS BIGINT) AS pos
+    FROM pool
+    """,
+    doc=(
+        "The pipeline's signature op: union two ranked key lists, distinct, "
+        "lexicographic string sort — '10' < '9' (main.py:421,254)."
+    ),
+    tags=("setop", "sort"),
+)
+def set_union_distinct_sort(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.windows import rank_by
+
+    top_selling, most_played = _candidate_pool(spark, sf_dir)
+    pool = rel.union_distinct_sort(top_selling, most_played, "app_id")
+    return rank_by(pool, [F.col("app_id")], "pos").withColumn(
+        "pos", F.col("pos").cast("long")
+    )
+
+
+@CORE.add(
+    "limit_truncate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    ORDER BY l_orderkey, l_linenumber LIMIT 1000
+    """,
+    doc="Post-scan truncation [:limit] (main.py:242).",
+    tags=("limit",),
+)
+def limit_truncate(spark, sf_dir):
+    return rel.topk(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        ["l_orderkey", "l_linenumber"],
+        1000,
+    )
+
+
+@CORE.add(
+    "limit_sample5",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    ORDER BY c_custkey LIMIT 5
+    """,
+    doc="First-5 sample with declared order (main.py:520; FIXTURES.md oracle note).",
+    tags=("limit",),
+)
+def limit_sample5(spark, sf_dir):
+    return rel.topk(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        ["c_custkey"],
+        5,
+    )
+
+
+@CORE.add(
+    "topk_latest5",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 5
+    """,
+    doc="Recency top-k: ORDER BY timestamp DESC LIMIT 5 (GUIDE:188).",
+    tags=("topk",),
+)
+def topk_latest5(spark, sf_dir):
+    return rel.topk(
+        t(spark, sf_dir, "events").drop("props"),
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        5,
+    )
+
+
+@CORE.add(
+    "topk_latest100",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+    doc="Latest-100 quality-sampling table (PLAN:26).",
+    tags=("topk",),
+)
+def topk_latest100(spark, sf_dir):
+    return rel.topk(
+        t(spark, sf_dir, "events").drop("props"),
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        100,
+    )
+
+
+@CORE.add(
+    "batch_slicing",
+    oracle=_POOL_SQL
+    + """
+    , numbered AS (
+      SELECT app_id, row_number() OVER (ORDER BY app_id) - 1 AS rn FROM pool
+    )
+    SELECT CAST(rn // 20 AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM numbered GROUP BY 1
+    """,
+    doc="Deterministic fixed-size batching over the sorted key pool (main.py:432-433).",
+    tags=("batch",),
+)
+def batch_slicing(spark, sf_dir):
+    top_selling, most_played = _candidate_pool(spark, sf_dir)
+    pool = rel.union_distinct_sort(top_selling, most_played, "app_id")
+    batched = rel.batch_slices(pool, "app_id", 20)
+    return batched.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregations
+# ---------------------------------------------------------------------------
+
+
+@CORE.add(
+    "agg_count_rows",
+    oracle="""
+    SELECT 'part' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM part
+    UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+    UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+    UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
+    """,
+    doc="Validation row counts per table (GUIDE:181-182).",
+    tags=("agg",),
+)
+def agg_count_rows(spark, sf_dir):
+    parts = [
+        agg.count_rows(t(spark, sf_dir, name), name)
+        for name in ("part", "orders", "lineitem", "events")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@CORE.add(
+    "agg_streamer_count",
+    oracle="""
+    SELECT user_id, event_type, CAST(LEAST(COUNT(*), 100) AS BIGINT) AS n_capped
+    FROM events GROUP BY user_id, event_type
+    """,
+    doc="Per-key count with page-size cap: least(count, 100) (main.py:347,352).",
+    tags=("agg",),
+)
+def agg_streamer_count(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.least(F.count(F.lit(1)), F.lit(100).cast("long")).alias("n_capped"))
+    )
+
+
+@CORE.add(
+    "agg_daily_counts",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+    doc="Daily ingest heartbeat: records/day + active keys (PLAN:25).",
+    tags=("agg", "flagship"),
+)
+def agg_daily_counts(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@CORE.add(
+    "agg_roi_discount",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN value > 100 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / COUNT(CASE WHEN value > 100 THEN 1 END) AS avg_in,
+           CAST(SUM(CASE WHEN NOT (value > 100) THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / COUNT(CASE WHEN NOT (value > 100) THEN 1 END) AS avg_out,
+           (CAST(SUM(CASE WHEN value > 100 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / COUNT(CASE WHEN value > 100 THEN 1 END))
+           / (CAST(SUM(CASE WHEN NOT (value > 100) THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / COUNT(CASE WHEN NOT (value > 100) THEN 1 END)) - 1.0 AS roi
+    FROM events GROUP BY user_id
+    """,
+    doc=(
+        "Discount-ROI conditional aggregate: avg value inside vs outside the "
+        "flag, ratio − 1 (PLAN:50-53). Single pass, exact decimal sums."
+    ),
+    tags=("agg", "analytics"),
+)
+def agg_roi_discount(spark, sf_dir):
+    return agg.conditional_roi(
+        t(spark, sf_dir, "events"), "user_id", "value", F.col("value") > 100
+    )
+
+
+@CORE.add(
+    "agg_minmax_validate",
+    oracle="""
+    SELECT 'events.value' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(value) AS BIGINT) AS n_nonnull,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
+    FROM events
+    UNION ALL
+    SELECT 'lineitem.l_quantity', CAST(COUNT(*) AS BIGINT), CAST(COUNT(l_quantity) AS BIGINT),
+           MIN(l_quantity), MAX(l_quantity),
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)
+    FROM lineitem
+    """,
+    doc="Null/anomaly validation profile: min/max/avg/null-rate (PLAN:26).",
+    tags=("agg", "validation"),
+)
+def agg_minmax_validate(spark, sf_dir):
+    ev = agg.profile_column(t(spark, sf_dir, "events"), "value", "events.value")
+    li = agg.profile_column(
+        t(spark, sf_dir, "lineitem"), "l_quantity", "lineitem.l_quantity"
+    )
+    return ev.unionByName(li)
+
+
+@CORE.add(
+    "agg_distinct_pool",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_keys FROM lineitem
+    """,
+    doc="Candidate pool size after distinct (main.py:429-430).",
+    tags=("agg",),
+)
+def agg_distinct_pool(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_keys")
+    )
+
+
+@CORE.add(
+    "agg_rollup_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY ROLLUP(1, event_type)
+    """,
+    doc="ROLLUP(day, type) dashboard extension of the daily heartbeat (SURVEY §2.5).",
+    tags=("agg", "rollup"),
+)
+def agg_rollup_daily(spark, sf_dir):
+    return agg.rollup_daily_by_type(t(spark, sf_dir, "events"), "ts", "event_type")

@@ -1,0 +1,525 @@
+"""Extension queries: LLM-pipeline operators (§2.10) and streaming
+semantics (§2.8).
+
+Oracle notes:
+* Cosine similarity is oracle-checked at FULL float precision: Spark's
+  ``aggregate`` fold and DuckDB's ``list_reduce`` are both strict
+  sequential left folds over the same float64 values, verified
+  bit-identical.
+* MinHash/SimHash/fingerprint queries hash with ``xxhash64``, which
+  DuckDB lacks → registered rows-only (no oracle), with deterministic
+  output guaranteed by seeded hashing.
+* Streaming queries execute a real Structured Streaming query
+  (``availableNow`` trigger, memory sink) and return the final result
+  table — their oracles are the batch-equivalent SQL, which is exactly
+  the late-binding guarantee Structured Streaming gives.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from steam_data_pipeline_spark.llm import dedup as D
+from steam_data_pipeline_spark.llm import simsearch as S
+from steam_data_pipeline_spark.llm import textstats as TS
+from steam_data_pipeline_spark.plans.base import Registry, t
+
+EXT = Registry()
+
+_STOPWORD_SQL_LIST = "['" + "', '".join(
+    w for ws in TS._STOPWORDS.values() for w in ws
+) + "']"
+
+# ---------------------------------------------------------------------------
+# §2.10 dedup
+# ---------------------------------------------------------------------------
+
+
+@EXT.add(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+    """,
+    doc="Exact dedup: content-hash groupBy, min-id survivor (SURVEY §2.10).",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@EXT.add(
+    "llm_dedup_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(regexp_split_to_array(lower(text), '\\s+')) - 1, 2)),
+                 i -> array_to_string(regexp_split_to_array(lower(text), '\\s+')[i:i+2], ' ')
+               )
+             ) AS shingles
+      FROM documents
+    ),
+    posting AS (
+      SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a, b, CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
+    """,
+    doc=(
+        "Exact 3-gram Jaccard near-dup pairs via inverted-index self-join "
+        "(the truth MinHash approximates)."
+    ),
+    tags=("llm", "dedup"),
+)
+def llm_dedup_jaccard(spark, sf_dir):
+    pairs = D.jaccard_pairs(
+        t(spark, sf_dir, "documents"), shingle_n=3, min_jaccard=0.5
+    )
+    return pairs.select(
+        "a", "b", F.col("jaccard").alias("jaccard")
+    )
+
+
+@EXT.add(
+    "llm_dedup_near",
+    oracle=None,  # xxhash64 seeds not reproducible in the oracle engine
+    doc=(
+        "MinHash(32)+LSH(8 bands) near-duplicate removal, min-id survivor "
+        "(SURVEY §2.10 llm_dedup_near). Deterministic via seeded xxhash64; "
+        "rows-only check."
+    ),
+    tags=("llm", "dedup", "rows-only"),
+)
+def llm_dedup_near(spark, sf_dir):
+    return D.minhash_dedup(
+        t(spark, sf_dir, "documents"), threshold=0.6
+    ).select("doc_id", "lang", "source")
+
+
+@EXT.add(
+    "llm_dedup_simhash",
+    oracle=None,
+    doc=(
+        "SimHash-64 near-dup candidate pairs (4-band pigeonhole blocking, "
+        "hamming ≤ 8 verification). Rows-only check."
+    ),
+    tags=("llm", "dedup", "rows-only"),
+)
+def llm_dedup_simhash(spark, sf_dir):
+    return D.simhash_near_pairs(
+        t(spark, sf_dir, "documents"), max_hamming=8
+    )
+
+
+@EXT.add(
+    "llm_dedup_embedding",
+    oracle=None,
+    doc=(
+        "Embedding-cosine near-dup pairs via sign-random-projection LSH "
+        "buckets + exact cosine verify. Rows-only check."
+    ),
+    tags=("llm", "dedup", "rows-only"),
+)
+def llm_dedup_embedding(spark, sf_dir):
+    return D.embedding_near_pairs(
+        t(spark, sf_dir, "embeddings"), min_cosine=0.9, n_planes=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+  list_reduce(list_transform(list_zip({a}, {b}),
+              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+              (acc, v) -> acc + v)
+  / (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      (acc, v) -> acc + v))
+     * sqrt(list_reduce(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (acc, v) -> acc + v)))
+"""
+
+
+@EXT.add(
+    "llm_sim_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_COS_SQL.format(a="e.embedding", b="q.qv")} AS cosine
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+    doc=(
+        "Brute-force cosine top-10 per query vector (SURVEY §2.10 "
+        "llm_sim_search) — bit-exact sequential-fold arithmetic on both "
+        "engines."
+    ),
+    tags=("llm", "similarity", "flagship"),
+)
+def llm_sim_search(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(emb, queries, k=10)
+
+
+@EXT.add(
+    "llm_sim_ivf",
+    oracle=None,
+    doc=(
+        "IVF-partitioned approximate top-10 (16 centroids, 4 probes) — the "
+        "scale path: touches n_probe/C of the corpus per query. Rows-only."
+    ),
+    tags=("llm", "similarity", "rows-only"),
+)
+def llm_sim_ivf(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, k=10)
+
+
+@EXT.add(
+    "llm_embedding_stats",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(
+             sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                             (acc, v) -> acc + v))
+             AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="Per-label embedding profile: counts + exact-decimal mean L2 norm.",
+    tags=("llm", "agg"),
+)
+def llm_embedding_stats(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    norm = S.norm_expr("embedding")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(norm.cast("decimal(18,12)")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 text analysis
+# ---------------------------------------------------------------------------
+
+
+@EXT.add(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           quantile_cont(n_chars, 0.5) AS median_chars
+    FROM documents GROUP BY lang, source
+    """,
+    doc="Corpus profile per (lang, source): docs, tokens, length distribution.",
+    tags=("llm", "text"),
+)
+def llm_text_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", TS.token_count("text"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        )
+    )
+
+
+@EXT.add(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="Per-doc token counting: whitespace + BPE-ish (punct-splitting) estimate.",
+    tags=("llm", "text"),
+)
+def llm_token_count(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count("text").cast("long").alias("ws_tokens"),
+        TS.bpe_ish_token_count("text").cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@EXT.add(
+    "llm_langid_quality",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS nalpha,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+      FROM documents
+    ),
+    lang_scores AS (
+      SELECT doc_id, nc, nalpha, ntok,
+             len(list_intersect(toks, ['the','a','of','and','to'])) AS s_en,
+             len(list_intersect(toks, ['der','die','das','und','ist'])) AS s_de,
+             len(list_intersect(toks, ['le','la','et','les','des'])) AS s_fr,
+             len(list_intersect(toks, ['el','la','que','de','y'])) AS s_es,
+             len(list_intersect(toks, {_STOPWORD_SQL_LIST})) AS stop_hits
+      FROM scored
+    )
+    SELECT doc_id,
+           CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
+                ELSE 'und' END AS lang_guess,
+           least(CAST(ntok AS DOUBLE) / 50.0, 1.0)
+             * (CAST(nalpha AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE))
+             * (0.5 + 0.5 * least(CAST(stop_hits AS DOUBLE) / 2.0, 1.0)) AS quality
+    FROM lang_scores
+    """,
+    doc=(
+        "Heuristic language-ID (stopword-profile argmax) + quality score "
+        "(length × alpha-ratio × stopword factors) per document."
+    ),
+    tags=("llm", "text"),
+)
+def llm_langid_quality(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.language_id("text").alias("lang_guess"),
+        TS.quality_score("text").alias("quality"),
+    )
+
+
+@EXT.add(
+    "llm_fingerprint",
+    oracle=None,
+    doc=(
+        "Order-sensitive rolling document fingerprint (polynomial fold of "
+        "xxhash64 token hashes). Rows-only check."
+    ),
+    tags=("llm", "text", "rows-only"),
+)
+def llm_fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.fingerprint("text").alias("fingerprint"))
+
+
+@EXT.add(
+    "llm_multimodal_cols",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+           CAST(len(e.embedding) AS INTEGER) AS embedding_dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    doc="Multimodal row: documents ⋈ embeddings (text + vector columns).",
+    tags=("llm", "join"),
+)
+def llm_multimodal_cols(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.multimodal import multimodal_join
+
+    return multimodal_join(
+        t(spark, sf_dir, "documents"), t(spark, sf_dir, "embeddings")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 streaming semantics (real Structured Streaming executions)
+# ---------------------------------------------------------------------------
+
+
+def _run_stream_to_memory(sdf, name_prefix: str, spark, output_mode: str = "complete"):
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _read_events_stream(spark, sf_dir):
+    from steam_data_pipeline_spark import schemas
+    from steam_data_pipeline_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    # FileStreamSource needs a directory; select just the events table
+    # out of the shared sf_dir via glob filter.
+    raw = (
+        spark.readStream.schema(schemas.EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@EXT.add(
+    "stream_tumbling_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "Structured Streaming tumbling 1-day window count (PLAN:25; SURVEY "
+        "§2.8), availableNow trigger, complete mode — result equals the "
+        "batch daily heartbeat."
+    ),
+    tags=("streaming",),
+)
+def stream_tumbling_daily(spark, sf_dir):
+    ev = _read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = _run_stream_to_memory(agg, "tumbling_daily", spark)
+    return out.select(F.col("w.start").alias("day"), "n_events")
+
+
+@EXT.add(
+    "stream_dedup_inpool",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_pairs FROM (
+      SELECT DISTINCT user_id, event_type FROM events
+    )
+    """,
+    doc=(
+        "Streaming dropDuplicates over the candidate pool key (main.py:421 "
+        "cross-source dedup as a stream), counted in complete mode."
+    ),
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_inpool(spark, sf_dir):
+    ev = _read_events_stream(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    agg = deduped.groupBy().agg(F.count(F.lit(1)).alias("n_distinct_pairs"))
+    return _run_stream_to_memory(agg, "dedup_pool", spark)
+
+
+@EXT.add(
+    "stream_session_window",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM tagged GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Session windows (30-min gap) per key via Structured Streaming "
+        "session_window (SURVEY §2.8 stream_session_window); oracle is the "
+        "equivalent batch gaps-and-islands sessionization."
+    ),
+    tags=("streaming", "window"),
+)
+def stream_session_window(spark, sf_dir):
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_stream_to_memory(agg, "session_win", spark)
+    return out.select(
+        "user_id", F.col("w.start").alias("session_start"), "n_events"
+    )
+
+
+@EXT.add(
+    "stream_microbatch_upsert",
+    oracle="""
+    SELECT user_id AS app_id, value AS latest_value, ts AS latest_ts FROM (
+      SELECT user_id, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "foreachBatch micro-batch MERGE upsert into a versioned parquet "
+        "table store (main.py:432-457 batch loop + upsert); final table = "
+        "latest row per key regardless of batching — the exactly-once/"
+        "idempotence property, checked against the batch latest-per-key SQL."
+    ),
+    tags=("streaming", "merge"),
+)
+def stream_microbatch_upsert(spark, sf_dir):
+    import tempfile
+
+    from steam_data_pipeline_spark.operators.upsert import ParquetTableStore
+
+    ev = _read_events_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="sdp_upsert_")
+    store = ParquetTableStore(spark, root)
+
+    def apply_batch(batch_df, batch_id):
+        rows = batch_df.select(
+            F.col("user_id").alias("app_id"),
+            F.col("value").alias("latest_value"),
+            F.col("ts").alias("latest_ts"),
+            F.col("event_id").alias("__version"),
+        )
+        store.upsert(
+            "latest_state", rows, key="app_id", version_cols=["latest_ts", "__version"]
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return store.read("latest_state").select("app_id", "latest_value", "latest_ts")

@@ -1,0 +1,85 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads)
+but every setting here is chosen to also make sense on a large cluster:
+
+* AQE on (runtime shuffle coalescing, skew-join splitting, plan
+  re-optimization) — the 100 TB posture is "declare the plan, let the
+  runtime adapt".
+* ``spark.sql.shuffle.partitions`` sized to the local core count; on a
+  real cluster AQE coalesces the (deliberately generous) initial
+  number down to data-proportional partitions.
+* Arrow enabled for every pandas interchange (Pandas UDFs,
+  ``applyInPandas``, ``toPandas``) — vectorized columnar transfer, not
+  row pickling.
+* Session timezone pinned to UTC: the reference stores timezone-aware
+  UTC timestamps (main.py:89,95); pinning the session tz makes
+  TimestampType arithmetic and string formatting reproducible
+  everywhere.
+* ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver testdata
+  stores ``events.ts`` as parquet TIMESTAMP(NANOS) which Spark 4
+  otherwise refuses to read; we read the raw int64 nanoseconds and
+  convert with exact integer arithmetic (see ``sources.tables``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe (and desirable) to apply to an externally
+# provided session at runtime — all of these are dynamic SQL confs.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply dynamic confs to a session we did not build (driver's)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - immutable conf on some builds
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "steam-data-pipeline-spark") -> SparkSession:
+    """Build (or fetch) the session used by tests and bench runs."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # When getOrCreate returns a pre-existing session the builder confs
+    # are ignored; re-apply the dynamic subset.
+    apply_runtime_confs(spark)
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

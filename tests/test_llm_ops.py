@@ -1,0 +1,171 @@
+"""Tests for the LLM-pipeline operators (dedup, simsearch, textstats,
+multimodal) on planted fixtures — behavior checks beyond the oracle
+sweep."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from steam_data_pipeline_spark.llm.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    simhash_near_pairs,
+    with_shingles,
+)
+from steam_data_pipeline_spark.llm.simsearch import brute_force_topk, ivf_topk
+from steam_data_pipeline_spark.llm.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    "to find a quiet place for a long nap under the old oak tree"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("quiet", "silent")),  # near duplicate of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "der hund und die katze das ist und der und die das ist gut"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_keeps_min_id_per_text(self, spark, docs):
+        kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+        assert kept == [0, 2, 3, 4]
+
+
+class TestMinHash:
+    def test_detects_planted_near_dups(self, spark, docs):
+        pairs = {
+            (r.a, r.b): r.est_jaccard
+            for r in minhash_candidate_pairs(docs).collect()
+        }
+        assert pairs.get((0, 1)) == 1.0  # identical → full signature match
+        assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # near dup found
+
+    def test_dedup_keeps_min_id(self, spark, docs):
+        kept = sorted(r.doc_id for r in minhash_dedup(docs, threshold=0.5).collect())
+        assert 0 in kept and 1 not in kept and 2 not in kept
+        assert 3 in kept and 4 in kept
+
+    def test_estimate_tracks_exact_jaccard(self, spark, docs):
+        exact = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs).collect()}
+        est = {
+            (r.a, r.b): r.est_jaccard for r in minhash_candidate_pairs(docs).collect()
+        }
+        for pair, e in est.items():
+            if pair in exact:
+                assert abs(e - exact[pair]) < 0.35  # 32 hashes → coarse but sane
+
+
+class TestSimHash:
+    def test_identical_docs_distance_zero(self, spark, docs):
+        pairs = {(r.a, r.b): r.hamming for r in simhash_near_pairs(docs).collect()}
+        assert pairs.get((0, 1)) == 0
+        assert (0, 2) in pairs and pairs[(0, 2)] <= 8
+
+
+class TestShingles:
+    def test_short_text_has_one_shingle(self, spark):
+        df = spark.createDataFrame([(1, "two words")], "doc_id long, text string")
+        got = with_shingles(df).collect()[0].shingles
+        assert got == ["two words"]
+
+
+class TestSimSearch:
+    @pytest.fixture()
+    def emb(self, spark, sf_dir):
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        return read_table(spark, sf_dir, "embeddings")
+
+    def test_self_is_nearest(self, spark, emb):
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        top = brute_force_topk(emb, queries, k=1).collect()
+        for r in top:
+            assert r.vec_id == r.query_id and abs(r.cosine - 1.0) < 1e-9
+
+    def test_ivf_recall_vs_brute_force(self, spark, emb):
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5  # probing half the lists on random data
+
+
+class TestTextStats:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world, how are you?")], "doc_id long, text string"
+        )
+        row = df.select(
+            token_count("text").alias("ws"),
+            bpe_ish_token_count("text").alias("bpe"),
+        ).collect()[0]
+        assert row.ws == 5
+        assert row.bpe == 7  # 5 words + ',' + '?'
+
+    def test_language_id_picks_profile(self, spark, docs):
+        got = {r.doc_id: r.g for r in docs.select(
+            "doc_id", language_id("text").alias("g")
+        ).collect()}
+        assert got[0] == "en"
+        assert got[4] == "de"
+
+    def test_quality_bounds(self, spark, docs):
+        vals = [r.q for r in docs.select(quality_score("text").alias("q")).collect()]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+
+    def test_fingerprint_is_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha")],
+            "doc_id long, text string",
+        )
+        fps = [r.fp for r in df.select(fingerprint("text").alias("fp")).collect()]
+        assert fps[0] != fps[1]
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        from steam_data_pipeline_spark.llm.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+            sample_frames,
+        )
+
+        rows = [
+            (1, 10, "image", bytes(range(64)), ("image/png", 8, 8, None)),
+            (2, 11, "video", b"\xff" * 128, ("video/mp4", 16, 16, 3500)),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        feats = {r.media_id: r for r in extract_features(media).collect()}
+        assert feats[1].n_bytes == 64
+        assert len(feats[1].feature) == 8
+        assert abs(sum(feats[1].feature) - 1.0) < 1e-9  # histogram normalized
+        assert feats[1].content_hash != feats[2].content_hash
+        frames = sample_frames(media, every_ms=1000).collect()
+        assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]

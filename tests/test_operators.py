@@ -1,0 +1,117 @@
+"""Unit + property tests for the operator library (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from steam_data_pipeline_spark.operators.relational import (
+    dedup_last_writer,
+    union_distinct_sort,
+)
+from steam_data_pipeline_spark.operators.windows import (
+    island_intervals,
+    islands,
+    latest_per_key,
+    trailing_avg,
+)
+
+
+def _ts(i: int) -> datetime:
+    return datetime(2024, 1, 1) + timedelta(hours=i)
+
+
+class TestUnionDistinctSort:
+    def test_string_sort_order(self, spark):
+        """The reference sorts *string* keys: '10' < '9' (main.py:421,254)."""
+        a = spark.createDataFrame([("9",), ("10",)], "app_id string")
+        b = spark.createDataFrame([("2",), ("10",)], "app_id string")
+        got = [r.app_id for r in union_distinct_sort(a, b).collect()]
+        assert got == ["10", "2", "9"]
+
+    def test_idempotent_and_commutative(self, spark):
+        a = spark.createDataFrame([(str(i),) for i in range(20)], "app_id string")
+        b = spark.createDataFrame([(str(i),) for i in range(10, 30)], "app_id string")
+        ab = union_distinct_sort(a, b).collect()
+        ba = union_distinct_sort(b, a).collect()
+        aa = union_distinct_sort(
+            spark.createDataFrame(ab), spark.createDataFrame(ba)
+        ).collect()
+        assert ab == ba == aa
+
+
+class TestDedupLastWriter:
+    def test_keeps_max_version(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, "old"), ("a", 2, "new"), ("b", 1, "only")],
+            "k string, v int, payload string",
+        )
+        got = {r.k: r.payload for r in dedup_last_writer(df, "k", ["v"]).collect()}
+        assert got == {"a": "new", "b": "only"}
+
+
+class TestIslands:
+    def _run(self, spark, flags: list[int]):
+        rows = [Row(k="x", ts=_ts(i), flag=v) for i, v in enumerate(flags)]
+        df = spark.createDataFrame(rows)
+        return island_intervals(df, "k", "ts", F.col("flag") == 1).orderBy("start_ts")
+
+    @pytest.mark.parametrize(
+        "flags,expected_islands",
+        [
+            ([1, 1, 0, 1], 2),        # island at start
+            ([0, 1, 1, 0], 1),        # interior island
+            ([0, 0, 1], 1),           # island at end
+            ([1], 1),                 # single-point island
+            ([0, 0, 0], 0),           # no islands
+            ([1, 0, 1, 0, 1], 3),     # alternating single points
+            ([1, 1, 1, 1], 1),        # all flagged
+        ],
+    )
+    def test_island_counts(self, spark, flags, expected_islands):
+        got = self._run(spark, flags).collect()
+        assert len(got) == expected_islands
+
+    def test_islands_partition_flagged_rows_without_overlap(self, spark):
+        import random
+
+        rng = random.Random(42)
+        flags = [rng.randint(0, 1) for _ in range(200)]
+        got = self._run(spark, flags).collect()
+        # islands cover exactly the flagged rows
+        assert sum(r.n_obs for r in got) == sum(flags)
+        # non-overlapping, ordered intervals
+        for prev, cur in zip(got, got[1:]):
+            assert prev.end_ts < cur.start_ts
+
+    def test_multi_key_isolation(self, spark):
+        rows = [Row(k=k, ts=_ts(i), flag=1) for k in ("a", "b") for i in range(3)]
+        df = spark.createDataFrame(rows)
+        got = island_intervals(df, "k", "ts", F.col("flag") == 1).collect()
+        assert len(got) == 2  # one island per key, never merged across keys
+
+
+class TestLatestPerKey:
+    def test_tiebreak_deterministic(self, spark):
+        ts = _ts(0)
+        df = spark.createDataFrame(
+            [("a", ts, 1, "first"), ("a", ts, 2, "second")],
+            "k string, ts timestamp, seq int, payload string",
+        )
+        got = latest_per_key(df, "k", "ts", tiebreak=["seq"]).collect()
+        assert len(got) == 1 and got[0].payload == "second"
+
+
+class TestTrailingAvg:
+    def test_excludes_current_row(self, spark):
+        df = spark.createDataFrame(
+            [("a", _ts(i), float(i)) for i in range(4)],
+            "k string, ts timestamp, v double",
+        )
+        got = trailing_avg(df, "k", "ts", "v", k=2).orderBy("ts").collect()
+        assert got[0].trailing_avg is None            # empty frame
+        assert got[1].trailing_avg == 0.0             # avg(0)
+        assert got[2].trailing_avg == 0.5             # avg(0,1)
+        assert got[3].trailing_avg == 1.5             # avg(1,2)

@@ -1,0 +1,70 @@
+"""Golden end-to-end pipeline tests (SURVEY.md §5): the full ingest DAG
+on fixtures — union-distinct-sort → enrich joins → upsert + append —
+including upsert idempotence and append monotonicity, plus the
+streaming flavor with checkpoint recovery."""
+
+from __future__ import annotations
+
+import pytest
+
+from steam_data_pipeline_spark.operators.state import FileRunJournal
+from steam_data_pipeline_spark.operators.upsert import ParquetTableStore
+from steam_data_pipeline_spark.streaming.ingest import (
+    DIM_TABLE,
+    FACT_TABLE,
+    gather_candidates,
+    run_ingest_once,
+    run_ingest_stream,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ParquetTableStore(spark, str(tmp_path / "tables"))
+
+
+class TestBatchIngest:
+    def test_end_to_end_counts(self, spark, sf_dir, store):
+        stats = run_ingest_once(spark, sf_dir, store)
+        assert stats["pool"] > 0
+        # dim rows = candidates that found details (partkeys ≤ 200 at sf0.001)
+        assert 0 < stats["dim_rows"] <= stats["pool"]
+        assert stats["fact_rows"] == stats["dim_rows"]
+
+    def test_rerun_dim_stable_facts_grow(self, spark, sf_dir, store):
+        """Upsert idempotence for the dimension; append monotonicity for
+        the facts (main.py:451-457 / GUIDE:181-182)."""
+        s1 = run_ingest_once(spark, sf_dir, store)
+        s2 = run_ingest_once(spark, sf_dir, store)
+        assert s2["dim_rows"] == s1["dim_rows"]
+        assert s2["fact_rows"] == 2 * s1["fact_rows"]
+
+    def test_lock_blocks_concurrent_run(self, spark, sf_dir, store, tmp_path):
+        journal = FileRunJournal(str(tmp_path / "journal.json"))
+        assert journal.acquire()  # someone else holds the lock
+        stats = run_ingest_once(spark, sf_dir, store, journal=journal)
+        assert stats == {"skipped": 1}
+
+    def test_candidate_pool_sorted_strings(self, spark, sf_dir):
+        pool = [r.app_id for r in gather_candidates(spark, sf_dir).collect()]
+        assert pool == sorted(pool)  # lexicographic, not numeric (main.py:421)
+
+
+class TestStreamIngest:
+    def test_stream_upsert_and_append(self, spark, sf_dir, store, tmp_path):
+        run_ingest_stream(spark, sf_dir, store, str(tmp_path / "ckpt"))
+        dim = store.read(DIM_TABLE + "_stream")
+        facts = store.read(FACT_TABLE + "_stream")
+        n_keys = dim.count()
+        assert n_keys > 0
+        assert dim.select("app_id").distinct().count() == n_keys  # PK holds
+        assert facts.count() > n_keys  # append kept every event
+
+    def test_stream_restart_is_exactly_once(self, spark, sf_dir, store, tmp_path):
+        """Restarting from the same checkpoint must not reprocess —
+        the checkpoint-as-lock/journal property (SURVEY §2.8)."""
+        ckpt = str(tmp_path / "ckpt")
+        run_ingest_stream(spark, sf_dir, store, ckpt)
+        facts_before = store.read(FACT_TABLE + "_stream").count()
+        run_ingest_stream(spark, sf_dir, store, ckpt)  # no new files
+        assert store.read(FACT_TABLE + "_stream").count() == facts_before

@@ -1,0 +1,98 @@
+"""Differential tests: every registered query vs its DuckDB oracle.
+
+This is the local twin of the driver's CORRECTNESS gate (sf0.01 in the
+driver; sf0.001 here for speed — same code path) and is *stricter*:
+floats must match bit-exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from steam_data_pipeline_spark.difftest import duckdb_connect, run_one
+from steam_data_pipeline_spark.plans.registry import QUERIES
+from tests.conftest import SF_SMOKE
+
+ALL_NAMES = list(QUERIES)
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb_connect(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_query_matches_oracle(spark, con, name):
+    result = run_one(spark, con, SF_SMOKE, name)
+    assert result.ok, str(result)
+
+
+def test_registry_covers_survey_inventory():
+    """SURVEY.md §2 operator IDs must all be represented (directly or by
+    the documented consolidation)."""
+    consolidated = {
+        # survey ID → registry query that covers it
+        "sink_ddl_create": "sink_upsert_metadata",  # store.overwrite DDL path
+        "filt_success_flag": "filt_valid_meta",
+        "filt_nonnull_rows": "filt_pool_clean",
+        "filt_falsy_id": "filt_pool_clean",
+        "fn_trim": "fn_scalar_suite",
+        "fn_concat_ws": "fn_scalar_suite",
+        "fn_strip_symbols": "fn_scalar_suite",
+        "fn_cast_string": "fn_scalar_suite",
+        "fn_div_scale": "fn_scalar_suite",
+        "fn_coalesce_default": "fn_scalar_suite",
+        "fn_now_utc": "fn_datetime_suite",
+        "fn_iso_ts": "fn_datetime_suite",
+        "fn_interval_add": "fn_datetime_suite",
+        "fn_json_get": "proj_flatten_details",
+        "fn_array_len": "llm_multimodal_cols",
+        "fn_str_contains": "fn_scalar_suite",
+        "udf_id_extractor": "fn_scalar_suite",
+        "udf_normalize_name": "fn_scalar_suite",
+        "win_islands": "win_islands",
+        "join_asof_latest": "join_asof_latest",
+        "stream_microbatch": "stream_microbatch_upsert",
+        "stream_exactly_once_upsert": "stream_microbatch_upsert",
+        "stream_late_data": "stream_session_window",
+        "stream_state_store": "stream_microbatch_upsert",
+        "stream_tumbling_daily": "stream_tumbling_daily",
+        "stream_session_window": "stream_session_window",
+        "stream_dedup_inpool": "stream_dedup_inpool",
+        "llm_dedup_exact": "llm_dedup_exact",
+        "llm_dedup_near": "llm_dedup_near",
+        "llm_sim_search": "llm_sim_search",
+        "llm_text_stats": "llm_text_stats",
+        "llm_multimodal_cols": "llm_multimodal_cols",
+    }
+    for target in consolidated.values():
+        assert target in QUERIES, f"consolidation target {target} missing"
+    direct = [
+        "src_full_catalog", "src_paginated_limit", "src_top_selling",
+        "src_most_played", "src_details_lookup", "src_timeseries_enrich",
+        "sink_upsert_metadata", "sink_append_timeseries", "state_kv_rw",
+        "api_read_sample", "proj_flatten_details", "proj_drop_col",
+        "proj_tuple", "filt_valid_meta", "filt_anti_type",
+        "pred_lock_expiry", "join_enrich_details", "join_enrich_facts",
+        "join_dim_fact", "join_interval_overlap", "join_semi_candidates",
+        "set_union_distinct_sort", "limit_truncate", "limit_sample5",
+        "topk_latest5", "topk_latest100", "batch_slicing",
+        "agg_count_rows", "agg_streamer_count", "agg_daily_counts",
+        "agg_roi_discount", "agg_minmax_validate", "agg_distinct_pool",
+        "win_rank_listing", "win_latest_per_key", "win_growth_rate",
+        "win_price_player_align", "udtf_forecast", "udf_potential_score",
+        "udf_recommender",
+    ]
+    for name in direct:
+        assert name in QUERIES, f"survey operator {name} missing from registry"
+
+
+def test_oracle_columns_alias_discipline():
+    """Every oracle query's Spark twin must produce identical column
+    names (the driver sorts columns by name before hashing)."""
+    # covered implicitly by the parametrized differential test; keep an
+    # explicit registry-level sanity: no oracle without a spark fn.
+    for name, q in QUERIES.items():
+        assert callable(q.spark)
+        if q.oracle is not None:
+            assert "SELECT" in q.oracle.upper()

@@ -1,0 +1,96 @@
+"""MERGE upsert, table store, and lock/journal tests (SURVEY.md §5:
+golden pipeline properties — upsert idempotence, append monotonicity,
+lock staleness)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from steam_data_pipeline_spark.operators.state import FileRunJournal, kv_upsert
+from steam_data_pipeline_spark.operators.upsert import ParquetTableStore, merge_upsert
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ParquetTableStore(spark, str(tmp_path / "tables"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "app_id string, name string, v int")
+
+
+class TestMergeUpsert:
+    def test_update_and_insert_halves(self, spark):
+        old = _df(spark, [("1", "one", 1), ("2", "two", 1)])
+        new = _df(spark, [("2", "TWO", 2), ("3", "three", 2)])
+        got = {r.app_id: (r.name, r.v) for r in merge_upsert(old, new, "app_id").collect()}
+        assert got == {"1": ("one", 1), "2": ("TWO", 2), "3": ("three", 2)}
+
+    def test_idempotence(self, spark):
+        old = _df(spark, [("1", "one", 1)])
+        new = _df(spark, [("1", "ONE", 2), ("2", "two", 2)])
+        once = merge_upsert(old, new, "app_id")
+        twice = merge_upsert(once, new, "app_id")
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+    def test_in_batch_last_writer_wins(self, spark):
+        new = _df(spark, [("1", "v1", 1), ("1", "v2", 2)])
+        got = merge_upsert(None, new, "app_id", version_cols=["v"]).collect()
+        assert len(got) == 1 and got[0].name == "v2"
+
+
+class TestParquetTableStore:
+    def test_upsert_roundtrip_and_atomic_swap(self, spark, store):
+        store.upsert("t", _df(spark, [("1", "a", 1)]), key="app_id")
+        store.upsert("t", _df(spark, [("1", "b", 2), ("2", "c", 1)]), key="app_id")
+        got = {r.app_id: r.name for r in store.read("t").collect()}
+        assert got == {"1": "b", "2": "c"}
+
+    def test_upsert_rerun_identical(self, spark, store):
+        """Re-running the same batch must not change the table
+        (re-scrape ⇒ update not duplicate, main.py:451-457)."""
+        batch = _df(spark, [("1", "a", 1), ("2", "b", 1)])
+        store.upsert("t", batch, key="app_id")
+        first = sorted(map(tuple, store.read("t").collect()))
+        store.upsert("t", batch, key="app_id")
+        assert sorted(map(tuple, store.read("t").collect())) == first
+
+    def test_append_monotone_growth(self, spark, store):
+        """GUIDE:181-182's monotone row-count check, automated."""
+        batch = _df(spark, [("1", "a", 1)])
+        counts = []
+        for _ in range(3):
+            store.append("facts", batch)
+            counts.append(store.read("facts").count())
+        assert counts == [1, 2, 3]
+
+    def test_missing_table_reads_none(self, store):
+        assert store.read("nope") is None
+
+
+class TestKvState:
+    def test_kv_upsert_semantics(self, spark):
+        state = spark.createDataFrame(
+            [("lock", "false"), ("journal", "t0")], "key string, value string"
+        )
+        writes = spark.createDataFrame([("lock", "true")], "key string, value string")
+        got = {r.key: r.value for r in kv_upsert(state, writes).collect()}
+        assert got == {"lock": "true", "journal": "t0"}
+
+
+class TestFileRunJournal:
+    def test_acquire_release_cycle(self, tmp_path):
+        j = FileRunJournal(str(tmp_path / "journal.json"))
+        assert j.acquire()
+        assert not j.acquire()  # held and fresh → refused (main.py:395)
+        j.release()
+        assert j.acquire()
+
+    def test_stale_lock_takeover(self, tmp_path):
+        """Lock older than 2 h is stolen (main.py:392-394)."""
+        j = FileRunJournal(str(tmp_path / "journal.json"))
+        old = datetime.now(timezone.utc) - timedelta(hours=3)
+        assert j.acquire(now=old)
+        assert j.acquire()  # stale → takeover succeeds
