@@ -1,0 +1,91 @@
+"""Recommendation operators (SURVEY.md §2.9 ``udf_recommender``;
+VISUALIZATION_PLAN.md:69-70).
+
+The reference plans two recommendation modes:
+
+* content-based similarity over metadata (PLAN:69) — implemented as
+  the token-Jaccard inverted-index join in ``plans/analytics.py``
+  (`udf_recommender`) and the MinHash machinery in ``llm.dedup``;
+* collaborative filtering (PLAN:70) — implemented here with
+  ``pyspark.ml.recommendation.ALS`` on an implicit-feedback
+  interaction matrix.
+
+Fixture mapping: customers × parts with summed order quantities as
+implicit strength (the steam analog: players × games with playtime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from steam_data_pipeline_spark.operators.aggregates import dec_sum
+from steam_data_pipeline_spark.sources.tables import read_table
+
+
+def interaction_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, item, strength): customer × part with summed quantities.
+
+    One shuffle per aggregation key; at 100 TB this is the standard
+    map-side-combined groupBy.
+    """
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(dec_sum("l_quantity").cast("float").alias("strength"))
+    )
+
+
+def als_recommendations(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    rank: int = 8,
+    max_iter: int = 5,
+    seed: int = 42,
+    user_limit: int = 1000,
+) -> DataFrame:
+    """Top-k item recommendations via implicit-feedback ALS for the
+    ``user_limit`` most active users.
+
+    Seeded for run-to-run determinism; factors are distributed block
+    matrices, so training scales with executors. Scoring is bounded
+    deliberately: ``recommendForAllUsers`` is a users×rank · rank×items
+    blocked cross product, so production calls score a user subset (or
+    an ANN index over item factors) — here the top-N users by
+    interaction count, the dashboard-shaped ask.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    interactions = interaction_matrix(spark, sf_dir)
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        seed=seed,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="strength",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(interactions)
+    active = (
+        interactions.groupBy("user")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user"))
+        .limit(user_limit)
+        .select("user")
+    )
+    recs = model.recommendForUserSubset(active, k)
+    return recs.select(
+        "user",
+        F.posexplode("recommendations").alias("pos", "rec"),
+    ).select(
+        "user",
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("rec.item").alias("item"),
+    )

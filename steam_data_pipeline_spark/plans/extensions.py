@@ -111,6 +111,38 @@ def llm_dedup_near(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_dedup_near_ml",
+    oracle=None,
+    doc=(
+        "MinHashLSH near-dup removal via the pyspark.ml path (HashingTF + "
+        "approxSimilarityJoin) — interchangeable with the hand-rolled "
+        "banding engine. Rows-only check."
+    ),
+    tags=("llm", "dedup", "rows-only", "ml"),
+)
+def llm_dedup_near_ml(spark, sf_dir):
+    return D.minhash_dedup_ml(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@EXT.add(
+    "udf_recommender_als",
+    oracle=None,
+    doc=(
+        "Collaborative-filtering recommendations (PLAN:70): implicit ALS on "
+        "the customer×part interaction matrix, top-3 per user. Seeded; "
+        "rows-only check (factor values are numeric-iteration dependent)."
+    ),
+    tags=("ml", "recommender", "rows-only"),
+)
+def udf_recommender_als(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.recommend import als_recommendations
+
+    return als_recommendations(spark, sf_dir, k=3)
+
+
+@EXT.add(
     "llm_dedup_simhash",
     oracle=None,
     doc=(
