@@ -1,0 +1,80 @@
+"""Cross-batch stateful streaming tests: streaming islands must agree
+with the batch gaps-and-islands operator over any time-ordered batch
+decomposition."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from steam_data_pipeline_spark.operators.windows import island_intervals
+from steam_data_pipeline_spark.sources.tables import read_table
+from steam_data_pipeline_spark.streaming.stateful import streaming_islands
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, tmp_path_factory):
+    """events sf0.001 split into 3 time-ordered files (3 micro-batches)."""
+    out = str(tmp_path_factory.mktemp("ev_stream"))
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    bounds = ["2024-01-11", "2024-01-21"]
+    parts = [
+        ev.filter(F.col("ts") < bounds[0]),
+        ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        ev.filter(F.col("ts") >= bounds[1]),
+    ]
+    for i, p in enumerate(parts):
+        pdf = p.toPandas()
+        pdf.to_parquet(
+            os.path.join(out, f"part-{i}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    return out
+
+
+def test_streaming_islands_match_batch(spark, split_events_dir, tmp_path):
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_events_dir)
+    )
+    q = (
+        streaming_islands(stream)
+        .writeStream.format("memory")
+        .queryName("stream_islands_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, r.start_ts, r.end_ts, r.n_obs)
+        for r in spark.table("stream_islands_t").collect()
+    }
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    batch_islands = island_intervals(
+        ev, "user_id", ["ts", "event_id"], F.col("value") > 100
+    ).collect()
+    # an island is still OPEN (not emitted) iff it contains its key's
+    # final event — i.e. the series ends mid-island; all others closed.
+    last_event = {
+        r.user_id: r.end_ts
+        for r in ev.groupBy("user_id").agg(F.max("ts").alias("end_ts")).collect()
+    }
+    expected_closed = {
+        (r.user_id, r.start_ts, r.end_ts, r.n_obs)
+        for r in batch_islands
+        if r.end_ts != last_event[r.user_id]
+    }
+    assert streamed == expected_closed
+    assert len(streamed) > 0
