@@ -699,6 +699,78 @@ def agg_distinct_pool(spark, sf_dir):
 
 
 @CORE.add(
+    "agg_corr_price_players",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) AS x,
+             CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,2)) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
+      FROM m GROUP BY user_id
+    )
+    SELECT user_id, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+    FROM s
+    """,
+    doc=(
+        "Pearson correlation of the two aligned measures per key (PLAN:28 "
+        "price-vs-players combo chart, quantified). Exact decimal moment "
+        "sums → one deterministic float expression — partitioning-invariant, "
+        "unlike a naive corr() over doubles."
+    ),
+    tags=("agg", "analytics"),
+)
+def agg_corr_price_players(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,2)")
+    y = (
+        F.get_json_object("props", "$.k").cast("bigint").cast("decimal(18,2)")
+    )
+    m = ev.select("user_id", x.alias("x"), y.alias("y"))
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(28,4)")).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(28,4)")).cast("double")
+    syy = F.sum((F.col("y") * F.col("y")).cast("decimal(28,4)")).cast("double")
+    s = m.groupBy("user_id").agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxy.alias("sxy"), sxx.alias("sxx"), syy.alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("user_id", "n", corr.alias("corr_xy"))
+
+
+@CORE.add(
+    "agg_distinct_pool_approx",
+    oracle=None,
+    doc=(
+        "HyperLogLog++ candidate-pool cardinality — the documented scale "
+        "swap for countDistinct (SURVEY §7 phase 4). Deterministic for a "
+        "given dataset/precision; rows-only (DuckDB's approx sketch "
+        "differs)."
+    ),
+    tags=("agg", "approx", "rows-only"),
+)
+def agg_distinct_pool_approx(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_keys_approx")
+    )
+
+
+@CORE.add(
     "agg_rollup_daily",
     oracle="""
     SELECT date_trunc('day', ts) AS day, event_type,
