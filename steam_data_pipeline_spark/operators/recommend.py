@@ -45,7 +45,7 @@ def als_recommendations(
     sf_dir: str,
     k: int = 3,
     rank: int = 8,
-    max_iter: int = 5,
+    max_iter: int = 3,
     seed: int = 42,
     user_limit: int = 1000,
 ) -> DataFrame:
