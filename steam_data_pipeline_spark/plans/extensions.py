@@ -362,6 +362,56 @@ def llm_langid_quality(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_corpus_clean",
+    oracle=f"""
+    WITH deduped AS (
+      SELECT * FROM documents
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS nalpha,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+      FROM deduped
+    ),
+    quality AS (
+      SELECT doc_id, lang, source, n_chars, ntok,
+             least(CAST(ntok AS DOUBLE) / 50.0, 1.0)
+               * (CAST(nalpha AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE))
+               * (0.5 + 0.5 * least(CAST(len(list_intersect(toks, {_STOPWORD_SQL_LIST})) AS DOUBLE) / 2.0, 1.0))
+               AS q
+      FROM scored
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(ntok AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM quality
+    WHERE q >= 0.3
+    GROUP BY lang, source
+    """,
+    doc=(
+        "Composed training-data cleanup pipeline: exact dedup → quality "
+        "filter (≥ 0.3) → per-(lang, source) corpus accounting — the "
+        "C4-style pre-training sweep as one Catalyst plan."
+    ),
+    tags=("llm", "pipeline", "flagship"),
+)
+def llm_corpus_clean(spark, sf_dir):
+    docs = D.exact_dedup(t(spark, sf_dir, "documents"))
+    kept = docs.withColumn("q", TS.quality_score("text")).filter(F.col("q") >= 0.3)
+    return (
+        kept.withColumn("ntok", TS.token_count("text"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ntok").cast("long")).alias("total_tokens"),
+        )
+    )
+
+
+@EXT.add(
     "llm_fingerprint",
     oracle=None,
     doc=(

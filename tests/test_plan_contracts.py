@@ -1,0 +1,89 @@
+"""Plan-contract tests: pin the physical-plan properties the SCALE.md
+claims rest on. A regression that silently de-broadcasts a dim join or
+adds a shuffle to the island windows fails here, not in production."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from steam_data_pipeline_spark.plans.registry import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+class TestPlanContracts:
+    def test_dim_fact_join_broadcasts_all_dims(self, spark):
+        plan = _plan(QUERIES["join_dim_fact"].spark(spark, SF_SMOKE))
+        assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+        assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+        assert "CartesianProduct" not in plan
+
+    def test_column_pruning_reaches_scan(self, spark):
+        plan = _plan(QUERIES["join_dim_fact"].spark(spark, SF_SMOKE))
+        # lineitem scan must read only the 3 needed columns of 11
+        assert "l_extendedprice" in plan
+        assert "l_shipdate" not in plan and "l_comment" not in plan
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        plan = _plan(QUERIES["filt_valid_meta"].spark(spark, SF_SMOKE))
+        assert "PushedFilters: [IsNotNull(p_name)" in plan
+
+    def test_topk_compiles_to_take_ordered(self, spark):
+        plan = _plan(QUERIES["topk_latest5"].spark(spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan  # no full global sort
+
+    def test_islands_single_shuffle(self, spark):
+        """Two windows over one (key, ts) ordering must reuse the
+        exchange: exactly one shuffle in the whole islands plan."""
+        plan = _plan(QUERIES["win_islands"].spark(spark, SF_SMOKE), "simple")
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}\n{plan}"
+
+    def test_agg_has_partial_final_split(self, spark):
+        plan = _plan(QUERIES["agg_daily_counts"].spark(spark, SF_SMOKE))
+        assert "partial_count" in plan or "HashAggregate" in plan
+
+    def test_sim_search_is_broadcast_not_shuffle(self, spark):
+        plan = _plan(QUERIES["llm_sim_search"].spark(spark, SF_SMOKE))
+        assert "BroadcastNestedLoopJoin" in plan  # tiny query side broadcast
+        assert "Exchange rangepartitioning" not in plan
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir, tmp_path):
+        """Tables bucketed on the join key join shuffle-free — the
+        pay-once co-location strategy for the repeated dim⋈fact join."""
+        from steam_data_pipeline_spark.operators.upsert import write_bucketed
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+        spark.catalog.setCurrentDatabase("bktest")
+        try:
+            events = read_table(spark, sf_dir, "events").withColumn(
+                "app_id", F.col("user_id")
+            )
+            dim = events.groupBy("app_id").agg(F.count(F.lit(1)).alias("n"))
+            write_bucketed(spark, events.select("app_id", "ts", "value"),
+                           "facts_b", "app_id", n_buckets=8)
+            write_bucketed(spark, dim, "dim_b", "app_id", n_buckets=8)
+            joined = spark.table("facts_b").join(
+                spark.table("dim_b").hint("merge"), on="app_id"
+            )
+            plan = _plan(joined)
+            assert "Exchange" not in plan, plan
+            assert joined.count() == events.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS facts_b")
+            spark.sql("DROP TABLE IF EXISTS dim_b")
+            spark.catalog.setCurrentDatabase("default")
