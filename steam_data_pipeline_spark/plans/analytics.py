@@ -253,6 +253,43 @@ def join_interval_overlap(spark, sf_dir):
 
 
 @ANALYTICS.add(
+    "join_asof_backward",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           v.value AS asof_value, v.ts AS asof_ts
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    doc=(
+        "Generic backward as-of join (kdb/pandas merge_asof semantics): "
+        "each purchase gets the latest prior view per key — union-tag + "
+        "one window, not a range join; oracle is DuckDB's native ASOF JOIN."
+    ),
+    tags=("join", "asof", "window"),
+)
+def join_asof_backward(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.asof import asof_backward
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return asof_backward(
+        purchases, views, key="user_id", ts="ts", value_cols=["value"]
+    ).withColumnRenamed("asof_value", "asof_value")
+
+
+@ANALYTICS.add(
     "join_semi_candidates",
     oracle="""
     SELECT p_partkey, p_name FROM part p

@@ -771,6 +771,31 @@ def agg_distinct_pool_approx(spark, sf_dir):
 
 
 @CORE.add(
+    "agg_salted_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "Two-phase SALTED daily count — skew-mitigation pattern whose "
+        "semantics are provably identical to the plain groupBy (the oracle "
+        "IS the plain GROUP BY). Salt = pmod(xxhash64(event_id), 16), "
+        "deterministic under task retry."
+    ),
+    tags=("agg", "skew"),
+)
+def agg_salted_daily(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.skew import salted_agg
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return salted_agg(
+        ev, ["day"], "event_id", {"n_events": ("count", None)}, n_salts=16
+    )
+
+
+@CORE.add(
     "agg_rollup_daily",
     oracle="""
     SELECT date_trunc('day', ts) AS day, event_type,

@@ -362,6 +362,42 @@ def llm_langid_quality(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_media_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+    doc=(
+        "Multimodal feature-extraction plumbing end-to-end: documents "
+        "materialized as opaque binary media rows, streamed through the "
+        "Arrow-batched mapInPandas extractor (llm.multimodal); byte counts "
+        "and content hashes are oracle-checked, the decode-derived feature "
+        "vector is the stubbed portion."
+    ),
+    tags=("llm", "multimodal"),
+)
+def llm_media_features(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.multimodal import extract_features
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("doc_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.named_struct(
+            F.lit("mime"), F.lit("application/octet-stream"),
+            F.lit("width"), F.lit(None).cast("int"),
+            F.lit("height"), F.lit(None).cast("int"),
+            F.lit("duration_ms"), F.lit(None).cast("long"),
+        ).alias("meta"),
+    )
+    return extract_features(media).select("media_id", "n_bytes", "content_hash")
+
+
+@EXT.add(
     "llm_corpus_clean",
     oracle=f"""
     WITH deduped AS (
