@@ -434,6 +434,45 @@ def win_growth_rate(spark, sf_dir):
 
 
 @ANALYTICS.add(
+    "win_trailing_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS hourly_avg
+    FROM events
+    """,
+    doc=(
+        "Time-RANGE window frame: per-key average over the trailing 1 hour "
+        "of event time (a row-count frame can't express this). Spark side "
+        "orders by unix_micros so the range bound is µs-exact, matching the "
+        "oracle's INTERVAL frame."
+    ),
+    tags=("window", "frame"),
+)
+def win_trailing_time_range(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("hourly_avg"),
+    )
+
+
+@ANALYTICS.add(
     "win_price_player_align",
     oracle="""
     SELECT event_id, user_id, ts, value,

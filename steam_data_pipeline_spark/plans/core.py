@@ -808,3 +808,23 @@ def agg_salted_daily(spark, sf_dir):
 )
 def agg_rollup_daily(spark, sf_dir):
     return agg.rollup_daily_by_type(t(spark, sf_dir, "events"), "ts", "event_type")
+
+
+@CORE.add(
+    "agg_cube_daily_type",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY CUBE(1, event_type)
+    """,
+    doc=(
+        "CUBE(day, type): all four grouping-set combinations in one pass — "
+        "the dashboard slice-by-anything extension (SURVEY §2.5 note)."
+    ),
+    tags=("agg", "cube"),
+)
+def agg_cube_daily_type(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.cube(
+        F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
