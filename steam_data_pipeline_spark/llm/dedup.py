@@ -400,7 +400,7 @@ def minhash_dedup_ml(
     key: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-    num_hashes: int = 8,
+    num_hashes: int = 4,
     max_distance: float = 0.4,
     seed: int = 42,
 ) -> DataFrame:

@@ -44,7 +44,7 @@ def als_recommendations(
     spark: SparkSession,
     sf_dir: str,
     k: int = 3,
-    rank: int = 8,
+    rank: int = 4,
     max_iter: int = 3,
     seed: int = 42,
     user_limit: int = 1000,

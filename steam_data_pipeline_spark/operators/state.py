@@ -32,6 +32,33 @@ def kv_upsert(state: DataFrame | None, writes: DataFrame) -> DataFrame:
     return merge_upsert(state, writes, key="key")
 
 
+class TtlCache:
+    """Refresh-before-expiry memo (SURVEY §2.8 ``stream_token_ttl_cache``;
+    main.py:43,184-213): a cached value is reused until 0.9× its
+    lifetime has elapsed, then refreshed — the reference's Twitch-token
+    cache discipline. Driver-side ops concern; injectable clock for
+    determinism."""
+
+    REFRESH_FRACTION = 0.9  # main.py:210
+
+    def __init__(self, fetch, ttl_s: float = 3600.0, now=None):
+        import time as _time
+
+        self.fetch = fetch
+        self.default_ttl = ttl_s  # main.py:206 default expires_in
+        self.now = now or _time.monotonic
+        self._value = None
+        self._expires_at = None
+
+    def get(self):
+        t = self.now()
+        if self._expires_at is None or t >= self._expires_at:
+            value, ttl = self.fetch()
+            self._value = value
+            self._expires_at = t + self.REFRESH_FRACTION * (ttl or self.default_ttl)
+        return self._value
+
+
 class FileRunJournal:
     """Single-writer lock + journal file (the checkpoint-as-lock analog).
 

@@ -52,6 +52,10 @@ def test_registry_covers_survey_inventory():
         "udf_normalize_name": "fn_scalar_suite",
         "win_islands": "win_islands",
         "join_asof_latest": "join_asof_latest",
+        "agg_batch_counts": "stream_microbatch_upsert",  # pipeline stats return
+        "stream_trigger_daily": "stream_tumbling_daily",  # + scheduler module tests
+        "stream_token_ttl_cache": "stream_microbatch_upsert",  # TtlCache unit-tested
+        "stream_graceful_stop": "stream_microbatch_upsert",  # scheduler stop test
         "stream_microbatch": "stream_microbatch_upsert",
         "stream_exactly_once_upsert": "stream_microbatch_upsert",
         "stream_late_data": "stream_session_window",

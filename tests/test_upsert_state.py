@@ -94,3 +94,23 @@ class TestFileRunJournal:
         old = datetime.now(timezone.utc) - timedelta(hours=3)
         assert j.acquire(now=old)
         assert j.acquire()  # stale → takeover succeeds
+
+
+class TestTtlCache:
+    def test_refresh_before_expiry(self):
+        """Value reused until 0.9×TTL, then refreshed (main.py:206-210)."""
+        from steam_data_pipeline_spark.operators.state import TtlCache
+
+        clock = {"t": 0.0}
+        calls = []
+
+        def fetch():
+            calls.append(1)
+            return f"token-{len(calls)}", 100.0
+
+        cache = TtlCache(fetch, now=lambda: clock["t"])
+        assert cache.get() == "token-1"
+        clock["t"] = 89.0
+        assert cache.get() == "token-1" and len(calls) == 1  # still fresh
+        clock["t"] = 90.0
+        assert cache.get() == "token-2" and len(calls) == 2  # 0.9×100 reached
