@@ -811,6 +811,60 @@ def agg_rollup_daily(spark, sf_dir):
 
 
 @CORE.add(
+    "agg_pivot_daily_type",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "Pivot: day × event_type count matrix via groupBy().pivot() with "
+        "explicit (deterministic) pivot values — the dashboard wide format "
+        "of the daily heartbeat."
+    ),
+    tags=("agg", "pivot"),
+)
+def agg_pivot_daily_type(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    types = ["view", "click", "signup", "purchase", "error"]
+    pivoted = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    out = pivoted.select(
+        "day",
+        *[F.coalesce(F.col(t_), F.lit(0).cast("long")).alias(f"n_{t_}") for t_ in types],
+    )
+    return out
+
+
+@CORE.add(
+    "smpl_deterministic",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id % 10 = 0
+    """,
+    doc=(
+        "Deterministic decile sampling by key modulus — the reproducible "
+        "alternative to TABLESAMPLE for validation workflows (PLAN:26 "
+        "sampling grid at scale)."
+    ),
+    tags=("sample", "filter"),
+)
+def smpl_deterministic(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@CORE.add(
     "agg_cube_daily_type",
     oracle="""
     SELECT date_trunc('day', ts) AS day, event_type,

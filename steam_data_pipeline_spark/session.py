@@ -48,6 +48,40 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKERS via ``addPyFile``.
+
+    Functions executed in Pandas UDFs / applyInPandas / mapInPandas are
+    cloudpickled *by reference* to their defining module — the worker
+    must be able to import ``steam_data_pipeline_spark``. When the
+    host process runs from an arbitrary cwd (the driver's verify does),
+    the repo is on the driver's ``sys.path`` but not the workers'.
+    Shipping a zip of the package through ``addPyFile`` fixes that for
+    local mode and real clusters alike.
+    """
+    if getattr(spark, "_sdp_pkg_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        "/tmp", f"steam_data_pipeline_spark-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # pragma: no cover - e.g. duplicate add on some builds
+        pass
+    spark._sdp_pkg_shipped = True
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply dynamic confs to a session we did not build (driver's)."""
     for k, v in RUNTIME_CONFS.items():
@@ -55,6 +89,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - immutable conf on some builds
             pass
+    ship_package(spark)
     return spark
 
 
