@@ -87,3 +87,38 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS facts_b")
             spark.sql("DROP TABLE IF EXISTS dim_b")
             spark.catalog.setCurrentDatabase("default")
+
+
+class TestPartitionPruning:
+    def test_day_partitioned_facts_prune(self, spark, sf_dir, tmp_path):
+        """Facts written partitionBy(day) + a day filter → the scan reads
+        only matching partitions (PartitionFilters in the plan) — the
+        time-series access path at 100 TB."""
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        ev = read_table(spark, sf_dir, "events").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        out = str(tmp_path / "facts_by_day")
+        ev.write.partitionBy("day").parquet(out)
+        df = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+        plan = _plan(df)
+        assert "PartitionFilters: [isnotnull(day" in plan
+        n_days = ev.select("day").distinct().count()
+        day_count = df.count()
+        assert 0 < day_count < ev.count() / max(n_days - 5, 1)
+
+
+class TestSqlSurface:
+    def test_adhoc_sql_over_registered_views(self, spark, sf_dir):
+        """EP3 ad-hoc SQL surface (GUIDE:171-191): spark.sql over the
+        registered views answers the reference's operational queries."""
+        from steam_data_pipeline_spark.sources.tables import register_temp_views
+
+        register_temp_views(spark, sf_dir)
+        n = spark.sql("SELECT COUNT(*) AS n FROM part").collect()[0].n
+        assert n == 200
+        latest5 = spark.sql(
+            "SELECT event_id FROM events ORDER BY ts DESC LIMIT 5"
+        ).collect()
+        assert len(latest5) == 5
