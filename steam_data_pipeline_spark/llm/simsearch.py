@@ -81,22 +81,25 @@ def brute_force_topk(
     )
 
 
-def _centroids(corpus: DataFrame, key: str, vec_col: str, n_centroids: int) -> DataFrame:
-    """Deterministic centroid seeds: one-pass average per hash-assigned
-    seed group (k-means||'s init step, single iteration — adequate as a
-    partitioner; swap in ml.clustering.KMeans for a tuned index)."""
+def _centroids(
+    corpus: DataFrame, key: str, vec_col: str, n_centroids: int, dim: int = 64
+) -> DataFrame:
+    """Deterministic centroid seeds: one-pass per-dimension average per
+    hash-assigned seed group (k-means||'s init step, single iteration —
+    adequate as a partitioner; swap in ml.clustering.KMeans for a tuned
+    index). ``dim`` must match the embedding width (the testdata ships
+    64-d vectors)."""
     seeded = corpus.select(
-        (F.xxhash64(F.col(key)) % n_centroids).alias("centroid_id"),
+        F.pmod(F.xxhash64(F.col(key)), F.lit(n_centroids)).alias("centroid_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("centroid_id", F.abs("centroid_id"))
-    n_dim = F.size("v")
+    )
     return (
         seeded.groupBy("centroid_id")
         .agg(
             F.array(
                 *[
                     F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
-                    for i in range(64)
+                    for i in range(dim)
                 ]
             ).alias("centroid"),
             F.count(F.lit(1)).alias("n_members"),
