@@ -865,6 +865,42 @@ def smpl_deterministic(spark, sf_dir):
 
 
 @CORE.add(
+    "agg_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 43200) AS BIGINT) - offs) * 43200 * 1000000
+             ) AS win_start,
+             value
+      FROM events, (VALUES (0), (1)) AS o(offs)
+    )
+    SELECT win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM starts
+    GROUP BY win_start
+    """,
+    doc=(
+        "Sliding-window aggregate: 1-day windows every 12 h (each event in "
+        "size/slide = 2 windows) — the overlapping-window dashboard variant "
+        "of the daily heartbeat; oracle enumerates the grid starts "
+        "explicitly."
+    ),
+    tags=("agg", "window", "sliding"),
+)
+def agg_sliding_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            agg.dec_sum("value").cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@CORE.add(
     "agg_cube_daily_type",
     oracle="""
     SELECT date_trunc('day', ts) AS day, event_type,
