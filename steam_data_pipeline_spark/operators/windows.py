@@ -94,6 +94,65 @@ def island_intervals(
     )
 
 
+def gap_sessions(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap: str,
+    tiebreak: list | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Time-gap sessionization: a new session starts when the time since
+    the previous observation exceeds ``gap`` (a SQL interval literal,
+    e.g. ``"30 MINUTES"``).
+
+    The data-driven-gap sibling of :func:`islands` (flag-driven runs) —
+    together they cover both sessionization styles behind PLAN:52's
+    "identify all historical discount intervals" and the streaming
+    ``session_window`` (§2.8 ``stream_session_window``), batch-exact.
+
+    Same two-window construction over one (key, ts) ordering ⇒ one
+    shuffle, one sort; session ids are 1-based per key.
+    """
+    order_cols = [ts] + list(tiebreak or [])
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    prev = F.lag(ts).over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col(ts) > prev + F.expr(f"INTERVAL {gap}")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("__new", new_session)
+        .withColumn(
+            session_col,
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop("__new")
+    )
+
+
+def topn_per_key(
+    df: DataFrame,
+    key: str,
+    order_cols: list,
+    n: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-N rows per key (the grouped generalization of the global
+    ranked listings, §2.6 ``win_rank_listing`` / GUIDE:188's per-game
+    recency samples).
+
+    ``row_number`` per key, keep rank ≤ n. Catalyst inserts a per-key
+    rank limit (WindowGroupLimit) before the full sort at scale, so
+    each task only keeps n rows per key; pass a unique tiebreaker in
+    ``order_cols`` for deterministic output.
+    """
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n
+    )
+
+
 def trailing_avg(
     df: DataFrame,
     key: str,

@@ -398,6 +398,82 @@ def win_islands(spark, sf_dir):
 
 
 @ANALYTICS.add(
+    "win_sessionize_gap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Time-gap sessionization: a new session when >30 min since the "
+        "previous event per key — the batch-exact twin of the streaming "
+        "session_window (§2.8), data-driven-gap sibling of win_islands."
+    ),
+    tags=("window", "session", "analytics"),
+)
+def win_sessionize_gap(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    tagged = W.gap_sessions(
+        ev, "user_id", "ts", "30 MINUTES", tiebreak=["event_id"]
+    )
+    return tagged.groupBy(
+        "user_id", F.col("session_id").cast("long").alias("session_id")
+    ).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        agg.dec_sum("value").cast("double").alias("sum_value"),
+    )
+
+
+@ANALYTICS.add(
+    "win_topn_per_key",
+    oracle="""
+    SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+    doc=(
+        "Top-3 events by value per key — grouped top-N (GUIDE:188's "
+        "recency sample generalized per key); Catalyst's WindowGroupLimit "
+        "keeps n rows per key per task before the sort."
+    ),
+    tags=("window", "topk"),
+)
+def win_topn_per_key(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    top = W.topn_per_key(
+        ev, "user_id", [F.col("value").desc(), F.col("event_id")], 3
+    )
+    return top.select(
+        "user_id",
+        F.col("rn").cast("long").alias("rn"),
+        "event_id",
+        "ts",
+        "value",
+    )
+
+
+@ANALYTICS.add(
     "win_growth_rate",
     oracle="""
     SELECT event_id, user_id, ts, value,

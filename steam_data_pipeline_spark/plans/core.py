@@ -8,7 +8,7 @@ order/lineitem scans play the two candidate listings.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from steam_data_pipeline_spark.operators import aggregates as agg
 from steam_data_pipeline_spark.operators import relational as rel
@@ -918,3 +918,72 @@ def agg_cube_daily_type(spark, sf_dir):
     return ev.cube(
         F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@CORE.add(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY GROUPING SETS ((date_trunc('day', ts)), (event_type))
+    """,
+    doc=(
+        "Explicit GROUPING SETS ((day), (type)): exactly the two marginal "
+        "rollups in one pass — the slice set CUBE/ROLLUP can't express "
+        "(neither is a prefix of the other); completes the grouping-set "
+        "family (SURVEY §2.5 note)."
+    ),
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    # groupingSets resolves grouping columns by expression identity, so
+    # materialize the derived day first and group by plain columns.
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return ev.groupingSets(
+        [[F.col("day")], [F.col("event_type")]], F.col("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@CORE.add(
+    "agg_percentiles_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS p90,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN n_chars END) AS p99
+    FROM ranked GROUP BY lang
+    """,
+    doc=(
+        "Exact discrete percentiles (p50/p90/p99 of document length per "
+        "lang) as order statistics: row_number + partition count over one "
+        "(lang, n_chars) ordering — one shuffle, one sort; value-exact "
+        "where percentile_approx (the documented 100 TB swap, "
+        "llm_text_stats) is sketched."
+    ),
+    tags=("agg", "percentile", "validation"),
+)
+def agg_percentiles_exact(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+
+    def at(p):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col("n_chars")
+            )
+        )
+
+    return ranked.groupBy("lang").agg(
+        at(0.5).alias("p50"), at(0.9).alias("p90"), at(0.99).alias("p99")
+    )
