@@ -12,7 +12,11 @@ from pyspark.sql import Row, functions as F
 
 from steam_data_pipeline_spark.operators.relational import union_distinct_sort
 from steam_data_pipeline_spark.operators.upsert import merge_upsert
-from steam_data_pipeline_spark.operators.windows import island_intervals
+from steam_data_pipeline_spark.operators.windows import (
+    gap_sessions,
+    island_intervals,
+    topn_per_key,
+)
 
 SETTINGS = settings(
     max_examples=12,
@@ -102,3 +106,61 @@ def test_union_distinct_sort_matches_python(spark, a, b):
         return
     got = [r.app_id for r in union_distinct_sort(sa, sb).collect()]
     assert got == sorted(set(str(x) for x in a + b))  # string order: '10' < '9'
+
+
+def _py_gap_sessions(gaps_min: list[int], threshold_min: int) -> list[int]:
+    """Reference: session id per event given inter-event gaps (first gap
+    ignored — the first event always opens session 1)."""
+    sid, out = 1, [1]
+    for g in gaps_min[1:]:
+        if g > threshold_min:
+            sid += 1
+        out.append(sid)
+    return out
+
+
+@SETTINGS
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=50)
+)
+def test_gap_sessions_match_python_reference(spark, gaps):
+    t0 = datetime(2024, 1, 1)
+    ts, acc = [], t0
+    for g in gaps:
+        acc = acc + timedelta(minutes=g)
+        ts.append(acc)
+    rows = [Row(k="x", i=i, ts=v) for i, v in enumerate(ts)]
+    tagged = gap_sessions(
+        spark.createDataFrame(rows), "k", "ts", "30 MINUTES", tiebreak=["i"]
+    )
+    got = [r.session_id for r in tagged.orderBy("i").collect()]
+    expected = _py_gap_sessions(gaps, 30)
+    assert got == expected
+    # sessions partition the timeline: ids are 1-based, contiguous,
+    # non-decreasing
+    assert got[0] == 1
+    assert all(b - a in (0, 1) for a, b in zip(got, got[1:]))
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 50)), min_size=1, max_size=60
+    )
+)
+def test_topn_per_key_matches_python(spark, rows):
+    df = spark.createDataFrame(
+        [Row(k=k, i=i, v=v) for i, (k, v) in enumerate(rows)], "k int, i int, v int"
+    )
+    got = {
+        (r.k, r.rn, r.i)
+        for r in topn_per_key(df, "k", [F.col("v").desc(), F.col("i")], 3).collect()
+    }
+    expected = set()
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for i, (k, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((-v, i))
+    for k, items in by_key.items():
+        for rank, (_, i) in enumerate(sorted(items)[:3], start=1):
+            expected.add((k, rank, i))
+    assert got == expected
