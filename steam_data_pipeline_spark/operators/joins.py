@@ -100,6 +100,51 @@ def interval_overlap_join(
     return facts.join(intervals, on=cond, how="left").drop("__ikey")
 
 
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Point-in-interval join via time binning — the 100 TB path for
+    range joins when keys carry many points AND many intervals.
+
+    The plain strategy (equi join on ``key``, range as residual filter —
+    ``interval_overlap_join``) materializes |points_k| x |intervals_k|
+    candidate pairs per key before filtering. Here each interval row is
+    exploded to the fixed-width time bins it spans and each point maps
+    to exactly one bin, so the equi key becomes ``(key, bin)`` and only
+    co-binned pairs are ever joined; the exact BETWEEN predicate remains
+    as the residual filter, so results are identical (the oracle for
+    the registered query IS the plain range join). Pick ``bin_seconds``
+    near the typical interval span: wider bins → fewer duplicate
+    interval rows, narrower bins → more selective join key.
+
+    A point matches each interval at most once (it lives in exactly one
+    bin), so no post-join dedup is needed. Bin ids derive from epoch
+    seconds with floor — monotone, so an interval's bin range
+    [bin(start), bin(end)] can never miss a contained point's bin.
+    """
+    bin_of = lambda c: F.floor(F.unix_timestamp(F.col(c)) / bin_seconds)  # noqa: E731
+    exploded = intervals.withColumn(
+        "__bin", F.explode(F.sequence(bin_of(start), bin_of(end)))
+    ).withColumnRenamed(key, "__ikey")
+    binned_points = points.withColumn("__bin", bin_of(ts))
+    cond = (
+        (F.col("__ikey") == F.col(key))
+        & (binned_points["__bin"] == exploded["__bin"])
+        & F.col(ts).between(F.col(start), F.col(end))
+    )
+    return (
+        binned_points.join(exploded, on=cond, how="inner")
+        .drop("__bin")
+        .drop("__ikey")
+    )
+
+
 def semi_candidates(source: DataFrame, candidates: DataFrame, key: str) -> DataFrame:
     """Semi-join reduction (main.py:421,443 dedup-before-fetch): rows of
     ``source`` whose key appears in the candidate pool — no columns from

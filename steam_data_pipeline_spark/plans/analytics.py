@@ -253,6 +253,55 @@ def join_interval_overlap(spark, sf_dir):
 
 
 @ANALYTICS.add(
+    "join_range_binned",
+    oracle=_ISLANDS_SQL
+    + """
+    SELECT i.user_id, CAST(i.island_id AS BIGINT) AS island_id,
+           i.start_ts, i.end_ts, i.n_obs,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_nearby
+    FROM islands i
+    JOIN events e
+      ON e.user_id = i.user_id
+     AND e.ts BETWEEN i.start_ts - INTERVAL 30 MINUTE AND i.end_ts + INTERVAL 30 MINUTE
+    GROUP BY i.user_id, i.island_id, i.start_ts, i.end_ts, i.n_obs
+    """,
+    doc=(
+        "Bin-bucketed range join: intervals exploded to 1-hour time bins, "
+        "equi join on (key, bin), exact BETWEEN as residual — the 100 TB "
+        "strategy when keys carry many points and many intervals; the "
+        "oracle IS the plain range join, proving identical semantics."
+    ),
+    tags=("join", "interval", "skew"),
+)
+def join_range_binned(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    intervals = (
+        W.island_intervals(ev, "user_id", ["ts", "event_id"], F.col("value") > 100)
+        .withColumn("halo_start", F.col("start_ts") - F.expr("INTERVAL 30 MINUTES"))
+        .withColumn("halo_end", F.col("end_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    joined = J.range_join_binned(
+        ev.select("user_id", "ts", "event_id"),
+        intervals,
+        key="user_id",
+        ts="ts",
+        start="halo_start",
+        end="halo_end",
+        bin_seconds=3600,
+    )
+    return (
+        joined.groupBy(
+            "user_id",
+            F.col("island_id").cast("long").alias("island_id"),
+            "start_ts",
+            "end_ts",
+            "n_obs",
+        )
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+    )
+
+
+@ANALYTICS.add(
     "join_asof_backward",
     oracle="""
     WITH purchases AS (
