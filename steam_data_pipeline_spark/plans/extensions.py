@@ -237,6 +237,25 @@ def llm_sim_ivf(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_sim_lsh",
+    oracle=None,
+    doc=(
+        "SRP-LSH bucketed approximate top-10 (8 planes, Hamming-1 "
+        "multiprobe) — the bucketed ANN sibling of llm_sim_ivf: each "
+        "query touches ~9/256 of the corpus. Rows-only (deterministic "
+        "seeded planes)."
+    ),
+    tags=("llm", "similarity", "rows-only"),
+)
+def llm_sim_lsh(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_topk(emb, queries, k=10)
+
+
+@EXT.add(
     "llm_embedding_stats",
     oracle="""
     SELECT label,

@@ -116,6 +116,22 @@ class TestSimSearch:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.5  # probing half the lists on random data
 
+    def test_lsh_recall_and_self_hit(self, spark, emb):
+        from steam_data_pipeline_spark.llm.simsearch import lsh_topk
+
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        got = lsh_topk(emb, queries, k=5).collect()
+        approx = {(r.query_id, r.vec_id) for r in got}
+        # identical vectors share every bucket: self-match is guaranteed
+        assert {(q, q) for q in range(5)} <= approx
+        assert len(exact & approx) / len(exact) >= 0.5  # near-uniform data
+
 
 class TestTextStats:
     def test_token_counts(self, spark):
