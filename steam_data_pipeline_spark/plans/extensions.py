@@ -554,6 +554,35 @@ def stream_tumbling_daily(spark, sf_dir):
 
 
 @EXT.add(
+    "stream_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 43200) AS BIGINT) - offs) * 43200 * 1000000
+             ) AS win_start
+      FROM events, (VALUES (0), (1)) AS o(offs)
+    )
+    SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM starts GROUP BY win_start
+    """,
+    doc=(
+        "Structured Streaming sliding window (1 day every 12 h), "
+        "availableNow trigger, complete mode — completes the streaming "
+        "window family (tumbling/session/sliding); result equals the batch "
+        "agg_sliding_window grid."
+    ),
+    tags=("streaming", "sliding"),
+)
+def stream_sliding_window(spark, sf_dir):
+    ev = _read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = _run_stream_to_memory(agg, "sliding_12h", spark)
+    return out.select(F.col("w.start").alias("win_start"), "n_events")
+
+
+@EXT.add(
     "stream_dedup_inpool",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_pairs FROM (

@@ -108,6 +108,47 @@ def test_union_distinct_sort_matches_python(spark, a, b):
     assert got == sorted(set(str(x) for x in a + b))  # string order: '10' < '9'
 
 
+@SETTINGS
+@given(
+    points=st.lists(st.integers(0, 5000), min_size=1, max_size=40),
+    ivals=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 600)), min_size=1, max_size=8
+    ),
+    bin_seconds=st.sampled_from([60, 300, 3600]),
+)
+def test_range_join_binned_equals_plain_filter(spark, points, ivals, bin_seconds):
+    from steam_data_pipeline_spark.operators.joins import range_join_binned
+
+    t0 = datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [Row(k=1, pid=i, ts=t0 + timedelta(seconds=s)) for i, s in enumerate(points)]
+    )
+    iv = spark.createDataFrame(
+        [
+            Row(
+                k=1,
+                iid=i,
+                start=t0 + timedelta(seconds=s),
+                end=t0 + timedelta(seconds=s + d),
+            )
+            for i, (s, d) in enumerate(ivals)
+        ]
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_binned(
+            pts, iv, key="k", ts="ts", start="start", end="end", bin_seconds=bin_seconds
+        ).collect()
+    }
+    expected = {
+        (pi, ii)
+        for pi, ps in enumerate(points)
+        for ii, (s, d) in enumerate(ivals)
+        if s <= ps <= s + d
+    }
+    assert got == expected
+
+
 def _py_gap_sessions(gaps_min: list[int], threshold_min: int) -> list[int]:
     """Reference: session id per event given inter-event gaps (first gap
     ignored — the first event always opens session 1)."""
