@@ -768,6 +768,47 @@ def udf_potential_score(spark, sf_dir):
 
 
 @ANALYTICS.add(
+    "udaf_fsum_value",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Grouped-agg pandas UDAF (the missing §2.9 shape next to the "
+        "grouped-map forecast): math.fsum is exactly-rounded, so the "
+        "Python aggregate is order/partitioning-independent and "
+        "value-exact against the decimal-sum oracle. UDAFs skip partial "
+        "aggregation (full shuffle of values) — use built-ins on hot "
+        "paths; this exists to exercise the surface with an exactness "
+        "guarantee."
+    ),
+    tags=("udf", "udaf", "agg"),
+)
+def udaf_fsum_value(spark, sf_dir):
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def fsum_udaf(v: pd.Series) -> float:
+        return math.fsum(v)
+
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        # grouped-agg pandas UDFs can't mix with JVM aggregates in one
+        # agg(), so the count is a UDAF too
+        return len(v)
+
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        fsum_udaf(F.col("value")).alias("total_value"),
+        count_udaf(F.col("value")).alias("n_events"),
+    )
+
+
+@ANALYTICS.add(
     "udf_recommender",
     oracle="""
     WITH toks AS (
