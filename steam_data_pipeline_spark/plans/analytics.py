@@ -339,6 +339,43 @@ def join_asof_backward(spark, sf_dir):
 
 
 @ANALYTICS.add(
+    "join_asof_forward",
+    oracle="""
+    WITH views AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.event_id, v.user_id, v.ts, v.value,
+           p.value AS asof_value, p.ts AS asof_ts
+    FROM views v
+    ASOF LEFT JOIN purchases p
+      ON v.user_id = p.user_id AND p.ts >= v.ts
+    """,
+    doc=(
+        "Forward as-of join: each view gets the EARLIEST following "
+        "purchase per key (time-to-conversion shape) — mirror of the "
+        "backward variant; oracle is DuckDB's native forward ASOF JOIN."
+    ),
+    tags=("join", "asof", "window"),
+)
+def join_asof_forward(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.asof import asof_forward
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_forward(
+        views, purchases, key="user_id", ts="ts", value_cols=["value"]
+    )
+
+
+@ANALYTICS.add(
     "join_semi_candidates",
     oracle="""
     SELECT p_partkey, p_name FROM part p

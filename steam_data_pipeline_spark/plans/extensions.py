@@ -256,6 +256,59 @@ def llm_sim_lsh(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id % 10 < CASE WHEN lang = 'en' THEN 4 ELSE 10 END
+    """,
+    doc=(
+        "Stratified corpus rebalancing: deterministic per-language keep "
+        "rates (downsample the dominant 'en' to 40 %, keep the rest) via "
+        "key modulus — the language-rebalance pass of a training-data "
+        "pipeline, reproducible across runs/partitionings unlike "
+        "TABLESAMPLE."
+    ),
+    tags=("llm", "sample", "filter"),
+)
+def llm_sample_stratified(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(4)).otherwise(F.lit(10))
+    return docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) < rate).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@EXT.add(
+    "llm_quota_per_source",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    doc=(
+        "Per-source quota: keep the 5 longest documents per source — the "
+        "source-capping pass of corpus curation (quota sampling), grouped "
+        "top-N via WindowGroupLimit."
+    ),
+    tags=("llm", "sample", "topk"),
+)
+def llm_quota_per_source(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.windows import topn_per_key
+
+    docs = t(spark, sf_dir, "documents")
+    top = topn_per_key(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], 5
+    )
+    return top.select(
+        "doc_id", "source", "lang", "n_chars", F.col("rn").cast("long").alias("rn")
+    )
+
+
+@EXT.add(
     "llm_embedding_stats",
     oracle="""
     SELECT label,

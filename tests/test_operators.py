@@ -104,6 +104,44 @@ class TestLatestPerKey:
         assert len(got) == 1 and got[0].payload == "second"
 
 
+class TestAsofJoins:
+    @pytest.fixture()
+    def sides(self, spark):
+        left = spark.createDataFrame(
+            [("a", _ts(1), 10), ("a", _ts(5), 50), ("b", _ts(3), 30)],
+            "k string, ts timestamp, lv int",
+        )
+        right = spark.createDataFrame(
+            [("a", _ts(1), 100), ("a", _ts(4), 400)],
+            "k string, ts timestamp, rv int",
+        )
+        return left, right
+
+    def test_backward_inclusive_and_null_before_first(self, sides):
+        from steam_data_pipeline_spark.operators.asof import asof_backward
+
+        left, right = sides
+        got = {
+            (r.k, r.ts): (r.asof_rv, r.asof_ts)
+            for r in asof_backward(left, right, "k", "ts", ["rv"]).collect()
+        }
+        assert got[("a", _ts(1))] == (100, _ts(1))  # tie: <= is inclusive
+        assert got[("a", _ts(5))] == (400, _ts(4))  # latest at-or-before
+        assert got[("b", _ts(3))] == (None, None)   # no right rows for key
+
+    def test_forward_inclusive_and_null_after_last(self, sides):
+        from steam_data_pipeline_spark.operators.asof import asof_forward
+
+        left, right = sides
+        got = {
+            (r.k, r.ts): (r.asof_rv, r.asof_ts)
+            for r in asof_forward(left, right, "k", "ts", ["rv"]).collect()
+        }
+        assert got[("a", _ts(1))] == (100, _ts(1))  # tie: >= is inclusive
+        assert got[("a", _ts(5))] == (None, None)   # nothing follows
+        assert got[("b", _ts(3))] == (None, None)
+
+
 class TestTrailingAvg:
     def test_excludes_current_row(self, spark):
         df = spark.createDataFrame(
