@@ -479,6 +479,67 @@ def set_union_distinct_sort(spark, sf_dir):
 
 
 @CORE.add(
+    "set_intersect_except",
+    oracle=_POOL_SQL
+    + """
+    SELECT app_id, 'both' AS membership FROM
+      (SELECT app_id FROM top_selling INTERSECT SELECT app_id FROM most_played)
+    UNION ALL
+    SELECT app_id, 'top_selling_only' FROM
+      (SELECT app_id FROM top_selling EXCEPT SELECT app_id FROM most_played)
+    UNION ALL
+    SELECT app_id, 'most_played_only' FROM
+      (SELECT app_id FROM most_played EXCEPT SELECT app_id FROM top_selling)
+    """,
+    doc=(
+        "INTERSECT / EXCEPT membership split of the two ranked key pools — "
+        "completes the set-operation family next to the signature union "
+        "(SURVEY §2.4; distinct semantics on both engines)."
+    ),
+    tags=("setop",),
+)
+def set_intersect_except(spark, sf_dir):
+    top_selling, most_played = _candidate_pool(spark, sf_dir)
+    both = top_selling.intersect(most_played).withColumn(
+        "membership", F.lit("both")
+    )
+    sell_only = top_selling.subtract(most_played).withColumn(
+        "membership", F.lit("top_selling_only")
+    )
+    play_only = most_played.subtract(top_selling).withColumn(
+        "membership", F.lit("most_played_only")
+    )
+    return both.unionByName(sell_only).unionByName(play_only)
+
+
+@CORE.add(
+    "agg_unpivot_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1
+    )
+    SELECT day, 'n_events' AS metric, n_events AS value FROM daily
+    UNION ALL
+    SELECT day, 'n_users' AS metric, n_users AS value FROM daily
+    """,
+    doc=(
+        "Unpivot (wide→long melt) of the daily heartbeat's two measures — "
+        "the inverse of agg_pivot_daily_type, for long-format dashboard "
+        "feeds."
+    ),
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot_daily(spark, sf_dir):
+    daily = agg_daily_counts(spark, sf_dir)
+    return daily.unpivot(
+        ["day"], ["n_events", "n_users"], "metric", "value"
+    )
+
+
+@CORE.add(
     "limit_truncate",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
