@@ -61,7 +61,8 @@ def als_recommendations(
     """
     from pyspark.ml.recommendation import ALS
 
-    interactions = interaction_matrix(spark, sf_dir)
+    # consumed twice (ALS fit + active-user ranking) — cache the join+agg
+    interactions = interaction_matrix(spark, sf_dir).cache()
     als = ALS(
         rank=rank,
         maxIter=max_iter,

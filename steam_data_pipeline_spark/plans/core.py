@@ -1034,8 +1034,12 @@ def agg_grouping_sets(spark, sf_dir):
 def agg_percentiles_exact(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("lang", "n_chars")
     w = Window.partitionBy("lang").orderBy("n_chars")
-    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    # group sizes via map-side-combined groupBy + broadcast join, not
+    # count() over an unordered window — that variant buffers each whole
+    # partition in the window exec; row_number alone streams its frame
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ranked = docs.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(counts), on="lang"
     )
 
     def at(p):
