@@ -256,6 +256,57 @@ def llm_sim_lsh(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_ngram_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT UNNEST(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bigrams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+    doc=(
+        "Corpus n-gram analysis: top-20 word bigrams (deterministic "
+        "count-desc/lexicographic order) — tokenize once, bigrams via "
+        "index transform, map-side-combined count, TakeOrderedAndProject "
+        "top-k; the frequency-profile pass of corpus QA."
+    ),
+    tags=("llm", "text", "topk"),
+)
+def llm_ngram_freq(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda s: F.length(s) > 0
+        ).alias("ts")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("ts") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ts", i), F.element_at("ts", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@EXT.add(
     "llm_sample_stratified",
     oracle="""
     SELECT doc_id, lang, source, n_chars
