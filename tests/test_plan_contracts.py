@@ -50,6 +50,21 @@ class TestPlanContracts:
         n_exchanges = plan.count("Exchange hashpartitioning")
         assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}\n{plan}"
 
+    def test_topn_per_key_has_window_group_limit(self, spark):
+        """Grouped top-N must keep ≤ n rows per key per task before the
+        sort (WindowGroupLimit), and stay a single shuffle."""
+        plan = _plan(QUERIES["win_topn_per_key"].spark(spark, SF_SMOKE), "simple")
+        assert "WindowGroupLimit" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_range_join_binned_is_hash_join(self, spark):
+        """The binned range join must execute as a hash join on the
+        (key, bin) composite — never a nested-loop/cartesian."""
+        plan = _plan(QUERIES["join_range_binned"].spark(spark, SF_SMOKE), "simple")
+        assert "HashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_agg_has_partial_final_split(self, spark):
         plan = _plan(QUERIES["agg_daily_counts"].spark(spark, SF_SMOKE))
         assert "partial_count" in plan or "HashAggregate" in plan
