@@ -635,6 +635,35 @@ def win_trailing_time_range(spark, sf_dir):
 
 
 @ANALYTICS.add(
+    "win_pctrank_cumedist",
+    oracle="""
+    SELECT event_id, user_id, value,
+           percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pct_rank,
+           cume_dist()    OVER (PARTITION BY user_id ORDER BY value, event_id) AS cume
+    FROM events
+    """,
+    doc=(
+        "Distribution-position windows: percent_rank + cume_dist of each "
+        "observation within its key (PLAN:26 anomaly grid, 'where does "
+        "this value sit historically') — one ordering, both functions, "
+        "one shuffle; (k−1)/(n−1) and k/n divide identically in IEEE "
+        "double on both engines."
+    ),
+    tags=("window", "rank"),
+)
+def win_pctrank_cumedist(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@ANALYTICS.add(
     "win_price_player_align",
     oracle="""
     SELECT event_id, user_id, ts, value,
