@@ -816,18 +816,33 @@ def agg_corr_price_players(spark, sf_dir):
 
 @CORE.add(
     "agg_distinct_pool_approx",
-    oracle=None,
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_keys_exact,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    """,
     doc=(
         "HyperLogLog++ candidate-pool cardinality — the documented scale "
-        "swap for countDistinct (SURVEY §7 phase 4). Deterministic for a "
-        "given dataset/precision; rows-only (DuckDB's approx sketch "
-        "differs)."
+        "swap for countDistinct (SURVEY §7 phase 4). DuckDB's sketch "
+        "differs bit-wise, so the checkable contract is the exact count "
+        "plus a boolean asserting the HLL estimate (rsd=0.01) landed "
+        "within 5% of it — exact-oracle-checkable while still executing "
+        "the approx path."
     ),
-    tags=("agg", "approx", "rows-only"),
+    tags=("agg", "approx"),
 )
 def agg_distinct_pool_approx(spark, sf_dir):
-    return t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_keys_approx")
+    a = t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_keys_approx"),
+        F.countDistinct("l_partkey").alias("n_keys_exact"),
+    )
+    within = (
+        F.abs(F.col("n_keys_approx") - F.col("n_keys_exact"))
+        <= 0.05 * F.col("n_keys_exact")
+    )
+    return a.select(
+        F.col("n_keys_exact").cast("long").alias("n_keys_exact"),
+        within.alias("approx_within_5pct"),
     )
 
 
