@@ -13,8 +13,10 @@ to reproduce the lock/staleness protocol.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+from contextlib import contextmanager
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame
@@ -63,11 +65,24 @@ class FileRunJournal:
     """Single-writer lock + journal file (the checkpoint-as-lock analog).
 
     ``acquire`` fails if an active, non-stale lock exists — mirroring
-    main.py:389-396 (stale after 2 h ⇒ takeover).
+    main.py:389-396 (stale after 2 h ⇒ takeover). The check-and-set is
+    serialized through an OS-level ``flock`` on a sidecar file, so two
+    concurrent acquirers cannot both observe "unlocked" — the reference
+    gets the same guarantee from its DB session (main.py:398-402).
     """
 
     def __init__(self, path: str):
         self.path = path
+
+    @contextmanager
+    def _flock(self):
+        fd = os.open(self.path + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def _read(self) -> dict:
         if not os.path.exists(self.path):
@@ -83,19 +98,21 @@ class FileRunJournal:
 
     def acquire(self, now: datetime | None = None) -> bool:
         now = now or datetime.now(timezone.utc)
-        state = self._read()
-        if state.get(LOCK_KEY) == "true":
-            started = state.get(STARTED_KEY)
-            if started:
-                age = now - datetime.fromisoformat(started)
-                if age <= STALE_AFTER:
-                    return False  # held and fresh → abort (main.py:395-396)
-        state[LOCK_KEY] = "true"
-        state[STARTED_KEY] = now.isoformat()
-        self._write(state)
-        return True
+        with self._flock():
+            state = self._read()
+            if state.get(LOCK_KEY) == "true":
+                started = state.get(STARTED_KEY)
+                if started:
+                    age = now - datetime.fromisoformat(started)
+                    if age <= STALE_AFTER:
+                        return False  # held and fresh → abort (main.py:395-396)
+            state[LOCK_KEY] = "true"
+            state[STARTED_KEY] = now.isoformat()
+            self._write(state)
+            return True
 
     def release(self) -> None:
-        state = self._read()
-        state[LOCK_KEY] = "false"  # main.py:489
-        self._write(state)
+        with self._flock():
+            state = self._read()
+            state[LOCK_KEY] = "false"  # main.py:489
+            self._write(state)

@@ -21,6 +21,7 @@ guarantee the reference gets from its DB lock (main.py:387-404).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -36,20 +37,30 @@ def merge_upsert(
     key: str,
     version_cols: list | None = None,
 ) -> DataFrame:
-    """Logical MERGE: rows of ``new`` (deduped last-writer-wins per key)
-    plus rows of ``old`` whose key is absent from ``new``.
+    """Logical MERGE: one surviving row per key.
 
-    * update half  ≡ new rows replacing matching old keys
-    * insert half  ≡ new keys (anti-join shape, main.py:452-455)
-    * idempotence  ≡ merge(merge(T, B), B) == merge(T, B)
+    * no ``version_cols`` — last-writer-wins per *call*: rows of ``new``
+      replace matching old keys, old keys absent from ``new`` survive
+      (anti-join shape, main.py:452-455).
+    * with ``version_cols`` — max-version-wins across ``old ∪ new``, so
+      an out-of-order micro-batch carrying an older row for a key can
+      never regress stored state: the final table equals
+      latest-per-version regardless of how rows were batched. Ties
+      prefer ``new`` (deterministic re-run).
+    * idempotence ≡ merge(merge(T, B), B) == merge(T, B) in both modes.
 
-    The anti join broadcasts the *keys* of ``new`` when small; at scale
-    AQE picks the strategy. One shuffle on the key either way.
+    The anti join broadcasts the *keys* of ``new`` when small; the
+    versioned union shuffles once on the key (the same cost profile as
+    a table-format MERGE INTO). At scale AQE picks the strategy.
     """
     if version_cols:
-        new = dedup_last_writer(new, key, version_cols)
-    else:
-        new = new.dropDuplicates([key])
+        if old is None:
+            return dedup_last_writer(new, key, version_cols)
+        tagged = old.withColumn("__src", F.lit(0)).unionByName(
+            new.withColumn("__src", F.lit(1))
+        )
+        return dedup_last_writer(tagged, key, [*version_cols, "__src"]).drop("__src")
+    new = new.dropDuplicates([key])
     if old is None:
         return new
     keep_old = old.join(new.select(key), on=key, how="left_anti")
@@ -59,18 +70,31 @@ def merge_upsert(
 class ParquetTableStore:
     """Generation-versioned parquet tables with atomic swap.
 
-    Layout:  <root>/<table>/gen=<n>/part-*.parquet plus a tiny
+    Layout:  <root>/<table>/gen=<n>-<uuid>/part-*.parquet plus a tiny
     ``_CURRENT`` pointer file. Readers resolve the pointer then read one
     immutable generation; the writer stages the next generation fully
     before flipping the pointer (single ``os.replace`` — atomic on
     POSIX). This mirrors a table-format commit protocol in miniature
     and gives upsert idempotence across crashes: a died-before-flip
     writer leaves the old generation intact.
+
+    Old generations are garbage-collected *lazily* (the newest
+    ``keep_generations`` survive every commit), so a lazy DataFrame that
+    resolved the previous pointer finishes its scan instead of hitting
+    FileNotFoundException mid-flight — snapshot isolation for one
+    writer + concurrent readers.
+
+    Hash-bucketed tables (``upsert(..., n_buckets=…)``) swap per-bucket
+    pointers held in one ``_MANIFEST.json``: a MERGE rewrites only the
+    buckets containing touched keys, turning the O(table) write
+    amplification of pointer-swap MERGE into O(touched buckets) — the
+    plain-parquet miniature of Delta/Iceberg partition-scoped MERGE.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, keep_generations: int = 2):
         self.spark = spark
         self.root = root
+        self.keep_generations = max(1, keep_generations)
         os.makedirs(root, exist_ok=True)
 
     def _tdir(self, table: str) -> str:
@@ -78,6 +102,25 @@ class ParquetTableStore:
 
     def _pointer(self, table: str) -> str:
         return os.path.join(self._tdir(table), "_CURRENT")
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_MANIFEST.json")
+
+    def _gens(self, table: str) -> list[str]:
+        tdir = self._tdir(table)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(d for d in os.listdir(tdir) if d.startswith("gen="))
+
+    def _next_gen(self, table: str) -> str:
+        gens = self._gens(table)
+        last = 0
+        for g in gens:
+            try:
+                last = max(last, int(g[len("gen="):].split("-", 1)[0]))
+            except ValueError:
+                continue
+        return f"gen={last + 1:08d}-{uuid.uuid4().hex[:8]}"
 
     def current_path(self, table: str) -> str | None:
         ptr = self._pointer(table)
@@ -89,15 +132,43 @@ class ParquetTableStore:
         return path if os.path.exists(path) else None
 
     def read(self, table: str) -> DataFrame | None:
+        if os.path.exists(self._manifest_path(table)):
+            paths = [
+                p for k, p in self._read_manifest(table).items()
+                if not k.startswith("__")
+            ]
+            if not paths:
+                return None
+            return self.spark.read.parquet(
+                *(os.path.join(self._tdir(table), p) for p in paths)
+            )
         path = self.current_path(table)
         if path is None:
             return None
         return self.spark.read.parquet(path)
 
+    def _gc(self, table: str) -> None:
+        """Delete generations that are (a) not the current pointer,
+        (b) not referenced by the bucket manifest, and (c) older than
+        the newest ``keep_generations`` — deferred deletion so in-flight
+        readers of the previous generation complete."""
+        gens = self._gens(table)
+        live: set[str] = set(gens[-self.keep_generations:])
+        cur = self.current_path(table)
+        if cur is not None:
+            live.add(os.path.basename(cur))
+        if os.path.exists(self._manifest_path(table)):
+            for k, rel in self._read_manifest(table).items():
+                if not k.startswith("__"):
+                    live.add(rel.split(os.sep, 1)[0])
+        for g in gens:
+            if g not in live:
+                shutil.rmtree(os.path.join(self._tdir(table), g), ignore_errors=True)
+
     def overwrite(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Write a full new generation and atomically flip the pointer."""
         os.makedirs(self._tdir(table), exist_ok=True)
-        gen = f"gen={uuid.uuid4().hex[:12]}"
+        gen = self._next_gen(table)
         out = os.path.join(self._tdir(table), gen)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -106,10 +177,8 @@ class ParquetTableStore:
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(gen)
-        old = self.current_path(table)
         os.replace(tmp, self._pointer(table))
-        if old is not None and os.path.abspath(old) != os.path.abspath(out):
-            shutil.rmtree(old, ignore_errors=True)
+        self._gc(table)
 
     def upsert(
         self,
@@ -117,10 +186,78 @@ class ParquetTableStore:
         new: DataFrame,
         key: str,
         version_cols: list | None = None,
+        n_buckets: int | None = None,
     ) -> None:
-        """MERGE ``new`` into the stored table (sink_upsert_metadata)."""
+        """MERGE ``new`` into the stored table (sink_upsert_metadata).
+
+        With ``n_buckets`` (or an existing bucket manifest) the MERGE is
+        partition-scoped: only buckets whose keys appear in ``new`` are
+        re-merged and rewritten; untouched buckets keep their files.
+        """
+        if n_buckets is not None or os.path.exists(self._manifest_path(table)):
+            self._upsert_bucketed(table, new, key, version_cols, n_buckets)
+            return
         merged = merge_upsert(self.read(table), new, key, version_cols)
         self.overwrite(table, merged)
+
+    # -- bucketed (partition-scoped) MERGE ---------------------------------
+
+    def _read_manifest(self, table: str) -> dict[str, str]:
+        path = self._manifest_path(table)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, table: str, manifest: dict[str, str]) -> None:
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=0, sort_keys=True)
+        os.replace(tmp, self._manifest_path(table))
+
+    def _upsert_bucketed(
+        self,
+        table: str,
+        new: DataFrame,
+        key: str,
+        version_cols: list | None,
+        n_buckets: int | None,
+    ) -> None:
+        manifest = self._read_manifest(table)
+        if n_buckets is None:
+            n_buckets = int(manifest.get("__n_buckets", 32))
+        manifest.setdefault("__n_buckets", str(n_buckets))
+        os.makedirs(self._tdir(table), exist_ok=True)
+
+        bucket_of = F.pmod(
+            F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)
+        ).cast("int")
+        new_b = new.withColumn("__bucket", bucket_of)
+        # Touched-bucket list: ≤ n_buckets small ints — a driver-side
+        # collect by design (it IS the partition-pruning predicate).
+        touched = sorted(
+            r["__bucket"] for r in new_b.select("__bucket").distinct().collect()
+        )
+        old_paths = [
+            os.path.join(self._tdir(table), manifest[str(b)])
+            for b in touched
+            if str(b) in manifest
+        ]
+        old = None
+        if old_paths:
+            # partitionBy stripped __bucket from the files; recompute
+            # from the key (same deterministic hash).
+            old = self.spark.read.parquet(*old_paths).withColumn(
+                "__bucket", bucket_of
+            )
+        merged = merge_upsert(old, new_b, key, version_cols)
+        gen = self._next_gen(table)
+        out = os.path.join(self._tdir(table), gen)
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(out)
+        for b in touched:
+            manifest[str(b)] = os.path.join(gen, f"__bucket={b}")
+        self._write_manifest(table, manifest)  # atomic multi-bucket commit
+        self._gc(table)
 
     def append(self, table: str, df: DataFrame) -> None:
         """Append-only fact sink (sink_append_timeseries, main.py:475).
@@ -133,6 +270,49 @@ class ParquetTableStore:
             self.overwrite(table, df)
         else:
             df.write.mode("append").parquet(cur)
+
+    def append_batch(self, table: str, df: DataFrame, batch_id: int) -> bool:
+        """Idempotent per-micro-batch append — the foreachBatch
+        exactly-once pattern.
+
+        ``foreachBatch`` gives at-least-once delivery: a crash after the
+        write but before the checkpoint commit replays the batch. Every
+        batch's files carry a deterministic ``batch-<id>-`` prefix and a
+        commit marker: a replay whose marker exists is skipped; a replay
+        over a partial (marker-less) write first deletes the prefix's
+        files, so duplicates cannot survive any crash point. Returns
+        True if the batch was written, False if it was a skipped replay.
+        """
+        if self.current_path(table) is None:
+            self.overwrite(table, df.limit(0))  # schema-bearing empty gen
+        gen = self.current_path(table)
+        marker = os.path.join(gen, f"_batch-{batch_id}.COMMITTED")
+        if os.path.exists(marker):
+            return False
+        prefix = f"batch-{batch_id}-"
+        for name in os.listdir(gen):  # partial write from a crashed attempt
+            if name.startswith(prefix):
+                os.remove(os.path.join(gen, name))
+        stage = os.path.join(self._tdir(table), f"_stage-{uuid.uuid4().hex[:8]}")
+        try:
+            df.write.mode("overwrite").parquet(stage)
+            part = 0
+            for name in sorted(os.listdir(stage)):
+                if name.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(stage, name),
+                        os.path.join(gen, f"{prefix}{part:05d}.parquet"),
+                    )
+                    part += 1
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        with open(marker, "w") as f:
+            f.write("committed")
+        # The moves happened behind Spark's file-status cache (which has
+        # no TTL by default) — invalidate so same-session readers see
+        # the committed batch, not a stale listing.
+        self.spark.catalog.refreshByPath(gen)
+        return True
 
     def append_timeseries(self, table: str, df: DataFrame, key: str = "app_id", ts: str = "timestamp") -> None:
         """Append with the reference's access-path layout: the composite

@@ -758,6 +758,38 @@ def fn_datetime_suite(spark, sf_dir):
     )
 
 
+@ANALYTICS.add(
+    "fn_rand_jitter",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS jitter_in_bounds
+    FROM orders
+    """,
+    doc=(
+        "Seeded-jitter demo (SURVEY §2.7 fn_rand_jitter; main.py:139 "
+        "``4 + uniform(1, 3)``, runner.py:68). Spark's rand(seed) is "
+        "deterministic per (seed, partition) but its values depend on "
+        "partition layout, so the exact-checkable contract is the bound: "
+        "every jitter lands in [5, 7). The query executes the rand path "
+        "and returns (row count, all-in-bounds flag) — both exact."
+    ),
+    tags=("functions", "rand"),
+)
+def fn_rand_jitter(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    jitter = F.lit(4.0) + F.lit(1.0) + F.lit(2.0) * F.rand(seed=42)
+    return (
+        o.select(jitter.alias("jitter_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bool_and((F.col("jitter_s") >= 5.0) & (F.col("jitter_s") < 7.0)).alias(
+                "jitter_in_bounds"
+            ),
+        )
+        .select(F.col("n_rows").cast("long").alias("n_rows"), "jitter_in_bounds")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.9 UDF / UDAF / UDTF surface
 # ---------------------------------------------------------------------------

@@ -165,6 +165,8 @@ def run_ingest_stream(
                 F.col("event_id").alias("__version"),
             )
         )
+        # Re-merge of a replayed batch is a no-op (max-version MERGE) —
+        # idempotent under foreachBatch's at-least-once delivery.
         store.upsert(
             DIM_TABLE + "_stream",
             dim_rows,
@@ -176,10 +178,16 @@ def run_ingest_stream(
             F.col("ts").alias("timestamp"),
             F.col("value").alias("player_value"),
         )
-        store.append(FACT_TABLE + "_stream", fact_rows)
+        # Deterministic batch-id-keyed append: a replayed batch is
+        # skipped, so the fact half is exactly-once too.
+        store.append_batch(FACT_TABLE + "_stream", fact_rows, batch_id)
+
+    # Bounded-retry wrapper (stream_retry_backoff): sink hiccups retry
+    # on the reference's schedule before the batch is allowed to fail.
+    from steam_data_pipeline_spark.streaming.retry import retrying_foreach_batch
 
     q = (
-        ev.writeStream.foreachBatch(apply_batch)
+        ev.writeStream.foreachBatch(retrying_foreach_batch(apply_batch))
         .trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
         .start()

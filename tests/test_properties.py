@@ -63,16 +63,18 @@ def test_islands_match_python_reference(spark, flags):
     new=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)), max_size=15),
 )
 def test_merge_upsert_matches_dict_fold(spark, old, new):
-    # dedup old by key (a stored table has unique keys); new deduped by
-    # max payload (the version column)
+    # dedup old by key (a stored table has unique keys); with
+    # version_cols the MERGE is max-version across old ∪ new, so an
+    # out-of-order batch can't regress stored state (ADVICE round 1)
     old_d = {}
     for k, v in old:
         old_d[k] = v
-    expected = dict(old_d)
     new_d = {}
     for k, v in new:
         new_d[k] = max(new_d.get(k, -1), v)
-    expected.update(new_d)
+    expected = dict(old_d)
+    for k, v in new_d.items():
+        expected[k] = max(expected.get(k, -1), v)
 
     schema = "k int, v int"
     old_df = spark.createDataFrame([Row(k=k, v=v) for k, v in old_d.items()], schema)

@@ -59,6 +59,8 @@ def test_registry_covers_survey_inventory():
         "stream_microbatch": "stream_microbatch_upsert",
         "stream_exactly_once_upsert": "stream_microbatch_upsert",
         "stream_late_data": "stream_session_window",
+        "stream_retry_backoff": "stream_microbatch_upsert",  # retry module unit-tested (tests/test_retry.py)
+        "fn_rand_jitter": "fn_rand_jitter",
         "stream_state_store": "stream_microbatch_upsert",
         "stream_tumbling_daily": "stream_tumbling_daily",
         "stream_session_window": "stream_session_window",
