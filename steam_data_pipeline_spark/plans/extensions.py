@@ -617,7 +617,12 @@ def _run_stream_to_memory(sdf, name_prefix: str, spark, output_mode: str = "comp
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # Detach the result from the memory-sink temp view before dropping
+    # it (localCheckpoint truncates lineage), so repeated registry runs
+    # in one session leak no temp views and can't collide on names.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def _read_events_stream(spark, sf_dir):

@@ -78,3 +78,22 @@ def test_streaming_islands_match_batch(spark, split_events_dir, tmp_path):
     }
     assert streamed == expected_closed
     assert len(streamed) > 0
+
+
+def test_memory_sink_queries_leak_no_temp_views(spark):
+    """Two registry stream queries back-to-back in one session: results
+    are stable and the memory-sink temp views are dropped after read
+    (VERDICT r1 item 9)."""
+    from steam_data_pipeline_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    q = QUERIES["stream_tumbling_daily"].spark
+    first = sorted(map(tuple, q(spark, sf).collect()))
+    second = sorted(map(tuple, q(spark, sf).collect()))
+    assert first == second and len(first) > 0
+    leftover = [
+        v.name
+        for v in spark.catalog.listTables()
+        if v.isTemporary and v.name.startswith("tumbling_daily_")
+    ]
+    assert leftover == []
