@@ -1,0 +1,211 @@
+"""Corpus-curation operators for training-data pipelines: PII
+scrubbing, Gopher-style quality rules, domain-mix weighting, sequence
+packing, and benchmark-contamination checks.
+
+These extend the SURVEY §2.10 LLM family (dedup / simsearch /
+textstats) with the remaining stages a 100 TB pre-training pipeline
+runs between raw crawl and tokenizer:
+
+* everything except packing is pure JVM expressions (regexp, split,
+  higher-order array functions) — whole-stage codegen, no Python;
+* packing is an inherently sequential recurrence (each bin boundary
+  depends on the previous fill), so it runs as a grouped
+  ``applyInPandas`` with a *bin-level* numpy searchsorted loop — one
+  shuffle on the group key, O(bins) driver-free iterations per group.
+  At 100 TB you pack per (source, shard) so groups stay bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# whitespace tokenization shared by every operator here (and by
+# llm_token_count — same contract as the oracle's string_split_regex)
+_WS = r"\s+"
+
+
+def _words(text_col: str) -> F.Column:
+    return F.split(F.trim(F.col(text_col)), _WS)
+
+
+def pii_scrub(df: DataFrame, key: str, col: str) -> DataFrame:
+    """Mask every digit of an identifying column and count redactions.
+
+    The real pipeline runs a battery of these (emails, phones, SSNs,
+    IPs) — one ``regexp_replace`` each, fused into one codegen stage.
+    Fixture mapping: TPC-H ``customer.c_phone`` is the PII column.
+    """
+    n_red = F.length(F.col(col)) - F.length(F.regexp_replace(col, "[0-9]", ""))
+    return df.select(
+        key,
+        F.regexp_replace(col, "[0-9]", "#").alias("masked"),
+        n_red.cast("long").alias("n_redacted"),
+    )
+
+
+def quality_signals(docs: DataFrame, text_col: str = "text", stopwords: list[str] | None = None) -> DataFrame:
+    """Gopher-style document quality signals (Rae et al. 2021 §A1.1
+    repetition/length heuristics, re-expressed as Spark expressions):
+
+    * ``n_words`` — whitespace token count
+    * ``mean_word_len`` — non-whitespace chars / words
+    * ``distinct_frac`` — distinct words / words (repetition proxy)
+    * ``stop_frac`` — stopword fraction (natural-language proxy)
+    * ``quality_ok`` — the composite gate
+
+    All ratios are single divisions of exact integers → bit-exact
+    against the SQL oracle.
+    """
+    sw = F.array(*[F.lit(w) for w in (stopwords or [])])
+    w = _words(text_col)
+    n_words = F.size(w).cast("long")
+    n_chars = F.length(F.regexp_replace(F.col(text_col), _WS, "")).cast("long")
+    n_distinct = F.size(F.array_distinct(w)).cast("long")
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw, x))).cast("long")
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (n_chars / n_words).alias("mean_word_len"),
+        (n_distinct / n_words).alias("distinct_frac"),
+        (n_stop / n_words).alias("stop_frac"),
+    )
+    gate = (
+        (F.col("n_words") >= 10)
+        & F.col("mean_word_len").between(2.0, 10.0)
+        & (F.col("distinct_frac") > 0.3)
+    )
+    return out.withColumn("quality_ok", gate)
+
+
+def domain_mix_weights(docs: DataFrame, group: str = "source", text_col: str = "text") -> DataFrame:
+    """Temperature-weighted sampling mix per domain: weight_s ∝
+    share_s^0.5 (temperature sampling, T=2 ⇒ exponent 1/2 — chosen
+    because ``sqrt`` is IEEE-correctly-rounded, so the oracle matches
+    bit-exactly where ``pow(x, 0.7)`` would not).
+
+    The normalizer folds the per-domain raws in sorted order
+    (``aggregate`` over ``sort_array(collect_list(...))``), the same
+    strict sequential fold the oracle's ``list_reduce`` does — the
+    repo-wide recipe for bit-identical float sums. Domains are few by
+    definition; the fold is a single-row cross join, not a data-scale
+    operation.
+    """
+    per = docs.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_words(text_col))).cast("long").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").cast("long").alias("__total"))
+    shared = per.crossJoin(F.broadcast(total)).withColumn(
+        "token_share", F.col("n_tokens") / F.col("__total")
+    ).withColumn("__w_raw", F.sqrt("token_share"))
+    norm = shared.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("__w_raw")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__norm")
+    )
+    return (
+        shared.crossJoin(F.broadcast(norm))
+        .select(
+            group,
+            "n_docs",
+            "n_tokens",
+            "token_share",
+            (F.col("__w_raw") / F.col("__norm")).alias("mix_weight"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    group: str = "source",
+    key: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 512,
+) -> DataFrame:
+    """Next-fit sequence packing: within each group (ordered by doc id)
+    fill a bin until the next document would overflow ``capacity``
+    tokens, then start the next bin — the standard greedy packer that
+    turns a document stream into fixed-budget training sequences.
+
+    The recurrence is sequential per group, but the loop below advances
+    one *bin* (not one document) per iteration: ``searchsorted`` on the
+    token cumsum finds each bin boundary in O(log n). An oversized
+    document gets a bin of its own.
+    """
+    toks = docs.select(
+        group,
+        key,
+        F.size(_words(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(key).reset_index(drop=True)
+        tok = pdf["n_tokens"].to_numpy()
+        cs = np.concatenate([[0], np.cumsum(tok)])
+        n = len(tok)
+        bounds = []
+        i = 0
+        while i < n:
+            j = int(np.searchsorted(cs, cs[i] + capacity, side="right")) - 1
+            j = max(j, i + 1)  # tok[i] > capacity → own bin
+            bounds.append(j - i)
+            i = j
+        pdf["bin_id"] = np.repeat(
+            np.arange(len(bounds), dtype=np.int64), bounds
+        )
+        return pdf
+
+    schema = f"{group} string, {key} long, n_tokens long, bin_id long"
+    return toks.groupBy(group).applyInPandas(pack, schema)
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination score: the fraction of each document's
+    distinct word ``n``-grams that appear anywhere in the benchmark
+    set (the pre-training decontamination check run against eval
+    suites before training).
+
+    The benchmark n-gram set is bounded by the eval suite's size, so it
+    broadcasts; the corpus side is one explode + broadcast-join +
+    groupBy — no shuffle of the corpus itself beyond the count.
+    """
+
+    def grams(df: DataFrame, keep_key: bool) -> DataFrame:
+        w = _words(text_col)
+        g = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cols = (["doc_id"] if keep_key else []) + [
+            F.explode(F.array_distinct(g)).alias("gram")
+        ]
+        return df.select(*cols)
+
+    bench_grams = grams(benchmark, keep_key=False).distinct()
+    doc_grams = grams(docs, keep_key=True)
+    scored = (
+        doc_grams.join(
+            F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
+            on="gram",
+            how="left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_matched"),
+        )
+        .withColumn("contamination", F.col("n_matched") / F.col("n_grams"))
+    )
+    return scored

@@ -798,3 +798,212 @@ def stream_microbatch_upsert(spark, sf_dir):
     )
     q.awaitTermination()
     return store.read("latest_state").select("app_id", "latest_value", "latest_ts")
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: PII, quality gates, domain mixing, packing,
+# contamination, and a non-parquet source-format demo (round 2)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_FLAT = [w for ws in TS._STOPWORDS.values() for w in ws]
+
+
+@EXT.add(
+    "llm_pii_scrub",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           CAST(length(c_name)
+                - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT)
+             AS n_redacted
+    FROM customer
+    """,
+    doc=(
+        "PII scrubbing pass: mask every digit of the identifying column "
+        "and count redactions (fixture: customer.c_name carries the "
+        "numeric identity). One regexp_replace per PII class, fused "
+        "into a single codegen stage — the shape of a real "
+        "email/phone/SSN battery."
+    ),
+    tags=("llm", "curation"),
+)
+def llm_pii_scrub(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.curation import pii_scrub
+
+    return pii_scrub(t(spark, sf_dir, "customer"), "c_custkey", "c_name")
+
+
+@EXT.add(
+    "llm_quality_gopher",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS words,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           n_chars / len(words) AS mean_word_len,
+           len(list_distinct(words)) / len(words) AS distinct_frac,
+           len(list_filter(words, x -> list_contains({_STOPWORD_SQL_LIST}, x)))
+             / len(words) AS stop_frac,
+           (len(words) >= 10
+            AND n_chars / len(words) BETWEEN 2.0 AND 10.0
+            AND len(list_distinct(words)) / len(words) > 0.3) AS quality_ok
+    FROM w
+    """,
+    doc=(
+        "Gopher-style quality signals (length, mean word length, "
+        "repetition via distinct fraction, stopword fraction) plus the "
+        "composite keep/drop gate. Pure JVM expressions; every ratio is "
+        "one exact-integer division, bit-exact vs the oracle."
+    ),
+    tags=("llm", "curation", "quality"),
+)
+def llm_quality_gopher(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.curation import quality_signals
+
+    return quality_signals(
+        t(spark, sf_dir, "documents"), stopwords=_STOPWORDS_FLAT
+    )
+
+
+@EXT.add(
+    "llm_domain_mix",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per),
+    sh AS (
+      SELECT source, n_docs, n_tokens,
+             n_tokens / total AS token_share,
+             sqrt(n_tokens / total) AS w_raw
+      FROM per, tot
+    ), nrm AS (
+      SELECT list_reduce(list_sort(list(w_raw)), (a, b) -> a + b) AS norm
+      FROM sh
+    )
+    SELECT source, n_docs, n_tokens, token_share,
+           w_raw / norm AS mix_weight
+    FROM sh, nrm
+    """,
+    doc=(
+        "Temperature-weighted domain sampling mix: weight ∝ "
+        "token_share^0.5 (T=2; sqrt is correctly rounded, so the "
+        "oracle matches bit-exactly). Normalizer folds the per-domain "
+        "raws in sorted order — the repo's bit-identical-sum recipe."
+    ),
+    tags=("llm", "curation", "sampling"),
+)
+def llm_domain_mix(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.curation import domain_mix_weights
+
+    return domain_mix_weights(t(spark, sf_dir, "documents"))
+
+
+@EXT.add(
+    "llm_seq_pack",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT source, doc_id, rn, n_tokens, n_tokens AS fill,
+             CAST(0 AS BIGINT) AS bin_id
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.rn, d.n_tokens,
+             CASE WHEN p.fill + d.n_tokens > 512
+                  THEN d.n_tokens ELSE p.fill + d.n_tokens END,
+             CASE WHEN p.fill + d.n_tokens > 512
+                  THEN p.bin_id + 1 ELSE p.bin_id END
+      FROM d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, bin_id FROM pack
+    """,
+    doc=(
+        "Next-fit sequence packing into 512-token bins per source — the "
+        "greedy packer that turns a document stream into fixed-budget "
+        "training sequences. Spark side: grouped applyInPandas with a "
+        "bin-level searchsorted loop; oracle: recursive CTE replaying "
+        "the same recurrence. Exact-checkable stateful operator."
+    ),
+    tags=("llm", "curation", "packing"),
+)
+def llm_seq_pack(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.curation import pack_sequences
+
+    return pack_sequences(t(spark, sf_dir, "documents"), capacity=512)
+
+
+@EXT.add(
+    "llm_contamination",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+4], ' ')
+                            for i in range(1, len(words) - 3)]) AS grams
+      FROM w WHERE len(words) >= 5
+    ),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
+    dg AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+    SELECT dg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*)
+             AS contamination
+    FROM dg LEFT JOIN bench b ON dg.gram = b.gram
+    GROUP BY dg.doc_id
+    """,
+    doc=(
+        "Benchmark-contamination check: fraction of each document's "
+        "distinct word 5-grams that appear in the benchmark set "
+        "(fixture: doc_id < 50 plays the eval suite). Benchmark n-gram "
+        "set broadcasts (bounded by the suite, not the corpus); corpus "
+        "side is explode → broadcast-join → groupBy."
+    ),
+    tags=("llm", "curation", "decontamination"),
+)
+def llm_contamination(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.curation import contamination
+
+    docs = t(spark, sf_dir, "documents")
+    return contamination(docs, docs.filter(F.col("doc_id") < 50), n=5)
+
+
+@EXT.add(
+    "src_jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    doc=(
+        "Non-parquet source-format connector demo: the documents table "
+        "round-trips through JSON-lines (write → schema-pinned read) "
+        "and must come back value-identical. The explicit read schema "
+        "is the production posture — schema inference on JSONL is a "
+        "full extra pass at 100 TB."
+    ),
+    tags=("source", "format"),
+)
+def src_jsonl_roundtrip(spark, sf_dir):
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="sdp_jsonl_")
+    docs.write.mode("overwrite").json(out)
+    return spark.read.schema(docs.schema).json(out)

@@ -1,0 +1,127 @@
+"""Unit tests for the corpus-curation operators (llm/curation.py):
+packing recurrence, contamination semantics, quality gates, mix
+weights. The registry-level oracle sweep covers value-exactness; these
+pin the operator semantics on hand-built corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from steam_data_pipeline_spark.llm.curation import (
+    contamination,
+    domain_mix_weights,
+    pack_sequences,
+    pii_scrub,
+    quality_signals,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+class TestPackSequences:
+    def test_next_fit_recurrence(self, spark):
+        # capacity 10; token counts 4,4,4,9,2 → bins [0,0],[1],[2],[3]
+        rows = [
+            (0, "s", "a b c d"),
+            (1, "s", "a b c d"),
+            (2, "s", "a b c d"),
+            (3, "s", "a b c d e f g h i"),
+            (4, "s", "a b"),
+        ]
+        got = {
+            r.doc_id: r.bin_id
+            for r in pack_sequences(_docs(spark, rows), capacity=10).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_oversized_doc_gets_own_bin(self, spark):
+        rows = [(0, "s", " ".join(["w"] * 20)), (1, "s", "a b")]
+        got = {
+            r.doc_id: r.bin_id
+            for r in pack_sequences(_docs(spark, rows), capacity=10).collect()
+        }
+        assert got == {0: 0, 1: 1}
+
+    def test_groups_pack_independently(self, spark):
+        rows = [(0, "x", "a b c"), (1, "y", "a b c"), (2, "x", "a b c")]
+        out = pack_sequences(_docs(spark, rows), capacity=10).collect()
+        by_src = {(r.source, r.doc_id): r.bin_id for r in out}
+        assert by_src == {("x", 0): 0, ("x", 2): 0, ("y", 1): 0}
+
+    def test_bin_sums_respect_capacity(self, spark):
+        rows = [(i, "s", " ".join(["w"] * (3 + i % 5))) for i in range(40)]
+        out = pack_sequences(_docs(spark, rows), capacity=16).collect()
+        sums: dict[int, int] = {}
+        for r in out:
+            sums[r.bin_id] = sums.get(r.bin_id, 0) + r.n_tokens
+        assert all(s <= 16 for s in sums.values())
+        # next-fit leaves no two consecutive bins that could merge
+        assert len(sums) >= sum(3 + i % 5 for i in range(40)) / 16
+
+
+class TestContamination:
+    def test_benchmark_doc_fully_contaminated(self, spark):
+        rows = [(0, "s", "a b c d e f"), (1, "s", "x y z w v u")]
+        docs = _docs(spark, rows)
+        bench = docs.filter(F.col("doc_id") == 0)
+        got = {r.doc_id: r.contamination for r in contamination(docs, bench, n=5).collect()}
+        assert got[0] == 1.0  # benchmark member: all grams match
+        assert got[1] == 0.0  # disjoint vocabulary: none
+
+    def test_partial_overlap_fraction(self, spark):
+        # doc 1 shares exactly one 5-gram window with the benchmark
+        rows = [(0, "s", "a b c d e"), (1, "s", "a b c d e f")]
+        docs = _docs(spark, rows)
+        bench = docs.filter(F.col("doc_id") == 0)
+        got = {r.doc_id: (r.n_grams, r.n_matched) for r in contamination(docs, bench, n=5).collect()}
+        assert got[1] == (2, 1)
+
+    def test_short_docs_excluded(self, spark):
+        rows = [(0, "s", "a b c d e"), (1, "s", "a b")]
+        docs = _docs(spark, rows)
+        out = contamination(docs, docs, n=5)
+        assert {r.doc_id for r in out.collect()} == {0}
+
+
+class TestQualitySignals:
+    def test_signals_and_gate(self, spark):
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        df = _docs(spark, [(0, "s", text)])
+        r = quality_signals(df, stopwords=["the", "and"]).collect()[0]
+        assert r.n_words == 12
+        assert r.stop_frac == pytest.approx(3 / 12)
+        assert r.distinct_frac == pytest.approx(10 / 12)
+        assert r.quality_ok
+
+    def test_repetitive_doc_fails_gate(self, spark):
+        df = _docs(spark, [(0, "s", " ".join(["spam"] * 40))])
+        r = quality_signals(df).collect()[0]
+        assert r.distinct_frac == pytest.approx(1 / 40)
+        assert not r.quality_ok
+
+
+class TestDomainMix:
+    def test_weights_normalize_and_order(self, spark):
+        rows = [(i, f"s{i % 2}", " ".join(["w"] * (10 if i % 2 else 40))) for i in range(4)]
+        out = domain_mix_weights(_docs(spark, rows)).collect()
+        w = {r.source: r.mix_weight for r in out}
+        assert sum(w.values()) == pytest.approx(1.0)
+        # sqrt temperature flattens: big domain still heavier, but less
+        # than its raw 80/20 token share
+        share = {r.source: r.token_share for r in out}
+        assert share["s0"] == pytest.approx(0.8)
+        assert w["s0"] < 0.8 and w["s0"] > w["s1"]
+
+
+class TestPiiScrub:
+    def test_digits_masked_and_counted(self, spark):
+        df = spark.createDataFrame(
+            [("k1", "Customer#000000042"), ("k2", "no digits here")],
+            "k string, name string",
+        )
+        got = {r.k: (r.masked, r.n_redacted) for r in pii_scrub(df, "k", "name").collect()}
+        assert got["k1"] == ("Customer##########", 9)
+        assert got["k2"] == ("no digits here", 0)
