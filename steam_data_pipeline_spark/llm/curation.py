@@ -57,12 +57,15 @@ def quality_signals(docs: DataFrame, text_col: str = "text", stopwords: list[str
     against the SQL oracle.
     """
     sw = F.array(*[F.lit(w) for w in (stopwords or [])])
-    w = _words(text_col)
+    # materialized token array: the split must not sit inside the
+    # filter lambda (HOF bodies re-evaluate embedded expressions per
+    # element — O(words²) at scale)
+    w = F.col("__w")
     n_words = F.size(w).cast("long")
     n_chars = F.length(F.regexp_replace(F.col(text_col), _WS, "")).cast("long")
     n_distinct = F.size(F.array_distinct(w)).cast("long")
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw, x))).cast("long")
-    out = docs.select(
+    out = docs.withColumn("__w", _words(text_col)).select(
         "doc_id",
         n_words.alias("n_words"),
         (n_chars / n_words).alias("mean_word_len"),
@@ -180,7 +183,10 @@ def contamination(
     """
 
     def grams(df: DataFrame, keep_key: bool) -> DataFrame:
-        w = _words(text_col)
+        # materialize the token array BEFORE the lambda: an expression
+        # embedded in a higher-order-function body re-evaluates per
+        # element (the split would run O(words²) per document)
+        w = F.col("__w")
         g = F.when(
             F.size(w) >= n,
             F.transform(
@@ -191,7 +197,7 @@ def contamination(
         cols = (["doc_id"] if keep_key else []) + [
             F.explode(F.array_distinct(g)).alias("gram")
         ]
-        return df.select(*cols)
+        return df.withColumn("__w", _words(text_col)).select(*cols)
 
     bench_grams = grams(benchmark, keep_key=False).distinct()
     doc_grams = grams(docs, keep_key=True)
