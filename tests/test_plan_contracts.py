@@ -137,3 +137,27 @@ class TestSqlSurface:
             "SELECT event_id FROM events ORDER BY ts DESC LIMIT 5"
         ).collect()
         assert len(latest5) == 5
+
+
+class TestCurationPlanContracts:
+    def test_pii_and_quality_are_scan_only(self, spark):
+        """Pure per-row curation stages must compile to scan+project —
+        zero exchanges, whole-stage codegen, no Python."""
+        for name in ("llm_pii_scrub", "llm_quality_gopher"):
+            plan = _plan(QUERIES[name].spark(spark, SF_SMOKE), "simple")
+            assert "Exchange" not in plan, name
+            assert "FlatMapGroupsInPandas" not in plan, name
+
+    def test_seq_pack_single_shuffle_grouped_pandas(self, spark):
+        """Packing = one shuffle on the group key feeding the grouped
+        pandas recurrence; nothing else moves data."""
+        plan = _plan(QUERIES["llm_seq_pack"].spark(spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange") == 1
+        assert "FlatMapGroupsInPandas" in plan
+
+    def test_contamination_broadcasts_benchmark(self, spark):
+        """The benchmark n-gram set must broadcast (bounded by the eval
+        suite); the corpus side must never sort-merge against it."""
+        plan = _plan(QUERIES["llm_contamination"].spark(spark, SF_SMOKE), "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
