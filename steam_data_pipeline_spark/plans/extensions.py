@@ -1007,3 +1007,50 @@ def src_jsonl_roundtrip(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="sdp_jsonl_")
     docs.write.mode("overwrite").json(out)
     return spark.read.schema(docs.schema).json(out)
+
+
+@EXT.add(
+    "src_csv_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+    doc=(
+        "CSV source-format connector demo: region round-trips through "
+        "quoted-CSV (write → schema-pinned read with header) and must "
+        "come back value-identical. Explicit schema, as on any 100 TB "
+        "read — inference is a full extra pass."
+    ),
+    tags=("source", "format"),
+)
+def src_csv_roundtrip(spark, sf_dir):
+    import tempfile
+
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = tempfile.mkdtemp(prefix="sdp_csv_")
+    region.write.mode("overwrite").option("header", "true").csv(out)
+    return (
+        spark.read.schema(region.schema)
+        .option("header", "true")
+        .csv(out)
+    )
+
+
+@EXT.add(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    doc=(
+        "ORC source-format connector demo: nation round-trips through "
+        "ORC (the columnar alternative to parquet Spark reads natively) "
+        "and must come back value-identical."
+    ),
+    tags=("source", "format"),
+)
+def src_orc_roundtrip(spark, sf_dir):
+    import tempfile
+
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    out = tempfile.mkdtemp(prefix="sdp_orc_")
+    nation.write.mode("overwrite").orc(out)
+    return spark.read.schema(nation.schema).orc(out)
