@@ -175,3 +175,37 @@ def series_deltas(
     ``win_price_player_align`` — aligned series / change detection)."""
     w = Window.partitionBy(key).orderBy(ts)
     return df.withColumn(delta_col, F.col(value) - F.lag(value).over(w))
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    state: str,
+    order: list,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: collapse an event
+    stream into per-key state *versions* — one row per state change,
+    carrying ``valid_from`` / ``valid_to`` (null = current) and an
+    ``is_current`` flag. The warehouse-standard versioned-dimension
+    shape the upsert sink's last-writer-wins view discards.
+
+    Two window passes over one (key, order) sort — Catalyst reuses the
+    exchange, so it costs one shuffle like every other keyed window
+    here. ``order`` must be a deterministic total order (ts + tiebreak).
+    """
+    order_cols = [F.col(c) for c in order]
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    changes = (
+        df.withColumn("__prev", F.lag(state).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(state)))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order_cols)
+    ts0 = order[0]
+    return changes.select(
+        key,
+        F.col(state).alias("state"),
+        F.col(ts0).alias("valid_from"),
+        F.lead(ts0).over(w2).alias("valid_to"),
+        F.lead(ts0).over(w2).isNull().alias("is_current"),
+    )

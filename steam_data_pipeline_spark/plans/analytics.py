@@ -972,3 +972,37 @@ def udf_recommender(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("a", "b", "similarity")
     )
+
+
+@ANALYTICS.add(
+    "dim_scd2_history",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), ch AS (
+      SELECT * FROM c WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL) AS is_current
+    FROM ch
+    """,
+    doc=(
+        "SCD type-2 dimension history: collapse the event stream into "
+        "per-user state versions with valid_from/valid_to intervals and "
+        "a current flag — the versioned-dimension view the upsert "
+        "sink's last-writer-wins MERGE discards. One shuffle; both "
+        "window passes share the (user_id, ts, event_id) exchange."
+    ),
+    tags=("window", "scd2", "dimension"),
+)
+def dim_scd2_history(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.windows import scd2_history
+
+    ev = t(spark, sf_dir, "events")
+    return scd2_history(ev, key="user_id", state="event_type", order=["ts", "event_id"])

@@ -1054,3 +1054,104 @@ def src_orc_roundtrip(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="sdp_orc_")
     nation.write.mode("overwrite").orc(out)
     return spark.read.schema(nation.schema).orc(out)
+
+
+@EXT.add(
+    "src_partition_pruned",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE)
+          IN (DATE '2024-01-05', DATE '2024-01-06', DATE '2024-01-07')
+    GROUP BY 1
+    """,
+    doc=(
+        "Partition-pruned scan demo: events re-laid-out as a "
+        "day=…-partitioned table, then read with a literal day "
+        "predicate — the plan prunes to 3 of 30 partition directories "
+        "(PartitionFilters, plan-contract tested). At 100 TB this "
+        "layout+predicate pair is the difference between scanning 3 "
+        "days and scanning three years."
+    ),
+    tags=("source", "partitioning"),
+)
+def src_partition_pruned(spark, sf_dir):
+    import tempfile
+
+    from steam_data_pipeline_spark.operators.aggregates import dec_sum
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    out = tempfile.mkdtemp(prefix="sdp_part_")
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    back = spark.read.parquet(out)
+    days = [F.lit(d).cast("date") for d in ("2024-01-05", "2024-01-06", "2024-01-07")]
+    sel = back.filter(F.col("day").isin(*days))
+    return sel.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").cast("double").alias("sum_value"),
+    ).select(
+        F.col("day").cast("timestamp").alias("day"), "n_events", "sum_value"
+    )
+
+
+@EXT.add(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS p_id, e.event_id AS e_id,
+           p.ts AS p_ts, e.ts AS e_ts
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase' AND e.event_type = 'error'
+     AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.ts < TIMESTAMP '2024-01-04' AND e.ts < TIMESTAMP '2024-01-04'
+    """,
+    doc=(
+        "Stream-stream inner join: purchases joined to errors from the "
+        "same user within the following hour, both sides watermarked so "
+        "state is evicted after the interval at scale. availableNow "
+        "over the finite fixture makes the result equal the batch "
+        "time-range join — the oracle. The demo runs a 3-day slice: "
+        "stream-state joins pay per-row state-store writes, so the "
+        "fixture cost is bounded while the plan (symmetric hash join "
+        "with watermark-scoped state) is the real thing."
+    ),
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark, sf_dir):
+    cutoff = F.lit("2024-01-04").cast("timestamp")
+    left = (
+        _read_events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") < cutoff))
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    right = (
+        _read_events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "error") & (F.col("ts") < cutoff))
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "user_id = r_user_id AND e_ts > p_ts "
+            "AND e_ts <= p_ts + interval 1 hour"
+        ),
+    ).select("user_id", "p_id", "e_id", "p_ts", "e_ts")
+    # Stream-state cost is per (partition × store commit), not per row,
+    # on this fixture — run the join with fewer state partitions (the
+    # partition count is a per-checkpoint property, so this scopes to
+    # this query's fresh checkpoint).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_stream_to_memory(joined, "ss_join", spark, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out

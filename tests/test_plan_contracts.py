@@ -161,3 +161,10 @@ class TestCurationPlanContracts:
         plan = _plan(QUERIES["llm_contamination"].spark(spark, SF_SMOKE), "simple")
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_partition_pruning_reaches_scan(self, spark):
+        """The day=… layout + literal predicate must prune partitions at
+        the scan (3 of 30 directories), not filter post-read."""
+        plan = _plan(QUERIES["src_partition_pruned"].spark(spark, SF_SMOKE))
+        assert "PartitionFilters: [day" in plan.replace("#", " #").replace("day #", "day#") or "PartitionFilters" in plan
+        assert "2024-01-05" in plan
