@@ -609,14 +609,24 @@ def llm_multimodal_cols(spark, sf_dir):
 
 def _run_stream_to_memory(sdf, name_prefix: str, spark, output_mode: str = "complete"):
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Streaming state cost on the finite fixture is per (partition ×
+    # store commit), not per row — run with fewer state partitions.
+    # The partition count is a per-checkpoint property, so this scopes
+    # to this query's fresh checkpoint; at production scale it's sized
+    # to the cluster, not to 8.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # Detach the result from the memory-sink temp view before dropping
     # it (localCheckpoint truncates lineage), so repeated registry runs
     # in one session leak no temp views and can't collide on names.
@@ -1144,14 +1154,4 @@ def stream_stream_join(spark, sf_dir):
             "AND e_ts <= p_ts + interval 1 hour"
         ),
     ).select("user_id", "p_id", "e_id", "p_ts", "e_ts")
-    # Stream-state cost is per (partition × store commit), not per row,
-    # on this fixture — run the join with fewer state partitions (the
-    # partition count is a per-checkpoint property, so this scopes to
-    # this query's fresh checkpoint).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        out = _run_stream_to_memory(joined, "ss_join", spark, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return out
+    return _run_stream_to_memory(joined, "ss_join", spark, output_mode="append")
