@@ -1155,3 +1155,95 @@ def stream_stream_join(spark, sf_dir):
         ),
     ).select("user_id", "p_id", "e_id", "p_ts", "e_ts")
     return _run_stream_to_memory(joined, "ss_join", spark, output_mode="append")
+
+
+@EXT.add(
+    "src_dynamic_pruning",
+    oracle="""
+    WITH dim AS (
+      SELECT (DATE '2024-01-01' + INTERVAL (d-1) DAY) AS day,
+             CASE WHEN d <= 6 THEN 'keep' ELSE 'drop' END AS tag
+      FROM range(1, 31) t(d)
+    )
+    SELECT date_trunc('day', e.ts) AS day, dim.tag,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN dim ON CAST(date_trunc('day', e.ts) AS DATE) = CAST(dim.day AS DATE)
+    WHERE dim.tag = 'keep'
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Dynamic partition pruning demo: the day-partitioned fact table "
+        "joined to a filtered parquet dim — the scan's PartitionFilters "
+        "gains a dynamicpruningexpression, so only the dim's surviving "
+        "days are read, decided at runtime (plan-contract tested). The "
+        "runtime twin of src_partition_pruned's static literal pruning."
+    ),
+    tags=("source", "partitioning", "dpp"),
+)
+def src_dynamic_pruning(spark, sf_dir):
+    import tempfile
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    fact_dir = tempfile.mkdtemp(prefix="sdp_dpp_fact_")
+    ev.write.mode("overwrite").partitionBy("day").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+
+    dim_dir = tempfile.mkdtemp(prefix="sdp_dpp_dim_")
+    spark.createDataFrame(
+        [(f"2024-01-{d:02d}", "keep" if d <= 6 else "drop") for d in range(1, 31)],
+        "d string, tag string",
+    ).select(F.col("d").cast("date").alias("day"), "tag").write.mode(
+        "overwrite"
+    ).parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("tag") == "keep")
+
+    return (
+        fact.join(dim, on="day")
+        .groupBy("day", "tag")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("day").cast("timestamp").alias("day"), "tag", "n_events")
+    )
+
+
+@EXT.add(
+    "llm_word_rarity",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM w GROUP BY word
+    )
+    SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wc.freq) AS BIGINT) AS sum_freq,
+           SUM(wc.freq) / COUNT(*) AS mean_word_freq
+    FROM w JOIN wc USING (word)
+    GROUP BY w.doc_id
+    """,
+    doc=(
+        "Word-rarity quality signal: mean corpus frequency of a "
+        "document's words (low = rare-word-dense, high = boilerplate) — "
+        "the integer-exact stand-in for unigram perplexity (log-prob "
+        "sums are not bit-reproducible across engines; counts are). "
+        "Two shuffles: global word counts, then per-doc aggregation; "
+        "the frequency table is Zipf-bounded at scale."
+    ),
+    tags=("llm", "curation", "quality"),
+)
+def llm_word_rarity(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = docs.withColumn(
+        "word", F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+    ).select("doc_id", "word")
+    wc = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    return (
+        w.join(wc, on="word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("sum_freq"),
+        )
+        .withColumn("mean_word_freq", F.col("sum_freq") / F.col("n_words"))
+    )

@@ -168,3 +168,9 @@ class TestCurationPlanContracts:
         plan = _plan(QUERIES["src_partition_pruned"].spark(spark, SF_SMOKE))
         assert "PartitionFilters: [day" in plan.replace("#", " #").replace("day #", "day#") or "PartitionFilters" in plan
         assert "2024-01-05" in plan
+
+    def test_dynamic_partition_pruning_fires(self, spark):
+        """The dim-filter join over the day-partitioned fact must inject
+        a runtime pruning subquery into the scan's PartitionFilters."""
+        plan = _plan(QUERIES["src_dynamic_pruning"].spark(spark, SF_SMOKE))
+        assert "dynamicpruning" in plan.lower()
