@@ -33,7 +33,8 @@ def pii_scrub(df: DataFrame, key: str, col: str) -> DataFrame:
 
     The real pipeline runs a battery of these (emails, phones, SSNs,
     IPs) — one ``regexp_replace`` each, fused into one codegen stage.
-    Fixture mapping: TPC-H ``customer.c_phone`` is the PII column.
+    Fixture mapping: ``customer.c_name`` carries the numeric identity
+    (this testdata's customer table has no phone column).
     """
     n_red = F.length(F.col(col)) - F.length(F.regexp_replace(col, "[0-9]", ""))
     return df.select(
@@ -162,7 +163,19 @@ def pack_sequences(
         )
         return pdf
 
-    schema = f"{group} string, {key} long, n_tokens long, bin_id long"
+    # derive group/key types from the input so non-string groups and
+    # non-long keys keep working
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    in_fields = {f.name: f for f in toks.schema.fields}
+    schema = StructType(
+        [
+            in_fields[group],
+            in_fields[key],
+            StructField("n_tokens", LongType()),
+            StructField("bin_id", LongType()),
+        ]
+    )
     return toks.groupBy(group).applyInPandas(pack, schema)
 
 

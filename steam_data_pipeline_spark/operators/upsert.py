@@ -165,8 +165,16 @@ class ParquetTableStore:
             if g not in live:
                 shutil.rmtree(os.path.join(self._tdir(table), g), ignore_errors=True)
 
+    def _assert_not_bucketed(self, table: str, op: str) -> None:
+        if os.path.exists(self._manifest_path(table)):
+            raise ValueError(
+                f"table {table!r} is bucket-manifested; {op} would write "
+                "data the manifest-reading path never sees — use upsert()"
+            )
+
     def overwrite(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Write a full new generation and atomically flip the pointer."""
+        self._assert_not_bucketed(table, "overwrite")
         os.makedirs(self._tdir(table), exist_ok=True)
         gen = self._next_gen(table)
         out = os.path.join(self._tdir(table), gen)
@@ -224,9 +232,20 @@ class ParquetTableStore:
         n_buckets: int | None,
     ) -> None:
         manifest = self._read_manifest(table)
-        if n_buckets is None:
-            n_buckets = int(manifest.get("__n_buckets", 32))
-        manifest.setdefault("__n_buckets", str(n_buckets))
+        stored = manifest.get("__n_buckets")
+        if stored is not None:
+            # the stored layout's modulus is authoritative — re-hashing
+            # under a different bucket count would strand stored keys in
+            # buckets the merge never reads
+            if n_buckets is not None and int(stored) != n_buckets:
+                raise ValueError(
+                    f"table {table!r} is bucketed with n_buckets={stored}; "
+                    f"cannot upsert with n_buckets={n_buckets}"
+                )
+            n_buckets = int(stored)
+        elif n_buckets is None:
+            n_buckets = 32
+        manifest["__n_buckets"] = str(n_buckets)
         os.makedirs(self._tdir(table), exist_ok=True)
 
         bucket_of = F.pmod(
@@ -265,6 +284,7 @@ class ParquetTableStore:
         Parquet append is file-level atomic; each micro-batch adds files
         without touching existing ones.
         """
+        self._assert_not_bucketed(table, "append")
         cur = self.current_path(table)
         if cur is None:
             self.overwrite(table, df)
@@ -280,13 +300,19 @@ class ParquetTableStore:
         batch's files carry a deterministic ``batch-<id>-`` prefix and a
         commit marker: a replay whose marker exists is skipped; a replay
         over a partial (marker-less) write first deletes the prefix's
-        files, so duplicates cannot survive any crash point. Returns
-        True if the batch was written, False if it was a skipped replay.
+        files, so duplicates cannot survive any crash point. Markers
+        live at the TABLE level (``_batches/``), not inside a
+        generation, so they survive generation rotation — "batch N was
+        applied to this table" is a table-lifetime fact. Returns True
+        if the batch was written, False if it was a skipped replay.
         """
+        self._assert_not_bucketed(table, "append_batch")
         if self.current_path(table) is None:
             self.overwrite(table, df.limit(0))  # schema-bearing empty gen
         gen = self.current_path(table)
-        marker = os.path.join(gen, f"_batch-{batch_id}.COMMITTED")
+        marker_dir = os.path.join(self._tdir(table), "_batches")
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"batch-{batch_id}.COMMITTED")
         if os.path.exists(marker):
             return False
         prefix = f"batch-{batch_id}-"

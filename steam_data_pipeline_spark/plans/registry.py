@@ -26,18 +26,21 @@ from steam_data_pipeline_spark.plans.core import CORE
 from steam_data_pipeline_spark.plans.extensions import EXT
 
 
-def _driver_verified() -> frozenset[str]:
-    """Names with a fully green driver correctness row in ANY round.
+def _driver_correctness_rows() -> tuple[frozenset[str], frozenset[str]]:
+    """Scan the driver's per-round correctness files.
 
-    Green = no error and either a value-hash match (oracle-checked
-    queries) or a rows-only check with no oracle to mismatch. A query
-    that errored or hash-mismatched stays un-verified and therefore
+    Returns ``(hash_green, rows_only_green)``: names with a full
+    value-hash match in any round, and names whose only green is the
+    weaker rows-only check (the driver records ``err: "no_oracle"``
+    plus the row count for queries registered without an oracle). A
+    query that errored or hash-mismatched appears in neither and so
     rotates back into the checked window.
     """
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    verified: set[str] = set()
+    hash_green: set[str] = set()
+    rows_only_green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -47,18 +50,24 @@ def _driver_verified() -> frozenset[str]:
         if not isinstance(data, dict):
             continue
         for name, row in data.items():
-            if not isinstance(row, dict) or row.get("err"):
+            if not isinstance(row, dict):
                 continue
-            oracle_checked = row.get("oracle_rows") is not None
-            if oracle_checked and not (
+            err = row.get("err")
+            if err == "no_oracle":
+                if row.get("spark_rows") is not None and row["spark_rows"] >= 0:
+                    rows_only_green.add(name)
+                continue
+            if err:
+                continue
+            if row.get("oracle_rows") is not None and not (
                 row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
             ):
                 continue
-            verified.add(name)
-    return frozenset(verified)
+            hash_green.add(name)
+    return frozenset(hash_green), frozenset(rows_only_green)
 
 
-_DRIVER_VERIFIED = _driver_verified()
+_HASH_GREEN, _ROWS_ONLY_GREEN = _driver_correctness_rows()
 
 _ALL: dict[str, Query] = {}
 for reg in (CORE, ANALYTICS, EXT):
@@ -67,10 +76,20 @@ for reg in (CORE, ANALYTICS, EXT):
             raise ValueError(f"duplicate query {name} across registries")
         _ALL[name] = q
 
+
+def _is_verified(name: str) -> bool:
+    """A rows-only green satisfies a query that is (still) registered
+    without an oracle; a query that has since GAINED an oracle deserves
+    an oracle-checked row, so its old rows-only green does not count."""
+    if name in _HASH_GREEN:
+        return True
+    return name in _ROWS_ONLY_GREEN and _ALL[name].oracle is None
+
+
 _POS = {name: i for i, name in enumerate(_ALL)}
 QUERIES: dict[str, Query] = {
     name: _ALL[name]
-    for name in sorted(_ALL, key=lambda n: (n in _DRIVER_VERIFIED, _POS[n]))
+    for name in sorted(_ALL, key=lambda n: (_is_verified(n), _POS[n]))
 }
 
 

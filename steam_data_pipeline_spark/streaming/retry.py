@@ -140,12 +140,12 @@ def retrying_foreach_batch(
 
     def _writer(batch_df, batch_id: int):
         schedule = backoff_schedule(max_retries, base_delay, seed)
-        last: BaseException | None = None
+        last: Exception | None = None
         for attempt in range(max_retries):
             try:
                 write_fn(batch_df, batch_id)
                 return
-            except BaseException as e:  # noqa: BLE001 - classified below
+            except Exception as e:  # KeyboardInterrupt/SystemExit propagate
                 last = e
             if attempt < max_retries - 1:
                 sleep_fn(schedule[attempt])

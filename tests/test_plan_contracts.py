@@ -165,9 +165,12 @@ class TestCurationPlanContracts:
     def test_partition_pruning_reaches_scan(self, spark):
         """The day=… layout + literal predicate must prune partitions at
         the scan (3 of 30 directories), not filter post-read."""
+        import re
+
         plan = _plan(QUERIES["src_partition_pruned"].spark(spark, SF_SMOKE))
-        assert "PartitionFilters: [day" in plan.replace("#", " #").replace("day #", "day#") or "PartitionFilters" in plan
-        assert "2024-01-05" in plan
+        m = re.search(r"PartitionFilters: \[day#\d+ IN \(([^)]*)\)", plan)
+        assert m, f"day IN predicate not pushed to PartitionFilters:\n{plan}"
+        assert "2024-01-05" in m.group(1)
 
     def test_dynamic_partition_pruning_fires(self, spark):
         """The dim-filter join over the day-partitioned fact must inject

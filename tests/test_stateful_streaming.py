@@ -86,7 +86,9 @@ def test_memory_sink_queries_leak_no_temp_views(spark):
     (VERDICT r1 item 9)."""
     from steam_data_pipeline_spark.plans.registry import QUERIES
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMOKE
+
+    sf = SF_SMOKE
     q = QUERIES["stream_tumbling_daily"].spark
     first = sorted(map(tuple, q(spark, sf).collect()))
     second = sorted(map(tuple, q(spark, sf).collect()))

@@ -183,3 +183,34 @@ class TestAtomicJournalLock:
         for t in threads:
             t.join()
         assert len(wins) == 1
+
+
+class TestBucketedGuards:
+    def test_bucket_count_mismatch_rejected(self, spark, store):
+        store.upsert("dim", _df(spark, [("1", "a", 1)]), key="app_id", n_buckets=8)
+        with pytest.raises(ValueError, match="n_buckets"):
+            store.upsert("dim", _df(spark, [("2", "b", 1)]), key="app_id", n_buckets=16)
+
+    def test_overwrite_append_on_bucketed_table_rejected(self, spark, store):
+        store.upsert("dim", _df(spark, [("1", "a", 1)]), key="app_id", n_buckets=4)
+        batch = _df(spark, [("2", "b", 1)])
+        with pytest.raises(ValueError, match="bucket-manifested"):
+            store.overwrite("dim", batch)
+        with pytest.raises(ValueError, match="bucket-manifested"):
+            store.append("dim", batch)
+        with pytest.raises(ValueError, match="bucket-manifested"):
+            store.append_batch("dim", batch, batch_id=0)
+
+
+class TestBatchMarkersSurviveRotation:
+    def test_replay_after_generation_rotation_skipped(self, spark, store):
+        """Commit markers are table-lifetime facts: a generation
+        rotation between commit and replay must not re-admit the
+        batch (code-review r2 finding)."""
+        batch = _df(spark, [("1", "a", 1)])
+        assert store.append_batch("facts", batch, batch_id=0) is True
+        # force generation rotations (overwrite with the current data)
+        current = store.read("facts")
+        store.overwrite("facts", current)
+        assert store.append_batch("facts", batch, batch_id=0) is False  # replay
+        assert store.read("facts").count() == 1
