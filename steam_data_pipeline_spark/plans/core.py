@@ -832,9 +832,13 @@ def agg_corr_price_players(spark, sf_dir):
     tags=("agg", "approx"),
 )
 def agg_distinct_pool_approx(spark, sf_dir):
-    a = t(spark, sf_dir, "lineitem").agg(
+    # distinct once, then both aggregates over the distinct key set:
+    # the HLL estimate is identical (same distinct input) and the plan
+    # is one shuffle instead of a dual-distinct Expand
+    keys = t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    a = keys.agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_keys_approx"),
-        F.countDistinct("l_partkey").alias("n_keys_exact"),
+        F.count(F.lit(1)).alias("n_keys_exact"),
     )
     within = (
         F.abs(F.col("n_keys_approx") - F.col("n_keys_exact"))
