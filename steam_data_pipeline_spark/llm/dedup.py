@@ -504,3 +504,52 @@ def embedding_near_pairs(
         .select("a", "b", cosine_expr("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    clustering step between pair detection and survivor selection
+    (near-dups are transitive in practice: A≈B and B≈C usually means
+    one cluster, and keeping min-id per *pair* can drop both of A,C).
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round a node takes the min label among itself and its
+    neighbors; fixpoint = min node id per component. Rounds needed =
+    graph diameter (near-dup clusters are shallow — single digits).
+    Each round is one join + one aggregation; lineage is cut with
+    ``localCheckpoint`` so plans stay bounded, and the loop exits early
+    when a round changes no label (one driver-side count per round —
+    the standard coordination cost of an iterative fixpoint, not a
+    per-row collect).
+    """
+    sym = edges.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_labels = (
+            sym.join(labels, sym.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+            .union(labels)
+        )
+        new_labels = (
+            neighbor_labels.groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

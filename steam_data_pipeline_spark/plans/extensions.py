@@ -52,10 +52,12 @@ def llm_dedup_exact(spark, sf_dir):
     )
 
 
-@EXT.add(
-    "llm_dedup_jaccard",
-    oracle="""
-    WITH sh AS (
+def _jaccard_ctes(where: str = "") -> str:
+    return _JACCARD_CTES_TEMPLATE.format(where=where)
+
+
+_JACCARD_CTES_TEMPLATE = """
+    sh AS (
       SELECT doc_id,
              list_distinct(
                list_transform(
@@ -63,7 +65,7 @@ def llm_dedup_exact(spark, sf_dir):
                  i -> array_to_string(regexp_split_to_array(lower(text), '\\s+')[i:i+2], ' ')
                )
              ) AS shingles
-      FROM documents
+      FROM documents {where}
     ),
     posting AS (
       SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh
@@ -75,6 +77,13 @@ def llm_dedup_exact(spark, sf_dir):
       FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
+"""
+
+
+@EXT.add(
+    "llm_dedup_jaccard",
+    oracle=f"""
+    WITH {_jaccard_ctes()}
     SELECT a, b, CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
     FROM pairs
     WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
@@ -1265,4 +1274,46 @@ def llm_word_rarity(spark, sf_dir):
             F.sum("freq").cast("long").alias("sum_freq"),
         )
         .withColumn("mean_word_freq", F.col("sum_freq") / F.col("n_words"))
+    )
+
+
+@EXT.add(
+    "llm_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_ctes()},
+    jp AS (
+      SELECT a, b FROM pairs
+      WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM jp
+      UNION SELECT b AS src, a AS dst FROM jp
+    ),
+    reach AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+    doc=(
+        "Near-duplicate CLUSTERING: connected components over the exact "
+        "Jaccard pair graph (min-label propagation to fixpoint, early "
+        "exit when a round changes nothing) — the step between pair "
+        "detection and survivor selection, since near-dups are "
+        "transitive. Component id = min doc_id in the cluster; oracle "
+        "is a recursive-CTE transitive closure over the same pairs "
+        "(near-dups span sources, so the graph is corpus-wide). "
+        "The iterative-fixpoint surface of the engine."
+    ),
+    tags=("llm", "dedup", "iterative"),
+)
+def llm_dedup_cluster(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, shingle_n=3, min_jaccard=0.5).select("a", "b")
+    comps = D.connected_components(pairs)
+    return comps.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
     )
