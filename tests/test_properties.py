@@ -207,3 +207,34 @@ def test_topn_per_key_matches_python(spark, rows):
         for rank, (_, i) in enumerate(sorted(items)[:3], start=1):
             expected.add((k, rank, i))
     assert got == expected
+
+
+@SETTINGS
+@given(
+    toks=st.lists(st.integers(1, 30), min_size=1, max_size=40),
+    capacity=st.integers(5, 40),
+)
+def test_pack_sequences_matches_next_fit_model(spark, toks, capacity):
+    """Property: the distributed packer equals the sequential next-fit
+    recurrence — bin sums ≤ capacity (except oversized singletons),
+    every doc assigned exactly once, bin ids dense from 0."""
+    from steam_data_pipeline_spark.llm.curation import pack_sequences
+
+    rows = [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: (r.bin_id, r.n_tokens)
+        for r in pack_sequences(docs, capacity=capacity).collect()
+    }
+    # reference next-fit fold
+    expected = {}
+    bin_id, fill = 0, 0
+    for i, n in enumerate(toks):
+        if i == 0:
+            fill = n
+        elif fill + n > capacity:
+            bin_id, fill = bin_id + 1, n
+        else:
+            fill += n
+        expected[i] = (bin_id, n)
+    assert got == expected
