@@ -147,7 +147,9 @@ def pack_sequences(
     def pack(pdf):
         import numpy as np
 
-        pdf = pdf.sort_values(key).reset_index(drop=True)
+        # stable sort: duplicate key values must not make bin_id
+        # assignment run-order dependent (quicksort is not stable)
+        pdf = pdf.sort_values(key, kind="stable").reset_index(drop=True)
         tok = pdf["n_tokens"].to_numpy()
         cs = np.concatenate([[0], np.cumsum(tok)])
         n = len(tok)

@@ -218,16 +218,28 @@ def minhash_dedup(
     threshold: float = 0.7,
     **kwargs,
 ) -> DataFrame:
-    """Near-duplicate removal: drop every doc that is the larger id of a
-    pair with estimated Jaccard ≥ threshold (min-id survivor rule —
-    'connected-components-lite'; a chain a~b~c keeps only a iff b links
-    to a and c links to one of them, matching the reference-free greedy
-    policy stated in SURVEY §2.10)."""
-    pairs = minhash_candidate_pairs(docs, key, text_col, **kwargs)
+    """Near-duplicate removal with cluster-correct survivor selection:
+    candidate pairs with estimated Jaccard ≥ threshold are clustered
+    with ``connected_components`` (near-duplication is transitive in
+    practice), then exactly the min-id member of each cluster survives.
+
+    The earlier greedy pair-level rule ("drop the larger id of every
+    pair") could over-drop chains — for A≈B≈C detected as pairs
+    (A,B),(B,C) it dropped B *and* C even when the cluster should keep
+    one representative, and for pairs (A,B),(A,C) plus (B,C) it behaved
+    correctly only by accident of pair enumeration. Composing
+    pairs → components → min-id per component keeps exactly one doc per
+    duplicate cluster, matching the transitive-closure oracle.
+    """
+    pairs = (
+        minhash_candidate_pairs(docs, key, text_col, **kwargs)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b")
+    )
+    comps = connected_components(pairs)
     losers = (
-        pairs.filter(F.col("est_jaccard") >= threshold)
-        .select(F.col("b").alias(key))
-        .distinct()
+        comps.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(key))
     )
     return docs.join(losers, on=key, how="left_anti")
 
@@ -517,30 +529,46 @@ def connected_components(
     (near-dups are transitive in practice: A≈B and B≈C usually means
     one cluster, and keeping min-id per *pair* can drop both of A,C).
 
-    Iterative min-label propagation: every node starts labeled with
-    itself; each round a node takes the min label among itself and its
-    neighbors; fixpoint = min node id per component. Rounds needed =
-    graph diameter (near-dup clusters are shallow — single digits).
-    Each round is one join + one aggregation; lineage is cut with
-    ``localCheckpoint`` so plans stay bounded, and the loop exits early
-    when a round changes no label (one driver-side count per round —
-    the standard coordination cost of an iterative fixpoint, not a
-    per-row collect).
+    Iterative min-label propagation with pointer jumping: every node
+    starts labeled with itself; each round a node takes the min label
+    among itself and its neighbors, then labels are *pointer-jumped*
+    (``label ← label(label)``) so chain depth halves per round —
+    convergence in O(log diameter) rounds, and ``max_iter=20`` covers
+    any component a near-dup graph can realistically hold (diameter
+    ~2^20). Each round is two joins + one aggregation; lineage is cut
+    with ``localCheckpoint`` so plans stay bounded, and the loop exits
+    early when a round changes no label (one driver-side count per
+    round — the standard coordination cost of an iterative fixpoint,
+    not a per-row collect).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds — silently returning split components would
+    diverge from the transitive-closure semantics callers (and the
+    ``llm_dedup_cluster`` oracle) rely on.
     """
     sym = edges.select(
         F.col(a).alias("src"), F.col(b).alias("dst")
     ).union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         neighbor_labels = (
             sym.join(labels, sym.dst == labels.node)
             .select(F.col("src").alias("node"), "label")
             .union(labels)
         )
+        propagated = neighbor_labels.groupBy("node").agg(
+            F.min("label").alias("label")
+        )
+        # pointer jump: follow each label to its own current label
+        # (every label value is itself a node, so the join is total)
+        lmap = propagated.select(
+            F.col("node").alias("__l_node"), F.col("label").alias("__l_label")
+        )
         new_labels = (
-            neighbor_labels.groupBy("node")
-            .agg(F.min("label").alias("label"))
+            propagated.join(lmap, propagated.label == lmap.__l_node)
+            .select("node", F.col("__l_label").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -552,4 +580,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing)"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -146,7 +146,7 @@ def lsh_topk(
     query_key: str = "query_id",
     n_planes: int = 8,
     n_tables: int = 2,
-    probe_radius: int = 2,
+    probe_radius: int = 3,
 ) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH buckets — the
     bucketed sibling of ``ivf_topk`` (the north star names either as
@@ -163,11 +163,12 @@ def lsh_topk(
     Recall is geometry-dependent — SRP collision probability per plane
     is 1 − θ/π, so LSH needs neighbors meaningfully closer than random.
     On the driver testdata (near-uniform 64-d, top-10 cosine ≈ 0.3 —
-    the hardest case): measured recall@10 = 0.70 at the defaults
-    (~28 % of the corpus touched) vs 0.75 for KMeans-``ivf_topk`` at
-    its comparable 5/16-probe touch; on clustered corpora (real
-    embeddings) the same code delivers high recall at far smaller
-    touch. Deterministic: seeded planes per table, (score desc,
+    the hardest case): measured recall@10 at the defaults (2 tables,
+    radius 3) is 0.88 at sf0.01 and 0.84 at sf0.1 — the measured sweet
+    spot of the (tables, radius) grid: radius 3 beats an extra table at
+    equal touch (~36 %/table on this worst-case geometry). On clustered
+    corpora (real embeddings) the same code delivers high recall at far
+    smaller touch. Deterministic: seeded planes per table, (score desc,
     key asc) tie-break.
     """
     import itertools

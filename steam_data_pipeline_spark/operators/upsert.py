@@ -252,17 +252,30 @@ class ParquetTableStore:
             F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)
         ).cast("int")
         new_b = new.withColumn("__bucket", bucket_of)
+        # Converting an existing pointer-based table to bucketed: fold
+        # the current pointer generation into this first bucketed merge,
+        # otherwise its rows would silently become unreachable (the
+        # manifest-preferring read path would never see them again).
+        legacy = None
+        if stored is None and self.current_path(table) is not None:
+            legacy = self.spark.read.parquet(self.current_path(table)).withColumn(
+                "__bucket", bucket_of
+            )
         # Touched-bucket list: ≤ n_buckets small ints — a driver-side
         # collect by design (it IS the partition-pruning predicate).
+        touch_src = (
+            new_b if legacy is None
+            else new_b.select("__bucket").union(legacy.select("__bucket"))
+        )
         touched = sorted(
-            r["__bucket"] for r in new_b.select("__bucket").distinct().collect()
+            r["__bucket"] for r in touch_src.select("__bucket").distinct().collect()
         )
         old_paths = [
             os.path.join(self._tdir(table), manifest[str(b)])
             for b in touched
             if str(b) in manifest
         ]
-        old = None
+        old = legacy
         if old_paths:
             # partitionBy stripped __bucket from the files; recompute
             # from the key (same deterministic hash).
@@ -276,6 +289,10 @@ class ParquetTableStore:
         for b in touched:
             manifest[str(b)] = os.path.join(gen, f"__bucket={b}")
         self._write_manifest(table, manifest)  # atomic multi-bucket commit
+        if legacy is not None and os.path.exists(self._pointer(table)):
+            # the manifest is authoritative now; a stale pointer would
+            # pin the migrated generation in _gc forever
+            os.remove(self._pointer(table))
         self._gc(table)
 
     def append(self, table: str, df: DataFrame) -> None:

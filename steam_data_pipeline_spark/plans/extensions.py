@@ -645,18 +645,9 @@ def _run_stream_to_memory(sdf, name_prefix: str, spark, output_mode: str = "comp
 
 
 def _read_events_stream(spark, sf_dir):
-    from steam_data_pipeline_spark import schemas
-    from steam_data_pipeline_spark.session import apply_runtime_confs
+    from steam_data_pipeline_spark.sources.tables import read_events_stream
 
-    apply_runtime_confs(spark)
-    # FileStreamSource needs a directory; select just the events table
-    # out of the shared sf_dir via glob filter.
-    raw = (
-        spark.readStream.schema(schemas.EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return read_events_stream(spark, sf_dir)
 
 
 @EXT.add(

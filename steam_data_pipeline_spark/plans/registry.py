@@ -19,6 +19,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 from steam_data_pipeline_spark.plans.analytics import ANALYTICS
 from steam_data_pipeline_spark.plans.base import Query, SparkQuery
@@ -26,22 +27,26 @@ from steam_data_pipeline_spark.plans.core import CORE
 from steam_data_pipeline_spark.plans.extensions import EXT
 
 
-def _driver_correctness_rows() -> tuple[frozenset[str], frozenset[str]]:
-    """Scan the driver's per-round correctness files.
+def _driver_correctness_rows() -> tuple[dict[str, int], dict[str, int]]:
+    """Scan the driver's per-round correctness files (committed to the
+    repo root, so the derived ordering is reproducible from a clone).
 
-    Returns ``(hash_green, rows_only_green)``: names with a full
-    value-hash match in any round, and names whose only green is the
-    weaker rows-only check (the driver records ``err: "no_oracle"``
-    plus the row count for queries registered without an oracle). A
-    query that errored or hash-mismatched appears in neither and so
-    rotates back into the checked window.
+    Returns ``(hash_green, rows_only_green)``, each mapping a query
+    name to the LATEST round in which it was green: a full value-hash
+    match, or the weaker rows-only check (the driver records
+    ``err: "no_oracle"`` plus the row count for queries registered
+    without an oracle). A query that errored or hash-mismatched in its
+    latest appearance keeps only earlier-round greens and so rotates
+    toward the front of the checked window.
     """
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    hash_green: set[str] = set()
-    rows_only_green: set[str] = set()
+    hash_green: dict[str, int] = {}
+    rows_only_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -55,7 +60,7 @@ def _driver_correctness_rows() -> tuple[frozenset[str], frozenset[str]]:
             err = row.get("err")
             if err == "no_oracle":
                 if row.get("spark_rows") is not None and row["spark_rows"] >= 0:
-                    rows_only_green.add(name)
+                    rows_only_green[name] = max(rows_only_green.get(name, 0), rnd)
                 continue
             if err:
                 continue
@@ -63,8 +68,8 @@ def _driver_correctness_rows() -> tuple[frozenset[str], frozenset[str]]:
                 row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
             ):
                 continue
-            hash_green.add(name)
-    return frozenset(hash_green), frozenset(rows_only_green)
+            hash_green[name] = max(hash_green.get(name, 0), rnd)
+    return hash_green, rows_only_green
 
 
 _HASH_GREEN, _ROWS_ONLY_GREEN = _driver_correctness_rows()
@@ -77,19 +82,36 @@ for reg in (CORE, ANALYTICS, EXT):
         _ALL[name] = q
 
 
-def _is_verified(name: str) -> bool:
-    """A rows-only green satisfies a query that is (still) registered
+def _verified_round(name: str) -> int | None:
+    """Latest round this query was satisfactorily verified, or None.
+
+    A rows-only green satisfies a query that is (still) registered
     without an oracle; a query that has since GAINED an oracle deserves
     an oracle-checked row, so its old rows-only green does not count."""
     if name in _HASH_GREEN:
-        return True
-    return name in _ROWS_ONLY_GREEN and _ALL[name].oracle is None
+        return _HASH_GREEN[name]
+    if name in _ROWS_ONLY_GREEN and _ALL[name].oracle is None:
+        return _ROWS_ONLY_GREEN[name]
+    return None
 
 
 _POS = {name: i for i, name in enumerate(_ALL)}
+
+
+def _rotation_key(name: str) -> tuple[int, int, int]:
+    """Never-verified queries first (registration order), then verified
+    queries ordered stalest-green first — so the driver's bounded check
+    window re-verifies the longest-unchecked greens each round instead
+    of rechecking a fixed prefix forever (a regression in an
+    already-green query resurfaces within a few rounds)."""
+    rnd = _verified_round(name)
+    if rnd is None:
+        return (0, 0, _POS[name])
+    return (1, rnd, _POS[name])
+
+
 QUERIES: dict[str, Query] = {
-    name: _ALL[name]
-    for name in sorted(_ALL, key=lambda n: (_is_verified(n), _POS[n]))
+    name: _ALL[name] for name in sorted(_ALL, key=_rotation_key)
 }
 
 

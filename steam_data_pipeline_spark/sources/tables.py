@@ -6,12 +6,15 @@ Design notes (100 TB posture):
   (SURVEY.md §1.3). Inference costs a footer-read fan-out per query and
   can drift; a declared ``StructType`` makes column pruning and filter
   pushdown reliable.
-* ``events.ts`` is parquet TIMESTAMP(NANOS); Spark 4 reads it only as a
-  raw int64 via ``spark.sql.legacy.parquet.nanosAsLong``. We convert
-  ns→µs with integer ``div`` (NOT ``/`` — double division loses
-  precision above 2^53, and epoch-nanos are ~1.7e18). The floor
-  semantics match what DuckDB/pyarrow produce when they truncate the
-  same nanos to microseconds, so differential tests stay value-exact.
+* ``events.ts`` precision is sniffed from one parquet footer (cached
+  per path — a driver-side metadata read, not a data scan). Testdata
+  generations have shipped it both as TIMESTAMP(NANOS) — which Spark 4
+  reads only as a raw int64 via ``spark.sql.legacy.parquet.nanosAsLong``
+  — and as plain TIMESTAMP(MICROS). For nanos we convert ns→µs with
+  integer ``div`` (NOT ``/`` — double division loses precision above
+  2^53, and epoch-nanos are ~1.7e18); the floor semantics match what
+  DuckDB/pyarrow produce when they truncate the same nanos to
+  microseconds, so differential tests stay value-exact.
 * Readers return plain DataFrames; every downstream operator composes
   on lineage so Catalyst sees one end-to-end plan (pushdown + pruning
   reach the scan).
@@ -19,9 +22,11 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
+import functools
+import glob
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from steam_data_pipeline_spark import schemas
 from steam_data_pipeline_spark.session import apply_runtime_confs
@@ -29,20 +34,73 @@ from steam_data_pipeline_spark.session import apply_runtime_confs
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+@functools.lru_cache(maxsize=64)
+def _events_ts_unit(path: str) -> str:
+    """Sniff the on-disk precision of ``events.ts`` from one parquet
+    footer ('ns' | 'us'). Cached per path — one driver-side metadata
+    read per dataset, never a data scan."""
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if parts:
+            target = parts[0]
+    field = pq.read_schema(target).field("ts")
+    unit = getattr(field.type, "unit", None)
+    return "ns" if unit == "ns" else "us"
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its pinned schema.
 
     ``events`` comes back with ``ts`` already converted to
-    TimestampType (µs, UTC session) — callers never see the raw nanos.
+    TimestampType (µs, UTC session) regardless of the file's physical
+    precision — callers never see raw nanos.
     """
     if name not in schemas.TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {schemas.TABLE_NAMES}")
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.schema(schemas.TESTDATA_SCHEMAS[name]).parquet(path)
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        if _events_ts_unit(path) == "ns":
+            df = spark.read.schema(schemas.TESTDATA_SCHEMAS[name]).parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        micros_schema = T.StructType(
+            [
+                T.StructField(f.name, T.TimestampType() if f.name == "ts" else f.dataType)
+                for f in schemas.TESTDATA_SCHEMAS[name].fields
+            ]
+        )
+        return spark.read.schema(micros_schema).parquet(path)
+    return spark.read.schema(schemas.TESTDATA_SCHEMAS[name]).parquet(path)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> DataFrame:
+    """The events table as a Structured Streaming file source, with the
+    same footer-sniffed ts-precision handling as the batch reader.
+    FileStreamSource needs a directory, so the shared sf_dir is scoped
+    to the events table via ``pathGlobFilter``; extra reader options
+    (e.g. ``maxFilesPerTrigger``) pass through."""
+    apply_runtime_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    if _events_ts_unit(path) == "ns":
+        reader = spark.readStream.schema(schemas.TESTDATA_SCHEMAS["events"])
+    else:
+        micros_schema = T.StructType(
+            [
+                T.StructField(f.name, T.TimestampType() if f.name == "ts" else f.dataType)
+                for f in schemas.TESTDATA_SCHEMAS["events"].fields
+            ]
+        )
+        reader = spark.readStream.schema(micros_schema)
+    reader = reader.option("pathGlobFilter", "events.parquet")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(sf_dir)
+    if _events_ts_unit(path) == "ns":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -144,17 +144,9 @@ def run_ingest_stream(
     ``foreachBatch`` — upsert-before-append inside every batch, and the
     checkpoint provides single-active-query locking + restart recovery
     (SURVEY §2.8 stream_state_store / stream_exactly_once_upsert)."""
-    from steam_data_pipeline_spark import schemas
-    from steam_data_pipeline_spark.session import apply_runtime_confs
+    from steam_data_pipeline_spark.sources.tables import read_events_stream
 
-    apply_runtime_confs(spark)
-    raw = (
-        spark.readStream.schema(schemas.EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = read_events_stream(spark, sf_dir, maxFilesPerTrigger="1")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         dim_rows = (

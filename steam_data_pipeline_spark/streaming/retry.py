@@ -120,6 +120,26 @@ def call_with_retry(
     return RetryOutcome(None, attempts=max_retries, gave_up=True, slept=slept)
 
 
+def is_deterministic_failure(e: BaseException) -> bool:
+    """True for failures that retrying cannot fix: programming/contract
+    errors (``ValueError``-family, e.g. the ParquetTableStore bucket
+    guards) and Spark analysis/argument errors. Mirrors how
+    ``call_with_retry`` separates fatal from retriable statuses — a
+    doomed batch should surface immediately, not after the full backoff
+    schedule of real ``time.sleep``.
+    """
+    if isinstance(e, (ValueError, TypeError, KeyError, AssertionError)):
+        return True
+    try:
+        from pyspark.errors import AnalysisException, IllegalArgumentException
+
+        if isinstance(e, (AnalysisException, IllegalArgumentException)):
+            return True
+    except ImportError:  # pragma: no cover - pyspark always present here
+        pass
+    return False
+
+
 def retrying_foreach_batch(
     write_fn: Callable,
     *,
@@ -128,14 +148,17 @@ def retrying_foreach_batch(
     seed: int | None = 0,
     sleep_fn: Callable[[float], None] = time.sleep,
     on_give_up: Callable[[int, BaseException], None] | None = None,
+    fatal_fn: Callable[[BaseException], bool] = is_deterministic_failure,
 ):
     """Wrap a ``foreachBatch`` writer with the bounded-retry contract.
 
-    Any exception from ``write_fn`` is treated as retriable (sink
-    hiccup); after ``max_retries`` failed attempts the last exception is
-    re-raised so Structured Streaming fails the batch and the
-    checkpoint replays it on restart — the write must therefore be
-    idempotent (streaming.ingest writes per-batch subdirectories).
+    Exceptions from ``write_fn`` are classified by ``fatal_fn``:
+    deterministic failures (analysis errors, the store's ValueError
+    guards) re-raise immediately; anything else is treated as a
+    retriable sink hiccup. After ``max_retries`` failed attempts the
+    last exception is re-raised so Structured Streaming fails the batch
+    and the checkpoint replays it on restart — the write must therefore
+    be idempotent (streaming.ingest writes per-batch subdirectories).
     """
 
     def _writer(batch_df, batch_id: int):
@@ -147,6 +170,10 @@ def retrying_foreach_batch(
                 return
             except Exception as e:  # KeyboardInterrupt/SystemExit propagate
                 last = e
+                if fatal_fn(e):
+                    if on_give_up is not None:
+                        on_give_up(batch_id, e)
+                    raise
             if attempt < max_retries - 1:
                 sleep_fn(schedule[attempt])
         if on_give_up is not None:

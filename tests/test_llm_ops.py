@@ -202,3 +202,93 @@ class TestMultimodal:
         assert feats[1].content_hash != feats[2].content_hash
         frames = sample_frames(media, every_ms=1000).collect()
         assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+class TestConnectedComponents:
+    def test_star_and_chain_components(self, spark):
+        from steam_data_pipeline_spark.llm.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(0, 2), (1, 2), (5, 6), (6, 7), (7, 8)], "a long, b long"
+        )
+        comps = {r.node: r.component for r in connected_components(edges).collect()}
+        assert comps == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 7: 5, 8: 5}
+
+    def test_pointer_jumping_converges_on_long_chain(self, spark):
+        """A 33-node path has diameter 32; plain min-label propagation
+        needs 32 rounds, pointer jumping lands well inside 8."""
+        from steam_data_pipeline_spark.llm.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(32)], "a long, b long"
+        )
+        comps = {
+            r.node: r.component
+            for r in connected_components(edges, max_iter=8).collect()
+        }
+        assert set(comps.values()) == {0}
+
+    def test_non_convergence_raises(self, spark):
+        from steam_data_pipeline_spark.llm.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(16)], "a long, b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iter=1)
+
+
+class TestMinhashClusterSurvivors:
+    def test_transitive_chain_keeps_exactly_min_id(self, spark):
+        """Star topology 0≈2, 1≈2 with (0,1) below threshold: the
+        cluster rule keeps exactly doc 0; the retired greedy pair rule
+        (drop the larger of each pair) would under-drop and keep 1."""
+        w = [f"w{i:02d}" for i in range(40)]
+        base = " ".join(w)
+        d0 = " ".join([f"x{i}" for i in range(4)] + w[4:])
+        d1 = " ".join(w[:36] + [f"y{i}" for i in range(4)])
+        docs = spark.createDataFrame(
+            [(0, d0), (1, d1), (2, base),
+             (3, "totally unrelated text about query engines and joins here")],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r.a, r.b): r.est_jaccard
+            for r in minhash_candidate_pairs(docs).collect()
+            if r.est_jaccard >= 0.8
+        }
+        assert (0, 2) in pairs and (1, 2) in pairs and (0, 1) not in pairs
+        kept = sorted(r.doc_id for r in minhash_dedup(docs, threshold=0.8).collect())
+        assert kept == [0, 3]
+
+
+class TestEmbeddingNearDup:
+    def test_planted_near_duplicates_are_found(self, spark):
+        """SRP-bucketed embedding dedup must emit planted near-identical
+        vectors — guards against the vacuous-green failure mode where a
+        broken implementation and a working one both return 0 rows."""
+        import random
+
+        from steam_data_pipeline_spark.llm.dedup import embedding_near_pairs
+
+        rng = random.Random(7)
+        dim = 16
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        near = [x + 1e-4 * rng.gauss(0, 1) for x in base]  # cosine ≈ 0.9999…
+        rows = [(0, base), (1, near)] + [
+            (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(2, 40)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r.a, r.b): r.cosine
+            for r in embedding_near_pairs(emb, min_cosine=0.99).collect()
+        }
+        assert (0, 1) in got and got[(0, 1)] > 0.999
+        # identical copies co-bucket with probability 1 regardless of planes
+        emb2 = emb.union(
+            emb.filter(F.col("vec_id") < 3).select(
+                (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+            )
+        )
+        got2 = {(r.a, r.b) for r in embedding_near_pairs(emb2, min_cosine=0.99).collect()}
+        assert {(0, 100), (1, 101), (2, 102), (0, 1)} <= got2

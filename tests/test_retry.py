@@ -150,3 +150,42 @@ def test_foreach_batch_reraises_after_exhaustion():
     with pytest.raises(IOError):
         writer(None, 5)
     assert gave_up == [(5, "OSError")]
+
+
+def test_foreach_batch_fatal_error_no_retry():
+    """Deterministic failures (store guards, analysis errors) surface
+    immediately instead of burning the full backoff schedule."""
+    attempts = []
+    gave_up = []
+    slept = []
+
+    def write(df, batch_id):
+        attempts.append(batch_id)
+        raise ValueError("bucket-count mismatch")
+
+    writer = retrying_foreach_batch(
+        write,
+        sleep_fn=slept.append,
+        on_give_up=lambda bid, exc: gave_up.append((bid, type(exc).__name__)),
+    )
+    with pytest.raises(ValueError):
+        writer(None, 7)
+    assert attempts == [7]  # exactly one attempt
+    assert slept == []  # and no sleeping
+    assert gave_up == [(7, "ValueError")]
+
+
+def test_foreach_batch_fatal_fn_override():
+    """A custom classifier can mark any exception fatal."""
+    attempts = []
+
+    def write(df, batch_id):
+        attempts.append(batch_id)
+        raise OSError("disk on fire")
+
+    writer = retrying_foreach_batch(
+        write, sleep_fn=lambda d: None, fatal_fn=lambda e: isinstance(e, OSError)
+    )
+    with pytest.raises(OSError):
+        writer(None, 1)
+    assert attempts == [1]

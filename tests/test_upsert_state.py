@@ -114,3 +114,20 @@ class TestTtlCache:
         assert cache.get() == "token-1" and len(calls) == 1  # still fresh
         clock["t"] = 90.0
         assert cache.get() == "token-2" and len(calls) == 2  # 0.9×100 reached
+
+
+class TestBucketedMigration:
+    def test_pointer_table_migrates_into_bucketed_upsert(self, spark, store):
+        """Converting a pointer-based table to bucketed must fold the
+        existing generation into the first bucketed merge — previously
+        the old rows silently became unreachable (manifest-preferring
+        read path) and were eventually GC'd."""
+        store.overwrite("t", _df(spark, [("1", "a", 1), ("2", "b", 1)]))
+        store.upsert("t", _df(spark, [("2", "B", 2), ("3", "c", 1)]),
+                     key="app_id", n_buckets=4)
+        got = {r.app_id: r.name for r in store.read("t").collect()}
+        assert got == {"1": "a", "2": "B", "3": "c"}
+        # follow-up bucketed upserts keep working against the manifest
+        store.upsert("t", _df(spark, [("1", "A", 2)]), key="app_id")
+        got = {r.app_id: r.name for r in store.read("t").collect()}
+        assert got == {"1": "A", "2": "B", "3": "c"}

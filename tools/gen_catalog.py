@@ -34,7 +34,11 @@ def main() -> None:
           f"{sum(1 for q in QUERIES.values() if q.oracle)} oracle-checked.\n")
     print("| query | oracle | tags | what it does |")
     print("|---|---|---|---|")
-    for name, q in QUERIES.items():
+    # canonical (alphabetical) order: the registry dict's runtime order
+    # encodes the driver's check-window rotation, which shifts round to
+    # round — the committed catalog should not churn with it
+    for name in sorted(QUERIES):
+        q = QUERIES[name]
         oracle = "✓" if q.oracle else "rows"
         doc = " ".join(q.doc.split())
         tags = ", ".join(q.tags)
