@@ -423,7 +423,7 @@ def simhash_near_pairs(
     )
 
 
-def minhash_dedup_ml(
+def minhash_pairs_ml(
     docs: DataFrame,
     key: str = "doc_id",
     text_col: str = "text",
@@ -432,11 +432,11 @@ def minhash_dedup_ml(
     max_distance: float = 0.4,
     seed: int = 42,
 ) -> DataFrame:
-    """``pyspark.ml.feature.MinHashLSH`` variant of near-dup removal —
-    the built-in LSH path (HashingTF shingle vectors →
+    """Near-duplicate pair detection via ``pyspark.ml.feature.
+    MinHashLSH`` — the built-in LSH path (HashingTF shingle vectors →
     ``approxSimilarityJoin`` on Jaccard distance), kept alongside the
     hand-rolled banding implementation as an interchangeable engine
-    surface. Same survivor rule: min doc_id per detected pair.
+    surface. Returns distinct ``(a, b)`` with a < b.
 
     3 hash tables is the measured knee: the detected-pair set is
     identical to 4 tables on both the sf0.01 and sf0.1 fixtures at
@@ -453,15 +453,32 @@ def minhash_dedup_ml(
         inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
     )
     model = lsh.fit(feats)
-    pairs = (
+    return (
         model.approxSimilarityJoin(feats, feats, max_distance, distCol="jaccard_dist")
         .select(
             F.col(f"datasetA.{key}").alias("a"),
             F.col(f"datasetB.{key}").alias("b"),
         )
         .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
     )
-    losers = pairs.select(F.col("b").alias(key)).distinct()
+
+
+def minhash_dedup_ml(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Near-dup removal on the ml-LSH pair set with the same
+    cluster-correct survivor rule as ``minhash_dedup``: connected
+    components over detected pairs, min-id per component survives."""
+    pairs = minhash_pairs_ml(docs, key, text_col, **kwargs)
+    comps = connected_components(pairs)
+    losers = (
+        comps.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(key))
+    )
     return docs.join(losers, on=key, how="left_anti")
 
 

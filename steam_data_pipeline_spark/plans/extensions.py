@@ -6,9 +6,13 @@ Oracle notes:
   ``aggregate`` fold and DuckDB's ``list_reduce`` are both strict
   sequential left folds over the same float64 values, verified
   bit-identical.
-* MinHash/SimHash/fingerprint queries hash with ``xxhash64``, which
-  DuckDB lacks → registered rows-only (no oracle), with deterministic
-  output guaranteed by seeded hashing.
+* Approximate operators (MinHash/SimHash LSH, SRP buckets, IVF) hash
+  with seeded ``xxhash64``/numpy, which DuckDB cannot reproduce — so
+  their oracles check exactly-computable INVARIANTS instead: the
+  detected pair set against the exact Jaccard truth (the fixture's
+  margin makes them provably equal), recall bounds against in-query
+  brute force, planted-duplicate recovery, or collision structure.
+  Only ALS (numeric iteration) remains rows-only.
 * Streaming queries execute a real Structured Streaming query
   (``availableNow`` trigger, memory sink) and return the final result
   table — their oracles are the batch-equivalent SQL, which is exactly
@@ -31,6 +35,19 @@ EXT = Registry()
 _STOPWORD_SQL_LIST = "['" + "', '".join(
     w for ws in TS._STOPWORDS.values() for w in ws
 ) + "']"
+
+# DuckDB-side exact cosine: list_reduce is a strict sequential left
+# fold, bit-identical to Spark's ``aggregate`` fold over the same
+# float64 values (verified by llm_sim_search).
+_COS_SQL = """
+  list_reduce(list_transform(list_zip({a}, {b}),
+              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+              (acc, v) -> acc + v)
+  / (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      (acc, v) -> acc + v))
+     * sqrt(list_reduce(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (acc, v) -> acc + v)))
+"""
 
 # ---------------------------------------------------------------------------
 # §2.10 dedup
@@ -103,15 +120,45 @@ def llm_dedup_jaccard(spark, sf_dir):
     )
 
 
+_CLUSTER_SURVIVOR_CTES = """
+    jp AS (
+      SELECT a, b FROM pairs
+      WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.6
+    ),
+    cedges AS (
+      SELECT a AS src, b AS dst FROM jp
+      UNION SELECT b AS src, a AS dst FROM jp
+    ),
+    reach AS (
+      SELECT src AS node, src AS label FROM cedges
+      UNION
+      SELECT e.src AS node, r.label FROM cedges e JOIN reach r ON e.dst = r.node
+    ),
+    losers AS (
+      SELECT node FROM reach GROUP BY node HAVING node != MIN(label)
+    )
+"""
+
+
 @EXT.add(
     "llm_dedup_near",
-    oracle=None,  # xxhash64 seeds not reproducible in the oracle engine
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_ctes()},
+    {_CLUSTER_SURVIVOR_CTES}
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM losers)
+    """,
     doc=(
-        "MinHash(32)+LSH(8 bands) near-duplicate removal, min-id survivor "
-        "(SURVEY §2.10 llm_dedup_near). Deterministic via seeded xxhash64; "
-        "rows-only check."
+        "MinHash(32)+LSH(8 bands) near-duplicate removal with "
+        "cluster-correct survivors: detected pairs -> connected "
+        "components -> min-id per component (SURVEY §2.10 "
+        "llm_dedup_near). Oracle = transitive closure over the EXACT "
+        "3-gram Jaccard >= 0.6 pair graph: the fixture's pair margin "
+        "(true pairs est >= 0.69, noise < 0.3 at 32 hashes) makes the "
+        "LSH-detected set provably equal the exact set at sf0.01 and "
+        "sf0.1, so the approximate path is held to the exact answer."
     ),
-    tags=("llm", "dedup", "rows-only"),
+    tags=("llm", "dedup", "flagship"),
 )
 def llm_dedup_near(spark, sf_dir):
     return D.minhash_dedup(
@@ -121,18 +168,23 @@ def llm_dedup_near(spark, sf_dir):
 
 @EXT.add(
     "llm_dedup_near_ml",
-    oracle=None,
+    oracle=f"""
+    WITH {_jaccard_ctes()}
+    SELECT a, b FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.6
+    """,
     doc=(
-        "MinHashLSH near-dup removal via the pyspark.ml path (HashingTF + "
-        "approxSimilarityJoin) — interchangeable with the hand-rolled "
-        "banding engine. Rows-only check."
+        "MinHashLSH near-dup pair detection via the pyspark.ml path "
+        "(HashingTF + approxSimilarityJoin, 3 hash tables) — "
+        "interchangeable with the hand-rolled banding engine. Oracle = "
+        "the EXACT 3-gram Jaccard >= 0.6 pair set (ml distance 0.4 = "
+        "similarity 0.6), which the ml path detects exactly on the "
+        "fixture at both sf0.01 and sf0.1 (measured)."
     ),
-    tags=("llm", "dedup", "rows-only", "ml"),
+    tags=("llm", "dedup", "ml"),
 )
 def llm_dedup_near_ml(spark, sf_dir):
-    return D.minhash_dedup_ml(t(spark, sf_dir, "documents")).select(
-        "doc_id", "lang", "source"
-    )
+    return D.minhash_pairs_ml(t(spark, sf_dir, "documents")).select("a", "b")
 
 
 @EXT.add(
@@ -153,31 +205,86 @@ def udf_recommender_als(spark, sf_dir):
 
 @EXT.add(
     "llm_dedup_simhash",
-    oracle=None,
+    oracle=f"""
+    WITH {_jaccard_ctes()}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
+            WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
+           ) AS n_exact_pairs,
+           TRUE AS recall_ok
+    """,
     doc=(
-        "SimHash-64 near-dup candidate pairs (4-band pigeonhole blocking, "
-        "hamming ≤ 8 verification). Rows-only check."
+        "SimHash-64 near-dup candidates (4-band pigeonhole blocking, "
+        "hamming <= 8 verification) held to an exact-oracle invariant: "
+        "the candidate set's recall against the EXACT 3-gram "
+        "Jaccard >= 0.5 pair set must be >= 0.55 (measured 0.68 at "
+        "sf0.01 / 0.66 at sf0.1 — bag-of-words SimHash caps out there "
+        "on word-substitution dups, whose fingerprints land at hamming "
+        "5-10 while 4-band blocking only guarantees hamming <= 3; the "
+        "honest limitation is part of the record). n_docs and "
+        "n_exact_pairs anchor the row to exactly-computed values."
     ),
-    tags=("llm", "dedup", "rows-only"),
+    tags=("llm", "dedup", "invariant"),
 )
 def llm_dedup_simhash(spark, sf_dir):
-    return D.simhash_near_pairs(
-        t(spark, sf_dir, "documents"), max_hamming=8
+    docs = t(spark, sf_dir, "documents")
+    cand = D.simhash_near_pairs(docs, max_hamming=8).select("a", "b")
+    exact = D.jaccard_pairs(docs, min_jaccard=0.5).select("a", "b")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+    n_found = cand.join(exact, on=["a", "b"], how="left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_found")
+    )
+    return (
+        n_docs.crossJoin(n_exact)
+        .crossJoin(n_found)
+        .select(
+            "n_docs",
+            "n_exact_pairs",
+            (
+                F.col("__n_found").cast("double")
+                >= 0.55 * F.col("n_exact_pairs").cast("double")
+            ).alias("recall_ok"),
+        )
     )
 
 
 @EXT.add(
     "llm_dedup_embedding",
-    oracle=None,
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 32
+    ),
+    scored AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cosine
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+    )
+    SELECT a, b, cosine FROM scored WHERE cosine >= 0.95
+    """,
     doc=(
         "Embedding-cosine near-dup pairs via sign-random-projection LSH "
-        "buckets + exact cosine verify. Rows-only check."
+        "buckets + exact cosine verify, exercised on the fixture corpus "
+        "plus 32 planted exact-duplicate vectors (vec_id + 1e6). The "
+        "oracle is the brute-force all-pairs cosine >= 0.95 truth: "
+        "identical vectors co-bucket with probability 1 under SRP, and "
+        "the fixture's max organic off-diagonal cosine is ~0.6, so the "
+        "LSH path must emit exactly the planted pairs, bit-exact cosine "
+        "included (sequential-fold arithmetic on both engines). This "
+        "replaces the previous vacuously-green 0-row form."
     ),
-    tags=("llm", "dedup", "rows-only"),
+    tags=("llm", "dedup", "similarity"),
 )
 def llm_dedup_embedding(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
     return D.embedding_near_pairs(
-        t(spark, sf_dir, "embeddings"), min_cosine=0.9, n_planes=8
+        emb.union(planted), min_cosine=0.95, n_planes=8
     )
 
 
@@ -185,15 +292,7 @@ def llm_dedup_embedding(spark, sf_dir):
 # §2.10 similarity search
 # ---------------------------------------------------------------------------
 
-_COS_SQL = """
-  list_reduce(list_transform(list_zip({a}, {b}),
-              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
-              (acc, v) -> acc + v)
-  / (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                      (acc, v) -> acc + v))
-     * sqrt(list_reduce(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                        (acc, v) -> acc + v)))
-"""
+
 
 
 @EXT.add(
@@ -228,40 +327,78 @@ def llm_sim_search(spark, sf_dir):
     return S.brute_force_topk(emb, queries, k=10)
 
 
-@EXT.add(
-    "llm_sim_ivf",
-    oracle=None,
-    doc=(
-        "IVF-partitioned approximate top-10 (16 centroids, 4 probes) — the "
-        "scale path: touches n_probe/C of the corpus per query. Rows-only."
-    ),
-    tags=("llm", "similarity", "rows-only"),
-)
-def llm_sim_ivf(spark, sf_dir):
+_ANN_RECALL_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) * 10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+"""
+
+
+def _ann_recall_invariant(spark, sf_dir, ann_fn, recall_bound: float, **ann_kwargs):
+    """Run an ANN top-10 AND the in-query brute-force truth; emit one
+    exactly-checkable row: (n_queries, n_results, recall_ok) — the
+    agg_distinct_pool_approx pattern applied to recall@10. The approx
+    path still fully executes; the oracle asserts the recall bound."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ivf_topk(emb, queries, k=10)
+    ann = ann_fn(emb, queries, k=10, **ann_kwargs).select("query_id", "vec_id")
+    truth = S.brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    n_queries = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    n_results = ann.agg(F.count(F.lit(1)).cast("long").alias("n_results"))
+    n_hits = ann.join(truth, on=["query_id", "vec_id"], how="left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_hits")
+    )
+    return (
+        n_queries.crossJoin(n_results)
+        .crossJoin(n_hits)
+        .select(
+            "n_queries",
+            "n_results",
+            (
+                F.col("__n_hits").cast("double")
+                >= F.lit(recall_bound) * F.col("n_results").cast("double")
+            ).alias("recall_ok"),
+        )
+    )
+
+
+@EXT.add(
+    "llm_sim_ivf",
+    oracle=_ANN_RECALL_ORACLE,
+    doc=(
+        "IVF-partitioned approximate top-10 (16 seeded-KMeans centroids, "
+        "6 probes — touches n_probe/C of the corpus per query) verified "
+        "against in-query brute-force truth: recall@10 must be >= 0.70 "
+        "(measured 0.72 / 0.82 / 0.74 at sf0.001 / 0.01 / 0.1 on the "
+        "worst-case near-uniform fixture geometry; deterministic via "
+        "seeded KMeans). n_queries/n_results anchor the row; the recall "
+        "bound is the exactly-checkable invariant."
+    ),
+    tags=("llm", "similarity", "invariant"),
+)
+def llm_sim_ivf(spark, sf_dir):
+    return _ann_recall_invariant(
+        spark, sf_dir, S.ivf_topk, recall_bound=0.70, n_probe=6
+    )
 
 
 @EXT.add(
     "llm_sim_lsh",
-    oracle=None,
+    oracle=_ANN_RECALL_ORACLE,
     doc=(
-        "SRP-LSH bucketed approximate top-10 (8 planes, Hamming-1 "
-        "multiprobe) — the bucketed ANN sibling of llm_sim_ivf: each "
-        "query touches ~9/256 of the corpus. Rows-only (deterministic "
-        "seeded planes)."
+        "SRP-LSH bucketed approximate top-10 (8 planes, 2 tables, "
+        "Hamming-3 multiprobe) verified against in-query brute-force "
+        "truth: recall@10 must be >= 0.75 (measured 0.92 / 0.88 / 0.84 "
+        "at sf0.001 / 0.01 / 0.1 — the measured sweet spot of the "
+        "(tables, radius) grid on worst-case uniform geometry)."
     ),
-    tags=("llm", "similarity", "rows-only"),
+    tags=("llm", "similarity", "invariant"),
 )
 def llm_sim_lsh(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return S.lsh_topk(emb, queries, k=10)
+    return _ann_recall_invariant(spark, sf_dir, S.lsh_topk, recall_bound=0.75)
 
 
 @EXT.add(
@@ -581,16 +718,36 @@ def llm_corpus_clean(spark, sf_dir):
 
 @EXT.add(
     "llm_fingerprint",
-    oracle=None,
+    oracle=r"""
+    SELECT doc_id, md5(text) AS fp_md5,
+           COUNT(*) OVER (
+             PARTITION BY array_to_string(
+               regexp_split_to_array(trim(text), '\s+'), ' ')
+           ) > 1 AS fp_shared
+    FROM documents
+    """,
     doc=(
-        "Order-sensitive rolling document fingerprint (polynomial fold of "
-        "xxhash64 token hashes). Rows-only check."
+        "Document fingerprinting, both tiers exactly checked: fp_md5 is "
+        "the content hash (bit-identical md5 on both engines), and "
+        "fp_shared verifies the COLLISION STRUCTURE of the xxhash64 "
+        "rolling token-fold fingerprint — two docs share a rolling "
+        "fingerprint iff their whitespace-token sequences are equal "
+        "(the oracle partitions by the normalized token string; an "
+        "engine-side hash collision or a broken fold would flip the "
+        "flag). Upgraded from rows-only."
     ),
-    tags=("llm", "text", "rows-only"),
+    tags=("llm", "text"),
 )
 def llm_fingerprint(spark, sf_dir):
+    from pyspark.sql import Window
+
     docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TS.fingerprint("text").alias("fingerprint"))
+    w = Window.partitionBy(TS.fingerprint("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_md5"),
+        (F.count(F.lit(1)).over(w) > 1).alias("fp_shared"),
+    )
 
 
 @EXT.add(
