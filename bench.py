@@ -34,34 +34,83 @@ def main() -> None:
 
     spark = get_spark("steam-data-pipeline-bench")
     # Warm the one-time process costs so per-query times measure the
-    # plan: JVM + parquet footers, and the Python-worker pool + Arrow
-    # serializer that the first pandas_udf query would otherwise pay
-    # (~3-5 s of daemon spin-up, not plan cost).
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # plan: parquet footers, the Python-worker pool + Arrow serializer
+    # (~3-5 s of daemon spin-up), and pyspark.ml's first-use class
+    # loading + JIT (ALS, KMeans, BLAS). The four warmups are
+    # independent Spark jobs — run them on threads so startup pays
+    # max(warmup) instead of sum(warmup) (measured 14 s -> ~5 s; the
+    # scheduler interleaves them fine in one JVM).
     from pyspark.sql.functions import col, pandas_udf
 
-    @pandas_udf("long")
-    def _warm(x):
-        return x
+    # Import pyspark.ml on the MAIN thread first: parallel first-imports
+    # of a package's internals from worker threads race Python's
+    # per-module import locks into circular-import failures. The
+    # expensive part (JVM class loading + JIT during fit) still runs on
+    # the threads below.
+    import pyspark.ml.clustering  # noqa: F401
+    import pyspark.ml.functions  # noqa: F401
+    import pyspark.ml.recommendation  # noqa: F401
 
-    force(spark.range(0, 10_000, 1, 8).select(_warm(col("id"))))
-    # pyspark.ml first use loads + JITs a large JVM class graph (ALS,
-    # KMeans, BLAS) — pay it here, not inside the first ml query.
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.recommendation import ALS
+    def _warm_read():
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    _toy = spark.createDataFrame(
-        [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 2.0), (1, 1, 1.0)],
-        "user int, item int, strength float",
-    )
-    ALS(rank=2, maxIter=1, seed=1, implicitPrefs=True, userCol="user",
-        itemCol="item", ratingCol="strength").fit(_toy)
-    from pyspark.ml.functions import array_to_vector
+    def _warm_python_workers():
+        @pandas_udf("long")
+        def _warm(x):
+            return x
 
-    _vecs = spark.createDataFrame(
-        [([0.0, 1.0],), ([1.0, 0.0],), ([0.5, 0.5],)], "embedding array<double>"
-    ).select(array_to_vector(col("embedding")).alias("features"))
-    KMeans(k=2, maxIter=1, seed=1).fit(_vecs)
+        force(spark.range(0, 10_000, 1, 8).select(_warm(col("id"))))
+
+    def _warm_als():
+        from pyspark.ml.recommendation import ALS
+
+        toy = spark.createDataFrame(
+            [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 2.0), (1, 1, 1.0)],
+            "user int, item int, strength float",
+        )
+        ALS(rank=2, maxIter=1, seed=1, implicitPrefs=True, userCol="user",
+            itemCol="item", ratingCol="strength").fit(toy)
+
+    def _warm_kmeans():
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = spark.createDataFrame(
+            [([0.0, 1.0],), ([1.0, 0.0],), ([0.5, 0.5],)],
+            "embedding array<double>",
+        ).select(array_to_vector(col("embedding")).alias("features"))
+        KMeans(k=2, maxIter=1, seed=1).fit(vecs)
+
+    def _warm_codegen():
+        # The MinHash (32 seeded folds + banding) and Jaccard prefix
+        # expression trees cost ~3-4 s of one-time janino compile + JIT
+        # on first execution; run each shape once on 64 rows so the
+        # compile cache is hot and per-query timings measure the plan.
+        from steam_data_pipeline_spark.llm.dedup import (
+            jaccard_pairs,
+            minhash_candidate_pairs,
+        )
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        tiny = read_table(spark, sf_dir, "documents").limit(64)
+        force(minhash_candidate_pairs(tiny))
+        force(jaccard_pairs(tiny, min_jaccard=0.5))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futures = [
+            pool.submit(fn)
+            for fn in (
+                _warm_read,
+                _warm_python_workers,
+                _warm_als,
+                _warm_kmeans,
+                _warm_codegen,
+            )
+        ]
+        for f in futures:
+            f.result()
     startup = time.time() - t_start
 
     timings: dict[str, float] = {}

@@ -48,6 +48,7 @@ def als_recommendations(
     max_iter: int = 2,
     seed: int = 42,
     user_limit: int = 1000,
+    num_blocks: int = 4,
 ) -> DataFrame:
     """Top-k item recommendations via implicit-feedback ALS for the
     ``user_limit`` most active users.
@@ -55,6 +56,12 @@ def als_recommendations(
     ``max_iter=2`` is the bench-tuned demo setting (the third sweep
     roughly tripled wall for no change in the top-3 surface on the
     fixture); raise it for production factor quality.
+
+    ``num_blocks`` sizes ALS's user/item factor blocks — the unit of
+    its alternating-solve shuffles. Like shuffle partitions it is a
+    cluster-sizing knob: 4 halves the fixture's fit+score wall versus
+    the default 10 (fewer, fuller tasks on 600 k interactions); on a
+    1000-executor cluster it would be hundreds.
 
     Seeded for run-to-run determinism; factors are distributed block
     matrices, so training scales with executors. Scoring is bounded
@@ -76,6 +83,8 @@ def als_recommendations(
         itemCol="item",
         ratingCol="strength",
         coldStartStrategy="drop",
+        numUserBlocks=num_blocks,
+        numItemBlocks=num_blocks,
     )
     model = als.fit(interactions)
     active = (

@@ -228,8 +228,18 @@ def udf_recommender_als(spark, sf_dir):
 )
 def llm_dedup_simhash(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    cand = D.simhash_near_pairs(docs, max_hamming=8).select("a", "b")
-    exact = D.jaccard_pairs(docs, min_jaccard=0.5).select("a", "b")
+    # both pair sets are referenced by two aggregate legs below;
+    # materialize each pipeline once (pair tables are tiny)
+    cand = (
+        D.simhash_near_pairs(docs, max_hamming=8)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    exact = (
+        D.jaccard_pairs(docs, min_jaccard=0.5)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
     n_found = cand.join(exact, on=["a", "b"], how="left_semi").agg(
@@ -344,8 +354,21 @@ def _ann_recall_invariant(spark, sf_dir, ann_fn, recall_bound: float, **ann_kwar
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ann = ann_fn(emb, queries, k=10, **ann_kwargs).select("query_id", "vec_id")
-    truth = S.brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    # materialize both top-k sets once (|Q|·k rows each): the three
+    # single-row aggregates below reference them across crossJoin legs,
+    # which Spark plans as independent subtrees — without the
+    # checkpoint the ANN and brute-force pipelines would each execute
+    # more than once
+    ann = (
+        ann_fn(emb, queries, k=10, **ann_kwargs)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        S.brute_force_topk(emb, queries, k=10)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     n_queries = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     n_results = ann.agg(F.count(F.lit(1)).cast("long").alias("n_results"))
     n_hits = ann.join(truth, on=["query_id", "vec_id"], how="left_semi").agg(
