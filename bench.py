@@ -81,24 +81,29 @@ def main() -> None:
         ).select(array_to_vector(col("embedding")).alias("features"))
         KMeans(k=2, maxIter=1, seed=1).fit(vecs)
 
-    def _warm_codegen():
-        # The MinHash (32 seeded folds + banding) and Jaccard prefix
-        # expression trees cost ~3-4 s of one-time janino compile + JIT
-        # on first execution; run each shape once on 64 rows so the
-        # compile cache is hot and per-query timings measure the plan.
-        from steam_data_pipeline_spark.llm.dedup import (
-            jaccard_pairs,
-            minhash_candidate_pairs,
-        )
+    # The MinHash (32 seeded folds + banding) and Jaccard prefix
+    # expression trees cost ~3-4 s of one-time janino compile + JIT
+    # on first execution; run each shape once on 64 rows so the
+    # compile cache is hot and per-query timings measure the plan.
+    def _warm_minhash_codegen():
+        from steam_data_pipeline_spark.llm.dedup import minhash_candidate_pairs
         from steam_data_pipeline_spark.sources.tables import read_table
 
-        tiny = read_table(spark, sf_dir, "documents").limit(64)
-        force(minhash_candidate_pairs(tiny))
-        force(jaccard_pairs(tiny, min_jaccard=0.5))
+        force(minhash_candidate_pairs(read_table(spark, sf_dir, "documents").limit(64)))
+
+    def _warm_jaccard_codegen():
+        from steam_data_pipeline_spark.llm.dedup import jaccard_pairs
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        force(
+            jaccard_pairs(
+                read_table(spark, sf_dir, "documents").limit(64), min_jaccard=0.5
+            )
+        )
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
         futures = [
             pool.submit(fn)
             for fn in (
@@ -106,7 +111,8 @@ def main() -> None:
                 _warm_python_workers,
                 _warm_als,
                 _warm_kmeans,
-                _warm_codegen,
+                _warm_minhash_codegen,
+                _warm_jaccard_codegen,
             )
         ]
         for f in futures:

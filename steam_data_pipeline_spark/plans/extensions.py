@@ -1488,3 +1488,215 @@ def llm_dedup_cluster(spark, sf_dir):
         F.col("node").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data export + skew handling (round-3 additions)
+# ---------------------------------------------------------------------------
+
+
+@EXT.add(
+    "llm_shuffle_shard",
+    oracle="""
+    SELECT doc_id,
+           CAST(((doc_id * 2654435761) % 4294967296) % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ((doc_id * 2654435761) % 4294967296) % 8
+             ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+    doc=(
+        "Deterministic global shuffle + shard assignment for training "
+        "export: Knuth multiplicative hash scrambles doc order, hash "
+        "mod 8 picks the shard, row_number over the scrambled order "
+        "gives the within-shard position. Pure 64-bit integer "
+        "arithmetic so both engines agree bit-for-bit (seeded-hash "
+        "shuffles are not SQL-portable). At 100 TB this is one "
+        "hash-partitioned exchange + per-partition sort — exactly a "
+        "shuffle write; reruns are byte-identical, which is what makes "
+        "training-data exports reproducible."
+    ),
+    tags=("llm", "export", "shuffle"),
+)
+def llm_shuffle_shard(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    shard = (h % 8).cast("int")
+    w = Window.partitionBy(shard).orderBy(h, F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@EXT.add(
+    "llm_vocab_build",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    wc AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM w GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+             CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq,
+             CAST(SUM(freq) OVER () AS BIGINT) AS total_freq
+      FROM wc
+    )
+    SELECT token, freq, rank, cum_freq,
+           CAST(cum_freq AS DOUBLE) / total_freq AS coverage
+    FROM ranked WHERE rank <= 100
+    """,
+    doc=(
+        "Tokenizer vocabulary construction: top-100 whitespace tokens "
+        "by corpus frequency with cumulative coverage fraction — the "
+        "decide-the-vocab-size pass of tokenizer training "
+        "(coverage(rank) tells you what a 32k/64k vocab buys). "
+        "Deterministic (freq desc, token) total order; integer "
+        "cum_freq keeps the fraction bit-exact. One token-count "
+        "shuffle + one single-partition top-100 window — the global "
+        "window only ever sees the vocabulary, never the corpus, and "
+        "a Zipf vocabulary is millions of rows at 100 TB, not "
+        "billions."
+    ),
+    tags=("llm", "text", "vocab"),
+)
+def llm_vocab_build(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    wc = w.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    order = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    ranked = wc.select(
+        "token",
+        "freq",
+        F.row_number().over(order).cast("long").alias("rank"),
+        F.sum("freq").over(order.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_freq"),
+        F.sum("freq").over(Window.partitionBy()).cast("long").alias("total_freq"),
+    )
+    return ranked.filter(F.col("rank") <= 100).select(
+        "token",
+        "freq",
+        "rank",
+        "cum_freq",
+        (F.col("cum_freq").cast("double") / F.col("total_freq")).alias("coverage"),
+    )
+
+
+@EXT.add(
+    "join_skew_salted",
+    oracle="""
+    SELECT c.c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id % 1500 = c.c_custkey % 1500
+    WHERE c.c_custkey < 1500
+    GROUP BY 1
+    """,
+    doc=(
+        "SALTED fact-dim join — the hand-rolled skew escape hatch "
+        "(AQE skew-join's static twin): the dim side is replicated "
+        "SALT_N times with an explicit salt column, the fact side "
+        "computes salt = pmod(xxhash64(event_id), SALT_N), and the "
+        "join key becomes (key, salt) so one hot key's rows spread "
+        "over SALT_N tasks instead of one straggler. The oracle is "
+        "the plain unsalted join — salting is provably semantics-"
+        "preserving, which is exactly what makes it safe to apply "
+        "under skew at 100 TB. Exact decimal sums."
+    ),
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.aggregates import dec_sum
+
+    SALT_N = 8
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 1500).alias("k"),
+        F.col("value"),
+        F.pmod(F.xxhash64("event_id"), F.lit(SALT_N)).cast("int").alias("salt"),
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 1500)
+        .select((F.col("c_custkey") % 1500).alias("k"), "c_nationkey")
+    )
+    salted_dim = cust.crossJoin(
+        F.broadcast(
+            cust.sparkSession.range(SALT_N).select(F.col("id").cast("int").alias("salt"))
+        )
+    )
+    joined = ev.join(salted_dim, on=["k", "salt"])
+    return joined.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").cast("double").alias("sum_value"),
+    )
+
+
+@EXT.add(
+    "llm_dedup_embedding_cluster",
+    oracle=f"""
+    WITH RECURSIVE u AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 32
+      UNION ALL
+      SELECT vec_id + 2000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 16
+    ),
+    ep AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.95
+    ),
+    eedges AS (
+      SELECT a AS src, b AS dst FROM ep
+      UNION SELECT b AS src, a AS dst FROM ep
+    ),
+    ereach AS (
+      SELECT src AS node, src AS label FROM eedges
+      UNION
+      SELECT e.src AS node, r.label FROM eedges e JOIN ereach r ON e.dst = r.node
+    )
+    SELECT node AS vec_id, CAST(MIN(label) AS BIGINT) AS component
+    FROM ereach GROUP BY node
+    """,
+    doc=(
+        "Embedding near-dup CLUSTERING — the multimodal twin of "
+        "llm_dedup_cluster: SRP-bucketed cosine pairs (>= 0.95) over "
+        "the corpus plus planted duplicate chains (32 copies at +1e6, "
+        "16 second copies at +2e6, so true clusters of size 3 exist) "
+        "-> connected components -> min-vec_id component labels. "
+        "Oracle = recursive-CTE closure over brute-force all-pairs "
+        "cosine truth; identical vectors co-bucket with probability 1, "
+        "so detection is provably complete on this geometry."
+    ),
+    tags=("llm", "dedup", "iterative", "similarity"),
+)
+def llm_dedup_embedding_cluster(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    p1 = emb.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    p2 = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.union(p1).union(p2)
+    pairs = D.embedding_near_pairs(corpus, min_cosine=0.95, n_planes=8).select("a", "b")
+    comps = D.connected_components(pairs)
+    return comps.select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+    )

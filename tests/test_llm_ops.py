@@ -292,3 +292,34 @@ class TestEmbeddingNearDup:
         )
         got2 = {(r.a, r.b) for r in embedding_near_pairs(emb2, min_cosine=0.99).collect()}
         assert {(0, 100), (1, 101), (2, 102), (0, 1)} <= got2
+
+
+class TestExportSharding:
+    def test_shards_balanced_and_positions_dense(self, spark, sf_dir):
+        from steam_data_pipeline_spark.plans.registry import QUERIES
+
+        rows = QUERIES["llm_shuffle_shard"].spark(spark, sf_dir).collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        assert set(by_shard) == set(range(8))
+        sizes = [len(v) for v in by_shard.values()]
+        assert max(sizes) - min(sizes) <= len(rows) // 4  # roughly balanced
+        for poss in by_shard.values():  # dense 1..n positions per shard
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+class TestVocabBuild:
+    def test_coverage_monotone_and_bounded(self, spark, sf_dir):
+        from steam_data_pipeline_spark.plans.registry import QUERIES
+
+        rows = sorted(
+            QUERIES["llm_vocab_build"].spark(spark, sf_dir).collect(),
+            key=lambda r: r.rank,
+        )
+        assert rows[0].rank == 1
+        cov = [r.coverage for r in rows]
+        assert all(a < b for a, b in zip(cov, cov[1:]))
+        assert 0 < cov[0] and cov[-1] <= 1.0
+        freqs = [r.freq for r in rows]
+        assert all(a >= b for a, b in zip(freqs, freqs[1:]))
