@@ -131,7 +131,7 @@ def _hashed_signature(docs: DataFrame, shingle_col: str, num_hashes: int, out_co
     return docs.withColumn(out_col, sig)
 
 
-def minhash_candidate_pairs(
+def banded_signatures(
     docs: DataFrame,
     key: str = "doc_id",
     text_col: str = "text",
@@ -139,16 +139,12 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
 ) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` bands of
-    ``num_hashes/bands`` rows; docs sharing any band hash become
-    candidate pairs (a < b).
-
-    Plan shape: explode(bands) → groupBy band bucket is expressed as a
-    self-equi-join on (band_idx, band_hash) — a hash join on a
-    high-cardinality key, shuffle ∝ corpus size, compute ∝ bucket
-    sizes. Emits distinct (a, b) with their estimated Jaccard from the
-    full signatures.
-    """
+    """The persistable MinHash-LSH index table: one row per (doc, band)
+    with the band bucket hash and the full signature —
+    ``(key, minhash, band_idx, band_hash)``. In an incremental
+    pipeline this is what you store for the existing corpus so each
+    incoming batch only computes ITS OWN signatures and probes the
+    stored buckets."""
     rows_per_band = num_hashes // bands
     sig = _hashed_signature(
         with_hashed_shingles(docs.select(key, text_col), text_col, shingle_n),
@@ -157,7 +153,7 @@ def minhash_candidate_pairs(
         "minhash",
     ).select(key, "minhash")
 
-    banded = sig.select(
+    return sig.select(
         key,
         "minhash",
         F.explode(
@@ -180,6 +176,27 @@ def minhash_candidate_pairs(
             )
         ).alias("band"),
     ).select(key, "minhash", "band.band_idx", "band.band_hash")
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band hash become
+    candidate pairs (a < b).
+
+    Plan shape: explode(bands) → groupBy band bucket is expressed as a
+    self-equi-join on (band_idx, band_hash) — a hash join on a
+    high-cardinality key, shuffle ∝ corpus size, compute ∝ bucket
+    sizes. Emits distinct (a, b) with their estimated Jaccard from the
+    full signatures.
+    """
+    banded = banded_signatures(docs, key, text_col, shingle_n, num_hashes, bands)
 
     left = banded.select(
         F.col(key).alias("a"),
@@ -242,6 +259,91 @@ def minhash_dedup(
         .select(F.col("node").alias(key))
     )
     return docs.join(losers, on=key, how="left_anti")
+
+
+def minhash_dedup_incremental(
+    corpus: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Dedup an INCOMING BATCH against an existing corpus — the
+    ingestion-path shape of near-dedup, where re-clustering the whole
+    corpus per batch would be absurd at 100 TB.
+
+    Semantics (deterministic, oracle-checked):
+
+    1. a new doc matching any corpus doc (est Jaccard ≥ threshold) is
+       dropped — the corpus already has a representative;
+    2. among the remaining new docs, new↔new pairs are clustered
+       (connected components over survivors-of-step-1 only) and the
+       min-id per component survives.
+
+    Cost shape: the corpus side contributes its banded signature table
+    (``banded_signatures`` — persist it once, reuse every batch; here
+    it is recomputed because the fixture has no store between queries),
+    and the candidate join probes only buckets that contain a NEW doc —
+    per-batch work is Σ|bucket ∩ new|·|bucket|, independent of
+    corpus², and the shuffle carries 8-byte hashes.
+    """
+    new_b = banded_signatures(new, key, text_col, shingle_n, num_hashes, bands)
+    all_b = banded_signatures(
+        corpus.select(key, text_col).unionByName(new.select(key, text_col)),
+        key,
+        text_col,
+        shingle_n,
+        num_hashes,
+        bands,
+    )
+    new_keys = new.select(F.col(key).alias("__nk"))
+    left = new_b.select(
+        F.col(key).alias("a"), F.col("minhash").alias("sig_a"), "band_idx", "band_hash"
+    )
+    right = all_b.select(
+        F.col(key).alias("b"), F.col("minhash").alias("sig_b"), "band_idx", "band_hash"
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    pairs = (
+        left.join(right, on=["band_idx", "band_hash"])
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .localCheckpoint(eager=True)  # consumed by both steps below
+    )
+    cross = pairs.join(
+        new_keys, pairs.b == new_keys.__nk, how="left_anti"
+    )  # b not new => b is corpus
+    dropped_vs_corpus = cross.select(F.col("a").alias(key)).distinct()
+    stage1 = new.join(dropped_vs_corpus, on=key, how="left_anti").select(key)
+    nn = (
+        pairs.join(new_keys, pairs.b == new_keys.__nk, how="left_semi")
+        .filter(F.col("a") < F.col("b"))
+        .join(stage1.select(F.col(key).alias("a")), on="a", how="left_semi")
+        .join(stage1.select(F.col(key).alias("b")), on="b", how="left_semi")
+        .select("a", "b")
+    )
+    comps = connected_components(nn)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(key)
+    )
+    return (
+        new.join(dropped_vs_corpus, on=key, how="left_anti")
+        .join(losers, on=key, how="left_anti")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1700,3 +1700,64 @@ def llm_dedup_embedding_cluster(spark, sf_dir):
         F.col("node").cast("long").alias("vec_id"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+@EXT.add(
+    "llm_dedup_incremental",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_ctes()},
+    jp AS (
+      SELECT a, b FROM pairs
+      WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.6
+    ),
+    dropped_vs_corpus AS (
+      SELECT DISTINCT CASE WHEN a % 4 = 0 THEN a ELSE b END AS d
+      FROM jp WHERE (a % 4 = 0) <> (b % 4 = 0)
+    ),
+    stage1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 4 = 0
+        AND doc_id NOT IN (SELECT d FROM dropped_vs_corpus)
+    ),
+    nn AS (
+      SELECT a, b FROM jp
+      WHERE a IN (SELECT doc_id FROM stage1)
+        AND b IN (SELECT doc_id FROM stage1)
+    ),
+    nedges AS (
+      SELECT a AS src, b AS dst FROM nn
+      UNION SELECT b AS src, a AS dst FROM nn
+    ),
+    nreach AS (
+      SELECT src AS node, src AS label FROM nedges
+      UNION
+      SELECT e.src AS node, r.label FROM nedges e JOIN nreach r ON e.dst = r.node
+    ),
+    nlosers AS (
+      SELECT node FROM nreach GROUP BY node HAVING node != MIN(label)
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM stage1)
+      AND doc_id NOT IN (SELECT node FROM nlosers)
+    """,
+    doc=(
+        "INCREMENTAL near-dedup — the ingestion-path shape: the batch "
+        "(doc_id % 4 = 0, a quarter of the corpus standing in for an "
+        "incoming day) is deduped against the standing corpus (the "
+        "other three quarters). A new doc matching any corpus doc is "
+        "dropped; survivors then cluster among themselves (CC over "
+        "survivor-survivor pairs, min-id per component). Per-batch "
+        "cost probes only LSH buckets containing a new doc — never "
+        "corpus x corpus; the corpus's banded_signatures table is the "
+        "persistable index. Oracle = the same two-stage rule over the "
+        "exact Jaccard pair graph via recursive CTE."
+    ),
+    tags=("llm", "dedup", "incremental"),
+)
+def llm_dedup_incremental(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    return D.minhash_dedup_incremental(corpus, new, threshold=0.6).select(
+        "doc_id", "lang", "source"
+    )

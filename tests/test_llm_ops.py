@@ -323,3 +323,31 @@ class TestVocabBuild:
         assert 0 < cov[0] and cov[-1] <= 1.0
         freqs = [r.freq for r in rows]
         assert all(a >= b for a, b in zip(freqs, freqs[1:]))
+
+
+class TestIncrementalDedup:
+    def test_two_stage_semantics(self, spark):
+        """New docs matching the corpus are dropped; remaining new docs
+        cluster among themselves with min-id survivors; fresh content
+        passes through."""
+        from steam_data_pipeline_spark.llm.dedup import minhash_dedup_incremental
+
+        w = [f"w{i:02d}" for i in range(40)]
+        base = " ".join(w)
+        fresh_a = " ".join(f"a{i}" for i in range(40))
+        fresh_b = " ".join([f"b{i}" for i in range(4)] + fresh_a.split()[4:])
+        corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [
+                (10, base),       # dup of corpus -> dropped
+                (11, fresh_a),    # fresh, min of its cluster -> kept
+                (12, fresh_b),    # near-dup of 11 -> dropped (cluster rule)
+                (13, "totally different content about spark shuffles here"),
+            ],
+            "doc_id long, text string",
+        )
+        kept = sorted(
+            r.doc_id
+            for r in minhash_dedup_incremental(corpus, new, threshold=0.6).collect()
+        )
+        assert kept == [11, 13]

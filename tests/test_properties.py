@@ -238,3 +238,39 @@ def test_pack_sequences_matches_next_fit_model(spark, toks, capacity):
             fill += n
         expected[i] = (bin_id, n)
     assert got == expected
+
+
+def _py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference: node -> min node id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    from steam_data_pipeline_spark.llm.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "a long, b long"
+    )
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == _py_components(edges)
