@@ -1611,10 +1611,15 @@ def llm_vocab_build(spark, sf_dir):
         "SALT_N times with an explicit salt column, the fact side "
         "computes salt = pmod(xxhash64(event_id), SALT_N), and the "
         "join key becomes (key, salt) so one hot key's rows spread "
-        "over SALT_N tasks instead of one straggler. The oracle is "
-        "the plain unsalted join — salting is provably semantics-"
-        "preserving, which is exactly what makes it safe to apply "
-        "under skew at 100 TB. Exact decimal sums."
+        "over SALT_N tasks instead of one straggler. A shuffle_hash "
+        "hint pins the shuffle-join path the pattern exists for — on "
+        "the fixture Spark would happily broadcast the dim, and a "
+        "broadcast join has no shuffle skew to mitigate; at 100 TB "
+        "the dim that skews you is the one too big to broadcast "
+        "(plan-contract tested: ShuffledHashJoin on (k, salt), no "
+        "broadcast of the salted dim). The oracle is the plain "
+        "unsalted join — salting is provably semantics-preserving. "
+        "Exact decimal sums."
     ),
     tags=("join", "skew"),
 )
@@ -1637,7 +1642,7 @@ def join_skew_salted(spark, sf_dir):
             cust.sparkSession.range(SALT_N).select(F.col("id").cast("int").alias("salt"))
         )
     )
-    joined = ev.join(salted_dim, on=["k", "salt"])
+    joined = ev.join(salted_dim.hint("shuffle_hash"), on=["k", "salt"])
     return joined.groupBy(F.col("c_nationkey").alias("nation")).agg(
         F.count(F.lit(1)).alias("n_events"),
         dec_sum("value").cast("double").alias("sum_value"),

@@ -177,3 +177,30 @@ class TestCurationPlanContracts:
         a runtime pruning subquery into the scan's PartitionFilters."""
         plan = _plan(QUERIES["src_dynamic_pruning"].spark(spark, SF_SMOKE))
         assert "dynamicpruning" in plan.lower()
+
+
+class TestRound3PlanContracts:
+    def test_salted_join_is_shuffled_on_key_and_salt(self, spark):
+        """The skew demo must exercise the shuffle-join path (a
+        broadcast join has no shuffle skew to mitigate) and the join
+        key must include the salt."""
+        plan = _plan(QUERIES["join_skew_salted"].spark(spark, SF_SMOKE))
+        assert "ShuffledHashJoin" in plan
+        assert "salt" in plan
+        # the big fact side must not be broadcast
+        assert "BroadcastHashJoin" not in plan.split("ShuffledHashJoin")[1][:500]
+
+    def test_shuffle_shard_single_exchange(self, spark):
+        """Deterministic shard export = exactly one hash exchange (the
+        shuffle write's shape) + per-partition sort."""
+        plan = _plan(QUERIES["llm_shuffle_shard"].spark(spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_vocab_window_sees_vocab_not_corpus(self, spark):
+        """The global top-100 window must run over the aggregated
+        vocabulary (post-groupBy), never the exploded token stream:
+        the aggregate appears below the window in the plan."""
+        plan = _plan(QUERIES["llm_vocab_build"].spark(spark, SF_SMOKE), "simple")
+        win_at = plan.index("Window")
+        agg_at = plan.rindex("HashAggregate")
+        assert agg_at > win_at  # plans print top-down: deeper = later
