@@ -147,6 +147,32 @@ class ParquetTableStore:
             return None
         return self.spark.read.parquet(path)
 
+    def generations(self, table: str) -> list[str]:
+        """Retained generation names, oldest first — the time-travel
+        surface. The newest ``keep_generations`` survive every commit
+        (plus anything the pointer/manifest still references), so the
+        previous table state stays readable until GC'd."""
+        return self._gens(table)
+
+    def read_at(self, table: str, generation: str) -> DataFrame:
+        """Time-travel read of one retained generation (the miniature
+        of Delta/Iceberg ``VERSION AS OF``). Generations are immutable
+        once written, so this is a consistent snapshot. Bucketed
+        tables version per-bucket through the manifest; snapshot reads
+        there would need manifest history, so they are refused rather
+        than answered wrong."""
+        if os.path.exists(self._manifest_path(table)):
+            raise ValueError(
+                f"table {table!r} is bucket-manifested; per-table time "
+                "travel is only defined for pointer tables"
+            )
+        if generation not in self._gens(table):
+            raise ValueError(
+                f"unknown generation {generation!r} for table {table!r}; "
+                f"retained: {self._gens(table)}"
+            )
+        return self.spark.read.parquet(os.path.join(self._tdir(table), generation))
+
     def _gc(self, table: str) -> None:
         """Delete generations that are (a) not the current pointer,
         (b) not referenced by the bucket manifest, and (c) older than

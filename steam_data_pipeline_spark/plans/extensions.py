@@ -904,6 +904,33 @@ def stream_dedup_inpool(spark, sf_dir):
 
 
 @EXT.add(
+    "stream_dedup_watermarked",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_events FROM (
+      SELECT DISTINCT event_id FROM events
+    )
+    """,
+    doc=(
+        "State-BOUNDED streaming dedup via dropDuplicatesWithinWatermark "
+        "— the 100 TB posture for stream_dedup_inpool's unbounded "
+        "dropDuplicates: dedup state for an event id is evicted once "
+        "the watermark passes its event time + delay, so state size "
+        "follows the delay window, not the stream's lifetime. On the "
+        "finite fixture the delay (31 days) covers the whole event "
+        "span, making the result equal batch COUNT(DISTINCT event_id) "
+        "— the oracle; in production the delay is the dedup horizon "
+        "(e.g. hours) and state stays bounded forever."
+    ),
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_watermarked(spark, sf_dir):
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "31 days")
+    deduped = ev.select("event_id", "ts").dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy().agg(F.count(F.lit(1)).alias("n_distinct_events"))
+    return _run_stream_to_memory(agg, "dedup_wm", spark)
+
+
+@EXT.add(
     "stream_session_window",
     oracle="""
     WITH seq AS (

@@ -131,3 +131,25 @@ class TestBucketedMigration:
         store.upsert("t", _df(spark, [("1", "A", 2)]), key="app_id")
         got = {r.app_id: r.name for r in store.read("t").collect()}
         assert got == {"1": "A", "2": "B", "3": "c"}
+
+
+class TestTimeTravel:
+    def test_previous_generation_readable(self, spark, store):
+        store.overwrite("t", _df(spark, [("1", "a", 1)]))
+        store.upsert("t", _df(spark, [("1", "b", 2)]), key="app_id")
+        gens = store.generations("t")
+        assert len(gens) == 2  # keep_generations=2 retains the old snapshot
+        old = {r.app_id: r.name for r in store.read_at("t", gens[0]).collect()}
+        new = {r.app_id: r.name for r in store.read_at("t", gens[1]).collect()}
+        assert old == {"1": "a"} and new == {"1": "b"}
+        assert {r.app_id: r.name for r in store.read("t").collect()} == new
+
+    def test_unknown_generation_rejected(self, spark, store):
+        store.overwrite("t", _df(spark, [("1", "a", 1)]))
+        with pytest.raises(ValueError, match="unknown generation"):
+            store.read_at("t", "gen=99999999-nope")
+
+    def test_bucketed_time_travel_refused(self, spark, store):
+        store.upsert("t", _df(spark, [("1", "a", 1)]), key="app_id", n_buckets=4)
+        with pytest.raises(ValueError, match="bucket-manifested"):
+            store.read_at("t", "gen=00000001-x")
