@@ -290,15 +290,12 @@ def minhash_dedup_incremental(
     per-batch work is Σ|bucket ∩ new|·|bucket|, independent of
     corpus², and the shuffle carries 8-byte hashes.
     """
-    new_b = banded_signatures(new, key, text_col, shingle_n, num_hashes, bands)
+    new_b = banded_signatures(
+        new, key, text_col, shingle_n, num_hashes, bands
+    ).localCheckpoint(eager=True)  # probed twice below; signatures computed once
     all_b = banded_signatures(
-        corpus.select(key, text_col).unionByName(new.select(key, text_col)),
-        key,
-        text_col,
-        shingle_n,
-        num_hashes,
-        bands,
-    )
+        corpus, key, text_col, shingle_n, num_hashes, bands
+    ).unionByName(new_b)
     new_keys = new.select(F.col(key).alias("__nk"))
     left = new_b.select(
         F.col(key).alias("a"), F.col("minhash").alias("sig_a"), "band_idx", "band_hash"
