@@ -1793,3 +1793,75 @@ def llm_dedup_incremental(spark, sf_dir):
     return D.minhash_dedup_incremental(corpus, new, threshold=0.6).select(
         "doc_id", "lang", "source"
     )
+
+
+_EXACT_DEDUP_WHERE = (
+    "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"
+)
+
+
+@EXT.add(
+    "llm_corpus_export",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_ctes(_EXACT_DEDUP_WHERE)},
+    {_CLUSTER_SURVIVOR_CTES}
+    , nd AS (
+      SELECT * FROM documents
+      {_EXACT_DEDUP_WHERE}
+        AND doc_id NOT IN (SELECT node FROM losers)
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(((doc_id * 2654435761) % 4294967296) % 4 AS INTEGER) AS shard,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) AS toks,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS nalpha,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+      FROM nd
+    ),
+    quality AS (
+      SELECT doc_id, shard, ntok,
+             least(CAST(ntok AS DOUBLE) / 50.0, 1.0)
+               * (CAST(nalpha AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE))
+               * (0.5 + 0.5 * least(CAST(len(list_intersect(toks, {_STOPWORD_SQL_LIST})) AS DOUBLE) / 2.0, 1.0))
+               AS q
+      FROM scored
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(ntok AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM quality
+    WHERE q >= 0.3
+    GROUP BY shard
+    """,
+    doc=(
+        "The END-TO-END training-data export pipeline as one program: "
+        "exact dedup (content-hash) -> near-dedup with cluster-correct "
+        "survivors (MinHash LSH -> connected components -> min-id) -> "
+        "Gopher-style quality gate (>= 0.3) -> deterministic shard "
+        "assignment (Knuth hash % 4) -> per-shard corpus accounting. "
+        "Every stage is individually oracle-checked elsewhere; this "
+        "query checks their COMPOSITION against a single recursive-CTE "
+        "replica. Plan: one scan feeds dedup hashing, LSH banding and "
+        "quality scoring; only the pair self-join, the CC fixpoint and "
+        "the final per-shard aggregate shuffle."
+    ),
+    tags=("llm", "pipeline", "flagship", "export"),
+)
+def llm_corpus_export(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    d1 = D.exact_dedup(docs)
+    nd = D.minhash_dedup(d1, threshold=0.6)
+    q = nd.withColumn("__q", TS.quality_score("text")).filter(F.col("__q") >= 0.3)
+    shard = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 4
+    ).cast("int")
+    return (
+        q.withColumn("shard", shard)
+        .withColumn("__ntok", TS.token_count("text"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__ntok").cast("long")).alias("total_tokens"),
+        )
+    )
