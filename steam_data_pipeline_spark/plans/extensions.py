@@ -1865,3 +1865,91 @@ def llm_corpus_export(spark, sf_dir):
             F.sum(F.col("__ntok").cast("long")).alias("total_tokens"),
         )
     )
+
+
+@EXT.add(
+    "src_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey >= 13 THEN upper(n_name) END AS n_alias
+    FROM nation
+    """,
+    doc=(
+        "Schema-evolution read demo: an older parquet generation "
+        "(n_nationkey < 13) written WITHOUT the n_alias column sits "
+        "next to a newer generation that has it; reading the directory "
+        "pair with mergeSchema=true yields the union schema with NULLs "
+        "for the missing column - the additive-column evolution every "
+        "long-lived 100 TB table goes through. (Production posture: "
+        "evolve via the explicit declared schema, since mergeSchema "
+        "costs a footer fan-out; the demo verifies Spark's merge "
+        "semantics match the declared-schema expectation.)"
+    ),
+    tags=("source", "schema"),
+)
+def src_schema_evolution(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def _write(d):
+        import os as _os
+
+        old = nation.filter(F.col("n_nationkey") < 13)
+        new = nation.filter(F.col("n_nationkey") >= 13).withColumn(
+            "n_alias", F.upper(F.col("n_name"))
+        )
+        old.write.mode("overwrite").parquet(_os.path.join(d, "gen=old"))
+        new.write.mode("overwrite").parquet(_os.path.join(d, "gen=new"))
+
+    out = _cached_layout("schemaevo", sf_dir, _write)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+        .select("n_nationkey", "n_name", "n_alias")
+    )
+
+
+@EXT.add(
+    "src_corrupt_records",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_clean,
+           CAST(3 AS BIGINT) AS n_corrupt
+    """,
+    doc=(
+        "Malformed-input resilience demo: a JSONL feed of the nation "
+        "table with 3 planted corrupt lines, read in PERMISSIVE mode "
+        "with a _corrupt_record column - bad lines land in the "
+        "quarantine column instead of failing the job (the only "
+        "tenable posture for a 100 TB feed of third-party data). "
+        "Returns (n_clean, n_corrupt); the oracle knows the plant."
+    ),
+    tags=("source", "robustness"),
+)
+def src_corrupt_records(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def _write(d):
+        import json as _json
+        import os as _os
+
+        rows = sorted(
+            (r.n_nationkey, r.n_name) for r in nation.collect()
+        )  # driver-side: 25-row dim, fixture construction only
+        with open(_os.path.join(d, "feed.jsonl"), "w") as f:
+            for k, name in rows:
+                f.write(_json.dumps({"n_nationkey": k, "n_name": name}) + "\n")
+            f.write('{"n_nationkey": 900, "n_name": unquoted}\n')
+            f.write("not json at all\n")
+            f.write('{"n_nationkey": "}\n')
+
+    out = _cached_layout("corrupt", sf_dir, _write)
+    parsed = spark.read.schema(
+        "n_nationkey long, n_name string, _corrupt_record string"
+    ).json(out)
+    # caching is the documented contract for referencing the internal
+    # _corrupt_record column together with parsed columns
+    parsed = parsed.cache()
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).cast("long").alias("n_clean"),
+        F.count(F.col("_corrupt_record")).cast("long").alias("n_corrupt"),
+    )
