@@ -1953,3 +1953,48 @@ def src_corrupt_records(spark, sf_dir):
         F.count(F.when(F.col("_corrupt_record").isNull(), 1)).cast("long").alias("n_clean"),
         F.count(F.col("_corrupt_record")).cast("long").alias("n_corrupt"),
     )
+
+
+@EXT.add(
+    "llm_media_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS media_id, text
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM m
+    WHERE media_id IN (SELECT MIN(media_id) FROM m GROUP BY text)
+    """,
+    doc=(
+        "Exact dedup over an opaque BINARY media column (plus 20 "
+        "planted duplicate rows so the pass provably fires): group by "
+        "JVM-side sha2-256 of the bytes, min media_id survives. The "
+        "100 TB property: the shuffle carries 64-byte digests, never "
+        "media payloads - for image/video corpora that is a ~10^5 "
+        "reduction in dedup shuffle volume. Swap the text-derived "
+        "bytes for real image/audio content and nothing changes."
+    ),
+    tags=("llm", "multimodal", "dedup"),
+)
+def llm_media_dedup(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    media = base.union(planted)
+    keep = (
+        media.groupBy(F.sha2("content", 256).alias("__h"))
+        .agg(F.min("media_id").alias("media_id"))
+        .select("media_id")
+    )
+    return media.join(keep, on="media_id", how="left_semi").select(
+        "media_id", F.octet_length("content").cast("long").alias("n_bytes")
+    )
