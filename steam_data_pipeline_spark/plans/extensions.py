@@ -1998,3 +1998,50 @@ def llm_media_dedup(spark, sf_dir):
     return media.join(keep, on="media_id", how="left_semi").select(
         "media_id", F.octet_length("content").cast("long").alias("n_bytes")
     )
+
+
+@EXT.add(
+    "agg_rolling_distinct",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS u7
+    FROM days d
+    JOIN events e
+      ON CAST(date_trunc('day', e.ts) AS DATE)
+         BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+    doc=(
+        "Trailing 7-day DISTINCT users per day (the rolling-uniques "
+        "dashboard ask) via contribution expansion: each event row "
+        "explodes to the <= 7 window-end days it contributes to, then "
+        "one groupBy(day) count-distinct — a map-side x7 expand plus "
+        "ONE shuffle, instead of a per-row range window holding a "
+        "distinct-set state (which Spark windows cannot express "
+        "anyway). At 100 TB the swap is approx_count_distinct per "
+        "day-bucket or an HLL-sketch union; the expansion shape is "
+        "unchanged. Only days that exist in the data are emitted, "
+        "matching the oracle's days table."
+    ),
+    tags=("agg", "window", "distinct"),
+)
+def agg_rolling_distinct(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts")).alias("eday"), "user_id"
+    )
+    days = ev.select(F.col("eday").alias("day")).distinct()
+    contrib = ev.select(
+        F.explode(
+            F.sequence(F.col("eday"), F.date_add(F.col("eday"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    out = (
+        contrib.join(days, on="day", how="left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("u7"))
+    )
+    return out.select(F.col("day").cast("timestamp").alias("day"), "u7")

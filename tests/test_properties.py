@@ -274,3 +274,50 @@ def test_connected_components_match_union_find(spark, edges):
     )
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == _py_components(edges)
+
+
+def _py_jaccard_pairs(texts: dict[int, str], n: int, t: float):
+    """Brute-force all-pairs n-gram Jaccard reference."""
+    def sh(s):
+        toks = s.lower().split()
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    out = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh(texts[a]), sh(texts[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                out[(a, b)] = j
+    return out
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    t=st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_jaccard_prefix_filter_is_lossless(spark, docs, t):
+    """The PPJoin-style prefix filter must not lose any qualifying
+    pair: jaccard_pairs == brute-force all-pairs truth at every
+    threshold (tiny 8-token vocabulary forces heavy shingle overlap,
+    the regime where a broken prefix bound would drop pairs)."""
+    from steam_data_pipeline_spark.llm.dedup import jaccard_pairs
+
+    texts = dict(enumerate(docs))
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in jaccard_pairs(df, shingle_n=3, min_jaccard=t).collect()
+    }
+    expected = _py_jaccard_pairs(texts, 3, t)
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-12
