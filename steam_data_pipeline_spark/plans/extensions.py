@@ -228,13 +228,11 @@ def udf_recommender_als(spark, sf_dir):
 )
 def llm_dedup_simhash(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    # both pair sets are referenced by two aggregate legs below;
-    # materialize each pipeline once (pair tables are tiny)
-    cand = (
-        D.simhash_near_pairs(docs, max_hamming=8)
-        .select("a", "b")
-        .localCheckpoint(eager=True)
-    )
+    # exact is referenced by two aggregate legs below - materialize its
+    # pipeline once (tiny). cand is consumed exactly once and is the
+    # BIG table (hamming<=8 candidates run ~1e5-1e6 rows at sf0.1), so
+    # checkpointing it would materialize volume for no reuse.
+    cand = D.simhash_near_pairs(docs, max_hamming=8).select("a", "b")
     exact = (
         D.jaccard_pairs(docs, min_jaccard=0.5)
         .select("a", "b")
