@@ -147,6 +147,42 @@ class ParquetTableStore:
             return None
         return self.spark.read.parquet(path)
 
+    def compact(self, table: str, target_files: int = 1) -> None:
+        """Rewrite the table into ``target_files`` files per unit (the
+        OPTIMIZE of table formats, in miniature). Streaming appends and
+        per-bucket MERGEs accrete small files; at scale every small
+        file is a task + an open + a footer parse, so periodic
+        compaction is what keeps read amplification flat. Pointer
+        tables compact to one new generation (atomic flip); bucketed
+        tables rewrite every manifest bucket into one generation with
+        ``target_files`` files per bucket (atomic manifest swap) —
+        bucket boundaries, and therefore the zero-shuffle join
+        property, are preserved.
+        """
+        if os.path.exists(self._manifest_path(table)):
+            manifest = self._read_manifest(table)
+            buckets = sorted(
+                (k for k in manifest if not k.startswith("__")), key=int
+            )
+            if not buckets:
+                return
+            gen = self._next_gen(table)
+            for b in buckets:
+                src = os.path.join(self._tdir(table), manifest[b])
+                out = os.path.join(self._tdir(table), gen, f"__bucket={b}")
+                self.spark.read.parquet(src).coalesce(target_files).write.mode(
+                    "overwrite"
+                ).parquet(out)
+                manifest[b] = os.path.join(gen, f"__bucket={b}")
+            self._write_manifest(table, manifest)
+            self._gc(table)
+            return
+        cur = self.current_path(table)
+        if cur is None:
+            return
+        df = self.spark.read.parquet(cur).coalesce(target_files)
+        self.overwrite(table, df)
+
     def generations(self, table: str) -> list[str]:
         """Retained generation names, oldest first — the time-travel
         surface. The newest ``keep_generations`` survive every commit

@@ -2043,3 +2043,38 @@ def agg_rolling_distinct(spark, sf_dir):
         .agg(F.countDistinct("user_id").cast("long").alias("u7"))
     )
     return out.select(F.col("day").cast("timestamp").alias("day"), "u7")
+
+
+@EXT.add(
+    "src_custom_datasource",
+    oracle="""
+    SELECT d AS app_id, printf('app-%06d', d) AS name,
+           CAST(d // 100 AS INTEGER) AS page
+    FROM range(1000) t(d)
+    """,
+    doc=(
+        "Custom Python DataSource (Spark 4 DataSource API) modeling "
+        "the reference's paginated API catalog fetch: one input "
+        "partition per page, so page fetches parallelize across "
+        "executors and retry as tasks; each fetch additionally runs "
+        "the reference's bounded-retry contract in-process (a "
+        "synthetic 503 on every page's first attempt is recovered by "
+        "call_with_retry - the flaky option is ON here). The page "
+        "payload is a deterministic function of (page, page_size), "
+        "making the whole source oracle-checkable; swap the fetch for "
+        "real HTTP and the partition planning, schema, and retry "
+        "stand unchanged."
+    ),
+    tags=("source", "datasource", "retry"),
+)
+def src_custom_datasource(spark, sf_dir):
+    from steam_data_pipeline_spark.sources.paginated import register
+
+    register(spark)
+    return (
+        spark.read.format("paginated_api")
+        .option("total", "1000")
+        .option("page_size", "100")
+        .option("flaky", "true")
+        .load()
+    )

@@ -153,3 +153,41 @@ class TestTimeTravel:
         store.upsert("t", _df(spark, [("1", "a", 1)]), key="app_id", n_buckets=4)
         with pytest.raises(ValueError, match="bucket-manifested"):
             store.read_at("t", "gen=00000001-x")
+
+
+def _nfiles(path):
+    import glob as g
+    import os as o
+
+    return len([f for f in g.glob(o.path.join(path, "**", "*.parquet"), recursive=True)])
+
+
+class TestCompaction:
+    def test_pointer_table_compacts_to_one_file(self, spark, store):
+        store.overwrite("t", _df(spark, [("1", "a", 1)]))
+        for i in range(4):  # small-file accretion
+            store.append("t", _df(spark, [(str(10 + i), "x", 1)]))
+        before = _nfiles(store.current_path("t"))
+        assert before > 1
+        store.compact("t")
+        assert _nfiles(store.current_path("t")) == 1
+        got = {r.app_id for r in store.read("t").collect()}
+        assert got == {"1", "10", "11", "12", "13"}
+
+    def test_bucketed_table_compacts_per_bucket(self, spark, store, tmp_path):
+        import os as o
+
+        store.upsert("t", _df(spark, [(str(i), "a", 1) for i in range(20)]),
+                     key="app_id", n_buckets=4)
+        store.upsert("t", _df(spark, [(str(i), "b", 2) for i in range(0, 20, 2)]),
+                     key="app_id")
+        store.compact("t")
+        manifest = store._read_manifest("t")
+        buckets = [k for k in manifest if not k.startswith("__")]
+        for b in buckets:
+            assert _nfiles(o.path.join(store._tdir("t"), manifest[b])) == 1
+        got = {r.app_id: r.name for r in store.read("t").collect()}
+        assert got == {str(i): ("b" if i % 2 == 0 else "a") for i in range(20)}
+        # the store still upserts normally after compaction
+        store.upsert("t", _df(spark, [("3", "c", 3)]), key="app_id")
+        assert {r.name for r in store.read("t").filter("app_id = '3'").collect()} == {"c"}
