@@ -2078,3 +2078,47 @@ def src_custom_datasource(spark, sf_dir):
         .option("flaky", "true")
         .load()
     )
+
+
+@EXT.add(
+    "stream_parquet_sink",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_type IN ('purchase', 'error')
+    GROUP BY event_type
+    """,
+    doc=(
+        "Structured Streaming to a real PARQUET FILE SINK (append mode "
+        "+ checkpoint - the exactly-once file sink production streams "
+        "use, not the memory sink the other stream queries verify "
+        "semantics with): filtered events stream to parquet, the files "
+        "are read back and aggregated, and the result must equal the "
+        "batch aggregate. The sink's _spark_metadata transaction log "
+        "is what makes concurrent readers see only committed files - "
+        "the same idea as the store's generation pointer."
+    ),
+    tags=("streaming", "sink"),
+)
+def stream_parquet_sink(spark, sf_dir):
+    import os as _os
+    import tempfile as _tmp
+
+    ev = _read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    ).select("event_id", "event_type")
+    out_dir = _tmp.mkdtemp(prefix="sdp_psink_")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", _os.path.join(out_dir, "data"))
+        .option("checkpointLocation", _os.path.join(out_dir, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(_os.path.join(out_dir, "data"))
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # detach from the temp dir before cleanup
+    )
