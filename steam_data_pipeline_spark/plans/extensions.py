@@ -11,8 +11,8 @@ Oracle notes:
   their oracles check exactly-computable INVARIANTS instead: the
   detected pair set against the exact Jaccard truth (the fixture's
   margin makes them provably equal), recall bounds against in-query
-  brute force, planted-duplicate recovery, or collision structure.
-  Only ALS (numeric iteration) remains rows-only.
+  brute force, planted-duplicate recovery, collision structure, or
+  the output contract (ALS). Every registered query is oracle-checked.
 * Streaming queries execute a real Structured Streaming query
   (``availableNow`` trigger, memory sink) and return the final result
   table — their oracles are the batch-equivalent SQL, which is exactly
@@ -189,18 +189,58 @@ def llm_dedup_near_ml(spark, sf_dir):
 
 @EXT.add(
     "udf_recommender_als",
-    oracle=None,
+    oracle="""
+    SELECT LEAST(1000, (
+             SELECT CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           )) AS n_users,
+           LEAST(1000, (
+             SELECT CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           )) * 3 AS n_recs,
+           TRUE AS ranks_ok,
+           TRUE AS items_known
+    """,
     doc=(
-        "Collaborative-filtering recommendations (PLAN:70): implicit ALS on "
-        "the customer×part interaction matrix, top-3 per user. Seeded; "
-        "rows-only check (factor values are numeric-iteration dependent)."
+        "Collaborative-filtering recommendations (PLAN:70): implicit ALS "
+        "on the customer×part interaction matrix, top-3 for the 1000 "
+        "most active users. Factor VALUES are numeric-iteration "
+        "dependent (no engine can replay them in SQL), so the oracle "
+        "checks the exactly-computable contract instead: the scored "
+        "user count equals min(1000, interacting customers), every "
+        "user gets exactly ranks {1,2,3}, and every recommended item "
+        "exists in the interaction matrix - the "
+        "agg_distinct_pool_approx invariant pattern applied to ML "
+        "output. The full ALS fit + scoring still executes."
     ),
-    tags=("ml", "recommender", "rows-only"),
+    tags=("ml", "recommender", "invariant"),
 )
 def udf_recommender_als(spark, sf_dir):
-    from steam_data_pipeline_spark.operators.recommend import als_recommendations
+    from steam_data_pipeline_spark.operators.recommend import (
+        als_recommendations,
+        interaction_matrix,
+    )
 
-    return als_recommendations(spark, sf_dir, k=3)
+    recs = als_recommendations(spark, sf_dir, k=3).localCheckpoint(eager=True)
+    items = interaction_matrix(spark, sf_dir).select("item").distinct()
+    n_users = recs.select("user").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    n_recs = recs.agg(F.count(F.lit(1)).cast("long").alias("n_recs"))
+    ranks_ok = (
+        recs.groupBy("user")
+        .agg(F.sort_array(F.collect_list("rank")).alias("rs"))
+        .agg(
+            F.min(F.col("rs") == F.array(F.lit(1).cast("long"), F.lit(2).cast("long"), F.lit(3).cast("long")))
+            .alias("ranks_ok")
+        )
+    )
+    items_known = recs.join(items, on="item", how="left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("items_known")
+    )
+    return (
+        n_users.crossJoin(n_recs).crossJoin(ranks_ok).crossJoin(items_known)
+    )
 
 
 @EXT.add(
