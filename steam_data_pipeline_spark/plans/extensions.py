@@ -2162,3 +2162,72 @@ def stream_parquet_sink(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)  # detach from the temp dir before cleanup
     )
+
+
+@EXT.add(
+    "proj_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "Semi-structured props via VariantType (Spark 4): parse_json "
+        "once into a variant column, typed try_variant_get extraction, "
+        "then aggregate - the open-schema path for the reference's "
+        "JSON detail blobs. Variant stores a parsed binary encoding, "
+        "so repeated field extraction skips re-parsing the JSON text "
+        "(the at-scale argument vs get_json_object per field); "
+        "shredded variant columns also support pushdown in newer "
+        "parquet readers. Oracle = DuckDB json_extract on the same "
+        "strings."
+    ),
+    tags=("projection", "variant", "json"),
+)
+def proj_variant_props(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn("v", F.parse_json("props"))
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get("v", "$.k", "long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@EXT.add(
+    "fn_collated_group",
+    oracle="""
+    SELECT lower(p_name) AS name_ci, CAST(COUNT(*) AS BIGINT) AS n
+    FROM part GROUP BY lower(p_name)
+    """,
+    doc=(
+        "Case-insensitive grouping via Spark 4 COLLATIONS "
+        "(UTF8_LCASE) instead of lower() normalization: the collation "
+        "travels with the column through comparisons, joins and "
+        "aggregation, so the engine applies it inside hash/sort "
+        "operators (no derived normalization column to maintain, and "
+        "collation-aware codegen). Output is projected back through "
+        "lower() only to give both engines a common representative "
+        "string for the hash compare."
+    ),
+    tags=("function", "collation"),
+)
+def fn_collated_group(spark, sf_dir):
+    part = t(spark, sf_dir, "part")
+    grouped = (
+        part.select(F.collate(F.col("p_name"), "UTF8_LCASE").alias("name"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grouped.select(
+        F.lower(F.col("name")).cast("string").alias("name_ci"), "n"
+    )
