@@ -2231,3 +2231,103 @@ def fn_collated_group(spark, sf_dir):
     return grouped.select(
         F.lower(F.col("name")).cast("string").alias("name_ci"), "n"
     )
+
+
+@EXT.add(
+    "agg_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(CAST(date_trunc('day', e.ts) AS DATE) - f.cohort_day AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN firsts f USING (user_id)
+    WHERE CAST(date_trunc('day', e.ts) AS DATE) - f.cohort_day <= 7
+    GROUP BY f.cohort_day, day_offset
+    """,
+    doc=(
+        "Cohort retention matrix: users grouped by first-seen day, "
+        "distinct-active counts per (cohort, day offset <= 7) - the "
+        "standard retention triangle. Two shuffles (first-seen "
+        "aggregate, cohort-offset aggregate) joined on user_id; the "
+        "firsts table is |users| rows, broadcast-eligible when users "
+        "are dim-sized and hash-joined otherwise - never a scan of "
+        "events x events."
+    ),
+    tags=("agg", "analytics", "cohort"),
+)
+def agg_retention_cohort(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = ev.join(firsts, on="user_id").withColumn(
+        "day_offset", F.datediff(F.col("day"), F.col("cohort_day")).cast("long")
+    )
+    return (
+        joined.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .select(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+        )
+    )
+
+
+@EXT.add(
+    "win_funnel_steps",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    converted AS (
+      SELECT DISTINCT p.user_id
+      FROM purchases p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type = 'play'
+       AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 DAY
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM purchases) AS n_purchasers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM converted) AS n_converted
+    """,
+    doc=(
+        "Two-step funnel: users who 'purchase' and then 'play' within "
+        "24 h - the conversion-rate primitive. Spark side sessionizes "
+        "per user with one window over (user, ts): for each purchase, "
+        "the MIN following play timestamp within the horizon via a "
+        "range-frame window, then two distinct-count aggregates - one "
+        "shuffle on user_id, no self-join blowup (the oracle's "
+        "time-range self-join is the semantics spec; the window plan "
+        "is the scale shape)."
+    ),
+    tags=("window", "analytics", "funnel"),
+)
+def win_funnel_steps(spark, sf_dir):
+    from pyspark.sql import Window
+
+    # microsecond-precision epoch for the range frame: a seconds cast
+    # would truncate sub-second gaps and disagree with the oracle's
+    # exact ts comparison at the boundary
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tsu")
+    ).filter(F.col("event_type").isin("purchase", "play"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(1, 24 * 3600 * 1_000_000)
+    )
+    flagged = ev.withColumn(
+        "play_follows",
+        F.max(F.when(F.col("event_type") == "play", F.lit(1)).otherwise(F.lit(0))).over(w),
+    ).filter(F.col("event_type") == "purchase")
+    n_purch = flagged.agg(
+        F.countDistinct("user_id").cast("long").alias("n_purchasers")
+    )
+    n_conv = flagged.filter(F.col("play_follows") == 1).agg(
+        F.countDistinct("user_id").cast("long").alias("n_converted")
+    )
+    return n_purch.crossJoin(n_conv)
