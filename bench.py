@@ -101,9 +101,21 @@ def main() -> None:
             )
         )
 
+    def _warm_datasource_workers():
+        # the Python DataSource path runs in its own worker flavor
+        # (plan_data_source), which pays zipimport of the shipped
+        # package on first use (~6-8 s) — a different pool than the
+        # pandas_udf workers warmed above
+        from steam_data_pipeline_spark.sources.paginated import register
+
+        register(spark)
+        spark.read.format("paginated_api").option("total", "16").option(
+            "page_size", "8"
+        ).load().count()
+
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    with ThreadPoolExecutor(max_workers=7) as pool:
         futures = [
             pool.submit(fn)
             for fn in (
@@ -113,6 +125,7 @@ def main() -> None:
                 _warm_kmeans,
                 _warm_minhash_codegen,
                 _warm_jaccard_codegen,
+                _warm_datasource_workers,
             )
         ]
         for f in futures:

@@ -251,18 +251,20 @@ def udf_recommender_als(spark, sf_dir):
            (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
             WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
            ) AS n_exact_pairs,
-           TRUE AS recall_ok
+           TRUE AS recall_ok,
+           TRUE AS precision_ok
     """,
     doc=(
-        "SimHash-64 near-dup candidates (4-band pigeonhole blocking, "
-        "hamming <= 8 verification) held to an exact-oracle invariant: "
-        "the candidate set's recall against the EXACT 3-gram "
-        "Jaccard >= 0.5 pair set must be >= 0.55 (measured 0.68 at "
-        "sf0.01 / 0.66 at sf0.1 — bag-of-words SimHash caps out there "
-        "on word-substitution dups, whose fingerprints land at hamming "
-        "5-10 while 4-band blocking only guarantees hamming <= 3; the "
-        "honest limitation is part of the record). n_docs and "
-        "n_exact_pairs anchor the row to exactly-computed values."
+        "SimHash-64 near-dup candidates over 3-gram SHINGLE features "
+        "(4-band pigeonhole blocking, hamming <= 8 verification) held "
+        "to exact-oracle invariants vs the EXACT Jaccard >= 0.5 pair "
+        "set: recall >= 0.7 AND precision >= 0.9 (measured 0.79/0.76/"
+        "0.84 recall and 1.0 precision at sf0.001/0.01/0.1). The "
+        "earlier unigram-token fingerprint managed recall 0.66 at "
+        "precision 0.002 (777 k candidates at sf0.1) — shingle "
+        "features decorrelate unrelated documents, so the same "
+        "blocking emits 3600x fewer candidates and catches more true "
+        "pairs. n_docs and n_exact_pairs anchor the row."
     ),
     tags=("llm", "dedup", "invariant"),
 )
@@ -272,7 +274,11 @@ def llm_dedup_simhash(spark, sf_dir):
     # pipeline once (tiny). cand is consumed exactly once and is the
     # BIG table (hamming<=8 candidates run ~1e5-1e6 rows at sf0.1), so
     # checkpointing it would materialize volume for no reuse.
-    cand = D.simhash_near_pairs(docs, max_hamming=8).select("a", "b")
+    cand = (
+        D.simhash_near_pairs(docs, max_hamming=8)
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # shingle blocking emits few pairs
+    )
     exact = (
         D.jaccard_pairs(docs, min_jaccard=0.5)
         .select("a", "b")
@@ -280,19 +286,25 @@ def llm_dedup_simhash(spark, sf_dir):
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("__n_cand"))
     n_found = cand.join(exact, on=["a", "b"], how="left_semi").agg(
         F.count(F.lit(1)).cast("long").alias("__n_found")
     )
     return (
         n_docs.crossJoin(n_exact)
+        .crossJoin(n_cand)
         .crossJoin(n_found)
         .select(
             "n_docs",
             "n_exact_pairs",
             (
                 F.col("__n_found").cast("double")
-                >= 0.55 * F.col("n_exact_pairs").cast("double")
+                >= 0.7 * F.col("n_exact_pairs").cast("double")
             ).alias("recall_ok"),
+            (
+                F.col("__n_found").cast("double")
+                >= 0.9 * F.col("__n_cand").cast("double")
+            ).alias("precision_ok"),
         )
     )
 
