@@ -2343,3 +2343,44 @@ def win_funnel_steps(spark, sf_dir):
         F.countDistinct("user_id").cast("long").alias("n_converted")
     )
     return n_purch.crossJoin(n_conv)
+
+
+@EXT.add(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) FROM events) AS n_days,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_users_exact,
+           TRUE AS union_within_5pct
+    """,
+    doc=(
+        "MERGEABLE distinct-count sketches (Datasketches HLL, Spark "
+        "4 hll_sketch_agg/hll_union_agg): per-day user sketches are "
+        "built once, then UNIONED into the global estimate without "
+        "touching raw data again - the pre-aggregation pattern that "
+        "makes 100 TB dashboards answer 'distinct users any date "
+        "range' from day-grain sketch tables instead of re-scanning "
+        "facts. Invariant oracle: exact day and user counts anchor "
+        "the row; the sketch-union estimate must land within 5% of "
+        "the exact distinct (the agg_distinct_pool_approx pattern "
+        "for mergeable sketches)."
+    ),
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_mergeable(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users_exact"))
+    return merged.crossJoin(exact).select(
+        "n_days",
+        "n_users_exact",
+        (
+            F.abs(F.col("__est") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("union_within_5pct"),
+    )

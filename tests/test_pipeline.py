@@ -68,3 +68,20 @@ class TestStreamIngest:
         facts_before = store.read(FACT_TABLE + "_stream").count()
         run_ingest_stream(spark, sf_dir, store, ckpt)  # no new files
         assert store.read(FACT_TABLE + "_stream").count() == facts_before
+
+
+class TestBadInputs:
+    def test_missing_sf_dir_raises_cleanly(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import AnalysisException
+
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        with pytest.raises((AnalysisException, Py4JJavaError, FileNotFoundError, OSError)):
+            read_table(spark, "/root/testdata/sf-nope", "region").collect()
+
+    def test_unknown_table_lists_valid_names(self, spark, sf_dir):
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        with pytest.raises(KeyError, match="region"):
+            read_table(spark, sf_dir, "not_a_table")
