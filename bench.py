@@ -35,11 +35,11 @@ def main() -> None:
     spark = get_spark("steam-data-pipeline-bench")
     # Warm the one-time process costs so per-query times measure the
     # plan: parquet footers, the Python-worker pool + Arrow serializer
-    # (~3-5 s of daemon spin-up), and pyspark.ml's first-use class
-    # loading + JIT (ALS, KMeans, BLAS). The four warmups are
-    # independent Spark jobs — run them on threads so startup pays
-    # max(warmup) instead of sum(warmup) (measured 14 s -> ~5 s; the
-    # scheduler interleaves them fine in one JVM).
+    # (~3-5 s of daemon spin-up), pyspark.ml's first-use class loading
+    # + JIT (ALS, KMeans, BLAS), heavy-expression codegen, and the
+    # DataSource worker flavor. The warmups are independent Spark
+    # jobs — run them on threads so startup pays max(warmup) instead
+    # of sum(warmup) (startup 24.4 s serial -> ~12-14 s threaded).
     from pyspark.sql.functions import col, pandas_udf
 
     # Import pyspark.ml on the MAIN thread first: parallel first-imports

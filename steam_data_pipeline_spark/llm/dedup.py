@@ -324,7 +324,16 @@ def minhash_dedup_incremental(
     cross = pairs.join(
         new_keys, pairs.b == new_keys.__nk, how="left_anti"
     )  # b not new => b is corpus
-    dropped_vs_corpus = cross.select(F.col("a").alias(key)).distinct()
+    # a re-delivered doc whose KEY already exists in the corpus is a
+    # duplicate by definition (at-least-once ingestion replays rows);
+    # the similarity path alone would miss it because its only
+    # candidate pair is the filtered-out self-pair (a == b)
+    redelivered = new.join(
+        corpus.select(key), on=key, how="left_semi"
+    ).select(key)
+    dropped_vs_corpus = (
+        cross.select(F.col("a").alias(key)).union(redelivered).distinct()
+    )
     stage1 = new.join(dropped_vs_corpus, on=key, how="left_anti").select(key)
     nn = (
         pairs.join(new_keys, pairs.b == new_keys.__nk, how="left_semi")

@@ -49,6 +49,7 @@ def als_recommendations(
     seed: int = 42,
     user_limit: int = 1000,
     num_blocks: int = 4,
+    interactions: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k item recommendations via implicit-feedback ALS for the
     ``user_limit`` most active users.
@@ -72,8 +73,12 @@ def als_recommendations(
     """
     from pyspark.ml.recommendation import ALS
 
-    # consumed twice (ALS fit + active-user ranking) — cache the join+agg
-    interactions = interaction_matrix(spark, sf_dir).cache()
+    # consumed twice (ALS fit + active-user ranking) — cache the
+    # join+agg; callers that also need the matrix pass it in cached so
+    # the orders⋈lineitem join runs once per query, not per use
+    caller_owns_cache = interactions is not None
+    if interactions is None:
+        interactions = interaction_matrix(spark, sf_dir).cache()
     als = ALS(
         rank=rank,
         maxIter=max_iter,
@@ -95,7 +100,8 @@ def als_recommendations(
         .select("user")
         .localCheckpoint(eager=True)  # materialize while the cache is hot…
     )
-    interactions.unpersist(blocking=False)  # …then free the blocks
+    if not caller_owns_cache:
+        interactions.unpersist(blocking=False)  # …then free the blocks
     recs = model.recommendForUserSubset(active, k)
     return recs.select(
         "user",

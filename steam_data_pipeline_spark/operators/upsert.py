@@ -192,11 +192,14 @@ class ParquetTableStore:
 
     def read_at(self, table: str, generation: str) -> DataFrame:
         """Time-travel read of one retained generation (the miniature
-        of Delta/Iceberg ``VERSION AS OF``). Generations are immutable
-        once written, so this is a consistent snapshot. Bucketed
-        tables version per-bucket through the manifest; snapshot reads
-        there would need manifest history, so they are refused rather
-        than answered wrong."""
+        of Delta/Iceberg ``VERSION AS OF``). Generations produced by
+        ``overwrite``/``upsert`` are immutable once the pointer flips,
+        so those reads are consistent snapshots; the CURRENT generation
+        of a table receiving ``append``/``append_batch`` gains files in
+        place, so only superseded generations of append tables are
+        stable. Bucketed tables version per-bucket through the
+        manifest; snapshot reads there would need manifest history, so
+        they are refused rather than answered wrong."""
         if os.path.exists(self._manifest_path(table)):
             raise ValueError(
                 f"table {table!r} is bucket-manifested; per-table time "
@@ -351,9 +354,12 @@ class ParquetTableStore:
         for b in touched:
             manifest[str(b)] = os.path.join(gen, f"__bucket={b}")
         self._write_manifest(table, manifest)  # atomic multi-bucket commit
-        if legacy is not None and os.path.exists(self._pointer(table)):
+        if os.path.exists(self._pointer(table)):
             # the manifest is authoritative now; a stale pointer would
-            # pin the migrated generation in _gc forever
+            # pin the pre-migration generation in _gc forever. Checked
+            # unconditionally (not only on the migrating call) so a
+            # crash between manifest write and pointer removal
+            # self-heals on the next upsert.
             os.remove(self._pointer(table))
         self._gc(table)
 

@@ -50,6 +50,8 @@ def _fetch_page(page: int, start: int, end: int, flaky: bool) -> list[tuple]:
         return [(i, f"app-{i:06d}", page) for i in range(start, end)]
 
     outcome = call_with_retry(fetch, base_delay=0.0, seed=0, sleep_fn=lambda d: None)
+    if outcome.empty:
+        return []  # 404-style terminal empty page: zero rows, not an error
     if outcome.value is None:
         raise RuntimeError(f"page {page} failed after {outcome.attempts} attempts")
     return outcome.value

@@ -34,6 +34,23 @@ from steam_data_pipeline_spark.session import apply_runtime_confs
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _events_micros_schema() -> T.StructType:
+    """The events schema with ``ts`` as TimestampType (for
+    TIMESTAMP(MICROS) files), preserving every other field's type,
+    nullability and metadata."""
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.TimestampType() if f.name == "ts" else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schemas.TESTDATA_SCHEMAS["events"].fields
+        ]
+    )
+
+
 @functools.lru_cache(maxsize=64)
 def _events_ts_unit(path: str) -> str:
     """Sniff the on-disk precision of ``events.ts`` from one parquet
@@ -66,13 +83,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if _events_ts_unit(path) == "ns":
             df = spark.read.schema(schemas.TESTDATA_SCHEMAS[name]).parquet(path)
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        micros_schema = T.StructType(
-            [
-                T.StructField(f.name, T.TimestampType() if f.name == "ts" else f.dataType)
-                for f in schemas.TESTDATA_SCHEMAS[name].fields
-            ]
-        )
-        return spark.read.schema(micros_schema).parquet(path)
+        return spark.read.schema(_events_micros_schema()).parquet(path)
     return spark.read.schema(schemas.TESTDATA_SCHEMAS[name]).parquet(path)
 
 
@@ -87,13 +98,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> Data
     if _events_ts_unit(path) == "ns":
         reader = spark.readStream.schema(schemas.TESTDATA_SCHEMAS["events"])
     else:
-        micros_schema = T.StructType(
-            [
-                T.StructField(f.name, T.TimestampType() if f.name == "ts" else f.dataType)
-                for f in schemas.TESTDATA_SCHEMAS["events"].fields
-            ]
-        )
-        reader = spark.readStream.schema(micros_schema)
+        reader = spark.readStream.schema(_events_micros_schema())
     reader = reader.option("pathGlobFilter", "events.parquet")
     for k, v in options.items():
         reader = reader.option(k, v)

@@ -351,3 +351,21 @@ class TestIncrementalDedup:
             for r in minhash_dedup_incremental(corpus, new, threshold=0.6).collect()
         )
         assert kept == [11, 13]
+
+    def test_redelivered_corpus_key_is_dropped(self, spark):
+        """At-least-once ingestion replays a corpus row into a later
+        batch: the self-pair (a == b) is filtered from the candidate
+        join, so key identity — not similarity — must catch it."""
+        from steam_data_pipeline_spark.llm.dedup import minhash_dedup_incremental
+
+        base = " ".join(f"w{i:02d}" for i in range(40))
+        corpus = spark.createDataFrame([(7, base)], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(7, base), (8, "completely fresh text about spark plans and joins")],
+            "doc_id long, text string",
+        )
+        kept = sorted(
+            r.doc_id
+            for r in minhash_dedup_incremental(corpus, new, threshold=0.6).collect()
+        )
+        assert kept == [8]
