@@ -85,3 +85,70 @@ class TestBadInputs:
 
         with pytest.raises(KeyError, match="region"):
             read_table(spark, sf_dir, "not_a_table")
+
+
+class TestEventsTsUnitSniffing:
+    """The driver regenerated events.parquet with different physical
+    ts types across rounds (NANOS in r1-r2, MICROS in r3); the readers
+    sniff the footer and must handle both."""
+
+    def _write_events(self, tmp_path, unit):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base_us = 1704067200_000_000  # 2024-01-01 UTC in micros
+        ts = pa.array(
+            [base_us * 1000 + i * 1_500_000_000 for i in range(4)]
+            if unit == "ns"
+            else [base_us + i * 1_500_000 for i in range(4)],
+            type=pa.timestamp(unit),
+        )
+        table = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([10, 10, 11, 11], pa.int64()),
+                "event_type": pa.array(["a", "b", "a", "b"]),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+                "props": pa.array(['{"k":1}'] * 4),
+            }
+        )
+        d = tmp_path / f"sf-{unit}"
+        d.mkdir()
+        pq.write_table(table, str(d / "events.parquet"))
+        return str(d)
+
+    @pytest.mark.parametrize("unit", ["ns", "us"])
+    def test_batch_reader_converts_both_units(self, spark, tmp_path, unit):
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        d = self._write_events(tmp_path, unit)
+        rows = sorted(read_table(spark, d, "events").collect(), key=lambda r: r.event_id)
+        assert [str(r.ts) for r in rows] == [
+            "2024-01-01 00:00:00",
+            "2024-01-01 00:00:01.500000",
+            "2024-01-01 00:00:03",
+            "2024-01-01 00:00:04.500000",
+        ]
+        assert rows[0].ts.year == 2024  # never the 1970 misread
+
+    @pytest.mark.parametrize("unit", ["ns", "us"])
+    def test_stream_reader_converts_both_units(self, spark, tmp_path, unit):
+        from steam_data_pipeline_spark.sources.tables import read_events_stream
+
+        d = self._write_events(tmp_path, unit)
+        sdf = read_events_stream(spark, d)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(f"ts_unit_{unit}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = sorted(
+            spark.table(f"ts_unit_{unit}").collect(), key=lambda r: r.event_id
+        )
+        spark.catalog.dropTempView(f"ts_unit_{unit}")
+        assert rows[0].ts.year == 2024
+        assert str(rows[1].ts) == "2024-01-01 00:00:01.500000"
