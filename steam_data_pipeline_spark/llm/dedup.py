@@ -415,6 +415,48 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over n-gram
+    shingle sets — the excerpt-duplicate detector. A short document
+    quoted inside a long one has high containment but LOW Jaccard
+    (the union is dominated by the long doc), so symmetric near-dedup
+    misses it; containment is the Broder resemblance/containment split
+    applied to training-data excerpt scrubbing.
+
+    Emits (a, b, containment) where ``a``'s shingles are covered by
+    ``b`` at ≥ ``min_containment`` (both directions appear when both
+    qualify). Candidate generation shares the inverted-index shape of
+    ``jaccard_pairs``; prefix filtering is NOT applied because the
+    lossless prefix bound assumes symmetric Jaccard — containment's
+    candidate set is pruned by the posting join itself (a pair must
+    share ≥1 shingle, and C ≥ t requires sharing ≥ t·|A| of A's).
+    """
+    sh = with_hashed_shingles(docs.select(key, text_col), text_col, shingle_n).select(
+        key,
+        F.col("shingles_h").alias("shingles"),
+        F.size("shingles_h").alias("n_sh"),
+    )
+    posting = sh.select(key, "n_sh", F.explode("shingles").alias("s"))
+    pa = posting.select(F.col(key).alias("a"), F.col("n_sh").alias("na"), "s")
+    pb = posting.select(F.col(key).alias("b"), "s")
+    common = (
+        pa.join(pb, on="s")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.first("na").alias("na"), F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.col("na").cast("double")
+    return common.select("a", "b", cont.alias("containment")).filter(
+        F.col("containment") >= min_containment
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -2398,3 +2398,47 @@ def agg_hll_mergeable(spark, sf_dir):
             <= 0.05 * F.col("n_users_exact")
         ).alias("union_within_5pct"),
     )
+
+
+@EXT.add(
+    "llm_dedup_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(regexp_split_to_array(lower(text), '\\s+')) - 1, 2)),
+                 i -> array_to_string(regexp_split_to_array(lower(text), '\\s+')[i:i+2], ' ')
+               )
+             ) AS shingles
+      FROM documents
+    ),
+    posting AS (
+      SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             ANY_VALUE(a.n_sh) AS na,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id != b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a, b, CAST(n_common AS DOUBLE) / na AS containment
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / na >= 0.8
+    """,
+    doc=(
+        "Asymmetric CONTAINMENT pairs C(A->B) = |A∩B|/|A| >= 0.8 over "
+        "3-gram shingles - the excerpt-duplicate detector (a short doc "
+        "quoted inside a long one has high containment but low "
+        "Jaccard, so symmetric near-dedup misses it; Broder's "
+        "resemblance vs containment split applied to training-data "
+        "excerpt scrubbing). Directional: both orientations appear "
+        "when both qualify. Exact value-level oracle."
+    ),
+    tags=("llm", "dedup", "containment"),
+)
+def llm_dedup_containment(spark, sf_dir):
+    return D.containment_pairs(
+        t(spark, sf_dir, "documents"), shingle_n=3, min_containment=0.8
+    )

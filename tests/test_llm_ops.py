@@ -369,3 +369,22 @@ class TestIncrementalDedup:
             for r in minhash_dedup_incremental(corpus, new, threshold=0.6).collect()
         )
         assert kept == [8]
+
+
+class TestContainment:
+    def test_excerpt_detected_where_jaccard_misses(self, spark):
+        """A short doc quoted inside a long one: containment ~1.0 but
+        Jaccard well below any near-dup threshold."""
+        from steam_data_pipeline_spark.llm.dedup import containment_pairs, jaccard_pairs
+
+        long_doc = " ".join(f"w{i:02d}" for i in range(80))
+        excerpt = " ".join(f"w{i:02d}" for i in range(30, 40))  # 10 words of the 80
+        docs = spark.createDataFrame(
+            [(0, long_doc), (1, excerpt), (2, "unrelated text about joins and shuffles")],
+            "doc_id long, text string",
+        )
+        cont = {(r.a, r.b): r.containment for r in containment_pairs(docs).collect()}
+        assert cont.get((1, 0), 0) >= 0.99  # excerpt covered by the long doc
+        assert (0, 1) not in cont  # not symmetric: long doc isn't covered
+        jac = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs, min_jaccard=0.0).collect()}
+        assert jac.get((0, 1), 0) < 0.15  # Jaccard would never have caught it
