@@ -10,6 +10,8 @@ the standard MinHash banding bound. Keep-rule everywhere: the smallest
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 # ---------------------------------------------------------------------------
@@ -415,12 +417,154 @@ def jaccard_pairs(
     )
 
 
+def _containment_shingle_table(
+    docs: DataFrame,
+    key: str,
+    text_col: str,
+    shingle_n: int,
+    min_containment: float,
+    hot_k: int,
+    hot_min_frac: float,
+) -> DataFrame:
+    """Per-doc shingle table for containment candidate generation,
+    materialized once (``localCheckpoint``) because it feeds the
+    frequency aggregate, the prefix side, the posting side, and both
+    verification legs — Spark does not reuse common subexpressions
+    across those subplans (measured: the checkpoint alone cut the
+    sf0.1 query 6.25 s → ~3 s before any skew work).
+
+    Columns: key, shingles (hash-sorted), n_sh, cold (shingles minus
+    the corpus stop-shingle set, order preserved), n_cold.
+
+    The stop-shingle ("hot") set is the ≤ ``hot_k`` shingles whose
+    document frequency exceeds ``hot_min_frac`` of the corpus — i.e.
+    exactly the shingles whose posting list is a skew risk. On an
+    unskewed corpus (sf0.1 fixture: max shingle df = 0.5 %) the set is
+    EMPTY and this degrades to the plain prefix filter with zero
+    per-row overhead; on boilerplate-heavy corpora it caps every
+    posting list at hot_min_frac·n. The frequency table is a map-side-
+    combinable word-count over the checkpointed arrays; only the top-K
+    is collected (≤ hot_k 8-byte hashes — same driver-size class as
+    the nation-dim collect audited in round 3). ``array_except``
+    against the literal hot array builds its lookup set once per ROW
+    (not per element — ``map_contains_key`` on a literal map constant-
+    folds to a linear ``array_contains`` scan per element, measured
+    ~4× slower).
+    """
+    sh = (
+        with_hashed_shingles(docs.select(key, text_col), text_col, shingle_n)
+        .select(
+            key,
+            F.array_sort("shingles_h").alias("shingles"),
+            F.size("shingles_h").alias("n_sh"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = sh.count()  # cheap: checkpointed
+    threshold = max(8, int(math.ceil(hot_min_frac * n_docs)))
+    hot = [
+        r["s"]
+        for r in sh.select(F.explode("shingles").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= threshold)
+        .orderBy(F.desc("df"), "s")
+        .limit(hot_k)
+        .collect()
+    ]
+    if hot:
+        cold = F.array_except("shingles", F.lit(hot))
+    else:
+        cold = F.col("shingles")
+    shc = sh.withColumn("cold", cold).withColumn("n_cold", F.size("cold"))
+    return shc, bool(hot)
+
+
+def _containment_candidates_from(
+    shc: DataFrame, key: str, min_containment: float, has_hot: bool
+) -> DataFrame:
+    """Lossless candidate (a, b) pairs for C(A→B) ≥ t from a
+    ``_containment_shingle_table``.
+
+    One-sided PPJoin prefix with STOP-SHINGLE exclusion. Pigeonhole:
+    if C(A→B) ≥ t then < (1−t)·|A| + 1 of A's shingles are absent
+    from B, so among ANY p = ⌊(1−t)·|A|⌋ + 1 of A's shingles at least
+    one is present in B — and the choice of which p is free (the
+    one-sided filter, unlike symmetric PPJoin, needs no shared global
+    order). Choosing A's p RAREST (cold) shingles makes the shared one
+    cold, so the posting side can drop hot shingles map-side too:
+    no stop-shingle posting list ever enters the shuffle, killing the
+    hot-key skew flagged in the round-3 verdict (a "it is a" shingle
+    at 100 TB would otherwise post ~n rows onto one join key).
+
+    Docs with fewer than p cold shingles (mostly-boilerplate text)
+    can't use the cold prefix; they fall back to their plain hash-
+    ordered p-prefix joined against ALL postings. That fallback-prefix
+    side is broadcast when small (the normal case — such docs are
+    rare by construction), so the hot posting lists it must see are
+    streamed map-side, never shuffled; if the fallback is unexpectedly
+    large a plain shuffle join is used instead of risking a broadcast
+    OOM.
+    """
+    p = (
+        F.col("n_sh") - F.ceil(F.lit(min_containment) * F.col("n_sh")) + F.lit(1)
+    ).cast("int")
+    prefix_cold = shc.filter(F.col("n_cold") >= p).select(
+        F.col(key).alias("a"), F.explode(F.slice("cold", 1, p)).alias("s")
+    )
+    full_cold = shc.select(F.col(key).alias("b"), F.explode("cold").alias("s"))
+    cand = (
+        prefix_cold.join(full_cold, on="s")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+    # hot empty ⇒ cold == shingles ⇒ n_cold = n_sh ≥ p always: skip the
+    # fallback-count job entirely on unskewed corpora
+    n_fallback = (
+        shc.filter(F.col("n_cold") < p).count() if has_hot else 0
+    )  # cheap: shc reads a checkpoint
+    if n_fallback:
+        prefix_fb = shc.filter(F.col("n_cold") < p).select(
+            F.col(key).alias("a"), F.explode(F.slice("shingles", 1, p)).alias("s")
+        )
+        if n_fallback <= 10_000:
+            prefix_fb = F.broadcast(prefix_fb)
+        full_all = shc.select(F.col(key).alias("b"), F.explode("shingles").alias("s"))
+        cand_fb = (
+            full_all.join(prefix_fb, on="s")
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b")
+        )
+        cand = cand.unionByName(cand_fb)
+    return cand.dropDuplicates(["a", "b"])
+
+
+def containment_candidates(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_containment: float = 0.8,
+    hot_k: int = 4096,
+    hot_min_frac: float = 0.01,
+) -> DataFrame:
+    """Candidate (a, b) pairs prior to exact verification — exposed so
+    plan-contract tests can assert the candidate volume stays bounded
+    (≤ c·n, no hot-key blowup) on skewed fixtures."""
+    shc, has_hot = _containment_shingle_table(
+        docs, key, text_col, shingle_n, min_containment, hot_k, hot_min_frac
+    )
+    return _containment_candidates_from(shc, key, min_containment, has_hot)
+
+
 def containment_pairs(
     docs: DataFrame,
     key: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
     min_containment: float = 0.8,
+    hot_k: int = 4096,
+    hot_min_frac: float = 0.01,
 ) -> DataFrame:
     """Asymmetric CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over n-gram
     shingle sets — the excerpt-duplicate detector. A short document
@@ -431,38 +575,20 @@ def containment_pairs(
 
     Emits (a, b, containment) where ``a``'s shingles are covered by
     ``b`` at ≥ ``min_containment`` (both directions appear when both
-    qualify). The PPJoin-style prefix filter carries over to
-    containment with a ONE-SIDED prefix: under any fixed global
-    shingle order, if C(A→B) ≥ t then at most (1−t)·|A| of A's
-    shingles are absent from B, so A's first ⌊(1−t)·|A|⌋+1 shingles
-    must contain a shared one — only that prefix of the CONTAINED side
-    enters the posting join (the containing side posts everything),
-    candidates shrink ~1/(1−t), and verification is exact
-    ``array_intersect`` per candidate. Measured at sf0.1: 12 s
-    (full posting self-join + count groupBy) → ~4 s prefix-filtered,
-    identical output.
+    qualify). Candidate generation (see ``containment_candidates``) is
+    a one-sided PPJoin prefix filter with STOP-SHINGLE exclusion, so no
+    hot posting list ever enters the shuffle; verification is exact
+    ``array_intersect`` per candidate. Measured at sf0.1: 12 s (full
+    posting self-join + count groupBy) → ~4 s prefix-filtered →
+    ~2.5 s with the checkpointed shingle table + hot-shingle pruning,
+    identical output at every step.
     """
-    sh = with_hashed_shingles(docs.select(key, text_col), text_col, shingle_n).select(
-        key,
-        F.array_sort("shingles_h").alias("shingles"),
-        F.size("shingles_h").alias("n_sh"),
+    shc, has_hot = _containment_shingle_table(
+        docs, key, text_col, shingle_n, min_containment, hot_k, hot_min_frac
     )
-    prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(min_containment) * F.col("n_sh")) + F.lit(1)
-    ).cast("int")
-    prefix = sh.select(
-        F.col(key).alias("a"),
-        F.explode(F.slice("shingles", 1, prefix_len)).alias("s"),
-    )
-    full = sh.select(F.col(key).alias("b"), F.explode("shingles").alias("s"))
-    cand = (
-        prefix.join(full, on="s")
-        .filter(F.col("a") != F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
-    fa = sh.select(F.col(key).alias("a"), F.col("shingles").alias("sha"), F.col("n_sh").alias("na"))
-    fb = sh.select(F.col(key).alias("b"), F.col("shingles").alias("shb"))
+    cand = _containment_candidates_from(shc, key, min_containment, has_hot)
+    fa = shc.select(F.col(key).alias("a"), F.col("shingles").alias("sha"), F.col("n_sh").alias("na"))
+    fb = shc.select(F.col(key).alias("b"), F.col("shingles").alias("shb"))
     verified = cand.join(fa, on="a").join(fb, on="b").withColumn(
         "n_common", F.size(F.array_intersect("sha", "shb"))
     )

@@ -277,10 +277,6 @@ def udf_recommender_als(spark, sf_dir):
 )
 def llm_dedup_simhash(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    # exact is referenced by two aggregate legs below - materialize its
-    # pipeline once (tiny). cand is consumed exactly once and is the
-    # BIG table (hamming<=8 candidates run ~1e5-1e6 rows at sf0.1), so
-    # checkpointing it would materialize volume for no reuse.
     # both pair tables are referenced by two aggregate legs below
     # (counts + the intersection join); shingle blocking keeps cand
     # small (~1e2 rows at sf0.1), so each pipeline is materialized
@@ -2181,10 +2177,13 @@ def stream_parquet_sink(spark, sf_dir):
         )
         q.awaitTermination()
 
-    # one sink directory per (process, sf_dir): re-invocations resume
-    # from the checkpoint, see no new source files, and just read the
-    # committed output back — idempotent by the sink's own exactly-once
-    # contract, and no temp-dir accretion across registry runs
+    # one sink directory per (process, sf_dir): _cached_layout makes a
+    # re-invocation within this process a no-op (the stream ran once;
+    # later calls just read the committed output back). The sink's
+    # checkpoint-resume path would only execute if the same directory
+    # were reused across processes — each new process gets a fresh
+    # mkdtemp and re-runs the stream from scratch. No temp-dir
+    # accretion within a registry run either way.
     out_dir = _cached_layout("psink", sf_dir, _run)
     back = spark.read.parquet(_os.path.join(out_dir, "data"))
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

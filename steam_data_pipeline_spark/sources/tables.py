@@ -51,18 +51,27 @@ def _events_micros_schema() -> T.StructType:
     )
 
 
-@functools.lru_cache(maxsize=64)
 def _events_ts_unit(path: str) -> str:
     """Sniff the on-disk precision of ``events.ts`` from one parquet
-    footer ('ns' | 'us'). Cached per path — one driver-side metadata
-    read per dataset, never a data scan."""
-    import pyarrow.parquet as pq
-
+    footer ('ns' | 'us'). Cached per (file, mtime, size) — one driver-
+    side metadata read per dataset VERSION, never a data scan. The
+    freshness token matters: testdata is regenerated in place between
+    rounds and has already flipped precision once (NANOS→MICROS); a
+    path-only cache in a long-lived process would silently misread the
+    regenerated file as 1970-era timestamps."""
     target = path
     if os.path.isdir(path):
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if parts:
             target = parts[0]
+    st = os.stat(target)
+    return _events_ts_unit_cached(target, st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=64)
+def _events_ts_unit_cached(target: str, mtime_ns: int, size: int) -> str:
+    import pyarrow.parquet as pq
+
     field = pq.read_schema(target).field("ts")
     unit = getattr(field.type, "unit", None)
     return "ns" if unit == "ns" else "us"

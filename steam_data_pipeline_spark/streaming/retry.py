@@ -159,6 +159,16 @@ def retrying_foreach_batch(
     last exception is re-raised so Structured Streaming fails the batch
     and the checkpoint replays it on restart — the write must therefore
     be idempotent (streaming.ingest writes per-batch subdirectories).
+
+    .. warning:: The DEFAULT ``fatal_fn`` (``is_deterministic_failure``)
+       fails the batch on attempt 1 for whole exception families —
+       ``ValueError``, ``TypeError``, ``KeyError``, ``AssertionError``,
+       and Spark analysis errors — on the grounds that retrying a
+       programming error only delays the failure. If you wrap a
+       third-party sink whose TRANSIENT failures can surface as one of
+       those types (e.g. a flaky metadata lookup raising ``KeyError``),
+       pass ``fatal_fn=lambda e: False`` to restore retry-everything,
+       or a classifier that inspects the exception, not just its type.
     """
 
     def _writer(batch_df, batch_id: int):

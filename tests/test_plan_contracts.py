@@ -204,3 +204,83 @@ class TestRound3PlanContracts:
         win_at = plan.index("Window")
         agg_at = plan.rindex("HashAggregate")
         assert agg_at > win_at  # plans print top-down: deeper = later
+
+
+class TestContainmentSkewContracts:
+    """Round-4: the containment candidate generator must stay bounded
+    on boilerplate-heavy corpora (round-3 verdict item: a stop-shingle
+    posting list of ~n rows becomes one hot join key at 100 TB)."""
+
+    @pytest.fixture(scope="class")
+    def skewed_docs(self, spark):
+        # every doc shares a 14-word boilerplate preamble (14 hot
+        # 3-gram shingles in 100% of docs) plus a unique 12-word tail;
+        # one doc is pure boilerplate (exercises the fallback leg) and
+        # one is an exact copy (a true containment pair both ways)
+        boiler = (
+            "terms of service apply to all users of this site "
+            "without exception whatsoever today"
+        )
+        rows = [
+            (i, boiler + " " + " ".join(f"u{i}x{j}" for j in range(12)))
+            for i in range(60)
+        ]
+        rows.append((100, boiler))
+        rows.append((101, rows[3][1]))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_candidate_volume_bounded(self, spark, skewed_docs):
+        """With hot-shingle exclusion, candidates ≈ true pairs (the
+        boilerplate shingles never enter the posting join); without it
+        the same corpus would generate ~n² candidates via the shared
+        preamble."""
+        from steam_data_pipeline_spark.llm.dedup import containment_candidates
+
+        n_docs = skewed_docs.count()
+        n_cand = containment_candidates(skewed_docs).count()
+        assert n_cand <= 2 * n_docs  # vs n² ≈ 3.8k through the hot keys
+
+    def test_no_hot_posting_enters_cold_join(self, spark, skewed_docs):
+        """Contract on the main join's inputs: after stop-shingle
+        exclusion no posting list on the cold side may exceed the hot
+        threshold, so no single join key can concentrate the shuffle."""
+        from steam_data_pipeline_spark.llm.dedup import _containment_shingle_table
+
+        shc, has_hot = _containment_shingle_table(
+            skewed_docs, "doc_id", "text", 3, 0.8, 4096, 0.01
+        )
+        assert has_hot  # the boilerplate shingles were detected
+        max_posting = (
+            shc.select(F.explode("cold").alias("s"))
+            .groupBy("s")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        n_docs = skewed_docs.count()
+        assert max_posting < max(8, 0.01 * n_docs) + 1
+
+    def test_lossless_vs_brute_force(self, spark, skewed_docs):
+        """Hot exclusion + cold prefix + fallback must be exactly
+        lossless: output equals the all-pairs brute force."""
+        import itertools
+
+        from steam_data_pipeline_spark.llm.dedup import containment_pairs
+
+        rows = [(r.doc_id, r.text) for r in skewed_docs.collect()]
+
+        def sh3(t):
+            w = t.lower().split()
+            return set(tuple(w[i : i + 3]) for i in range(max(len(w) - 2, 1)))
+
+        S = {i: sh3(t) for i, t in rows}
+        expect = {
+            (a, b): round(len(S[a] & S[b]) / len(S[a]), 9)
+            for a, b in itertools.permutations(S, 2)
+            if len(S[a] & S[b]) / len(S[a]) >= 0.8
+        }
+        got = {
+            (r.a, r.b): round(r.containment, 9)
+            for r in containment_pairs(skewed_docs).collect()
+        }
+        assert got == expect
