@@ -101,6 +101,54 @@ def main() -> None:
             )
         )
 
+    def _warm_streaming():
+        # the first Structured Streaming query in a session pays ~3 s
+        # of one-time machinery (MicroBatchExecution + state-store
+        # provider + memory-sink class loading, checkpoint setup) —
+        # measured: stream_tumbling_daily 3.9 s first run, 1.1 s warm.
+        # Run a tiny availableNow stream so registry queries measure
+        # the plan, not that machinery.
+        import tempfile
+
+        from pyspark.sql.functions import window
+
+        d = tempfile.mkdtemp(prefix="bench_stream_warm_")
+        spark.range(0, 8).selectExpr(
+            "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS ts"
+        ).write.mode("overwrite").parquet(f"{d}/src")
+        sdf = (
+            spark.readStream.schema("ts timestamp")
+            .parquet(f"{d}/src")
+            .groupBy(window(col("ts"), "1 day"))
+            .count()
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("bench_warm_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.dropTempView("bench_warm_stream")
+
+    def _warm_grouped_pandas():
+        # grouped-map applyInPandas runs a different Arrow eval path
+        # than the scalar pandas_udf warmed above (measured:
+        # llm_seq_pack 2.6 s first run, 0.65 s warm)
+        import pandas as pd
+
+        def _ident(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf
+
+        force(
+            spark.range(0, 64)
+            .selectExpr("id % 4 AS g", "id")
+            .groupBy("g")
+            .applyInPandas(_ident, "g long, id long")
+        )
+
     def _warm_datasource_workers():
         # the Python DataSource path runs in its own worker flavor
         # (plan_data_source), which pays zipimport of the shipped
@@ -115,7 +163,7 @@ def main() -> None:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=7) as pool:
+    with ThreadPoolExecutor(max_workers=9) as pool:
         futures = [
             pool.submit(fn)
             for fn in (
@@ -126,6 +174,8 @@ def main() -> None:
                 _warm_minhash_codegen,
                 _warm_jaccard_codegen,
                 _warm_datasource_workers,
+                _warm_streaming,
+                _warm_grouped_pandas,
             )
         ]
         for f in futures:
@@ -147,6 +197,23 @@ def main() -> None:
         # queries (the cleanup cost is excluded from every timing).
         spark.catalog.clearCache()
 
+    # Second pass for queries whose registered form embeds an exact-
+    # truth verification leg: time the operator leg alone so the JSON
+    # reports both operator+oracle (the correctness composite above)
+    # and the operator's own cost (what production would pay — truth
+    # legs are sampled, not full-corpus, at scale).
+    from steam_data_pipeline_spark.plans.extensions import OPERATOR_ONLY
+
+    operator_sec: dict[str, float] = {}
+    for name, fn in OPERATOR_ONLY.items():
+        t0 = time.time()
+        try:
+            force(fn(spark, sf_dir))
+            operator_sec[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 - a bench must finish
+            failures[f"operator_only:{name}"] = f"{type(e).__name__}: {e}"
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "steam_data_pipeline_spark full query-set wall-clock",
@@ -156,6 +223,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "startup_sec": round(startup, 3),
+        "operator_sec": operator_sec,
     }
     if failures:
         out["failures"] = failures

@@ -2441,3 +2441,215 @@ def llm_dedup_containment(spark, sf_dir):
     return D.containment_pairs(
         t(spark, sf_dir, "documents"), shingle_n=3, min_containment=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: semi-structured HTML extraction (the one declared reference
+# behavior with no engine analog until now)
+# ---------------------------------------------------------------------------
+
+
+@EXT.add(
+    "src_html_extract",
+    oracle=r"""
+    WITH top AS (
+      SELECT p_partkey, p_name, p_retailprice FROM part
+      ORDER BY p_retailprice DESC, p_partkey LIMIT 25
+    ),
+    page AS (
+      SELECT string_agg(
+        '<a href="/app/' || CAST(p_partkey AS VARCHAR)
+        || '" class="search_result_row" data-ds-appid="'
+        || CAST(p_partkey AS VARCHAR) || '"><span class="title">'
+        || p_name || '</span></a>',
+        '' ORDER BY p_retailprice DESC, p_partkey) AS html
+      FROM top
+    ),
+    ids AS (SELECT regexp_extract_all(html, 'data-ds-appid="(\d+)"', 1) AS l FROM page)
+    SELECT CAST(generate_subscripts(l, 1) AS BIGINT) AS rank,
+           CAST(unnest(l) AS BIGINT) AS appid
+    FROM ids
+    """,
+    doc=(
+        "Ranked-listing keys extracted from a raw HTML-shaped STRING "
+        "column - the engine analog of the reference's search-page "
+        "scrape (reference main.py:233-234 parses pages with "
+        "soup.select('a.search_result_row') and main.py:270-272 reads "
+        "the data-ds-appid attribute per row; main.py:282-284 does the "
+        "same for tr rows with data-appid). A search-results page is "
+        "synthesized deterministically from the part table (top-25 by "
+        "retail price, one anchor per game in rank order), then the "
+        "app ids are pulled back out of the markup with "
+        "regexp_extract_all in document order: (rank, appid). "
+        "Exact value-level oracle. At scale the page column is one "
+        "row per fetched page and the extraction is a scan-only "
+        "projection - no shuffle, no UDF."
+    ),
+    tags=("source", "html", "regexp"),
+)
+def src_html_extract(spark, sf_dir):
+    top = (
+        t(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(25)
+    )
+    row_html = F.concat(
+        F.lit('<a href="/app/'),
+        F.col("p_partkey").cast("string"),
+        F.lit('" class="search_result_row" data-ds-appid="'),
+        F.col("p_partkey").cast("string"),
+        F.lit('"><span class="title">'),
+        F.col("p_name"),
+        F.lit("</span></a>"),
+    )
+    # ordered page assembly: collect_list gives no order guarantee
+    # after a shuffle, so sort the collected structs (price desc via
+    # negated key, then partkey) and only then concatenate
+    page = top.agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("p_retailprice")).alias("negprice"),
+                            F.col("p_partkey").alias("k"),
+                            row_html.alias("h"),
+                        )
+                    )
+                ),
+                lambda r: r["h"],
+            ),
+        ).alias("html")
+    )
+    ids = F.regexp_extract_all(F.col("html"), F.lit(r'data-ds-appid="(\d+)"'), F.lit(1))
+    return page.select(F.posexplode(ids).alias("pos", "appid_s")).select(
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("appid_s").cast("long").alias("appid"),
+    )
+
+
+@EXT.add(
+    "stream_trigger_schedule",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_runs, TRUE AS skip_gate_ok,
+           TRUE AS jitter_ok, TRUE AS stopped_ok, TRUE AS work_ok
+    """,
+    doc=(
+        "Driver-visible run of the daily-trigger scheduler loop "
+        "(reference runner.py:22-97): a ScheduledRunner with an "
+        "injected fake clock executes THREE real Spark jobs (per-day "
+        "event counts) as its ticks, honoring the '[skip-run]' "
+        "first-run gate (runner.py:33-42), seeded 0-120 min jitter "
+        "(runner.py:62-80), and SIGTERM-style graceful stop between "
+        "runs (runner.py:93-97, exercised with a real timer against a "
+        "second runner). Emits the executed contract as booleans - "
+        "constant-oracle pattern (d): n_runs, skip_gate_ok, jitter_ok, "
+        "stopped_ok, work_ok."
+    ),
+    tags=("streaming", "scheduler", "invariant"),
+)
+def stream_trigger_schedule(spark, sf_dir):
+    import threading
+    import time as _time
+    from datetime import datetime, timedelta, timezone
+
+    from steam_data_pipeline_spark.streaming import scheduler as SCH
+
+    ev = t(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    day0 = ev.agg(F.min("day").alias("d")).collect()[0]["d"]  # 1 driver row
+
+    counts: list[int] = []
+
+    def run_fn():  # each scheduler tick is a REAL Spark job
+        d = day0 + timedelta(days=len(counts))
+        counts.append(ev.filter(F.col("day") == F.lit(d)).count())
+
+    # fake clock: +1 day per observation, so every wait computes <= 0
+    # and the loop never sleeps for real
+    clock = [datetime(2024, 1, 1, 0, 0, tzinfo=timezone.utc)]
+
+    def now_fn():
+        v = clock[0]
+        clock[0] = v + timedelta(days=1)
+        return v
+
+    runner = SCH.ScheduledRunner(run_fn=run_fn, run_hour_utc=17, jitter_seed=11)
+    n_runs = runner.run_loop(
+        max_runs=3,
+        now_fn=now_fn,
+        skip_first=SCH.should_skip_first_run("release 1.2 [skip-run] hotfix"),
+    )
+
+    # jitter bound: seeded target lands in [17:00, 19:00) of its day
+    probe = SCH.next_run_at(
+        datetime(2024, 1, 1, 0, 0, tzinfo=timezone.utc), run_hour_utc=17, jitter_seed=11
+    )
+    jitter_ok = probe.hour in (17, 18) and probe.day == 1
+
+    # graceful stop: a second runner on the REAL clock gets stopped
+    # 0.2 s into its between-runs wait instead of sleeping to tomorrow
+    r2 = SCH.ScheduledRunner(run_fn=lambda: None, jitter_seed=1)
+    t0 = _time.time()
+    threading.Timer(0.2, r2.stop).start()
+    stopped_runs = r2.run_loop(max_runs=5)
+    stopped_ok = (_time.time() - t0) < 5 and stopped_runs == 1
+
+    skip_gate_ok = (
+        SCH.should_skip_first_run("x [skip-run] y")
+        and not SCH.should_skip_first_run("normal commit")
+        and n_runs == 3
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_runs,
+                bool(skip_gate_ok),
+                bool(jitter_ok),
+                bool(stopped_ok),
+                len(counts) == 3 and sum(counts) > 0,
+            )
+        ],
+        "n_runs long, skip_gate_ok boolean, jitter_ok boolean, stopped_ok boolean, work_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# bench-only operator legs
+# ---------------------------------------------------------------------------
+
+def _simhash_operator_only(spark, sf_dir):
+    return D.simhash_near_pairs(t(spark, sf_dir, "documents"), max_hamming=8).select(
+        "a", "b"
+    )
+
+
+def _ivf_operator_only(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, k=10, n_probe=6).select("query_id", "vec_id")
+
+
+def _lsh_operator_only(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_topk(emb, queries, k=10).select("query_id", "vec_id")
+
+
+#: Bench-only variants for the queries whose REGISTERED form embeds an
+#: exact-truth verification leg (simhash's exact-Jaccard pair set, the
+#: ANN queries' brute-force recall check). The composite stays what the
+#: driver correctness run executes — these exist so bench can report
+#: the operator's own cost separately instead of operator+oracle
+#: (round-3 verdict: the truth leg must be sampled at 100 TB anyway,
+#: so the composite number overstates what production would pay).
+OPERATOR_ONLY = {
+    "llm_dedup_simhash": _simhash_operator_only,
+    "llm_sim_ivf": _ivf_operator_only,
+    "llm_sim_lsh": _lsh_operator_only,
+}
