@@ -102,3 +102,11 @@ def test_oracle_columns_alias_discipline():
         assert callable(q.spark)
         if q.oracle is not None:
             assert "SELECT" in q.oracle.upper()
+
+
+def test_registry_never_shrinks():
+    """The differential sweep above parametrizes over the LIVE registry,
+    so it can't skip entries — but a refactor that accidentally drops
+    registered queries would shrink the sweep silently. Pin the floor
+    (round-4 registry size)."""
+    assert len(QUERIES) >= 128
