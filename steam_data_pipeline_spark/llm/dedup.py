@@ -365,38 +365,47 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
+    hot_k: int = 4096,
+    hot_min_frac: float = 0.01,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs with PPJoin-style prefix
     filtering.
 
-    Candidate generation: each document's shingles are globally ordered
-    by (corpus frequency, hash); for threshold t only the first
+    Candidate generation: each document's shingles are ordered by a
+    shared global order and for threshold t only the first
     ``n − ⌈t·n⌉ + 1`` shingles (the *prefix*) enter the inverted-index
-    self-join — any pair with J ≥ t provably shares a prefix shingle,
-    so filtering is lossless while the join shrinks ~(1−t)². Candidates
-    are then verified exactly with ``array_intersect`` on the full
-    shingle arrays. With t = 0, the prefix is the whole array and this
+    self-join — any pair with J ≥ t provably shares a prefix shingle
+    under ANY fixed global order (the PPJoin lemma), so filtering is
+    lossless while the join shrinks ~(1−t)². Candidates are then
+    verified exactly with ``array_intersect`` on the full shingle
+    arrays. With t = 0, the prefix is the whole array and this
     degrades gracefully to the plain all-sharing-pairs join.
 
-    At scale: the frequency table is an aggregate (broadcastable for
-    bounded vocabularies; swap in a top-K frequent table otherwise),
-    the posting join shuffles only 8-byte shingle hashes, and exact
-    verification is per-pair array work — no quadratic blowup.
+    The global order is COLD-FIRST (round 4, same machinery as
+    ``containment_pairs``): shingles above ``hot_min_frac`` corpus
+    document frequency sort after all cold shingles, so stop-shingles
+    only reach a prefix when a document is mostly boilerplate — hot
+    posting lists carry at most those rare docs instead of ~n rows on
+    one join key, and prefixes made of the RAREST shingles generate
+    strictly fewer candidates. On unskewed corpora the hot set is
+    empty and the order degrades to plain hash order at zero per-row
+    cost. The shingle table is checkpointed once and feeds both prefix
+    legs and both verification legs.
     """
-    sh = with_hashed_shingles(docs.select(key, text_col), text_col, shingle_n).select(
-        key,
-        F.array_sort("shingles_h").alias("shingles"),
-        F.size("shingles_h").alias("n_sh"),
+    shc, has_hot = _shingle_hot_table(
+        docs, key, text_col, shingle_n, hot_k, hot_min_frac
     )
-    # Global shingle order = hash-value order: prefix filtering is
-    # lossless under ANY fixed global order; ordering by hash needs no
-    # frequency table, no extra shuffle (ordering by ascending corpus
-    # frequency would shrink candidates further at the cost of a
-    # freq-join — worth it only for heavily skewed vocabularies).
+    if has_hot:
+        # cold (hash asc) then in-doc hot (hash asc) == per-doc sort
+        # under the global order (is_hot, hash)
+        ordered = F.concat(F.col("cold"), F.array_except("shingles", "cold"))
+    else:
+        ordered = F.col("shingles")
+    base = shc.withColumn("ordered", ordered)
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + F.lit(1)
     ).cast("int")
-    prefix = sh.select(key, F.explode(F.slice("shingles", 1, prefix_len)).alias("sh"))
+    prefix = base.select(key, F.explode(F.slice("ordered", 1, prefix_len)).alias("sh"))
     cand = (
         prefix.select(F.col(key).alias("a"), "sh")
         .join(prefix.select(F.col(key).alias("b"), "sh"), on="sh")
@@ -404,8 +413,8 @@ def jaccard_pairs(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    full_a = sh.select(F.col(key).alias("a"), F.col("shingles").alias("sha"), F.col("n_sh").alias("na"))
-    full_b = sh.select(F.col(key).alias("b"), F.col("shingles").alias("shb"), F.col("n_sh").alias("nb"))
+    full_a = shc.select(F.col(key).alias("a"), F.col("shingles").alias("sha"), F.col("n_sh").alias("na"))
+    full_b = shc.select(F.col(key).alias("b"), F.col("shingles").alias("shb"), F.col("n_sh").alias("nb"))
     verified = cand.join(full_a, on="a").join(full_b, on="b").withColumn(
         "n_common", F.size(F.array_intersect("sha", "shb"))
     )
@@ -417,21 +426,21 @@ def jaccard_pairs(
     )
 
 
-def _containment_shingle_table(
+def _shingle_hot_table(
     docs: DataFrame,
     key: str,
     text_col: str,
     shingle_n: int,
-    min_containment: float,
     hot_k: int,
     hot_min_frac: float,
 ) -> DataFrame:
-    """Per-doc shingle table for containment candidate generation,
-    materialized once (``localCheckpoint``) because it feeds the
-    frequency aggregate, the prefix side, the posting side, and both
-    verification legs — Spark does not reuse common subexpressions
-    across those subplans (measured: the checkpoint alone cut the
-    sf0.1 query 6.25 s → ~3 s before any skew work).
+    """Per-doc shingle table with stop-shingle split, shared by the
+    containment and Jaccard candidate generators; materialized once
+    (``localCheckpoint``) because it feeds the frequency aggregate,
+    the prefix side(s), the posting side, and both verification legs —
+    Spark does not reuse common subexpressions across those subplans
+    (measured: the checkpoint alone cut the sf0.1 containment query
+    6.25 s → ~3 s before any skew work).
 
     Columns: key, shingles (hash-sorted), n_sh, cold (shingles minus
     the corpus stop-shingle set, order preserved), n_cold.
@@ -484,7 +493,7 @@ def _containment_candidates_from(
     shc: DataFrame, key: str, min_containment: float, has_hot: bool
 ) -> DataFrame:
     """Lossless candidate (a, b) pairs for C(A→B) ≥ t from a
-    ``_containment_shingle_table``.
+    ``_shingle_hot_table``.
 
     One-sided PPJoin prefix with STOP-SHINGLE exclusion. Pigeonhole:
     if C(A→B) ≥ t then < (1−t)·|A| + 1 of A's shingles are absent
@@ -551,8 +560,8 @@ def containment_candidates(
     """Candidate (a, b) pairs prior to exact verification — exposed so
     plan-contract tests can assert the candidate volume stays bounded
     (≤ c·n, no hot-key blowup) on skewed fixtures."""
-    shc, has_hot = _containment_shingle_table(
-        docs, key, text_col, shingle_n, min_containment, hot_k, hot_min_frac
+    shc, has_hot = _shingle_hot_table(
+        docs, key, text_col, shingle_n, hot_k, hot_min_frac
     )
     return _containment_candidates_from(shc, key, min_containment, has_hot)
 
@@ -583,8 +592,8 @@ def containment_pairs(
     ~2.5 s with the checkpointed shingle table + hot-shingle pruning,
     identical output at every step.
     """
-    shc, has_hot = _containment_shingle_table(
-        docs, key, text_col, shingle_n, min_containment, hot_k, hot_min_frac
+    shc, has_hot = _shingle_hot_table(
+        docs, key, text_col, shingle_n, hot_k, hot_min_frac
     )
     cand = _containment_candidates_from(shc, key, min_containment, has_hot)
     fa = shc.select(F.col(key).alias("a"), F.col("shingles").alias("sha"), F.col("n_sh").alias("na"))

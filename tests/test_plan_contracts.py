@@ -244,10 +244,10 @@ class TestContainmentSkewContracts:
         """Contract on the main join's inputs: after stop-shingle
         exclusion no posting list on the cold side may exceed the hot
         threshold, so no single join key can concentrate the shuffle."""
-        from steam_data_pipeline_spark.llm.dedup import _containment_shingle_table
+        from steam_data_pipeline_spark.llm.dedup import _shingle_hot_table
 
-        shc, has_hot = _containment_shingle_table(
-            skewed_docs, "doc_id", "text", 3, 0.8, 4096, 0.01
+        shc, has_hot = _shingle_hot_table(
+            skewed_docs, "doc_id", "text", 3, 4096, 0.01
         )
         assert has_hot  # the boilerplate shingles were detected
         max_posting = (
