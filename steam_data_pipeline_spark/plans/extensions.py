@@ -2615,6 +2615,152 @@ def stream_trigger_schedule(spark, sf_dir):
     )
 
 
+@EXT.add(
+    "llm_dedup_substring",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), eligible AS (
+      SELECT doc_id, w FROM toks WHERE len(w) >= 8
+    ), pos AS (
+      SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 7)) AS i
+      FROM eligible
+    ), grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(w[i:i+7], ' ') AS g
+      FROM pos
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ), dw AS (
+      SELECT doc_id, pos FROM grams JOIN dup USING (g)
+    ), m AS (
+      SELECT doc_id, pos,
+             MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM dw
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM m
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc=(
+        "EXACT duplicated-substring spans (Lee et al. arXiv:2107.06499 "
+        "suffix-array dedup, Spark-shaped): every maximal token span "
+        "whose every 8-token window occurs >= 2 times in the corpus. "
+        "The suffix-array sort becomes a groupBy on 8-byte window "
+        "hashes (the only shuffle payload), repeated windows semi-join "
+        "back, and a per-doc window merge yields maximal spans — all "
+        "JVM built-ins. Oracle recomputes with real window strings, so "
+        "a hash collision would surface as a mismatch. Complements the "
+        "document-level dedup family: this finds duplicated PASSAGES "
+        "inside otherwise-distinct documents (boilerplate, quotes)."
+    ),
+    tags=("llm", "dedup", "substring"),
+)
+def llm_dedup_substring(spark, sf_dir):
+    return D.duplicated_spans(t(spark, sf_dir, "documents"), k=8)
+
+
+@EXT.add(
+    "stream_islands_stateful",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, ts, (value > 100) AS flag FROM events
+    ), r AS (
+      SELECT user_id, ts, flag,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, flag
+                                ORDER BY ts, event_id) AS grp
+      FROM f
+    ), isl AS (
+      SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM r WHERE flag GROUP BY user_id, grp
+    ), last_ev AS (
+      SELECT user_id, flag FROM (
+        SELECT user_id, flag,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM f
+      ) WHERE rn = 1
+    ), numbered AS (
+      SELECT user_id, start_ts, end_ts, n_obs,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY start_ts DESC) AS rni
+      FROM isl
+    )
+    SELECT n.user_id, n.start_ts, n.end_ts, n.n_obs
+    FROM numbered n JOIN last_ev le ON n.user_id = le.user_id
+    WHERE NOT (n.rni = 1 AND le.flag)
+    """,
+    doc=(
+        "Custom stateful streaming operator (applyInPandasWithState, "
+        "SURVEY §2.8): cross-batch gaps-and-islands. The events table "
+        "is split into 3 time-ordered files replayed as 3 micro-batches "
+        "(maxFilesPerTrigger=1), so islands genuinely span batch "
+        "boundaries and per-key state (the OPEN island: start/end/"
+        "count, O(1) per key) carries across them; closed islands are "
+        "emitted append-mode. Oracle: the batch gaps-and-islands "
+        "windows minus each key's final island when the series ends "
+        "mid-island (the one still open) — the exact equivalence the "
+        "module contract states (streaming/stateful.py)."
+    ),
+    tags=("streaming", "stateful"),
+)
+def stream_islands_stateful(spark, sf_dir):
+    import os as _os
+
+    from steam_data_pipeline_spark.streaming.stateful import streaming_islands
+
+    def _write(out_dir: str) -> None:
+        # Fixture construction, not the operator: split events into 3
+        # per-key time-ordered files (tercile ts bounds) with ascending
+        # mtimes so the file source replays them as ordered batches.
+        ev = t(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        b = ev.agg(
+            F.percentile_approx("ts", 0.33).alias("b0"),
+            F.percentile_approx("ts", 0.66).alias("b1"),
+        ).first()
+        parts = [
+            ev.filter(F.col("ts") < b.b0),
+            ev.filter((F.col("ts") >= b.b0) & (F.col("ts") < b.b1)),
+            ev.filter(F.col("ts") >= b.b1),
+        ]
+        for i, p in enumerate(parts):
+            path = _os.path.join(out_dir, f"part-{i}.parquet")
+            p.toPandas().to_parquet(
+                path,
+                index=False,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+            # deterministic ascending mtimes -> deterministic batch order
+            _os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    out_dir = _cached_layout("isl_stream", sf_dir, _write)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(out_dir)
+    )
+    out = _run_stream_to_memory(
+        streaming_islands(stream), "islands_stateful", spark, output_mode="append"
+    )
+    return out.select("user_id", "start_ts", "end_ts", "n_obs")
+
+
 # ---------------------------------------------------------------------------
 # bench-only operator legs
 # ---------------------------------------------------------------------------

@@ -388,3 +388,51 @@ class TestContainment:
         assert (0, 1) not in cont  # not symmetric: long doc isn't covered
         jac = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs, min_jaccard=0.0).collect()}
         assert jac.get((0, 1), 0) < 0.15  # Jaccard would never have caught it
+
+
+class TestDuplicatedSpans:
+    def test_planted_passage_recovered_exactly(self, spark):
+        """Two otherwise-distinct documents share a 12-token passage:
+        the operator must return exactly that span in both (token
+        indices), and nothing for an unrelated doc."""
+        from steam_data_pipeline_spark.llm.dedup import duplicated_spans
+
+        passage = " ".join(f"p{i:02d}" for i in range(12))
+        a = " ".join(f"a{i:02d}" for i in range(10)) + " " + passage + " " + " ".join(
+            f"b{i:02d}" for i in range(10)
+        )
+        b = " ".join(f"c{i:02d}" for i in range(5)) + " " + passage + " " + " ".join(
+            f"d{i:02d}" for i in range(15)
+        )
+        docs = spark.createDataFrame(
+            [(0, a), (1, b), (2, " ".join(f"z{i:02d}" for i in range(32)))],
+            "doc_id long, text string",
+        )
+        spans = {
+            r.doc_id: (r.span_start, r.span_end, r.n_windows)
+            for r in duplicated_spans(docs, k=8).collect()
+        }
+        # doc 0: passage occupies tokens [10, 21]; doc 1: tokens [5, 16].
+        # 12-token passage with k=8 -> 5 repeated windows merged.
+        assert spans == {0: (10, 21, 5), 1: (5, 16, 5)}
+
+    def test_within_doc_repeat_counts(self, spark):
+        """A passage repeated WITHIN one document is also duplication
+        (corpus-level occurrence count, Lee et al. semantics)."""
+        from steam_data_pipeline_spark.llm.dedup import duplicated_spans
+
+        passage = " ".join(f"p{i:02d}" for i in range(8))
+        text = passage + " xx1 xx2 xx3 xx4 xx5 xx6 xx7 xx8 " + passage
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rows = duplicated_spans(docs, k=8).collect()
+        got = sorted((r.span_start, r.span_end) for r in rows)
+        assert got == [(0, 7), (16, 23)]
+
+    def test_short_docs_skipped(self, spark):
+        from steam_data_pipeline_spark.llm.dedup import duplicated_spans
+
+        docs = spark.createDataFrame(
+            [(0, "one two three"), (1, "one two three")],
+            "doc_id long, text string",
+        )
+        assert duplicated_spans(docs, k=8).count() == 0
