@@ -1006,3 +1006,116 @@ def duplicated_spans(
         (F.max("pos") + (k - 1)).alias("span_end"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select(key, "span_start", "span_end", "n_windows")
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus overlap: exact shingle Jaccard + mergeable MinHash sketch
+# ---------------------------------------------------------------------------
+
+
+def corpus_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 128,
+    tol: float = 0.25,
+) -> DataFrame:
+    """Pairwise overlap between document groups (sources/dumps/splits):
+    EXACT Jaccard over each group's distinct shingle set, plus a
+    mergeable per-group MinHash sketch whose estimate is asserted
+    against the exact value in-query (``est_ok``).
+
+    Why both: at 100 TB the exact leg is one shuffle keyed by 8-byte
+    shingle hash (groups-per-shingle collect_set is bounded by the
+    number of groups, not corpus size) — feasible but heavy; the sketch
+    leg is the production shape: ``num_hashes`` longs per GROUP,
+    computed with map-side partial ``min`` aggregation and mergeable
+    across partitions/days/dumps by component-wise min. Keeping the
+    exact leg in-query makes the sketch's error bound a verified
+    invariant instead of a trusted one.
+
+    The (group, shingle) table feeds three consumers (sizes, the
+    per-shingle group sets, the signatures); it is localCheckpoint'ed
+    so shingling runs once — at production scale this is a persisted
+    intermediate, the same pattern the banded-signature index uses.
+    """
+    sh = with_hashed_shingles(docs.select(group_col, text_col), text_col, shingle_n)
+    flat = (
+        sh.select(group_col, F.explode("shingles_h").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = flat.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    # exact leg: per-shingle sorted group set -> HOF pair expansion
+    # (|groups|^2 combinations per shingle, never a corpus self-join)
+    per = flat.groupBy("h").agg(F.sort_array(F.collect_set(group_col)).alias("ss"))
+    comb = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size("ss")),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    common = (
+        per.select(F.explode(comb).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+    # sketch leg: component-wise min signature per group (mergeable)
+    mins = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"__s{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        flat.groupBy(group_col)
+        .agg(*mins)
+        .select(group_col, F.array(*[f"__s{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+    est = (
+        sig.select(F.col(group_col).alias("source_a"), F.col("sig").alias("__sa"))
+        .join(
+            sig.select(F.col(group_col).alias("source_b"), F.col("sig").alias("__sb")),
+            F.col("source_a") < F.col("source_b"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda z: z
+                    )
+                )
+                / F.lit(num_hashes)
+            ).alias("__est"),
+        )
+    )
+
+    matrix = (
+        sizes.select(F.col(group_col).alias("source_a"), F.col("n_sh").alias("n_a"))
+        .join(
+            sizes.select(F.col(group_col).alias("source_b"), F.col("n_sh").alias("n_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+        .join(common, on=["source_a", "source_b"], how="left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return matrix.join(est, on=["source_a", "source_b"]).select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        "jaccard",
+        (F.abs(F.col("__est") - F.col("jaccard")) <= tol).alias("est_ok"),
+    )

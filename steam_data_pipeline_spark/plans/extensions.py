@@ -2669,6 +2669,142 @@ def llm_dedup_substring(spark, sf_dir):
     return D.duplicated_spans(t(spark, sf_dir, "documents"), k=8)
 
 
+def _bloom_join_plan(spark, sf_dir):
+    """The UNEXECUTED runtime-bloom-filter join plan — shared by the
+    registered query (which materializes it under the conf overrides)
+    and the plan-contract test (which asserts ``might_contain`` is
+    injected on the lineitem scan side)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-02-01")
+            & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .select("o_orderkey")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+#: conf overrides that make InjectRuntimeFilter fire on the small local
+#: fixture: at 100 TB the DEFAULT thresholds (application side > 10 GB,
+#: creation side < 10 MB post-filter) fire on exactly this plan shape
+#: with no overrides — the demo shrinks the thresholds, not the rule.
+_BLOOM_OVERRIDES = {
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@EXT.add(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-02-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+    GROUP BY o.o_orderkey
+    """,
+    doc=(
+        "Runtime BLOOM-FILTER join pruning (Spark InjectRuntimeFilter): "
+        "a selective filter on the orders side builds a bloom filter "
+        "subquery that is pushed into the LINEITEM SCAN as a "
+        "might_contain predicate, discarding non-qualifying fact rows "
+        "BEFORE the shuffle — the row-level sibling of dynamic "
+        "partition pruning (src_dynamic_pruning) for joins where the "
+        "big side is too large to shuffle unfiltered and the small "
+        "side is too large to broadcast. Fixture-scale thresholds are "
+        "overridden (application-side 10 GB default -> 0, broadcast "
+        "disabled) because at sf0.01 the scan is KBs and the join "
+        "would broadcast; at 100 TB the default thresholds fire on "
+        "this exact plan unmodified. Plan-contract-tested: "
+        "might_contain on the scan filter."
+    ),
+    tags=("join", "runtime-filter"),
+)
+def join_bloom_pruned(spark, sf_dir):
+    # build FIRST: t() re-applies the session's runtime confs (incl.
+    # the 64 MB broadcast threshold), so overrides must come after
+    df = _bloom_join_plan(spark, sf_dir)
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_OVERRIDES}
+    for k, v in _BLOOM_OVERRIDES.items():
+        spark.conf.set(k, v)
+    try:
+        # materialize while the overrides are active — the returned
+        # DataFrame would otherwise optimize lazily after restore
+        out = df.localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+@EXT.add(
+    "llm_corpus_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ), doc_sh AS (
+      SELECT source,
+             UNNEST(list_distinct([array_to_string(w[i:i+2], ' ')
+                    for i in range(1, greatest(len(w) - 1, 2))])) AS g
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT source, g FROM doc_sh
+    ), sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY source
+    ), common AS (
+      SELECT x.source AS sa, y.source AS sb, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh x JOIN sh y ON x.g = y.g AND x.source < y.source
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT sa.source AS source_a, sb.source AS source_b,
+             sa.n_sh AS n_a, sb.n_sh AS n_b,
+             COALESCE(c.n_common, 0) AS n_common
+      FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+      LEFT JOIN common c ON c.sa = sa.source AND c.sb = sb.source
+    )
+    SELECT source_a, source_b, n_a, n_b, n_common,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard,
+           TRUE AS est_ok
+    FROM pairs
+    """,
+    doc=(
+        "Cross-corpus overlap matrix: for every source pair, the EXACT "
+        "Jaccard of their distinct 3-gram shingle sets (one shuffle "
+        "keyed by 8-byte shingle hash; per-shingle HOF pair expansion "
+        "bounded by |sources|^2, never a corpus self-join) PLUS a "
+        "mergeable 128-seed MinHash sketch per source (map-side partial "
+        "min, component-wise mergeable across dumps/days) whose "
+        "estimate is asserted within 0.25 of the exact value in-query "
+        "(est_ok) — the sketch is the 100 TB production shape, the "
+        "exact leg makes its error a verified invariant."
+    ),
+    tags=("llm", "overlap", "sketch", "invariant"),
+)
+def llm_corpus_overlap(spark, sf_dir):
+    return D.corpus_overlap(t(spark, sf_dir, "documents"))
+
+
 @EXT.add(
     "stream_islands_stateful",
     oracle="""

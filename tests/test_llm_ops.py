@@ -436,3 +436,41 @@ class TestDuplicatedSpans:
             "doc_id long, text string",
         )
         assert duplicated_spans(docs, k=8).count() == 0
+
+
+class TestCorpusOverlap:
+    def test_exact_fields_hand_computed(self, spark):
+        """g1/g2 share 2 of 4 distinct shingles (J=0.5); g3 disjoint."""
+        from steam_data_pipeline_spark.llm.dedup import corpus_overlap
+
+        docs = spark.createDataFrame(
+            [
+                (0, "w1 w2 w3 w4 w5", "g1"),
+                (1, "w2 w3 w4 w5 w6", "g2"),
+                (2, "x1 x2 x3", "g3"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            (r.source_a, r.source_b): (r.n_a, r.n_b, r.n_common, r.jaccard)
+            for r in corpus_overlap(docs).collect()
+        }
+        assert out[("g1", "g2")] == (3, 3, 2, 0.5)
+        assert out[("g1", "g3")] == (3, 1, 0, 0.0)
+        assert out[("g2", "g3")] == (3, 1, 0, 0.0)
+
+    def test_sketch_merge_is_componentwise_min(self, spark):
+        """The sketch estimate over a group must be invariant to how the
+        group's documents are partitioned — the mergeability property.
+        Splitting a group into two halves and unioning the docs again
+        must give identical output (same plan, but asserts determinism
+        of the seeded sketch under repartitioning)."""
+        from steam_data_pipeline_spark.llm.dedup import corpus_overlap
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} shared1 shared2 shared3", f"g{i % 2}") for i in range(20)],
+            "doc_id long, text string, source string",
+        )
+        a = sorted(map(tuple, corpus_overlap(docs).collect()))
+        b = sorted(map(tuple, corpus_overlap(docs.repartition(7)).collect()))
+        assert a == b and len(a) == 1

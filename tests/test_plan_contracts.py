@@ -284,3 +284,51 @@ class TestContainmentSkewContracts:
             for r in containment_pairs(skewed_docs).collect()
         }
         assert got == expect
+
+
+class TestRound4PlanContracts:
+    def test_bloom_filter_injected_on_fact_scan(self, spark):
+        """join_bloom_pruned's contract: with the fixture-scale
+        threshold overrides active, InjectRuntimeFilter must put a
+        might_contain predicate on the lineitem side (the registered
+        query materializes under exactly these overrides)."""
+        from steam_data_pipeline_spark.plans.extensions import (
+            _BLOOM_OVERRIDES,
+            _bloom_join_plan,
+        )
+
+        df = _bloom_join_plan(spark, SF_SMOKE)  # t() re-applies confs; build first
+        old = {k: spark.conf.get(k, None) for k in _BLOOM_OVERRIDES}
+        for k, v in _BLOOM_OVERRIDES.items():
+            spark.conf.set(k, v)
+        try:
+            plan = _plan(df)
+        finally:
+            for k, v in old.items():
+                spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+        assert "might_contain" in plan
+        assert "BroadcastHashJoin" not in plan  # demo forces the shuffle-join path
+
+    def test_corpus_overlap_no_corpus_self_join(self, spark):
+        """llm_corpus_overlap's exact leg must expand pairs per-shingle
+        via HOFs (bounded by |sources|^2), never self-join the corpus
+        shingle table with itself on the shingle key."""
+        from steam_data_pipeline_spark.llm.dedup import corpus_overlap
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        df = corpus_overlap(read_table(spark, SF_SMOKE, "documents"))
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+
+    def test_duplicated_spans_shuffles_hashes_not_text(self, spark):
+        """llm_dedup_substring: the dup-window groupBy must key on the
+        xxhash64 window hash (8 bytes), and the raw text column must
+        not survive past the scan projection."""
+        from steam_data_pipeline_spark.llm.dedup import duplicated_spans
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        df = duplicated_spans(read_table(spark, SF_SMOKE, "documents"), k=8)
+        plan = _plan(df)
+        assert "xxhash64" in plan
+        # text is consumed by the gram projection; no exchange carries it
+        assert "Exchange hashpartitioning(text" not in plan
