@@ -276,10 +276,14 @@ def quality_model_report(
     )
     # materialize once: the LBFGS fit, the holdout transform, and the
     # metric aggregates would each re-run tokenize + quality_score +
-    # HashingTF through the lineage otherwise
+    # HashingTF through the lineage otherwise. The repartition by key
+    # pins the partition layout so the fit's treeAggregate float-sum
+    # order (and hence the learned coefficients) doesn't depend on the
+    # caller session's parallelism.
     feats = (
         HashingTF(inputCol="__toks", outputCol="features", numFeatures=num_features)
         .transform(labeled)
+        .repartition(8, F.col(key))
         .localCheckpoint(eager=True)
     )
     train = feats.filter(F.col(key) % 2 == 0)

@@ -321,3 +321,97 @@ def test_jaccard_prefix_filter_is_lossless(spark, docs, t):
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert abs(got[k] - v) < 1e-12
+
+
+def _py_duplicated_spans(texts: dict[int, str], k: int):
+    grams: dict[str, int] = {}
+    pos: dict[int, list[tuple[int, str]]] = {}
+    for d, t in texts.items():
+        toks = t.strip().split()
+        if len(toks) < k:
+            continue
+        for p in range(len(toks) - k + 1):
+            g = " ".join(toks[p : p + k])
+            grams[g] = grams.get(g, 0) + 1
+            pos.setdefault(d, []).append((p, g))
+    out = set()
+    for d, lst in pos.items():
+        dup = sorted(p for p, g in lst if grams[g] >= 2)
+        spans: list[list[int]] = []
+        for p in dup:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+                spans[-1][2] += 1
+            else:
+                spans.append([p, p + k - 1, 1])
+        for s in spans:
+            out.add((d, s[0], s[1], s[2]))
+    return out
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_duplicated_spans_match_python_reference(spark, docs, k):
+    """Exact substring-dedup spans == a dict-fold reference on random
+    tiny-vocabulary corpora (heavy accidental repetition — the regime
+    where off-by-one in window merging or corpus-count semantics would
+    show)."""
+    from steam_data_pipeline_spark.llm.dedup import duplicated_spans
+
+    texts = dict(enumerate(docs))
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_spans(df, k=k).collect()
+    }
+    assert got == _py_duplicated_spans(texts, k)
+
+
+def _py_overlap(rows: list[tuple[int, str, str]], n: int = 3):
+    sets: dict[str, set[str]] = {}
+    for _d, text, g in rows:
+        toks = text.lower().split()
+        grams = {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))
+        }
+        sets.setdefault(g, set()).update(grams)
+    out = {}
+    gs = sorted(sets)
+    for i, a in enumerate(gs):
+        for b in gs[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            out[(a, b)] = (len(sets[a]), len(sets[b]), inter)
+    return out
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcdef"), min_size=1, max_size=10).map(" ".join),
+            st.sampled_from(["g0", "g1", "g2"]),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_corpus_overlap_exact_leg_matches_python(spark, rows):
+    """corpus_overlap's exact columns == set-algebra reference (the HOF
+    pair expansion and the distinct-per-group accounting are the parts
+    a subtle bug would corrupt)."""
+    from steam_data_pipeline_spark.llm.dedup import corpus_overlap
+
+    data = [(i, t, g) for i, (t, g) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): (r.n_a, r.n_b, r.n_common)
+        for r in corpus_overlap(df).collect()
+    }
+    assert got == _py_overlap(data)
