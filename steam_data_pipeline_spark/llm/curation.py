@@ -291,7 +291,11 @@ def quality_model_report(
     model = LogisticRegression(
         maxIter=25, regParam=0.01, standardization=False
     ).fit(train)
-    pred = model.transform(holdout)
+    # score the holdout ONCE: the AUC evaluator and the accuracy
+    # aggregate would otherwise each re-run the LR transform
+    pred = model.transform(holdout).select(
+        "label", "rawPrediction", "prediction"
+    ).localCheckpoint(eager=True)
     auc = BinaryClassificationEvaluator(
         rawPredictionCol="rawPrediction", labelCol="label"
     ).evaluate(pred)
@@ -299,16 +303,13 @@ def quality_model_report(
         F.count(F.lit(1)).alias("n_eval"),
         F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("__acc"),
     )
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # feats preserves every doc row and the even/odd split is a
+    # partition, so n_docs = n_train + n_eval — no extra corpus scan
     nt = train.agg(F.count(F.lit(1)).alias("n_train"))
-    return (
-        n.crossJoin(nt)
-        .crossJoin(agg)
-        .select(
-            "n_docs",
-            "n_train",
-            "n_eval",
-            (F.col("__acc") >= min_holdout_acc).alias("acc_ok"),
-            F.lit(bool(auc >= min_auc)).alias("auc_ok"),
-        )
+    return nt.crossJoin(agg).select(
+        (F.col("n_train") + F.col("n_eval")).alias("n_docs"),
+        "n_train",
+        "n_eval",
+        (F.col("__acc") >= min_holdout_acc).alias("acc_ok"),
+        F.lit(bool(auc >= min_auc)).alias("auc_ok"),
     )

@@ -65,7 +65,9 @@ def with_shingles(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    keep = [F.col(c) for c in docs.columns]
+    # exclude a pre-existing out_col so the helper keeps withColumn's
+    # replace-on-collision semantics (idempotent re-application)
+    keep = [F.col(c) for c in docs.columns if c not in (out_col, "__toks")]
     return docs.select(
         *keep, F.split(F.lower(F.col(text_col)), r"\s+").alias("__toks")
     ).select(*keep, F.array_distinct(grams).alias(out_col))
@@ -95,7 +97,7 @@ def with_hashed_shingles(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
     )
-    keep = [F.col(c) for c in docs.columns]
+    keep = [F.col(c) for c in docs.columns if c not in (out_col, "__toks")]
     # two-select shape, NOT withColumn+drop: see with_shingles — the
     # collapsed form re-runs split per shingle element (measured 5x on
     # this exact pipeline: 5.1 s -> 1.0 s for the sf0.1 shingle scan)
@@ -960,6 +962,7 @@ def duplicated_spans(
     text_col: str = "text",
     key: str = "doc_id",
     k: int = 8,
+    materialize_grams: bool = True,
 ) -> DataFrame:
     """Maximal token spans whose every length-``k`` window occurs at
     least twice in the corpus — the exact substring-dedup primitive of
@@ -997,16 +1000,26 @@ def duplicated_spans(
     """
     toks = docs.select(
         key, F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
-    ).filter(F.size("__w") >= k)
-    grams = toks.select(
-        key,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__w") - k),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__w", i + 1, k))),
-            )
-        ).alias("pos", "__h"),
     )
+    # short docs are handled IN the generator expression (empty array →
+    # posexplode emits nothing) rather than by a filter: a size>=k
+    # filter gets pushed below the tokenize projection and re-splits
+    # the text per row (the same rework InferFiltersFromGenerate would
+    # inject — see session.py).
+    windows = F.when(
+        F.size("__w") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__w") - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__w", i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # grams feeds two consumers (the dup-count aggregate and the
+    # semi-join probe); checkpoint so the tokenize→hash scan runs once
+    # (materialize_grams=False keeps the full lineage visible for plan
+    # audits/tests)
+    grams = toks.select(key, F.posexplode(windows).alias("pos", "__h"))
+    if materialize_grams:
+        grams = grams.localCheckpoint(eager=True)
     dup = grams.groupBy("__h").count().filter(F.col("count") >= 2).select("__h")
     hits = grams.join(dup, on="__h", how="left_semi").select(
         key, F.col("pos").cast("long").alias("pos")

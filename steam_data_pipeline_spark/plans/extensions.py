@@ -22,6 +22,7 @@ Oracle notes:
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import functions as F
 
@@ -2737,6 +2738,24 @@ _BLOOM_OVERRIDES = {
 }
 
 
+@_contextmanager
+def _conf_overrides(spark, overrides: dict):
+    """Set session confs for a scope and restore (or unset) on exit —
+    the single implementation both the bloom query and its
+    plan-contract test run through."""
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 @EXT.add(
     "join_bloom_pruned",
     oracle="""
@@ -2770,20 +2789,10 @@ def join_bloom_pruned(spark, sf_dir):
     # build FIRST: t() re-applies the session's runtime confs (incl.
     # the 64 MB broadcast threshold), so overrides must come after
     df = _bloom_join_plan(spark, sf_dir)
-    old = {k: spark.conf.get(k, None) for k in _BLOOM_OVERRIDES}
-    for k, v in _BLOOM_OVERRIDES.items():
-        spark.conf.set(k, v)
-    try:
+    with _conf_overrides(spark, _BLOOM_OVERRIDES):
         # materialize while the overrides are active — the returned
         # DataFrame would otherwise optimize lazily after restore
-        out = df.localCheckpoint(eager=True)
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-    return out
+        return df.localCheckpoint(eager=True)
 
 
 @EXT.add(
@@ -2846,7 +2855,7 @@ def llm_corpus_overlap(spark, sf_dir):
                                 ORDER BY ts, event_id) AS grp
       FROM f
     ), isl AS (
-      SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+      SELECT user_id, grp, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
              CAST(COUNT(*) AS BIGINT) AS n_obs
       FROM r WHERE flag GROUP BY user_id, grp
     ), last_ev AS (
@@ -2857,9 +2866,13 @@ def llm_corpus_overlap(spark, sf_dir):
         FROM f
       ) WHERE rn = 1
     ), numbered AS (
+      -- the temporally-LAST island per key is the open candidate;
+      -- grp (the run id) encodes event order exactly, so this stays
+      -- correct even under tied timestamps where start_ts can't
+      -- distinguish islands
       SELECT user_id, start_ts, end_ts, n_obs,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY start_ts DESC) AS rni
+                                ORDER BY grp DESC) AS rni
       FROM isl
     )
     SELECT n.user_id, n.start_ts, n.end_ts, n.n_obs

@@ -295,17 +295,12 @@ class TestRound4PlanContracts:
         from steam_data_pipeline_spark.plans.extensions import (
             _BLOOM_OVERRIDES,
             _bloom_join_plan,
+            _conf_overrides,
         )
 
         df = _bloom_join_plan(spark, SF_SMOKE)  # t() re-applies confs; build first
-        old = {k: spark.conf.get(k, None) for k in _BLOOM_OVERRIDES}
-        for k, v in _BLOOM_OVERRIDES.items():
-            spark.conf.set(k, v)
-        try:
+        with _conf_overrides(spark, _BLOOM_OVERRIDES):
             plan = _plan(df)
-        finally:
-            for k, v in old.items():
-                spark.conf.unset(k) if v is None else spark.conf.set(k, v)
         assert "might_contain" in plan
         assert "BroadcastHashJoin" not in plan  # demo forces the shuffle-join path
 
@@ -327,11 +322,16 @@ class TestRound4PlanContracts:
         from steam_data_pipeline_spark.llm.dedup import duplicated_spans
         from steam_data_pipeline_spark.sources.tables import read_table
 
-        df = duplicated_spans(read_table(spark, SF_SMOKE, "documents"), k=8)
-        plan = _plan(df)
+        df = duplicated_spans(
+            read_table(spark, SF_SMOKE, "documents"), k=8, materialize_grams=False
+        )
+        plan = _plan(df, mode="simple")  # Exchange args inline in simple mode
         assert "xxhash64" in plan
         # text is consumed by the gram projection; no exchange carries it
-        assert "Exchange hashpartitioning(text" not in plan
+        assert "hashpartitioning(text" not in plan
+        # and every exchange keys on the hash / doc key, never the body
+        for frag in plan.split("Exchange ")[1:]:
+            assert not frag.startswith("hashpartitioning(text")
 
     def test_shingle_pipeline_tokenizes_once(self, spark):
         """The shingle scan's two structural hazards, pinned: (a)
