@@ -1154,3 +1154,82 @@ def corpus_overlap(
         "jaccard",
         (F.abs(F.col("__est") - F.col("jaccard")) <= tol).alias("est_ok"),
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Substring dedup's REMOVAL step (Lee et al. arXiv:2107.06499 cut
+    every duplicated substring occurrence, keeping one): for each
+    length-``k`` window repeated anywhere in the corpus, the occurrence
+    with the lexicographically smallest (doc, pos) is the KEEPER; every
+    other occurrence's token range is cut, and the surviving tokens are
+    reassembled in order.
+
+    Plan shape: the positional window-hash table from
+    ``duplicated_spans`` (one checkpointed scan), a per-hash ``min_by``
+    keeper election (map-side partial agg over 16-byte structs), an
+    anti-join of occurrences against keepers, covered-position
+    expansion (explode of a k-element sequence — bounded by k, not by
+    text), and a per-doc ordered reassembly via sort_array over
+    (pos, token) structs. All built-ins; the only per-token shuffle is
+    the final per-doc groupBy.
+
+    Returns (key, n_tokens, n_removed, cleaned) — ``cleaned`` is the
+    surviving text; docs with no duplicated windows pass through
+    unchanged.
+    """
+    toks = docs.select(
+        key, F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
+    )
+    windows = F.when(
+        F.size("__w") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__w") - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__w", i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = toks.select(
+        key, F.posexplode(windows).alias("pos", "__h")
+    ).localCheckpoint(eager=True)
+
+    occ = grams.select(key, F.col("pos").cast("long").alias("pos"), "__h")
+    dup = (
+        occ.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(key, "pos")).alias("__keep"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select("__h", F.col(f"__keep.{key}").alias("__kd"), F.col("__keep.pos").alias("__kp"))
+    )
+    removals = occ.join(dup, on="__h").filter(
+        ~((F.col(key) == F.col("__kd")) & (F.col("pos") == F.col("__kp")))
+    )
+    covered = removals.select(
+        key, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tpos")
+    ).distinct()
+
+    tokens = toks.select(
+        key,
+        F.size("__w").alias("__n_toks"),
+        F.posexplode("__w").alias("tpos", "tok"),
+    ).withColumn("tpos", F.col("tpos").cast("long"))
+    kept = tokens.join(covered, on=[key, "tpos"], how="left_anti")
+    return (
+        kept.groupBy(key)
+        .agg(
+            F.max("__n_toks").cast("long").alias("n_tokens"),
+            (F.max("__n_toks") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda s: s.tok,
+                ),
+            ).alias("cleaned"),
+        )
+    )

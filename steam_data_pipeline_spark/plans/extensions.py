@@ -2796,6 +2796,68 @@ def join_bloom_pruned(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_dedup_substring_clean",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 7)) AS i
+      FROM toks WHERE len(w) >= 8
+    ), grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(w[i:i+7], ' ') AS g
+      FROM pos
+    ), dup0 AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ), docc AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk
+      FROM grams JOIN dup0 USING (g)
+    ), removals AS (
+      SELECT doc_id, pos FROM docc WHERE rk > 1
+    ), covered AS (
+      SELECT DISTINCT doc_id,
+             pos + UNNEST(generate_series(0, 7)) AS tpos
+      FROM removals
+    ), tokens AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(UNNEST(generate_series(1, len(w))) AS BIGINT) - 1 AS tpos,
+             w
+      FROM toks
+    ), tok2 AS (
+      SELECT doc_id, n_tokens, tpos, w[CAST(tpos + 1 AS INT)] AS tok
+      FROM tokens
+    ), kept AS (
+      SELECT t.doc_id, t.n_tokens, t.tpos, t.tok
+      FROM tok2 t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+      WHERE c.doc_id IS NULL
+    )
+    SELECT doc_id, MAX(n_tokens) AS n_tokens,
+           CAST(MAX(n_tokens) - COUNT(*) AS BIGINT) AS n_removed,
+           string_agg(tok, ' ' ORDER BY tpos) AS cleaned
+    FROM kept GROUP BY doc_id
+    """,
+    doc=(
+        "Substring dedup's REMOVAL step (Lee et al. 2107.06499): every "
+        "corpus-repeated 8-token window occurrence is cut except the "
+        "lexicographically-first (doc, pos) keeper, and surviving "
+        "tokens are reassembled in order — the op that actually "
+        "produces the deduplicated training corpus from the spans "
+        "llm_dedup_substring detects. Exact string oracle on the "
+        "cleaned text; fully-duplicated non-keeper docs drop entirely. "
+        "One checkpointed window-hash scan, min_by keeper election "
+        "with map-side partial agg, covered-position expansion bounded "
+        "by k, ordered per-doc reassembly."
+    ),
+    tags=("llm", "dedup", "substring"),
+)
+def llm_dedup_substring_clean(spark, sf_dir):
+    return D.remove_duplicated_spans(t(spark, sf_dir, "documents"), k=8)
+
+
+@EXT.add(
     "llm_corpus_overlap",
     oracle="""
     WITH toks AS (

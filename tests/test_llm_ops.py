@@ -474,3 +474,43 @@ class TestCorpusOverlap:
         a = sorted(map(tuple, corpus_overlap(docs).collect()))
         b = sorted(map(tuple, corpus_overlap(docs.repartition(7)).collect()))
         assert a == b and len(a) == 1
+
+
+class TestRemoveDuplicatedSpans:
+    def test_keeper_survives_copy_is_cut(self, spark):
+        from steam_data_pipeline_spark.llm.dedup import remove_duplicated_spans
+
+        passage = " ".join(f"p{i:02d}" for i in range(10))
+        a = passage + " " + " ".join(f"a{i}" for i in range(6))
+        b = " ".join(f"b{i}" for i in range(6)) + " " + passage
+        docs = spark.createDataFrame(
+            [(0, a), (1, b)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in remove_duplicated_spans(docs, k=8).collect()}
+        # doc 0 holds the (0, pos) keepers -> untouched
+        assert out[0].n_removed == 0 and out[0].cleaned == a
+        # doc 1 loses the whole 10-token passage, keeps its own prefix
+        assert out[1].n_removed == 10
+        assert out[1].cleaned == " ".join(f"b{i}" for i in range(6))
+
+    def test_exact_duplicate_doc_drops_entirely(self, spark):
+        from steam_data_pipeline_spark.llm.dedup import remove_duplicated_spans
+
+        text = " ".join(f"w{i:02d}" for i in range(12))
+        docs = spark.createDataFrame(
+            [(0, text), (1, text)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in remove_duplicated_spans(docs, k=8).collect()}
+        assert out[0].n_removed == 0 and out[0].cleaned == text
+        assert 1 not in out  # non-keeper copy fully cut
+
+    def test_short_docs_pass_through(self, spark):
+        from steam_data_pipeline_spark.llm.dedup import remove_duplicated_spans
+
+        docs = spark.createDataFrame(
+            [(0, "one two three"), (1, "one two three")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: (r.n_removed, r.cleaned) for r in
+               remove_duplicated_spans(docs, k=8).collect()}
+        assert out == {0: (0, "one two three"), 1: (0, "one two three")}

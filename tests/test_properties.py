@@ -415,3 +415,48 @@ def test_corpus_overlap_exact_leg_matches_python(spark, rows):
         for r in corpus_overlap(df).collect()
     }
     assert got == _py_overlap(data)
+
+
+def _py_remove_spans(texts: dict[int, str], k: int):
+    grams: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(texts):
+        toks = texts[d].strip().split()
+        if len(toks) >= k:
+            for p in range(len(toks) - k + 1):
+                grams.setdefault(" ".join(toks[p : p + k]), []).append((d, p))
+    covered: dict[int, set[int]] = {}
+    for lst in grams.values():
+        if len(lst) >= 2:
+            for d, p in lst[1:]:  # lst is (doc, pos)-sorted; [0] is the keeper
+                covered.setdefault(d, set()).update(range(p, p + k))
+    out = {}
+    for d, t in texts.items():
+        toks = t.strip().split()
+        kept = [w for i, w in enumerate(toks) if i not in covered.get(d, set())]
+        if kept:
+            out[d] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_remove_duplicated_spans_matches_python(spark, docs, k):
+    """The removal step == a dict-fold reference: keeper election,
+    coverage expansion, and ordered reassembly all verified on random
+    tiny-vocabulary corpora."""
+    from steam_data_pipeline_spark.llm.dedup import remove_duplicated_spans
+
+    texts = dict(enumerate(docs))
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned)
+        for r in remove_duplicated_spans(df, k=k).collect()
+    }
+    assert got == _py_remove_spans(texts, k)
