@@ -1329,6 +1329,40 @@ def src_csv_roundtrip(spark, sf_dir):
 
 
 @EXT.add(
+    "src_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    doc=(
+        "XML source-format connector demo (Spark 4's BUILT-IN xml "
+        "datasource): nation round-trips through row-tagged XML "
+        "(write -> schema-pinned read) and must come back value-"
+        "identical — completes the format-connector family "
+        "(parquet/orc/csv/jsonl/xml). Explicit schema, as on any "
+        "100 TB read."
+    ),
+    tags=("source", "format"),
+)
+def src_xml_roundtrip(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = _cached_layout(
+        "xml", sf_dir,
+        lambda d: nation.write.mode("overwrite")
+        .option("rowTag", "nation")
+        .format("xml")
+        .save(d),
+    )
+    return (
+        spark.read.schema(nation.schema)
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(out)
+    )
+
+
+@EXT.add(
     "src_orc_roundtrip",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -2793,6 +2827,53 @@ def join_bloom_pruned(spark, sf_dir):
         # materialize while the overrides are active — the returned
         # DataFrame would otherwise optimize lazily after restore
         return df.localCheckpoint(eager=True)
+
+
+@EXT.add(
+    "udtf_text_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, w,
+             UNNEST(generate_series(0, greatest(len(w) - 1, 0), 8)) AS s
+      FROM toks
+    ), valid AS (
+      SELECT doc_id, w, s FROM starts WHERE s = 0 OR s + 8 < len(w)
+    )
+    SELECT doc_id, CAST(s / 8 AS INT) AS chunk_idx,
+           array_to_string(w[s + 1 : s + 16], ' ') AS chunk,
+           CAST(least(16, len(w) - s) AS INT) AS n_tokens
+    FROM valid
+    """,
+    doc=(
+        "REAL Python UDTF (Spark 4 @udtf, LATERAL join — not a "
+        "grouped-map stand-in): overlapping 16-token chunks every 8 "
+        "tokens per document, the RAG/embedding-prep chunking shape. "
+        "One row fans out to ~n/8 rows with per-row state only, so the "
+        "table function runs inside the scan stage with no shuffle; "
+        "string-exact DuckDB oracle replays the same stride/stop rule "
+        "with list slicing."
+    ),
+    tags=("udtf", "llm", "chunking"),
+)
+def udtf_text_chunks(spark, sf_dir):
+    from steam_data_pipeline_spark.functions.udtfs import ChunkText
+
+    spark.udtf.register("chunk_text", ChunkText)
+    docs = t(spark, sf_dir, "documents")
+    view = f"docs_chunks_{uuid.uuid4().hex[:8]}"
+    docs.createOrReplaceTempView(view)
+    try:
+        # checkpoint before dropping the view: the result must stay
+        # executable after this function returns
+        return spark.sql(
+            f"SELECT d.doc_id, t.chunk_idx, t.chunk, t.n_tokens "
+            f"FROM {view} d, LATERAL chunk_text(d.text) t"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 @EXT.add(
