@@ -2830,6 +2830,57 @@ def join_bloom_pruned(spark, sf_dir):
 
 
 @EXT.add(
+    "stream_custom_datasource",
+    oracle="""
+    SELECT d AS app_id, printf('app-%06d', d) AS name,
+           CAST(d // 100 AS INTEGER) AS page
+    FROM range(250) t(d)
+    """,
+    doc=(
+        "STREAMING Python DataSource (Spark 4 SimpleDataSourceStream"
+        "Reader): the paginated API fetch as a real Structured "
+        "Streaming source — each micro-batch ingests ONE page, the "
+        "committed offset is the next page index, and readBetween"
+        "Offsets replays deterministically for recovery (exactly-once "
+        "over the offset log). 250 rows arrive across 3 micro-batches "
+        "into a memory sink; result must equal the batch page "
+        "contents. The streaming sibling of src_custom_datasource: "
+        "same page math, same schema, offset-tracked instead of "
+        "partition-planned."
+    ),
+    tags=("streaming", "source", "datasource"),
+)
+def stream_custom_datasource(spark, sf_dir):
+    from steam_data_pipeline_spark.sources.paginated import register
+
+    register(spark)
+    sdf = (
+        spark.readStream.format("paginated_api")
+        .option("total", "250")
+        .option("page_size", "100")
+        .load()
+    )
+    name = f"pstream_{uuid.uuid4().hex[:8]}"
+    # processingTime + processAllAvailable, not availableNow: a simple
+    # stream reader advances one page per batch, and availableNow
+    # snapshots only the first offset range
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+@EXT.add(
     "udtf_text_chunks",
     oracle="""
     WITH toks AS (

@@ -23,7 +23,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = "app_id bigint, name string, page int"
 
@@ -94,6 +99,9 @@ class PaginatedApiDataSource(DataSource):
     def reader(self, schema) -> PaginatedApiReader:
         return PaginatedApiReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "PaginatedApiStreamReader":
+        return PaginatedApiStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent per-session registration. Ships the package to
@@ -105,5 +113,52 @@ def register(spark) -> None:
     apply_runtime_confs(spark)
     if getattr(spark, "_sdp_paginated_registered", False):
         return
+    # Pickle this module's classes BY VALUE: the batch reader runs in
+    # task workers (which get the addPyFile zip), but the STREAMING
+    # source runner is its own Python process without pyFiles on its
+    # path — a by-reference pickle raises ModuleNotFoundError there.
+    import steam_data_pipeline_spark.sources.paginated as _mod
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_mod)
     spark.dataSource.register(PaginatedApiDataSource)
     spark._sdp_paginated_registered = True
+
+
+class PaginatedApiStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING flavor of the paginated fetch: each micro-batch reads
+    ONE page, the committed offset is the next page index, and replay
+    (``readBetweenOffsets``) re-fetches deterministically — the
+    exactly-once ingestion loop the reference runs daily, as a real
+    Structured Streaming source. Past the last page every batch is
+    empty (a live API would keep polling for new entries)."""
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("total", "1000"))
+        self.page_size = int(options.get("page_size", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _page_rows(self, page: int) -> list[tuple]:
+        # self-contained row synthesis (no package imports): the
+        # streaming source runner is a separate Python process that
+        # does NOT see addPyFile zips, so this class must execute
+        # without importing the package (it is pickled by value via
+        # register(), see below)
+        start = page * self.page_size
+        end = min(start + self.page_size, self.total)
+        return [(i, f"app-{i:06d}", page) for i in range(start, end)]
+
+    def read(self, start: dict):
+        page = start["next"]
+        rows = self._page_rows(page)
+        if not rows:
+            return iter([]), start  # drained: offset does not advance
+        return iter(rows), {"next": page + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for page in range(start["next"], end["next"]):
+            rows.extend(self._page_rows(page))
+        return iter(rows)
