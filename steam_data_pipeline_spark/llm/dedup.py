@@ -957,6 +957,37 @@ def connected_components(
 # ---------------------------------------------------------------------------
 
 
+def _window_hash_table(
+    docs: DataFrame,
+    text_col: str,
+    key: str,
+    k: int,
+    materialize: bool = True,
+) -> DataFrame:
+    """Positional k-token window hashes: (key, pos, __h) — the shared
+    primitive of substring-dedup detection and removal.
+
+    Short docs are handled IN the generator expression (empty array →
+    posexplode emits nothing) rather than by a filter: a size>=k
+    filter gets pushed below the tokenize projection and re-splits the
+    text per row (the same rework InferFiltersFromGenerate would
+    inject — see session.py). The result feeds multiple consumers, so
+    it is checkpointed by default; ``materialize=False`` keeps the
+    full lineage visible for plan audits/tests."""
+    toks = docs.select(
+        key, F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
+    )
+    windows = F.when(
+        F.size("__w") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__w") - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__w", i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = toks.select(key, F.posexplode(windows).alias("pos", "__h"))
+    return grams.localCheckpoint(eager=True) if materialize else grams
+
+
 def duplicated_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -998,28 +1029,7 @@ def duplicated_spans(
     end inclusive, ``n_windows`` = number of repeated k-windows merged
     into the span.
     """
-    toks = docs.select(
-        key, F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
-    )
-    # short docs are handled IN the generator expression (empty array →
-    # posexplode emits nothing) rather than by a filter: a size>=k
-    # filter gets pushed below the tokenize projection and re-splits
-    # the text per row (the same rework InferFiltersFromGenerate would
-    # inject — see session.py).
-    windows = F.when(
-        F.size("__w") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("__w") - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__w", i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    # grams feeds two consumers (the dup-count aggregate and the
-    # semi-join probe); checkpoint so the tokenize→hash scan runs once
-    # (materialize_grams=False keeps the full lineage visible for plan
-    # audits/tests)
-    grams = toks.select(key, F.posexplode(windows).alias("pos", "__h"))
-    if materialize_grams:
-        grams = grams.localCheckpoint(eager=True)
+    grams = _window_hash_table(docs, text_col, key, k, materialize=materialize_grams)
     dup = grams.groupBy("__h").count().filter(F.col("count") >= 2).select("__h")
     hits = grams.join(dup, on="__h", how="left_semi").select(
         key, F.col("pos").cast("long").alias("pos")
@@ -1182,19 +1192,12 @@ def remove_duplicated_spans(
     surviving text; docs with no duplicated windows pass through
     unchanged.
     """
+    grams = _window_hash_table(docs, text_col, key, k)
+    # the reassembly leg needs the token arrays themselves, not just
+    # the window hashes
     toks = docs.select(
         key, F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
     )
-    windows = F.when(
-        F.size("__w") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("__w") - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__w", i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    grams = toks.select(
-        key, F.posexplode(windows).alias("pos", "__h")
-    ).localCheckpoint(eager=True)
 
     occ = grams.select(key, F.col("pos").cast("long").alias("pos"), "__h")
     dup = (
