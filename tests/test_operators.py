@@ -153,3 +153,30 @@ class TestTrailingAvg:
         assert got[1].trailing_avg == 0.0             # avg(0)
         assert got[2].trailing_avg == 0.5             # avg(0,1)
         assert got[3].trailing_avg == 1.5             # avg(1,2)
+
+
+class TestPaginatedStreamReader:
+    def test_offsets_and_replay(self):
+        """The streaming source's exactly-once contract, unit-level:
+        read() advances one page per batch and stops at the end;
+        readBetweenOffsets replays exactly the committed range."""
+        from steam_data_pipeline_spark.sources.paginated import (
+            PaginatedApiStreamReader,
+        )
+
+        r = PaginatedApiStreamReader({"total": "250", "page_size": "100"})
+        off = r.initialOffset()
+        seen = []
+        for _ in range(5):  # 3 data batches then drained no-ops
+            rows, off2 = r.read(off)
+            seen.append((len(list(rows)), off2))
+            off = off2
+        assert [n for n, _ in seen] == [100, 100, 50, 0, 0]
+        assert off == {"next": 3}
+        # crash-recovery replay between committed offsets is identical
+        replay = list(r.readBetweenOffsets({"next": 0}, {"next": 3}))
+        assert len(replay) == 250
+        assert replay[0] == (0, "app-000000", 0)
+        assert replay[-1] == (249, "app-000249", 2)
+        # partial range replays only its pages
+        assert len(list(r.readBetweenOffsets({"next": 1}, {"next": 2}))) == 100
