@@ -1278,6 +1278,86 @@ def _cached_layout(kind: str, sf_dir: str, write_fn) -> str:
     return _LAYOUT_CACHE[key]
 
 
+def _prepare_day_partitioned(spark, sf_dir: str) -> str:
+    """The day-partitioned copy of ``events`` — the STORAGE layout that
+    ``src_partition_pruned`` and ``src_dynamic_pruning`` prune against.
+    Extracted so bench startup can pre-build it: in production this
+    layout exists on disk before any query runs (it is how the table is
+    stored, not work the pruned read performs), so its one-time write
+    cost belongs to startup, not to whichever query runs first."""
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return _cached_layout(
+        "part", sf_dir,
+        lambda d: ev.write.mode("overwrite").partitionBy("day").parquet(d),
+    )
+
+
+def _prepare_dpp_dim(spark, sf_dir: str) -> str:
+    """The parquet day-dimension ``src_dynamic_pruning`` joins against
+    (same pre-existing-storage argument as :func:`_prepare_day_partitioned`)."""
+    def _write_dim(d):
+        spark.createDataFrame(
+            [(f"2024-01-{x:02d}", "keep" if x <= 6 else "drop") for x in range(1, 31)],
+            "d string, tag string",
+        ).select(F.col("d").cast("date").alias("day"), "tag").write.mode(
+            "overwrite"
+        ).parquet(d)
+
+    return _cached_layout("dppdim", sf_dir, _write_dim)
+
+
+#: Storage-layout fixtures bench startup may pre-build (threaded, cost
+#: excluded from per-query timings). ONLY layouts that model how a
+#: table is ALREADY STORED before queries run belong here — never
+#: anything that executes an operator's own work (the format
+#: round-trips' write leg and the streaming sinks stay in-query).
+#: ``_prepare_islands_stream_fixture`` is appended further down.
+BENCH_FIXTURES = [_prepare_day_partitioned, _prepare_dpp_dim]
+
+
+def _prepare_islands_stream_fixture(spark, sf_dir: str) -> str:
+    """The 3-file time-sliced replay copy of ``events`` that
+    ``stream_islands_stateful`` streams from — an arrival layout that
+    exists before the stream starts (in production these are the files
+    a feed already landed), so bench startup may pre-build it."""
+    import os as _os
+
+    def _write(out_dir: str) -> None:
+        # Fixture construction, not the operator: split events into 3
+        # per-key time-ordered files (equal time thirds) with ascending
+        # mtimes so the file source replays them as ordered batches.
+        # One scan + driver-side slicing: the fixture is bounded
+        # (events at the bench SF), and four separate filtered scans
+        # measured ~2.5 s of pure rework.
+        pdf = (
+            t(spark, sf_dir, "events")
+            .select("user_id", "event_id", "ts", "value")
+            .toPandas()
+        )
+        lo, hi = pdf["ts"].min(), pdf["ts"].max()
+        b0, b1 = lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3
+        parts = [
+            pdf[pdf["ts"] < b0],
+            pdf[(pdf["ts"] >= b0) & (pdf["ts"] < b1)],
+            pdf[pdf["ts"] >= b1],
+        ]
+        for i, p in enumerate(parts):
+            path = _os.path.join(out_dir, f"part-{i}.parquet")
+            p.to_parquet(
+                path,
+                index=False,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+            # deterministic ascending mtimes -> deterministic batch order
+            _os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    return _cached_layout("isl_stream", sf_dir, _write)
+
+
+BENCH_FIXTURES.append(_prepare_islands_stream_fixture)
+
+
 @EXT.add(
     "src_jsonl_roundtrip",
     oracle="""
@@ -1406,11 +1486,7 @@ def src_orc_roundtrip(spark, sf_dir):
 def src_partition_pruned(spark, sf_dir):
     from steam_data_pipeline_spark.operators.aggregates import dec_sum
 
-    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    out = _cached_layout(
-        "part", sf_dir,
-        lambda d: ev.write.mode("overwrite").partitionBy("day").parquet(d),
-    )
+    out = _prepare_day_partitioned(spark, sf_dir)
     back = spark.read.parquet(out)
     days = [F.lit(d).cast("date") for d in ("2024-01-05", "2024-01-06", "2024-01-07")]
     sel = back.filter(F.col("day").isin(*days))
@@ -1498,23 +1574,11 @@ def stream_stream_join(spark, sf_dir):
     tags=("source", "partitioning", "dpp"),
 )
 def src_dynamic_pruning(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    fact_dir = _cached_layout(
-        "part", sf_dir,  # shares the day-partitioned copy with src_partition_pruned
-        lambda d: ev.write.mode("overwrite").partitionBy("day").parquet(d),
+    # shares the day-partitioned copy with src_partition_pruned
+    fact = spark.read.parquet(_prepare_day_partitioned(spark, sf_dir))
+    dim = spark.read.parquet(_prepare_dpp_dim(spark, sf_dir)).filter(
+        F.col("tag") == "keep"
     )
-    fact = spark.read.parquet(fact_dir)
-
-    def _write_dim(d):
-        spark.createDataFrame(
-            [(f"2024-01-{x:02d}", "keep" if x <= 6 else "drop") for x in range(1, 31)],
-            "d string, tag string",
-        ).select(F.col("d").cast("date").alias("day"), "tag").write.mode(
-            "overwrite"
-        ).parquet(d)
-
-    dim_dir = _cached_layout("dppdim", sf_dir, _write_dim)
-    dim = spark.read.parquet(dim_dir).filter(F.col("tag") == "keep")
 
     return (
         fact.join(dim, on="day")
@@ -3088,41 +3152,9 @@ def llm_corpus_overlap(spark, sf_dir):
     tags=("streaming", "stateful"),
 )
 def stream_islands_stateful(spark, sf_dir):
-    import os as _os
-
     from steam_data_pipeline_spark.streaming.stateful import streaming_islands
 
-    def _write(out_dir: str) -> None:
-        # Fixture construction, not the operator: split events into 3
-        # per-key time-ordered files (equal time thirds) with ascending
-        # mtimes so the file source replays them as ordered batches.
-        # One scan + driver-side slicing: the fixture is bounded
-        # (events at the bench SF), and four separate filtered scans
-        # measured ~2.5 s of pure rework.
-        pdf = (
-            t(spark, sf_dir, "events")
-            .select("user_id", "event_id", "ts", "value")
-            .toPandas()
-        )
-        lo, hi = pdf["ts"].min(), pdf["ts"].max()
-        b0, b1 = lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3
-        parts = [
-            pdf[pdf["ts"] < b0],
-            pdf[(pdf["ts"] >= b0) & (pdf["ts"] < b1)],
-            pdf[pdf["ts"] >= b1],
-        ]
-        for i, p in enumerate(parts):
-            path = _os.path.join(out_dir, f"part-{i}.parquet")
-            p.to_parquet(
-                path,
-                index=False,
-                coerce_timestamps="us",
-                allow_truncated_timestamps=True,
-            )
-            # deterministic ascending mtimes -> deterministic batch order
-            _os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
-
-    out_dir = _cached_layout("isl_stream", sf_dir, _write)
+    out_dir = _prepare_islands_stream_fixture(spark, sf_dir)
     stream = (
         spark.readStream.schema(
             "user_id long, event_id long, ts timestamp, value double"
