@@ -222,9 +222,16 @@ def ivf_topk(
     query_key: str = "query_id",
     n_centroids: int = 16,
     n_probe: int = 5,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``n_probe`` centroids nearest
     each query, exact cosine within the probed lists.
+
+    ``index`` accepts a prebuilt ``(centroids, assignments)`` pair from
+    :func:`build_ivf_index` — the production calling convention: the
+    index is built once, persisted, and amortized across every query
+    batch, so per-query cost is probe-only. When omitted the index is
+    built in-query (the registered demo query's shape).
 
     Measured on the driver's near-uniform 64-d embeddings fixture
     (the hardest geometry — top-10 cosine ≈ 0.3): seeded-KMeans
@@ -233,7 +240,9 @@ def ivf_topk(
     converged by ~10 iterations, so the residual gap is the data's
     geometry, not index quality. Clustered real-world embeddings
     deliver far higher recall at smaller touch."""
-    cents, assign = build_ivf_index(corpus, key, vec_col, n_centroids)
+    cents, assign = (
+        index if index is not None else build_ivf_index(corpus, key, vec_col, n_centroids)
+    )
     c = F.broadcast(cents.select("centroid_id", "centroid"))
     qprobe = (
         queries.select(query_key, F.col(vec_col).alias("__qvec"))
