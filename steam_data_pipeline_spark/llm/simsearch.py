@@ -137,6 +137,29 @@ def build_ivf_index(
     return cents, assign
 
 
+def build_lsh_index(
+    corpus: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 2,
+) -> list[DataFrame]:
+    """Per-table SRP bucket assignments: ``n_tables`` DataFrames of
+    (key, __bucket) — the persistable LSH index. Build once (seeded
+    planes, so rebuilds are stable), persist partitioned by
+    ``__bucket``, and pass to :func:`lsh_topk` via ``index=`` so each
+    query batch pays probe cost only."""
+    from steam_data_pipeline_spark.llm.dedup import _srp_bucket_udf
+
+    vecs = corpus.select(key, vec_col)
+    return [
+        vecs.withColumn(
+            "__bucket", _srp_bucket_udf(n_planes, seed=42 + table)(F.col(vec_col))
+        ).select(key, "__bucket")
+        for table in range(n_tables)
+    ]
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -147,6 +170,7 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 2,
     probe_radius: int = 3,
+    index: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH buckets — the
     bucketed sibling of ``ivf_topk`` (the north star names either as
@@ -170,6 +194,13 @@ def lsh_topk(
     corpora (real embeddings) the same code delivers high recall at far
     smaller touch. Deterministic: seeded planes per table, (score desc,
     key asc) tie-break.
+
+    ``index`` accepts the prebuilt per-table bucket assignments from
+    :func:`build_lsh_index` (same ``n_planes``; table count = its
+    length) — built once, persisted, reused across query batches, the
+    same amortized convention as ``ivf_topk``. Query probes re-derive
+    each table's planes from the shared seed, so a loaded index stays
+    consistent with the probe side.
     """
     import itertools
 
@@ -181,13 +212,12 @@ def lsh_topk(
         for bits in itertools.combinations(range(n_planes), r)
     ]
     vecs = corpus.select(key, vec_col)
+    if index is None:
+        index = build_lsh_index(corpus, key, vec_col, n_planes, n_tables)
     qsel = queries.select(query_key, F.col(vec_col).alias("__qvec"))
     cands = None
-    for table in range(n_tables):
+    for table, tagged in enumerate(index):
         srp = _srp_bucket_udf(n_planes, seed=42 + table)
-        tagged = vecs.withColumn("__bucket", srp(F.col(vec_col))).select(
-            key, "__bucket"
-        )
         probes = (
             qsel.withColumn("__b0", srp(F.col("__qvec")))
             .select(

@@ -133,6 +133,48 @@ class TestSimSearch:
         }
         assert len(exact & approx) / len(exact) >= 0.7
 
+    def test_prebuilt_index_reuse_matches_inline(self, spark, emb):
+        """The amortized calling convention (build the index once, pass
+        it via ``index=``) must return EXACTLY the inline-build result
+        for both ANN tiers — the contract that lets production persist
+        and reload the index without changing answers."""
+        from steam_data_pipeline_spark.llm.simsearch import (
+            build_ivf_index,
+            build_lsh_index,
+            lsh_topk,
+        )
+
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        inline_ivf = sorted(
+            (r.query_id, r.vec_id) for r in ivf_topk(emb, queries, k=5).collect()
+        )
+        cents, assign = build_ivf_index(emb)
+        # localCheckpoint stands in for persist-to-parquet + reload
+        prebuilt = (
+            cents.localCheckpoint(eager=True),
+            assign.localCheckpoint(eager=True),
+        )
+        reused_ivf = sorted(
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(emb, queries, k=5, index=prebuilt).collect()
+        )
+        assert reused_ivf == inline_ivf
+
+        inline_lsh = sorted(
+            (r.query_id, r.vec_id) for r in lsh_topk(emb, queries, k=5).collect()
+        )
+        tables = [
+            t.localCheckpoint(eager=True) for t in build_lsh_index(emb)
+        ]
+        reused_lsh = sorted(
+            (r.query_id, r.vec_id)
+            for r in lsh_topk(emb, queries, k=5, index=tables).collect()
+        )
+        assert reused_lsh == inline_lsh
+
     def test_lsh_recall_and_self_hit(self, spark, emb):
         from steam_data_pipeline_spark.llm.simsearch import lsh_topk
 
