@@ -295,10 +295,17 @@ def minhash_dedup_incremental(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an INCOMING BATCH against an existing corpus — the
     ingestion-path shape of near-dedup, where re-clustering the whole
     corpus per batch would be absurd at 100 TB.
+
+    ``corpus_signatures`` accepts the corpus's prebuilt
+    :func:`banded_signatures` table (same shingle/hash/band params) —
+    the production convention: persist it once (partitioned by
+    ``band_hash``), reuse every batch, append each batch's survivors'
+    signatures to it. When omitted it is recomputed from ``corpus``.
 
     Semantics (deterministic, oracle-checked):
 
@@ -309,18 +316,20 @@ def minhash_dedup_incremental(
        min-id per component survives.
 
     Cost shape: the corpus side contributes its banded signature table
-    (``banded_signatures`` — persist it once, reuse every batch; here
-    it is recomputed because the fixture has no store between queries),
-    and the candidate join probes only buckets that contain a NEW doc —
+    (pass it prebuilt via ``corpus_signatures``; the registered demo
+    query recomputes it because the fixture has no store between
+    queries), and the candidate join probes only buckets that contain a NEW doc —
     per-batch work is Σ|bucket ∩ new|·|bucket|, independent of
     corpus², and the shuffle carries 8-byte hashes.
     """
     new_b = banded_signatures(
         new, key, text_col, shingle_n, num_hashes, bands
     ).localCheckpoint(eager=True)  # probed twice below; signatures computed once
-    all_b = banded_signatures(
-        corpus, key, text_col, shingle_n, num_hashes, bands
-    ).unionByName(new_b)
+    if corpus_signatures is None:
+        corpus_signatures = banded_signatures(
+            corpus, key, text_col, shingle_n, num_hashes, bands
+        )
+    all_b = corpus_signatures.unionByName(new_b)
     new_keys = new.select(F.col(key).alias("__nk"))
     left = new_b.select(
         F.col(key).alias("a"), F.col("minhash").alias("sig_a"), "band_idx", "band_hash"

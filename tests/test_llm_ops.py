@@ -412,6 +412,39 @@ class TestIncrementalDedup:
         )
         assert kept == [8]
 
+    def test_prebuilt_corpus_signatures_match_inline(self, spark):
+        """The persisted-index calling convention (pass the corpus's
+        banded-signature table via ``corpus_signatures``) must return
+        exactly the inline-recompute result — the contract that lets
+        the ingestion path amortize the corpus side across batches."""
+        from steam_data_pipeline_spark.llm.dedup import (
+            banded_signatures,
+            minhash_dedup_incremental,
+        )
+
+        base = " ".join(f"w{i:02d}" for i in range(40))
+        fresh = " ".join(f"a{i}" for i in range(40))
+        corpus = spark.createDataFrame(
+            [(1, base), (2, fresh)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(10, base), (11, "fresh content about adaptive query execution")],
+            "doc_id long, text string",
+        )
+        inline = sorted(
+            r.doc_id
+            for r in minhash_dedup_incremental(corpus, new, threshold=0.6).collect()
+        )
+        # localCheckpoint stands in for persist-to-parquet + reload
+        sigs = banded_signatures(corpus).localCheckpoint(eager=True)
+        reused = sorted(
+            r.doc_id
+            for r in minhash_dedup_incremental(
+                corpus, new, threshold=0.6, corpus_signatures=sigs
+            ).collect()
+        )
+        assert reused == inline == [11]
+
 
 class TestContainment:
     def test_excerpt_detected_where_jaccard_misses(self, spark):
