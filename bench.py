@@ -92,21 +92,13 @@ def main() -> None:
         from steam_data_pipeline_spark.llm.curation import quality_model_report
         from steam_data_pipeline_spark.sources.tables import read_table
 
+        # max_iter=2: the warmup only needs each machinery shape hot,
+        # not a converged model
         force(
             quality_model_report(
-                read_table(spark, sf_dir, "documents").limit(64)
+                read_table(spark, sf_dir, "documents").limit(64), max_iter=2
             )
         )
-
-    def _warm_fixture_layouts():
-        # Pre-build the derived STORAGE layouts (day-partitioned events
-        # copy, dpp dim, islands replay slices): they model how a table
-        # is already stored before queries run, so their one-time write
-        # cost belongs to startup, not to whichever query runs first.
-        from steam_data_pipeline_spark.plans.extensions import BENCH_FIXTURES
-
-        for prep in BENCH_FIXTURES:
-            prep(spark, sf_dir)
 
     # The MinHash (32 seeded folds + banding) and Jaccard prefix
     # expression trees cost ~3-4 s of one-time janino compile + JIT
@@ -260,24 +252,31 @@ def main() -> None:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=13) as pool:
-        futures = [
-            pool.submit(fn)
-            for fn in (
-                _warm_read,
-                _warm_python_workers,
-                _warm_als,
-                _warm_kmeans,
-                _warm_logreg,
-                _warm_minhash_codegen,
-                _warm_jaccard_codegen,
-                _warm_datasource_workers,
-                _warm_stream_datasource,
-                _warm_streaming,
-                _warm_stateful_stream,
-                _warm_grouped_pandas,
-                _warm_fixture_layouts,
-            )
+    # Pre-build the derived STORAGE layouts (day-partitioned events
+    # copy, dpp dim, islands replay slices): they model how a table is
+    # already stored before queries run, so their one-time write cost
+    # belongs to startup, not to whichever query runs first. Each
+    # fixture is an independent Spark job and gets its own pool slot,
+    # so startup pays max(), not sum().
+    from steam_data_pipeline_spark.plans.extensions import BENCH_FIXTURES
+
+    warm_fns = [
+        _warm_read,
+        _warm_python_workers,
+        _warm_als,
+        _warm_kmeans,
+        _warm_logreg,
+        _warm_minhash_codegen,
+        _warm_jaccard_codegen,
+        _warm_datasource_workers,
+        _warm_stream_datasource,
+        _warm_streaming,
+        _warm_stateful_stream,
+        _warm_grouped_pandas,
+    ]
+    with ThreadPoolExecutor(max_workers=len(warm_fns) + len(BENCH_FIXTURES)) as pool:
+        futures = [pool.submit(fn) for fn in warm_fns] + [
+            pool.submit(prep, spark, sf_dir) for prep in BENCH_FIXTURES
         ]
         for f in futures:
             f.result()

@@ -239,7 +239,7 @@ def quality_model_report(
     num_features: int = 4096,
     min_holdout_acc: float = 0.75,
     min_auc: float = 0.8,
-    max_iter: int = 8,
+    max_iter: int = 25,
 ) -> DataFrame:
     """Model-based quality filter: train a logistic regression over
     hashed token features against weak heuristic labels and report its
@@ -289,11 +289,12 @@ def quality_model_report(
     )
     train = feats.filter(F.col(key) % 2 == 0)
     holdout = feats.filter(F.col(key) % 2 == 1)
-    # max_iter=8: measured at sf0.01 AND sf0.1, 8 LBFGS iterations give
-    # the SAME holdout acc/auc as 25 (0.828/0.911 and 0.873/0.948 —
-    # the hashed-unigram boundary converges early), at 1/4 the fit jobs
-    # (each iteration is one treeAggregate job; fewer jobs is also the
-    # robust posture on a contended scheduler).
+    # The library default stays at a generous 25 (callers' corpora may
+    # need the budget); the registered fixture query passes max_iter=8
+    # — measured at sf0.01 AND sf0.1, 8 LBFGS iterations give the SAME
+    # holdout acc/auc as 25 there (0.828/0.911 and 0.873/0.948 — the
+    # hashed-unigram boundary converges early), at 1/4 the
+    # treeAggregate jobs.
     model = LogisticRegression(
         maxIter=max_iter, regParam=0.01, standardization=False
     ).fit(train)

@@ -200,7 +200,12 @@ def lsh_topk(
     length) — built once, persisted, reused across query batches, the
     same amortized convention as ``ivf_topk``. Query probes re-derive
     each table's planes from the shared seed, so a loaded index stays
-    consistent with the probe side.
+    consistent with the probe side ONLY if ``n_planes`` matches the
+    build and the list preserves build order (table i ↔ seed 42+i) —
+    persist tables under their position and reload in order. A
+    mismatched ``n_planes`` would silently shrink candidate overlap to
+    near self-hits, so pass the build parameters alongside a persisted
+    index.
     """
     import itertools
 
@@ -214,6 +219,12 @@ def lsh_topk(
     vecs = corpus.select(key, vec_col)
     if index is None:
         index = build_lsh_index(corpus, key, vec_col, n_planes, n_tables)
+    elif not index:
+        raise ValueError(
+            "lsh_topk: index= must contain at least one bucket table "
+            "(got an empty list — did a glob over the persisted index "
+            "directory match nothing?)"
+        )
     qsel = queries.select(query_key, F.col(vec_col).alias("__qvec"))
     cands = None
     for table, tagged in enumerate(index):
@@ -251,7 +262,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_key: str = "query_id",
     n_centroids: int = 16,
-    n_probe: int = 5,
+    n_probe: int | None = None,
     index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``n_probe`` centroids nearest
@@ -263,6 +274,13 @@ def ivf_topk(
     batch, so per-query cost is probe-only. When omitted the index is
     built in-query (the registered demo query's shape).
 
+    ``n_probe`` defaults to the probed FRACTION 5/16 of the index's
+    actual centroid count (min 5) rather than a fixed count: a prebuilt
+    index is sized ~√n, and probing a fixed 5 of, say, 141 centroids
+    would silently collapse recall (measured 0.72 → 0.56 under 10×
+    corpus growth at fixed probes). Pass an explicit ``n_probe`` to
+    trade recall for touch deliberately.
+
     Measured on the driver's near-uniform 64-d embeddings fixture
     (the hardest geometry — top-10 cosine ≈ 0.3): seeded-KMeans
     centroids give recall@10 = 0.68 at 4/16 probes (up from 0.52 with
@@ -273,6 +291,13 @@ def ivf_topk(
     cents, assign = (
         index if index is not None else build_ivf_index(corpus, key, vec_col, n_centroids)
     )
+    if n_probe is None:
+        # the centroid table is driver-tiny by construction (it is
+        # collected + re-broadcast inside _centroids), so this count
+        # costs one trivial job on the in-query path and a metadata
+        # read on a checkpointed/persisted prebuilt index
+        actual_c = cents.count() if index is not None else n_centroids
+        n_probe = max(5, round(actual_c * 5 / 16))
     c = F.broadcast(cents.select("centroid_id", "centroid"))
     qprobe = (
         queries.select(query_key, F.col(vec_col).alias("__qvec"))

@@ -21,6 +21,7 @@ Usage::
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -103,14 +104,24 @@ class PaginatedApiDataSource(DataSource):
         return PaginatedApiStreamReader(self.options)
 
 
+_REGISTER_LOCK = threading.Lock()
+
+
 def register(spark) -> None:
-    """Idempotent per-session registration. Ships the package to
+    """Idempotent per-session registration (thread-safe: concurrent
+    callers — e.g. parallel bench warmups — serialize on a lock, so
+    the registration work runs exactly once). Ships the package to
     Python workers first — the DataSource classes are pickled by
     reference and must be importable executor-side even when the
     driver process runs outside the repo."""
     from steam_data_pipeline_spark.session import apply_runtime_confs
 
     apply_runtime_confs(spark)
+    with _REGISTER_LOCK:
+        _register_locked(spark)
+
+
+def _register_locked(spark) -> None:
     if getattr(spark, "_sdp_paginated_registered", False):
         return
     # Pickle this module's classes BY VALUE: the batch reader runs in

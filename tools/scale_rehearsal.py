@@ -16,7 +16,7 @@ measurement. Usage:
   grows ~linearly in corpus at fixed fraction) and recall holds as the
   corpus grows — i.e. neither index degrades structurally with n.
 
-* ``substring-skew`` — prepend one shared 12-token boilerplate
+* ``substring-skew`` — prepend one shared 14-token boilerplate
   sentence to EVERY document (a 100%-document hot window pattern) and
   compare ``duplicated_spans`` wall + row counts vs the clean corpus.
   The claim under test (SCALE.md round-4 notes): the dup-hash groupBy
