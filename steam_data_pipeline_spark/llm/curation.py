@@ -232,6 +232,73 @@ def contamination(
     return scored
 
 
+#: query parameters dropped during URL canonicalization — the tracking
+#: families every web-corpus pipeline strips before URL-identity dedup
+_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "ref_")
+
+
+def canonicalize_url(url: str | F.Column) -> F.Column:
+    """Canonical form of a URL for identity dedup — the first dedup
+    stage of every web-corpus pipeline (crawl frontiers and WARC dumps
+    revisit the same page under cosmetically different URLs).
+
+    Rules (each a pure JVM expression over ``parse_url``, fused into
+    one codegen stage):
+
+    * scheme and host lowercased (case-insensitive per RFC 3986);
+    * default-port suffix dropped from authority (parse_url's HOST
+      already excludes the port, which implements the rule);
+    * ONE trailing slash stripped from the path;
+    * fragment dropped (parse_url QUERY/PATH never include it);
+    * tracking query parameters removed (``utm_*``/``fbclid``/
+      ``gclid``/``ref_*``), survivors SORTED so param order can't
+      split identities.
+
+    Scheme is preserved (http and https stay distinct — identity
+    canonicalization is conservative; fold them upstream if a crawl
+    treats them as equal).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    path = F.regexp_replace(F.parse_url(u, F.lit("PATH")), r"/$", "")
+    params = F.split(F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit("")), "&")
+
+    def _keep(p):
+        tracking = p.startswith(_TRACKING_PREFIXES[0])
+        for pre in _TRACKING_PREFIXES[1:]:
+            tracking = tracking | p.startswith(pre)
+        return (p != "") & ~tracking
+
+    kept = F.array_sort(F.filter(params, _keep))
+    query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, query)
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", key: str = "doc_id"
+) -> DataFrame:
+    """URL-identity dedup: group documents by canonical URL, keep the
+    min-key representative. Returns (canonical_url, n_docs, keeper).
+
+    Scale shape: one groupBy on the canonical string (shuffle carries
+    the URL + 8-byte key, never document text); at 100 TB pre-hash the
+    canonical with ``xxhash64`` so the shuffle key is fixed-width.
+    """
+    return (
+        docs.select(
+            canonicalize_url(url_col).alias("canonical_url"), F.col(key)
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(key).alias("keeper"),
+        )
+    )
+
+
 def quality_model_report(
     docs: DataFrame,
     text_col: str = "text",

@@ -2114,6 +2114,71 @@ def src_corrupt_records(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_dedup_url",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, doc_id % 100 AS grp FROM documents
+    )
+    SELECT 'https://h' || CAST(grp % 7 AS VARCHAR) || '.example.com/articles/'
+             || CAST(grp AS VARCHAR) || '?id=' || CAST(grp AS VARCHAR)
+             || '&lang=en' AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keeper
+    FROM g GROUP BY grp
+    """,
+    doc=(
+        "URL-identity dedup — the FIRST dedup stage of every web-corpus "
+        "pipeline (crawls revisit the same page under cosmetically "
+        "different URLs). Each doc gets a deterministically MESSY url "
+        "(doc_id%4 picks: clean | UPPERCASE host + trailing slash + "
+        "reordered params | utm_* tracking junk | :443 default port + "
+        "#fragment), all variants of the identity doc_id%100. The "
+        "operator genuinely parses and canonicalizes (parse_url + "
+        "lowercase scheme/host, strip trailing slash, drop fragment, "
+        "strip tracking params, SORT survivors — one codegen stage, no "
+        "Python); the ORACLE derives each group's canonical string "
+        "analytically from the identity, so a parser bug cannot cancel "
+        "itself out. 100 groups at every SF; keeper = min doc_id."
+    ),
+    tags=("llm", "dedup", "url"),
+)
+def llm_dedup_url(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.curation import url_dedup
+
+    g = (F.col("doc_id") % 100).cast("string")
+    host = F.concat(F.lit("h"), ((F.col("doc_id") % 100) % 7).cast("string"), F.lit(".example.com"))
+    base_path = F.concat(F.lit("/articles/"), g)
+    messy = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://"), host, base_path, F.lit("?id="), g, F.lit("&lang=en")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper(host), base_path, F.lit("/"),
+                F.lit("?lang=en&id="), g,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://"), host, base_path,
+                F.lit("?utm_source=feed&id="), g, F.lit("&utm_campaign=promo&lang=en"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), host, F.lit(":443"), base_path,
+                F.lit("?lang=en&id="), g, F.lit("#frag"),
+            )
+        )
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", messy.alias("url"))
+    return url_dedup(docs)
+
+
+@EXT.add(
     "llm_media_dedup",
     oracle="""
     WITH m AS (

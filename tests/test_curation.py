@@ -125,3 +125,59 @@ class TestPiiScrub:
         got = {r.k: (r.masked, r.n_redacted) for r in pii_scrub(df, "k", "name").collect()}
         assert got["k1"] == ("Customer##########", 9)
         assert got["k2"] == ("no digits here", 0)
+
+
+class TestUrlDedup:
+    CASES = [
+        # (messy, canonical)
+        ("https://a.example.com/x?id=1&lang=en",
+         "https://a.example.com/x?id=1&lang=en"),
+        # host/scheme case + trailing slash + param order
+        ("HTTPS://A.EXAMPLE.COM/x/?lang=en&id=1",
+         "https://a.example.com/x?id=1&lang=en"),
+        # tracking params stripped (utm_*, fbclid, gclid, ref_*)
+        ("https://a.example.com/x?utm_source=f&id=1&fbclid=z&lang=en&gclid=q&ref_src=t",
+         "https://a.example.com/x?id=1&lang=en"),
+        # fragment dropped, default port excluded from HOST
+        ("https://a.example.com:443/x?lang=en&id=1#sec",
+         "https://a.example.com/x?id=1&lang=en"),
+        # http scheme preserved (conservative: http != https)
+        ("http://a.example.com/x?id=1", "http://a.example.com/x?id=1"),
+        # no query at all -> no '?'
+        ("https://a.example.com/x/", "https://a.example.com/x"),
+        # ONLY tracking params -> query removed entirely
+        ("https://a.example.com/x?utm_source=f", "https://a.example.com/x"),
+        # only ONE trailing slash stripped (path semantics preserved)
+        ("https://a.example.com/x//", "https://a.example.com/x/"),
+    ]
+
+    def test_canonicalize_rules(self, spark):
+        from steam_data_pipeline_spark.llm.curation import canonicalize_url
+
+        df = spark.createDataFrame(
+            [(i, m) for i, (m, _) in enumerate(self.CASES)], "i long, url string"
+        )
+        got = {
+            r.i: r.c
+            for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+        }
+        for i, (messy, want) in enumerate(self.CASES):
+            assert got[i] == want, f"case {i}: {messy!r} -> {got[i]!r}, want {want!r}"
+
+    def test_url_dedup_grouping(self, spark):
+        from steam_data_pipeline_spark.llm.curation import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.example.com/x?id=1&lang=en"),
+                (2, "HTTPS://A.EXAMPLE.COM/x/?lang=en&id=1"),
+                (3, "https://a.example.com/x?utm_source=f&id=1&lang=en"),
+                (4, "https://b.example.com/y"),
+            ],
+            "doc_id long, url string",
+        )
+        rows = {r.canonical_url: (r.n_docs, r.keeper) for r in url_dedup(df).collect()}
+        assert rows == {
+            "https://a.example.com/x?id=1&lang=en": (3, 1),
+            "https://b.example.com/y": (1, 4),
+        }
