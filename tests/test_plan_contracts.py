@@ -155,6 +155,16 @@ class TestCurationPlanContracts:
         assert plan.count("Exchange") == 1
         assert "FlatMapGroupsInPandas" in plan
 
+    def test_url_dedup_single_shuffle_no_python(self, spark):
+        """URL canonicalization is one codegen stage of parse_url +
+        array HOFs — the whole query must be scan → project →
+        hash-aggregate with exactly the groupBy(canonical) exchange and
+        zero Python evals."""
+        plan = _plan(QUERIES["llm_dedup_url"].spark(spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange") == 1
+        assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+        assert "HashAggregate" in plan
+
     def test_contamination_broadcasts_benchmark(self, spark):
         """The benchmark n-gram set must broadcast (bounded by the eval
         suite); the corpus side must never sort-merge against it."""
