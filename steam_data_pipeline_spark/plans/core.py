@@ -1071,3 +1071,56 @@ def agg_percentiles_exact(spark, sf_dir):
     return ranked.groupBy("lang").agg(
         at(0.5).alias("p50"), at(0.9).alias("p90"), at(0.99).alias("p99")
     )
+
+
+@CORE.add(
+    "agg_percentiles_approx",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM documents GROUP BY lang
+    """,
+    doc=(
+        "Mergeable-sketch quantiles — the 100 TB twin of "
+        "agg_percentiles_exact, completing the exact/approx pattern "
+        "symmetry agg_distinct_pool_approx set for distinct counts. "
+        "percentile_approx's sketch partial-aggregates map-side and "
+        "merges associatively (no global sort, unlike the exact order-"
+        "statistics plan). DuckDB's sketch differs bit-wise, so the "
+        "checkable contract is percentile_approx's DOCUMENTED rank-"
+        "error guarantee, verified in-query against the actual data: "
+        "for each p, the returned value's tie-aware rank interval "
+        "[count(x<v)+1, count(x<=v)] must overlap p*n ± n/accuracy. "
+        "Exact per-group counts anchor the row."
+    ),
+    tags=("agg", "percentile", "approx", "invariant"),
+)
+def agg_percentiles_approx(spark, sf_dir):
+    accuracy = 1000
+    ps = [0.5, 0.9, 0.99]
+    docs = t(spark, sf_dir, "documents").select("lang", "n_chars")
+    apx = docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", ps, accuracy).alias("q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    j = docs.join(F.broadcast(apx), on="lang")
+    aggs = []
+    for i in range(len(ps)):
+        v = F.col("q")[i]
+        aggs.append(F.count(F.when(F.col("n_chars") < v, 1)).alias(f"__lo{i}"))
+        aggs.append(F.count(F.when(F.col("n_chars") <= v, 1)).alias(f"__hi{i}"))
+    checked = j.groupBy("lang", "n").agg(*aggs)
+    # tolerance = the sketch's n/accuracy rank error + 1 for the
+    # integer-rank rounding in "which exact rank does p*n mean" (e.g.
+    # p99 of n=70 targets rank 69.3; both rank-69 and rank-70 answers
+    # are exact by ceil/floor convention)
+    tol = F.col("n").cast("double") / accuracy + F.lit(1.0)
+    out_cols = [F.col("lang"), F.col("n")]
+    for i, p in enumerate(ps):
+        target = F.col("n").cast("double") * F.lit(p)
+        ok = (
+            (F.col(f"__lo{i}") + 1 <= target + tol)
+            & (F.col(f"__hi{i}") >= target - tol)
+        )
+        out_cols.append(ok.alias(f"p{int(p * 100)}_ok"))
+    return checked.select(*out_cols)

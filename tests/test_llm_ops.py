@@ -133,6 +133,17 @@ class TestSimSearch:
         }
         assert len(exact & approx) / len(exact) >= 0.7
 
+    def test_suggest_ivf_params_sqrt_rule(self):
+        from steam_data_pipeline_spark.llm.simsearch import suggest_ivf_params
+
+        assert suggest_ivf_params(2_000) == (45, 14)
+        assert suggest_ivf_params(20_000) == (141, 44)
+        # floors: tiny corpora keep the registered demo's 16/5 shape
+        assert suggest_ivf_params(100) == (16, 5)
+        # probed fraction tracks the centroid count, not a fixed 5
+        c, p = suggest_ivf_params(1_000_000)
+        assert c == 1000 and abs(p / c - 5 / 16) < 0.01
+
     def test_prebuilt_index_reuse_matches_inline(self, spark, emb):
         """The amortized calling convention (build the index once, pass
         it via ``index=``) must return EXACTLY the inline-build result

@@ -109,4 +109,4 @@ def test_registry_never_shrinks():
     so it can't skip entries — but a refactor that accidentally drops
     registered queries would shrink the sweep silently. Pin the floor
     (round-4 registry size)."""
-    assert len(QUERIES) >= 138
+    assert len(QUERIES) >= 139

@@ -101,17 +101,16 @@ def rehearse_ann(sf_dir: str, factors: list[int]) -> None:
         }
         brute_s = time.time() - t0
 
-        # production index sizing: centroids ~ sqrt(n) (cell size ~
-        # sqrt(n)), probes scaled to hold the probed FRACTION at the
-        # registered query's 5/16 — a FIXED 16-centroid index on a
-        # growing corpus degrades recall (measured: 0.72 -> 0.56 from
-        # 2k to 20k vectors), which is an index-sizing error, not an
-        # operator property. Build and probe are timed separately:
-        # the index is built ONCE and amortized across query batches
-        # (ivf_topk's ``index=`` calling convention), so probe-only is
-        # the per-query production cost.
-        n_centroids = max(16, int(round(n ** 0.5)))
-        n_probe = max(5, round(n_centroids * 5 / 16))
+        # production index sizing (suggest_ivf_params: centroids ~
+        # sqrt(n), probes hold the 5/16 fraction) — a FIXED 16-centroid
+        # index on a growing corpus degrades recall (measured: 0.72 ->
+        # 0.56 from 2k to 20k vectors). Build and probe are timed
+        # separately: the index is built ONCE and amortized across
+        # query batches (ivf_topk's ``index=`` calling convention), so
+        # probe-only is the per-query production cost.
+        from steam_data_pipeline_spark.llm.simsearch import suggest_ivf_params
+
+        n_centroids, n_probe = suggest_ivf_params(n)
         t0 = time.time()
         cents, assign = build_ivf_index(corpus, n_centroids=n_centroids)
         cents = cents.localCheckpoint(eager=True)
