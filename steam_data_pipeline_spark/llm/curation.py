@@ -248,7 +248,9 @@ def canonicalize_url(url: str | F.Column) -> F.Column:
     * scheme and host lowercased (case-insensitive per RFC 3986);
     * default-port suffix dropped from authority (parse_url's HOST
       already excludes the port, which implements the rule);
-    * ONE trailing slash stripped from the path;
+    * ALL trailing slashes stripped from the path (stripping just one
+      is not idempotent — ``/x//`` would canonicalize differently on a
+      second pass, which the fixpoint property test catches);
     * fragment dropped (parse_url QUERY/PATH never include it);
     * tracking query parameters removed (``utm_*``/``fbclid``/
       ``gclid``/``ref_*``), survivors SORTED so param order can't
@@ -261,7 +263,7 @@ def canonicalize_url(url: str | F.Column) -> F.Column:
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
     host = F.lower(F.parse_url(u, F.lit("HOST")))
-    path = F.regexp_replace(F.parse_url(u, F.lit("PATH")), r"/$", "")
+    path = F.regexp_replace(F.parse_url(u, F.lit("PATH")), r"/+$", "")
     params = F.split(F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit("")), "&")
 
     def _keep(p):

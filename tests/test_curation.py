@@ -147,8 +147,9 @@ class TestUrlDedup:
         ("https://a.example.com/x/", "https://a.example.com/x"),
         # ONLY tracking params -> query removed entirely
         ("https://a.example.com/x?utm_source=f", "https://a.example.com/x"),
-        # only ONE trailing slash stripped (path semantics preserved)
-        ("https://a.example.com/x//", "https://a.example.com/x/"),
+        # ALL trailing slashes stripped (the idempotent rule — one-at-
+        # a-time stripping fails the fixpoint property)
+        ("https://a.example.com/x//", "https://a.example.com/x"),
     ]
 
     def test_canonicalize_rules(self, spark):
@@ -163,6 +164,41 @@ class TestUrlDedup:
         }
         for i, (messy, want) in enumerate(self.CASES):
             assert got[i] == want, f"case {i}: {messy!r} -> {got[i]!r}, want {want!r}"
+
+    def test_canonicalize_is_idempotent(self, spark):
+        """canonicalize(canonicalize(u)) == canonicalize(u): canonical
+        output must be a fixpoint (lowercase scheme/host, no trailing
+        slash, no fragment, sorted kept params re-sort to themselves).
+        One batched job over 200 seeded component-combination URLs."""
+        import random
+
+        from steam_data_pipeline_spark.llm.curation import canonicalize_url
+
+        rng = random.Random(7)
+        schemes = ["http", "https", "HTTPS", "HTTP"]
+        hosts = ["A.Example.COM", "b.example.com", "c.EXAMPLE.com:443"]
+        paths = ["", "/", "/x", "/x/", "/x/y.html", "/x//"]
+        params = ["id=1", "lang=en", "utm_source=f", "ref_src=t", "a=b%20c", "z="]
+        frags = ["", "#top", "#a/b"]
+        urls = []
+        for i in range(200):
+            q = "&".join(rng.sample(params, rng.randint(0, len(params))))
+            urls.append(
+                (
+                    i,
+                    rng.choice(schemes) + "://" + rng.choice(hosts)
+                    + rng.choice(paths) + (("?" + q) if q else "")
+                    + rng.choice(frags),
+                )
+            )
+        df = spark.createDataFrame(urls, "i long, url string")
+        once = canonicalize_url("url")
+        bad = (
+            df.select("url", once.alias("c1"), canonicalize_url(once).alias("c2"))
+            .filter("c1 IS DISTINCT FROM c2")
+            .collect()
+        )
+        assert not bad, f"non-fixpoint canonicals: {bad[:5]}"
 
     def test_url_dedup_grouping(self, spark):
         from steam_data_pipeline_spark.llm.curation import url_dedup
