@@ -259,12 +259,25 @@ def canonicalize_url(url: str | F.Column) -> F.Column:
     Scheme is preserved (http and https stay distinct — identity
     canonicalization is conservative; fold them upstream if a crawl
     treats them as equal).
+
+    Malformed-URL policy (crawl URLs are guaranteed messy): parsing
+    uses ``try_parse_url`` — under ANSI mode plain ``parse_url``
+    throws ``[INVALID_URL]`` and a single bad URL would fail the whole
+    job. A URL is *well-formed* iff both scheme and host parse; every
+    other input (``"not a url"``, relative paths, ``mailto:``, empty
+    string) falls back to its own raw trimmed text as the canonical —
+    so malformed URLs neither crash the job nor collapse into one NULL
+    dedup group with a single min-key keeper. NULL in stays NULL out.
     """
     u = F.col(url) if isinstance(url, str) else url
-    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(u, F.lit("HOST")))
-    path = F.regexp_replace(F.parse_url(u, F.lit("PATH")), r"/+$", "")
-    params = F.split(F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit("")), "&")
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    path = F.regexp_replace(
+        F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")), r"/+$", ""
+    )
+    params = F.split(
+        F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit("")), "&"
+    )
 
     def _keep(p):
         tracking = p.startswith(_TRACKING_PREFIXES[0])
@@ -276,7 +289,9 @@ def canonicalize_url(url: str | F.Column) -> F.Column:
     query = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, query)
+    built = F.concat(scheme, F.lit("://"), host, path, query)
+    well_formed = scheme.isNotNull() & host.isNotNull()
+    return F.when(well_formed, built).otherwise(F.trim(u))
 
 
 def url_dedup(
@@ -288,11 +303,17 @@ def url_dedup(
     Scale shape: one groupBy on the canonical string (shuffle carries
     the URL + 8-byte key, never document text); at 100 TB pre-hash the
     canonical with ``xxhash64`` so the shuffle key is fixed-width.
+
+    Malformed URLs canonicalize to their own raw text (see
+    :func:`canonicalize_url`), so each stays its own identity; rows
+    with a NULL url have no identity at all and are excluded rather
+    than merged into one NULL group.
     """
     return (
         docs.select(
             canonicalize_url(url_col).alias("canonical_url"), F.col(key)
         )
+        .filter(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

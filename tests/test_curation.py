@@ -150,6 +150,17 @@ class TestUrlDedup:
         # ALL trailing slashes stripped (the idempotent rule — one-at-
         # a-time stripping fails the fixpoint property)
         ("https://a.example.com/x//", "https://a.example.com/x"),
+        # malformed-URL policy: no scheme+host -> raw trimmed text is
+        # the identity (try_parse_url; ANSI parse_url would THROW here
+        # and fail the whole job on the first bad crawl URL)
+        ("not a url", "not a url"),
+        ("  spaced junk  ", "spaced junk"),
+        # scheme but no host (mailto) -> raw fallback
+        ("mailto:x@y.com", "mailto:x@y.com"),
+        # relative path (no scheme/host) -> raw fallback
+        ("/relative/path/", "/relative/path/"),
+        # empty string -> empty identity, not NULL
+        ("", ""),
     ]
 
     def test_canonicalize_rules(self, spark):
@@ -216,4 +227,31 @@ class TestUrlDedup:
         assert rows == {
             "https://a.example.com/x?id=1&lang=en": (3, 1),
             "https://b.example.com/y": (1, 4),
+        }
+
+    def test_url_dedup_malformed_mix(self, spark):
+        """Realistic crawl mix: well-formed dupes + malformed junk +
+        NULL urls in ONE frame. The job must not throw (ANSI parse_url
+        would), malformed URLs must keep distinct identities (not one
+        NULL group), and NULL urls are excluded entirely."""
+        from steam_data_pipeline_spark.llm.curation import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.example.com/x?id=1"),
+                (2, "HTTPS://A.EXAMPLE.COM/x/?id=1"),
+                (3, "not a url"),
+                (4, "also not a url"),
+                (5, "mailto:x@y.com"),
+                (6, None),
+                (7, None),
+            ],
+            "doc_id long, url string",
+        )
+        rows = {r.canonical_url: (r.n_docs, r.keeper) for r in url_dedup(df).collect()}
+        assert rows == {
+            "https://a.example.com/x?id=1": (2, 1),
+            "not a url": (1, 3),
+            "also not a url": (1, 4),
+            "mailto:x@y.com": (1, 5),
         }
