@@ -27,7 +27,9 @@ from steam_data_pipeline_spark.plans.core import CORE
 from steam_data_pipeline_spark.plans.extensions import EXT
 
 
-def _driver_correctness_rows() -> tuple[dict[str, int], dict[str, int]]:
+def _driver_correctness_rows(
+    repo_root: str | None = None,
+) -> tuple[dict[str, int], dict[str, int]]:
     """Scan the driver's per-round correctness files (committed to the
     repo root, so the derived ordering is reproducible from a clone).
 
@@ -38,10 +40,14 @@ def _driver_correctness_rows() -> tuple[dict[str, int], dict[str, int]]:
     without an oracle). A query that errored or hash-mismatched in its
     latest appearance keeps only earlier-round greens and so rotates
     toward the front of the checked window.
+
+    ``repo_root`` is overridable so the rotation derivation itself is
+    unit-testable against fabricated correctness files.
     """
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+    if repo_root is None:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
     hash_green: dict[str, int] = {}
     rows_only_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
@@ -88,30 +94,58 @@ def _verified_round(name: str) -> int | None:
     A rows-only green satisfies a query that is (still) registered
     without an oracle; a query that has since GAINED an oracle deserves
     an oracle-checked row, so its old rows-only green does not count."""
-    if name in _HASH_GREEN:
-        return _HASH_GREEN[name]
-    if name in _ROWS_ONLY_GREEN and _ALL[name].oracle is None:
-        return _ROWS_ONLY_GREEN[name]
+    return verified_round(
+        name, _ALL[name].oracle is not None, _HASH_GREEN, _ROWS_ONLY_GREEN
+    )
+
+
+def verified_round(
+    name: str,
+    has_oracle: bool,
+    hash_green: dict[str, int],
+    rows_only_green: dict[str, int],
+) -> int | None:
+    """Pure form of the verified-round rule (see `_verified_round`)."""
+    if name in hash_green:
+        return hash_green[name]
+    if name in rows_only_green and not has_oracle:
+        return rows_only_green[name]
     return None
 
 
-_POS = {name: i for i, name in enumerate(_ALL)}
+def rotation_order(
+    names: list[str],
+    has_oracle: dict[str, bool],
+    hash_green: dict[str, int],
+    rows_only_green: dict[str, int],
+) -> list[str]:
+    """The load-bearing driver-contract ordering: never-verified
+    queries first (registration order), then verified queries ordered
+    stalest-green first — so the driver's bounded check window
+    re-verifies the longest-unchecked greens each round instead of
+    rechecking a fixed prefix forever (a regression in an already-green
+    query resurfaces within a few rounds)."""
+    pos = {name: i for i, name in enumerate(names)}
 
+    def key(name: str) -> tuple[int, int, int]:
+        rnd = verified_round(
+            name, has_oracle[name], hash_green, rows_only_green
+        )
+        if rnd is None:
+            return (0, 0, pos[name])
+        return (1, rnd, pos[name])
 
-def _rotation_key(name: str) -> tuple[int, int, int]:
-    """Never-verified queries first (registration order), then verified
-    queries ordered stalest-green first — so the driver's bounded check
-    window re-verifies the longest-unchecked greens each round instead
-    of rechecking a fixed prefix forever (a regression in an
-    already-green query resurfaces within a few rounds)."""
-    rnd = _verified_round(name)
-    if rnd is None:
-        return (0, 0, _POS[name])
-    return (1, rnd, _POS[name])
+    return sorted(names, key=key)
 
 
 QUERIES: dict[str, Query] = {
-    name: _ALL[name] for name in sorted(_ALL, key=_rotation_key)
+    name: _ALL[name]
+    for name in rotation_order(
+        list(_ALL),
+        {n: q.oracle is not None for n, q in _ALL.items()},
+        _HASH_GREEN,
+        _ROWS_ONLY_GREEN,
+    )
 }
 
 

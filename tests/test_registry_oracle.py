@@ -110,3 +110,82 @@ def test_registry_never_shrinks():
     registered queries would shrink the sweep silently. Pin the floor
     (round-4 registry size)."""
     assert len(QUERIES) >= 139
+
+
+class TestRotationOrder:
+    """Pin the stalest-first rotation that feeds the driver's bounded
+    check window (VERDICT r4 task 7). The ordering is load-bearing for
+    the driver contract: never-verified queries first (registration
+    order), then verified queries stalest-green first; a query whose
+    LATEST appearance failed keeps only earlier greens and rotates
+    forward; rows-only greens only satisfy oracle-less queries."""
+
+    def test_fabricated_correctness_window_order(self, tmp_path):
+        import json
+
+        from steam_data_pipeline_spark.plans.registry import (
+            _driver_correctness_rows,
+            rotation_order,
+        )
+
+        def row(ok=True, err=None, rows=5):
+            if err == "no_oracle":
+                return {"err": "no_oracle", "spark_rows": rows,
+                        "oracle_rows": None}
+            return {
+                "rows_match": ok, "schema_match": ok, "hash_match": ok,
+                "spark_rows": rows, "oracle_rows": rows, "err": err,
+            }
+
+        # r1: a,b green; c green-then-later-failed; e rows-only green
+        (tmp_path / "CORRECTNESS_r1.json").write_text(json.dumps({
+            "a": row(), "b": row(), "c": row(), "e": row(err="no_oracle"),
+        }))
+        # r2: b re-green (fresher), c FAILS hash, d green, f errors
+        (tmp_path / "CORRECTNESS_r2.json").write_text(json.dumps({
+            "b": row(), "c": row(ok=False), "d": row(),
+            "f": row(err="boom"),
+        }))
+        hash_green, rows_only = _driver_correctness_rows(str(tmp_path))
+        assert hash_green == {"a": 1, "b": 2, "c": 1, "d": 2}
+        assert rows_only == {"e": 1}
+
+        # g: brand-new, never checked. e has no oracle (rows-only OK);
+        # f's only row errored -> never-verified.
+        names = ["a", "b", "c", "d", "e", "f", "g"]
+        has_oracle = {n: n != "e" for n in names}
+        order = rotation_order(names, has_oracle, hash_green, rows_only)
+        # never-verified first in registration order: f then g;
+        # then stalest green first: r1 (a, c, e in reg order), then r2.
+        assert order == ["f", "g", "a", "c", "e", "b", "d"]
+
+    def test_rows_only_green_expires_when_oracle_added(self):
+        from steam_data_pipeline_spark.plans.registry import rotation_order
+
+        # e was rows-only green, but NOW has an oracle -> deserves a
+        # fresh oracle-checked slot at the front.
+        order = rotation_order(
+            ["a", "e"], {"a": True, "e": True}, {"a": 1}, {"e": 1}
+        )
+        assert order == ["e", "a"]
+
+    def test_live_registry_front_loads_stalest(self):
+        """On the real CORRECTNESS files: the first-50 window must hold
+        exactly the stalest verified rounds (plus any never-verified),
+        i.e. no fresher-green query may precede a staler one."""
+        from steam_data_pipeline_spark.plans.registry import (
+            QUERIES,
+            _verified_round,
+        )
+
+        rounds = [_verified_round(n) for n in QUERIES]
+        # never-verified (None) must be a prefix
+        seen_verified = False
+        prev = 0
+        for r in rounds:
+            if r is None:
+                assert not seen_verified, "never-verified after verified"
+                continue
+            seen_verified = True
+            assert r >= prev, "fresher green precedes staler green"
+            prev = r
