@@ -2,10 +2,15 @@
 
 Media (image/audio/video) are opaque ``binary`` columns + a typed
 metadata struct; all Spark-side mechanics — schema, partition-sized
-Arrow batches, ``mapInPandas`` signatures — are real and tested. The
-actual byte→pixels/samples decode is STUBBED (`_decode_stub`) because
-the media libraries are not in this container; swap the stub for
-PIL/av/soundfile and nothing else changes.
+Arrow batches, ``mapInPandas`` signatures — are real and tested.
+
+Decode is capability-gated: PNG images (8-bit grey/RGB/±alpha,
+non-interlaced) are decoded to REAL PIXELS by the pure-stdlib codec in
+`llm.png` and yield pixel-statistic features with ``decoded=true``;
+any other byte content (audio, video, other image formats — their
+libraries are not in this container) falls back to a deterministic
+byte-histogram feature with ``decoded=false``. Swapping the codec for
+PIL/av/soundfile widens the gate without touching the Spark plumbing.
 """
 
 from __future__ import annotations
@@ -39,25 +44,72 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id long, modality string, n_bytes long, content_hash string, "
-    "feature array<double>"
+    "decoded boolean, feature array<double>"
 )
 
 
-def _decode_stub(content: bytes, modality: str) -> list[float]:
-    """Deterministic fake 'decode → feature vector'.
+def _histogram_fallback(content: bytes) -> list[float]:
+    """Deterministic byte-histogram feature for NON-decodable content.
 
-    Real decode (PIL.Image.open / librosa.load / pyav frame sampling)
-    belongs here; unavailable in this container, so we emit an 8-dim
-    byte-histogram feature that is (a) deterministic, (b) shaped like a
-    real extractor output, keeping every downstream contract testable.
+    Real decode for the formats outside the PNG gate (PIL.Image.open /
+    librosa.load / pyav frame sampling) belongs in `_decode`; their
+    libraries are unavailable in this container, so undecodable bytes
+    emit an 8-dim byte-histogram that is (a) deterministic, (b) shaped
+    like a real extractor output, keeping downstream contracts
+    testable.
     """
-    if content is None:
-        raise NotImplementedError("media decode requires content bytes")
     hist = [0.0] * 8
     for b in content:
         hist[b >> 5] += 1.0
     total = max(len(content), 1)
     return [h / total for h in hist]
+
+
+def _decode(content: bytes, modality: str) -> tuple[bool, list[float]]:
+    """Capability-gated decode → ``(decoded, 8-dim feature)``.
+
+    PNG bytes decode to real pixels (llm.png) and yield
+    ``[width, height, channels, mean_r, mean_g, mean_b, mean_luma,
+    std_luma]`` — channel means are computed as exact integer sums
+    divided once, so an analytic oracle can reproduce them
+    bit-identically. Everything else falls back to the byte histogram.
+    """
+    from steam_data_pipeline_spark.llm.png import PNG_MAGIC, PngError, decode_png
+
+    if content is None:
+        raise NotImplementedError("media decode requires content bytes")
+    if content[:8] == PNG_MAGIC:
+        try:
+            w, h, ch, px = decode_png(content)
+        except PngError:
+            return False, _histogram_fallback(content)
+        import numpy as np
+
+        a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, ch)
+        n = w * h
+        if ch >= 3:
+            sums = a[:, :, :3].astype(np.int64).sum(axis=(0, 1))
+            mr, mg, mb = (int(s) / n for s in sums)
+            luma = (
+                0.299 * a[:, :, 0].astype(np.float64)
+                + 0.587 * a[:, :, 1].astype(np.float64)
+                + 0.114 * a[:, :, 2].astype(np.float64)
+            )
+        else:  # greyscale (+alpha): channel 0 is the value
+            s = int(a[:, :, 0].astype(np.int64).sum())
+            mr = mg = mb = s / n
+            luma = a[:, :, 0].astype(np.float64)
+        return True, [
+            float(w),
+            float(h),
+            float(ch),
+            mr,
+            mg,
+            mb,
+            0.299 * mr + 0.587 * mg + 0.114 * mb,
+            float(luma.std()),
+        ]
+    return False, _histogram_fallback(content)
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -70,6 +122,9 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            decoded_feats = pdf.apply(
+                lambda r: _decode(r["content"], r["modality"]), axis=1
+            )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -80,9 +135,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     "content_hash": pdf["content"].map(
                         lambda c: hashlib.sha256(c).hexdigest() if c is not None else None
                     ),
-                    "feature": pdf.apply(
-                        lambda r: _decode_stub(r["content"], r["modality"]), axis=1
-                    ),
+                    "decoded": decoded_feats.map(lambda t: t[0]),
+                    "feature": decoded_feats.map(lambda t: t[1]),
                 }
             )
             yield out

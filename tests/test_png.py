@@ -1,0 +1,144 @@
+"""Pure-stdlib PNG codec (llm/png.py) + capability-gated media decode.
+
+The decode leg of the multimodal path was a documented stub through
+round 4; these tests pin the real path: encode→decode roundtrips over
+every filter type and channel layout, known-pixel feature oracles, and
+the fallback gate for undecodable bytes.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+
+import pytest
+
+from steam_data_pipeline_spark.llm.multimodal import _decode
+from steam_data_pipeline_spark.llm.png import (
+    PNG_MAGIC,
+    PngError,
+    decode_png,
+    encode_png,
+)
+
+
+def _img(w, h, ch, fn):
+    """Interleaved sample buffer from fn(x, y, c)."""
+    return bytes(
+        fn(x, y, c) & 0xFF for y in range(h) for x in range(w) for c in range(ch)
+    )
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("ch", [1, 2, 3, 4])
+    def test_every_filter_and_layout(self, ftype, ch):
+        w, h = 7, 5
+        px = _img(w, h, ch, lambda x, y, c: 13 * x + 31 * y + 77 * c + 5)
+        data = encode_png(w, h, ch, px, row_filters=[ftype] * h)
+        assert data[:8] == PNG_MAGIC
+        gw, gh, gch, gpx = decode_png(data)
+        assert (gw, gh, gch) == (w, h, ch)
+        assert bytes(gpx) == px
+
+    def test_mixed_filters_per_row(self):
+        w, h, ch = 9, 10, 3
+        px = _img(w, h, ch, lambda x, y, c: x * y + 17 * c)
+        data = encode_png(w, h, ch, px, row_filters=[y % 5 for y in range(h)])
+        assert bytes(decode_png(data)[3]) == px
+
+    def test_random_images_roundtrip(self):
+        rng = random.Random(42)
+        for _ in range(20):
+            w, h = rng.randint(1, 12), rng.randint(1, 12)
+            ch = rng.choice([1, 2, 3, 4])
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            filters = [rng.randrange(5) for _ in range(h)]
+            got = decode_png(encode_png(w, h, ch, px, row_filters=filters))
+            assert (got[0], got[1], got[2], bytes(got[3])) == (w, h, ch, px)
+
+
+class TestMalformed:
+    def _png(self):
+        return encode_png(2, 2, 3, _img(2, 2, 3, lambda x, y, c: x + y + c))
+
+    def test_bad_magic(self):
+        with pytest.raises(PngError, match="magic"):
+            decode_png(b"GIF89a" + self._png()[6:])
+
+    def test_corrupt_crc(self):
+        data = bytearray(self._png())
+        data[20] ^= 0xFF  # inside IHDR body -> CRC mismatch
+        with pytest.raises(PngError, match="CRC"):
+            decode_png(bytes(data))
+
+    def test_truncated(self):
+        with pytest.raises(PngError):
+            decode_png(self._png()[:-10])
+
+    def test_interlaced_rejected(self):
+        # rebuild IHDR with interlace=1 and a valid CRC
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        chunk = (
+            struct.pack(">I", 13)
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        data = PNG_MAGIC + chunk + self._png()[8 + 25 :]
+        with pytest.raises(PngError, match="interlaced"):
+            decode_png(data)
+
+    def test_bad_bit_depth_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        chunk = (
+            struct.pack(">I", 13)
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        data = PNG_MAGIC + chunk + self._png()[8 + 25 :]
+        with pytest.raises(PngError, match="bit depth"):
+            decode_png(data)
+
+
+class TestDecodeFeatures:
+    def test_known_pixels_rgb(self):
+        """Known-pixel oracle: 2x2 RGB, means computed by hand."""
+        px = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+        data = encode_png(2, 2, 3, px)
+        decoded, feat = _decode(data, "image")
+        assert decoded is True
+        w, h, ch, mr, mg, mb, ml, sl = feat
+        assert (w, h, ch) == (2.0, 2.0, 3.0)
+        assert (mr, mg, mb) == (55.0, 65.0, 75.0)
+        assert ml == pytest.approx(0.299 * 55 + 0.587 * 65 + 0.114 * 75)
+        assert sl > 0
+
+    def test_known_pixels_grey(self):
+        data = encode_png(2, 1, 1, bytes([100, 200]))
+        decoded, feat = _decode(data, "image")
+        assert decoded and feat[:6] == [2.0, 1.0, 1.0, 150.0, 150.0, 150.0]
+        assert feat[7] == pytest.approx(50.0)  # std of {100,200}
+
+    def test_rgba_alpha_ignored_in_means(self):
+        px = bytes([10, 20, 30, 255, 50, 60, 70, 0])
+        decoded, feat = _decode(encode_png(2, 1, 4, px), "image")
+        assert decoded and feat[3:6] == [30.0, 40.0, 50.0]
+
+    def test_non_png_falls_back_to_histogram(self):
+        decoded, feat = _decode(bytes(range(64)), "image")
+        assert decoded is False
+        assert len(feat) == 8 and abs(sum(feat) - 1.0) < 1e-9
+
+    def test_corrupt_png_falls_back_not_raises(self):
+        """PNG magic but garbage body -> graceful fallback, no crash
+        (a 100 TB media corpus WILL contain truncated files)."""
+        junk = PNG_MAGIC + b"\x00" * 40
+        decoded, feat = _decode(junk, "image")
+        assert decoded is False and len(feat) == 8
+
+    def test_null_content_still_raises(self):
+        with pytest.raises(NotImplementedError):
+            _decode(None, "image")
