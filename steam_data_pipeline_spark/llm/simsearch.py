@@ -19,7 +19,52 @@ Two tiers:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+@dataclass
+class LshIndex:
+    """Prebuilt SRP-LSH bucket index + the build parameters it is only
+    valid under. ``lsh_topk`` re-derives each table's hyperplanes from
+    ``(n_planes, seed_base + table_position)``, so an index persisted
+    with different parameters or reloaded out of table order would
+    silently shrink candidate overlap to near self-hits — carrying the
+    parameters with the tables lets ``lsh_topk`` enforce the contract
+    instead of documenting it. Persist each table under its position
+    (e.g. ``.../table_000``) and reconstruct with the same parameters.
+    """
+
+    tables: list[DataFrame]
+    n_planes: int = 8
+    seed_base: int = 42
+
+    def __post_init__(self) -> None:
+        if not self.tables:
+            raise ValueError(
+                "LshIndex: need at least one bucket table (did a glob "
+                "over the persisted index directory match nothing?)"
+            )
+
+    @property
+    def n_tables(self) -> int:
+        return len(self.tables)
+
+
+@dataclass
+class IvfIndex:
+    """Prebuilt IVF index: centroid table + inverted-list assignments,
+    plus the centroid count fixed at build time — so ``ivf_topk`` can
+    size its probe default without running a ``count()`` job per query
+    batch. Unpacks as ``(centroids, assignments)`` for compatibility."""
+
+    centroids: DataFrame
+    assignments: DataFrame
+    n_centroids: int
+
+    def __iter__(self):
+        return iter((self.centroids, self.assignments))
 
 
 def dot_expr(a: str | Column, b: str | Column) -> Column:
@@ -131,10 +176,11 @@ def build_ivf_index(
     key: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
-) -> tuple[DataFrame, DataFrame]:
+) -> IvfIndex:
     """Assign every vector to its nearest centroid (the IVF inverted
-    lists). Returns (centroids, assignments); persist the assignments
-    table partitioned by centroid_id for reuse."""
+    lists). Returns an :class:`IvfIndex` (unpacks as ``(centroids,
+    assignments)``); persist the assignments table partitioned by
+    centroid_id for reuse."""
     cents = _centroids(corpus, key, vec_col, n_centroids)
     c = F.broadcast(cents.select("centroid_id", "centroid"))
     scored = corpus.select(key, vec_col).crossJoin(c).select(
@@ -149,7 +195,7 @@ def build_ivf_index(
         .filter(F.col("__rn") == 1)
         .select(key, vec_col, "centroid_id")
     )
-    return cents, assign
+    return IvfIndex(cents, assign, n_centroids)
 
 
 def build_lsh_index(
@@ -158,21 +204,26 @@ def build_lsh_index(
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_tables: int = 2,
-) -> list[DataFrame]:
+    seed_base: int = 42,
+) -> LshIndex:
     """Per-table SRP bucket assignments: ``n_tables`` DataFrames of
-    (key, __bucket) — the persistable LSH index. Build once (seeded
-    planes, so rebuilds are stable), persist partitioned by
-    ``__bucket``, and pass to :func:`lsh_topk` via ``index=`` so each
-    query batch pays probe cost only."""
+    (key, __bucket) — the persistable LSH index, returned as an
+    :class:`LshIndex` that carries the build parameters. Build once
+    (seeded planes, so rebuilds are stable), persist each table
+    partitioned by ``__bucket`` under its position, and pass to
+    :func:`lsh_topk` via ``index=`` so each query batch pays probe
+    cost only."""
     from steam_data_pipeline_spark.llm.dedup import _srp_bucket_udf
 
     vecs = corpus.select(key, vec_col)
-    return [
+    tables = [
         vecs.withColumn(
-            "__bucket", _srp_bucket_udf(n_planes, seed=42 + table)(F.col(vec_col))
+            "__bucket",
+            _srp_bucket_udf(n_planes, seed=seed_base + table)(F.col(vec_col)),
         ).select(key, "__bucket")
         for table in range(n_tables)
     ]
+    return LshIndex(tables, n_planes=n_planes, seed_base=seed_base)
 
 
 def lsh_topk(
@@ -182,10 +233,10 @@ def lsh_topk(
     key: str = "vec_id",
     vec_col: str = "embedding",
     query_key: str = "query_id",
-    n_planes: int = 8,
-    n_tables: int = 2,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     probe_radius: int = 3,
-    index: list[DataFrame] | None = None,
+    index: LshIndex | None = None,
 ) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH buckets — the
     bucketed sibling of ``ivf_topk`` (the north star names either as
@@ -210,40 +261,61 @@ def lsh_topk(
     smaller touch. Deterministic: seeded planes per table, (score desc,
     key asc) tie-break.
 
-    ``index`` accepts the prebuilt per-table bucket assignments from
-    :func:`build_lsh_index` (same ``n_planes``; table count = its
-    length) — built once, persisted, reused across query batches, the
-    same amortized convention as ``ivf_topk``. Query probes re-derive
-    each table's planes from the shared seed, so a loaded index stays
-    consistent with the probe side ONLY if ``n_planes`` matches the
-    build and the list preserves build order (table i ↔ seed 42+i) —
-    persist tables under their position and reload in order. A
-    mismatched ``n_planes`` would silently shrink candidate overlap to
-    near self-hits, so pass the build parameters alongside a persisted
-    index.
+    ``index`` accepts the prebuilt :class:`LshIndex` from
+    :func:`build_lsh_index` — built once, persisted, reused across
+    query batches, the same amortized convention as ``ivf_topk``.
+    Query probes re-derive each table's planes from the index's own
+    ``(n_planes, seed_base)``, so a persisted index stays consistent
+    with the probe side by construction; the parameters travel WITH
+    the tables rather than being re-supplied by the caller. Passing
+    ``n_tables`` alongside ``index`` raises (the table count is the
+    index's), as does a conflicting ``n_planes``.
     """
     import itertools
 
     from steam_data_pipeline_spark.llm.dedup import _srp_bucket_udf
 
+    if index is None:
+        index = build_lsh_index(
+            corpus,
+            key,
+            vec_col,
+            n_planes if n_planes is not None else 8,
+            n_tables if n_tables is not None else 2,
+        )
+    else:
+        if not isinstance(index, LshIndex):
+            raise TypeError(
+                "lsh_topk: index= takes the LshIndex returned by "
+                "build_lsh_index (a bare table list cannot prove which "
+                "n_planes/seed it was built under — reconstruct "
+                "LshIndex(tables, n_planes=..., seed_base=...) from "
+                "the persisted build parameters)"
+            )
+        if n_tables is not None:
+            raise ValueError(
+                f"lsh_topk: n_tables={n_tables} conflicts with index= "
+                f"(the index has {index.n_tables} tables and its count "
+                "is authoritative — drop the n_tables argument)"
+            )
+        if n_planes is not None and n_planes != index.n_planes:
+            raise ValueError(
+                f"lsh_topk: n_planes={n_planes} does not match the "
+                f"index build (n_planes={index.n_planes}); a mismatch "
+                "would silently shrink candidate overlap to near "
+                "self-hits"
+            )
+    n_planes = index.n_planes
     masks = [0] + [
         sum(1 << b for b in bits)
         for r in range(1, probe_radius + 1)
         for bits in itertools.combinations(range(n_planes), r)
     ]
     vecs = corpus.select(key, vec_col)
-    if index is None:
-        index = build_lsh_index(corpus, key, vec_col, n_planes, n_tables)
-    elif not index:
-        raise ValueError(
-            "lsh_topk: index= must contain at least one bucket table "
-            "(got an empty list — did a glob over the persisted index "
-            "directory match nothing?)"
-        )
     qsel = queries.select(query_key, F.col(vec_col).alias("__qvec"))
     cands = None
-    for table, tagged in enumerate(index):
-        srp = _srp_bucket_udf(n_planes, seed=42 + table)
+    for table, tagged in enumerate(index.tables):
+        srp = _srp_bucket_udf(n_planes, seed=index.seed_base + table)
         probes = (
             qsel.withColumn("__b0", srp(F.col("__qvec")))
             .select(
@@ -278,16 +350,20 @@ def ivf_topk(
     query_key: str = "query_id",
     n_centroids: int = 16,
     n_probe: int | None = None,
-    index: tuple[DataFrame, DataFrame] | None = None,
+    index: IvfIndex | tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``n_probe`` centroids nearest
     each query, exact cosine within the probed lists.
 
-    ``index`` accepts a prebuilt ``(centroids, assignments)`` pair from
+    ``index`` accepts the prebuilt :class:`IvfIndex` from
     :func:`build_ivf_index` — the production calling convention: the
     index is built once, persisted, and amortized across every query
-    batch, so per-query cost is probe-only. When omitted the index is
-    built in-query (the registered demo query's shape).
+    batch, so per-query cost is probe-only (the build-time centroid
+    count travels with the index, so no per-batch ``count()`` job). A
+    legacy bare ``(centroids, assignments)`` pair still works but pays
+    one ``count()`` job to size the probe default when ``n_probe`` is
+    omitted. When ``index`` is omitted entirely the index is built
+    in-query (the registered demo query's shape).
 
     ``n_probe`` defaults to the probed FRACTION 5/16 of the index's
     actual centroid count (min 5) rather than a fixed count: a prebuilt
@@ -303,15 +379,19 @@ def ivf_topk(
     converged by ~10 iterations, so the residual gap is the data's
     geometry, not index quality. Clustered real-world embeddings
     deliver far higher recall at smaller touch."""
-    cents, assign = (
-        index if index is not None else build_ivf_index(corpus, key, vec_col, n_centroids)
-    )
+    if index is None:
+        index = build_ivf_index(corpus, key, vec_col, n_centroids)
+    if isinstance(index, IvfIndex):
+        cents, assign = index.centroids, index.assignments
+        actual_c = index.n_centroids
+    else:
+        # legacy bare (centroids, assignments) pair: the build-time
+        # centroid count was not carried, so sizing the probe default
+        # costs one count() job — last resort only; prefer IvfIndex
+        # (or pass n_probe explicitly, as scale_rehearsal.py does)
+        cents, assign = index
+        actual_c = cents.count() if n_probe is None else -1
     if n_probe is None:
-        # the centroid table is driver-tiny by construction (it is
-        # collected + re-broadcast inside _centroids), so this count
-        # costs one trivial job on the in-query path and a metadata
-        # read on a checkpointed/persisted prebuilt index
-        actual_c = cents.count() if index is not None else n_centroids
         n_probe = max(5, round(actual_c * 5 / 16))
     c = F.broadcast(cents.select("centroid_id", "centroid"))
     qprobe = (

@@ -159,14 +159,18 @@ class TestSimSearch:
             F.col("vec_id").alias("query_id"), "embedding"
         )
 
+        from steam_data_pipeline_spark.llm.simsearch import IvfIndex, LshIndex
+
         inline_ivf = sorted(
             (r.query_id, r.vec_id) for r in ivf_topk(emb, queries, k=5).collect()
         )
-        cents, assign = build_ivf_index(emb)
+        built = build_ivf_index(emb)
+        cents, assign = built  # IvfIndex unpacks as (centroids, assignments)
         # localCheckpoint stands in for persist-to-parquet + reload
-        prebuilt = (
+        prebuilt = IvfIndex(
             cents.localCheckpoint(eager=True),
             assign.localCheckpoint(eager=True),
+            built.n_centroids,
         )
         reused_ivf = sorted(
             (r.query_id, r.vec_id)
@@ -177,14 +181,45 @@ class TestSimSearch:
         inline_lsh = sorted(
             (r.query_id, r.vec_id) for r in lsh_topk(emb, queries, k=5).collect()
         )
-        tables = [
-            t.localCheckpoint(eager=True) for t in build_lsh_index(emb)
-        ]
+        lsh_built = build_lsh_index(emb)
+        reloaded = LshIndex(
+            [t.localCheckpoint(eager=True) for t in lsh_built.tables],
+            n_planes=lsh_built.n_planes,
+            seed_base=lsh_built.seed_base,
+        )
         reused_lsh = sorted(
             (r.query_id, r.vec_id)
-            for r in lsh_topk(emb, queries, k=5, index=tables).collect()
+            for r in lsh_topk(emb, queries, k=5, index=reloaded).collect()
         )
         assert reused_lsh == inline_lsh
+
+    def test_index_contract_enforced(self, spark, emb):
+        """ADVICE r4: the prebuilt-index contract must be enforced, not
+        documented — mismatched n_planes and redundant n_tables raise,
+        a bare table list (which cannot prove its build params) raises,
+        and an empty index raises at construction."""
+        import pytest as _pytest
+
+        from steam_data_pipeline_spark.llm.simsearch import (
+            LshIndex,
+            build_lsh_index,
+            lsh_topk,
+        )
+
+        queries = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        idx = build_lsh_index(emb, n_planes=8, n_tables=2)
+        with _pytest.raises(ValueError, match="n_planes"):
+            lsh_topk(emb, queries, n_planes=12, index=idx)
+        with _pytest.raises(ValueError, match="n_tables"):
+            lsh_topk(emb, queries, n_tables=3, index=idx)
+        with _pytest.raises(TypeError, match="LshIndex"):
+            lsh_topk(emb, queries, index=idx.tables)
+        with _pytest.raises(ValueError, match="at least one"):
+            LshIndex([])
+        # matching explicit n_planes is accepted
+        assert lsh_topk(emb, queries, k=1, n_planes=8, index=idx).count() > 0
 
     def test_lsh_recall_and_self_hit(self, spark, emb):
         from steam_data_pipeline_spark.llm.simsearch import lsh_topk

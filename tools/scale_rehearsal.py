@@ -64,6 +64,10 @@ def rehearse_ann(sf_dir: str, factors: list[int]) -> None:
     spark = _spark()
     base = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n0 = base.count()
+    # synthetic ids start past the real max: if the fixture's ids were
+    # assumed contiguous 0..n0-1 but are sparse/offset, n0+i would
+    # collide with real ids and silently corrupt the recall measure
+    id_base = base.agg(F.max("vec_id")).first()[0] + 1
     dim = len(base.select("embedding").first()[0])
     queries = base.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -81,7 +85,7 @@ def rehearse_ann(sf_dir: str, factors: list[int]) -> None:
             rng = np.random.default_rng(1234 + f)
             extra = rng.standard_normal(((f - 1) * n0, dim))
             pdfs = [
-                ((n0 + i), [float(x) for x in row])
+                ((id_base + i), [float(x) for x in row])
                 for i, row in enumerate(extra)
             ]
             extra_df = spark.createDataFrame(
@@ -112,15 +116,20 @@ def rehearse_ann(sf_dir: str, factors: list[int]) -> None:
 
         n_centroids, n_probe = suggest_ivf_params(n)
         t0 = time.time()
-        cents, assign = build_ivf_index(corpus, n_centroids=n_centroids)
-        cents = cents.localCheckpoint(eager=True)
-        assign = assign.localCheckpoint(eager=True)
+        built = build_ivf_index(corpus, n_centroids=n_centroids)
+        from steam_data_pipeline_spark.llm.simsearch import IvfIndex
+
+        prebuilt = IvfIndex(
+            built.centroids.localCheckpoint(eager=True),
+            built.assignments.localCheckpoint(eager=True),
+            built.n_centroids,
+        )
         ivf_build_s = time.time() - t0
         t0 = time.time()
         ivf = {
             (r["query_id"], r["vec_id"])
             for r in ivf_topk(
-                corpus, queries, k=k, n_probe=n_probe, index=(cents, assign)
+                corpus, queries, k=k, n_probe=n_probe, index=prebuilt
             ).collect()
         }
         ivf_s = time.time() - t0
