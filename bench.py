@@ -260,35 +260,93 @@ def main() -> None:
     # so startup pays max(), not sum().
     from steam_data_pipeline_spark.plans.extensions import BENCH_FIXTURES
 
+    # heaviest-first (measured under contention at sf0.01:
+    # logreg 12.4 > kmeans 10.1 > als 9.6 > jaccard 9.4 > minhash 9.0
+    # > streaming 7.7 ...): with the bounded pool below, the longest
+    # poles start immediately and the cheap ones fill the tail.
     warm_fns = [
-        _warm_read,
-        _warm_python_workers,
-        _warm_als,
-        _warm_kmeans,
         _warm_logreg,
-        _warm_minhash_codegen,
+        _warm_kmeans,
+        _warm_als,
         _warm_jaccard_codegen,
-        _warm_datasource_workers,
-        _warm_stream_datasource,
+        _warm_minhash_codegen,
         _warm_streaming,
+        _warm_datasource_workers,
         _warm_stateful_stream,
+        _warm_stream_datasource,
+        _warm_python_workers,
         _warm_grouped_pandas,
+        _warm_read,
     ]
-    with ThreadPoolExecutor(max_workers=len(warm_fns) + len(BENCH_FIXTURES)) as pool:
-        futures = [pool.submit(fn) for fn in warm_fns] + [
-            pool.submit(prep, spark, sf_dir) for prep in BENCH_FIXTURES
-        ]
-        for f in futures:
+    session_sec = round(time.time() - t_start, 3)
+
+    # Each warmup records its own wall time into `warmed`, so the
+    # startup number is self-documenting (which machinery was warmed,
+    # what the critical path was) instead of one opaque scalar.
+    warmed: dict[str, float] = {}
+
+    def _timed(label, fn, *args):
+        def run():
+            t0 = time.time()
+            fn(*args)
+            warmed[label] = round(time.time() - t0, 3)
+
+        return run
+
+    warm_jobs = [
+        _timed(fn.__name__.removeprefix("_warm_"), fn) for fn in warm_fns
+    ]
+    fixture_jobs = [
+        _timed(f"fixture:{prep.__name__}", prep, spark, sf_dir)
+        for prep in BENCH_FIXTURES
+    ]
+    # fixtures (~5-8 s each) slot in after the heaviest warmups
+    jobs = warm_jobs[:4] + fixture_jobs + warm_jobs[4:]
+    # Bounded pool, heaviest-first: an unbounded pool ran all ~15
+    # warmups at once and the contention stretched the critical path
+    # (logreg measured 12.4 s under full contention vs ~7 s with the
+    # pool capped) — startup pays max(warmup), so the cap directly
+    # shortens the longest pole. warm_fns is ordered heaviest-first.
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        for f in [pool.submit(j) for j in jobs]:
             f.result()
     startup = time.time() - t_start
 
+    # Host-stall variance guard: this (shared) VM randomly stalls
+    # 20-40 s, which lands as an additive spike on whichever query is
+    # running. A timing that exceeds 3x the trailing median (and an
+    # absolute floor well above the heaviest genuine query) is re-run
+    # once; both numbers are reported (stall_reruns) and the MIN is
+    # recorded — a stall is additive noise, so the faster run is the
+    # honest plan cost. Disable with SPARK_GRAFT_STALL_GUARD=0.
+    import statistics
+
+    stall_guard = os.environ.get("SPARK_GRAFT_STALL_GUARD", "1") != "0"
+    stall_reruns: dict[str, dict[str, float]] = {}
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
+
+    def _run_once(q) -> float:
+        t0 = time.time()
+        force(q.spark(spark, sf_dir))
+        return time.time() - t0
+
     for name, q in QUERIES.items():
         t0 = time.time()
         try:
-            force(q.spark(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            t = _run_once(q)
+            trailing = list(timings.values())[-30:]
+            if (
+                stall_guard
+                and len(trailing) >= 10
+                and t > max(3 * statistics.median(trailing), 10.0)
+            ):
+                spark.catalog.clearCache()
+                t2 = _run_once(q)
+                stall_reruns[name] = {"first": round(t, 3), "rerun": round(t2, 3)}
+                t = min(t, t2)
+            timings[name] = round(t, 3)
         except Exception as e:  # noqa: BLE001 - a bench must finish
             failures[name] = f"{type(e).__name__}: {e}"
             timings[name] = round(time.time() - t0, 3)
@@ -323,8 +381,12 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "startup_sec": round(startup, 3),
+        "session_sec": session_sec,
+        "warmed": warmed,
         "operator_sec": operator_sec,
     }
+    if stall_reruns:
+        out["stall_reruns"] = stall_reruns
     if failures:
         out["failures"] = failures
     print(json.dumps(out))

@@ -91,6 +91,12 @@ class ParquetTableStore:
     plain-parquet miniature of Delta/Iceberg partition-scoped MERGE.
     """
 
+    #: test-only fault-injection point: called with the batch_id after
+    #: a batch's files are moved into the generation but BEFORE its
+    #: commit marker is written (the crash window exactly-once must
+    #: survive). Production leaves this None.
+    fault_hook = None
+
     def __init__(self, spark: SparkSession, root: str, keep_generations: int = 2):
         self.spark = spark
         self.root = root
@@ -385,7 +391,10 @@ class ParquetTableStore:
         batch's files carry a deterministic ``batch-<id>-`` prefix and a
         commit marker: a replay whose marker exists is skipped; a replay
         over a partial (marker-less) write first deletes the prefix's
-        files, so duplicates cannot survive any crash point. Markers
+        files, so duplicates cannot survive any crash point (the
+        worst-case window — all files moved, marker not yet written —
+        is exercised across a REAL process kill by
+        tests/test_store_hardening.py via ``fault_hook``). Markers
         live at the TABLE level (``_batches/``), not inside a
         generation, so they survive generation rotation — "batch N was
         applied to this table" is a table-lifetime fact. Returns True
@@ -417,6 +426,11 @@ class ParquetTableStore:
                     part += 1
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+        if ParquetTableStore.fault_hook is not None:
+            # fault-injection point (tests only): fires in the
+            # worst-case crash window — batch files fully moved into
+            # the generation, commit marker not yet written
+            ParquetTableStore.fault_hook(batch_id)
         with open(marker, "w") as f:
             f.write("committed")
         # The moves happened behind Spark's file-status cache (which has

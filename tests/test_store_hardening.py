@@ -214,3 +214,106 @@ class TestBatchMarkersSurviveRotation:
         store.overwrite("facts", current)
         assert store.append_batch("facts", batch, batch_id=0) is False  # replay
         assert store.read("facts").count() == 1
+
+
+class TestKillMidForeachBatchSoak:
+    """VERDICT r4 task 5: prove exactly-once across a REAL process
+    boundary. A child process runs a file-source stream whose
+    foreachBatch appends via append_batch; the fault hook os._exit(137)s
+    it in the worst-case window (batch files fully moved into the
+    generation, commit marker NOT yet written, streaming checkpoint NOT
+    yet committed). A second process restarts the same stream on the
+    same checkpoint + store; Structured Streaming replays the killed
+    batch, append_batch scrubs the orphaned files and rewrites. Result
+    must be no duplicate and no lost row."""
+
+    SCRIPT = r"""
+import os, sys
+repo = sys.argv[5]
+sys.path.insert(0, repo)
+from steam_data_pipeline_spark.session import get_spark
+from steam_data_pipeline_spark.operators.upsert import ParquetTableStore
+
+mode, src, root, ckpt = sys.argv[1:5]
+spark = get_spark("soak-" + mode)
+store = ParquetTableStore(spark, root)
+if mode == "crash":
+    def _kill(batch_id):
+        if batch_id == 1:
+            os._exit(137)
+    ParquetTableStore.fault_hook = _kill
+
+def apply_batch(df, bid):
+    store.append_batch("facts", df, bid)
+
+q = (
+    spark.readStream.schema("k long, v long")
+    .option("maxFilesPerTrigger", "1")
+    .parquet(src)
+    .writeStream.foreachBatch(apply_batch)
+    .option("checkpointLocation", ckpt)
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination()
+spark.stop()
+print("SOAK_DONE")
+"""
+
+    def test_kill_between_move_and_marker_then_restart(self, spark, tmp_path):
+        import subprocess
+        import sys
+
+        src = str(tmp_path / "src")
+        root = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+        # 3 single-file batches, 10 distinct rows each
+        for i in range(3):
+            spark.createDataFrame(
+                [(i, i * 10 + j) for j in range(10)], "k long, v long"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def run(mode):
+            return subprocess.run(
+                [sys.executable, "-c", self.SCRIPT, mode, src, root, ckpt, repo],
+                capture_output=True,
+                text=True,
+                timeout=300,
+                cwd=str(tmp_path),
+            )
+
+        p1 = run("crash")
+        assert p1.returncode == 137, (
+            f"expected SIGKILL-style exit 137, got {p1.returncode}\n"
+            f"stdout={p1.stdout[-2000:]}\nstderr={p1.stderr[-2000:]}"
+        )
+
+        # the crash must have landed INSIDE the window: batch-1 files
+        # present in the generation, batch-1 marker absent
+        tdir = os.path.join(root, "facts")
+        gens = sorted(d for d in os.listdir(tdir) if d.startswith("gen="))
+        orphan_files = [
+            n
+            for g in gens
+            for n in os.listdir(os.path.join(tdir, g))
+            if n.startswith("batch-1-")
+        ]
+        markers = set(os.listdir(os.path.join(tdir, "_batches")))
+        assert orphan_files, "fault hook fired outside the move/marker window"
+        assert "batch-1.COMMITTED" not in markers
+        assert "batch-0.COMMITTED" in markers
+
+        p2 = run("resume")
+        assert p2.returncode == 0 and "SOAK_DONE" in p2.stdout, (
+            f"restart failed: rc={p2.returncode}\n"
+            f"stdout={p2.stdout[-2000:]}\nstderr={p2.stderr[-2000:]}"
+        )
+
+        store = ParquetTableStore(spark, root)
+        got = sorted((r.k, r.v) for r in store.read("facts").collect())
+        want = sorted((i, i * 10 + j) for i in range(3) for j in range(10))
+        assert got == want, "duplicate or lost rows across the kill/replay"
+        markers = set(os.listdir(os.path.join(tdir, "_batches")))
+        assert {"batch-0.COMMITTED", "batch-1.COMMITTED", "batch-2.COMMITTED"} <= markers

@@ -6,7 +6,9 @@ Committed (rather than ad-hoc) so every round re-runs the SAME
 measurement. Usage:
 
     python tools/scale_rehearsal.py ann [--factors 1 3 10]
+    python tools/scale_rehearsal.py ann-clustered [--factors 1 3 10]
     python tools/scale_rehearsal.py substring-skew
+    python tools/scale_rehearsal.py registry-heavy [--factor 10 --repeats 2]
 
 * ``ann`` — grow the embeddings corpus by appending seeded standard-
   normal 64-d vectors (the driver fixture's own near-uniform geometry,
@@ -15,6 +17,27 @@ measurement. Usage:
   The claim under test: probe cost tracks the probed FRACTION (wall
   grows ~linearly in corpus at fixed fraction) and recall holds as the
   corpus grows — i.e. neither index degrades structurally with n.
+
+* ``ann-clustered`` — same ANN measurement on a mixture-of-Gaussians
+  corpus (genuine cluster structure — the geometry real embedding
+  models emit, vs the fixture's near-uniform worst case). The claim
+  under test: on clustered data the sqrt-n IVF sizing + 5/16 probe
+  fraction delivers HIGHER recall at the same touch (centroids align
+  with true clusters), validating ``suggest_ivf_params`` across both
+  geometry regimes.
+
+* ``registry-heavy`` — synthesize a ``--factor``x (default 10x ≈ sf1)
+  volume of the scalable tables (documents/events/embeddings) with
+  their INTERNAL structure preserved (per-replica word-substitution
+  keeps each replica's dup/near-dup relations while cross-replica
+  shingles are disjoint; embeddings get per-replica dimension
+  rotation, norms and within-replica similarities exact; events
+  replicate with offset user/event ids so per-key history shapes are
+  kept and key cardinality scales) and run the heaviest registered
+  queries solo with repeats at base and scaled volume, reporting the
+  growth exponent log(t_big/t_base)/log(factor). The claim: every
+  heavy query is ~linear (exponent ≲ 1.2); any superlinear case is a
+  scale bug to fix or explain.
 
 * ``substring-skew`` — prepend one shared 14-token boilerplate
   sentence to EVERY document (a 100%-document hot window pattern) and
@@ -150,6 +173,265 @@ def rehearse_ann(sf_dir: str, factors: list[int]) -> None:
     spark.stop()
 
 
+def rehearse_ann_clustered(
+    sf_dir: str, factors: list[int], n_clusters: int = 50
+) -> None:
+    """ANN recall/probe-cost curves on mixture-of-Gaussians geometry
+    (centers ~ 3·N(0,I), points = center + N(0,I) ⇒ within-cluster
+    cosine ≈ 0.9, cross-cluster ≈ 0 — genuinely clusterable, the
+    regime real embedding models produce)."""
+    import numpy as np
+
+    from steam_data_pipeline_spark.llm.simsearch import (
+        IvfIndex,
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk,
+        lsh_topk,
+        suggest_ivf_params,
+    )
+    from steam_data_pipeline_spark.sources.tables import read_table
+
+    spark = _spark()
+    base = read_table(spark, sf_dir, "embeddings")
+    n0 = base.count()  # size anchor: comparable with the `ann` mode
+    dim = len(base.select("embedding").first()[0])
+    k = 10
+
+    print(
+        f"# ann-clustered rehearsal: mixture of {n_clusters} Gaussians, "
+        f"dim {dim}, base n {n0}, k={k}, 5 queries (distinct clusters)"
+    )
+    print(
+        "factor\tn\tbrute_s\tivf_build_s\tivf_probe_s\tivf_recall"
+        "\tlsh_s\tlsh_recall\tn_centroids\tn_probe"
+    )
+    for f in factors:
+        n = f * n0
+        rng = np.random.default_rng(99)
+        centers = rng.standard_normal((n_clusters, dim)) * 3.0
+        assign = np.arange(n) % n_clusters
+        pts = centers[assign] + rng.standard_normal((n, dim))
+        corpus = spark.createDataFrame(
+            [(int(i), [float(x) for x in row]) for i, row in enumerate(pts)],
+            "vec_id long, embedding array<double>",
+        ).localCheckpoint(eager=True)
+        queries = corpus.filter("vec_id < 5").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+
+        t0 = time.time()
+        truth = {
+            (r["query_id"], r["vec_id"])
+            for r in brute_force_topk(corpus, queries, k=k).collect()
+        }
+        brute_s = time.time() - t0
+
+        n_centroids, n_probe = suggest_ivf_params(n)
+        t0 = time.time()
+        built = build_ivf_index(corpus, n_centroids=n_centroids)
+        prebuilt = IvfIndex(
+            built.centroids.localCheckpoint(eager=True),
+            built.assignments.localCheckpoint(eager=True),
+            built.n_centroids,
+        )
+        ivf_build_s = time.time() - t0
+        t0 = time.time()
+        ivf = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(
+                corpus, queries, k=k, n_probe=n_probe, index=prebuilt
+            ).collect()
+        }
+        ivf_s = time.time() - t0
+
+        t0 = time.time()
+        lsh = {
+            (r["query_id"], r["vec_id"])
+            for r in lsh_topk(corpus, queries, k=k).collect()
+        }
+        lsh_s = time.time() - t0
+
+        print(
+            f"{f}x\t{n}\t{brute_s:.2f}\t{ivf_build_s:.2f}\t{ivf_s:.2f}"
+            f"\t{len(ivf & truth) / len(truth):.3f}\t{lsh_s:.2f}"
+            f"\t{len(lsh & truth) / len(truth):.3f}"
+            f"\t{n_centroids}\t{n_probe}"
+        )
+    spark.stop()
+
+
+#: the heaviest registered queries (BENCH_r04 top of table) — the
+#: registry-heavy rehearsal's default workload
+HEAVY_QUERIES = [
+    "llm_corpus_export",
+    "stream_islands_stateful",
+    "llm_dedup_incremental",
+    "llm_corpus_overlap",
+    "llm_quality_model",
+    "llm_dedup_containment",
+    "llm_dedup_simhash",
+    "llm_dedup_near",
+    "llm_sim_ivf",
+    "llm_dedup_substring",
+]
+
+
+def _single_file(spark, df, out_path: str) -> None:
+    """Write df as ONE parquet file named exactly ``out_path`` (the
+    testdata layout: streaming sources pathGlobFilter on the name)."""
+    import glob as _glob
+    import shutil
+
+    tmp = out_path + ".tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, out_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def build_scaled_dir(spark, sf_dir: str, factor: int, out_dir: str) -> str:
+    """Synthesize a ``factor``x testdata directory, preserving each
+    table's INTERNAL structure:
+
+    * documents — replica k rewrites every word w → ``w_k`` (k>0):
+      each replica keeps the base corpus's exact dup/near-dup/shingle
+      relations while replicas share no shingles, so dedup output
+      scales linearly instead of creating artificial 10-way clusters.
+    * embeddings — replica k rotates the dimensions by k: norms and
+      within-replica pairwise similarities are EXACTLY preserved,
+      cross-replica similarities scramble.
+    * events — replica k offsets user_id/event_id past the base max:
+      per-key history shapes are kept, key cardinality scales.
+    * all other tables symlink to the base (dims don't scale with
+      corpus volume).
+    """
+    from pyspark.sql import functions as F
+
+    from steam_data_pipeline_spark.sources.tables import read_table
+
+    done = os.path.join(out_dir, "_SCALED_OK")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
+
+    docs = read_table(spark, sf_dir, "documents")
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    text_k = F.when(F.col("k") == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("_"), F.col("k")),
+            ),
+            " ",
+        )
+    )
+    _single_file(
+        spark,
+        docs.select(reps, "doc_id", "text", "lang", "source").select(
+            (F.col("doc_id") + F.col("k") * max_doc).alias("doc_id"),
+            text_k.alias("text"),
+            "lang",
+            "source",
+            F.length(text_k).cast("int").alias("n_chars"),
+        ),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    rotated = F.when(F.col("k") == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(F.col("embedding"), F.col("k") + 1, F.lit(dim) - F.col("k")),
+            F.slice(F.col("embedding"), 1, F.col("k")),
+        )
+    )
+    _single_file(
+        spark,
+        emb.select(reps, "vec_id", "embedding", "label").select(
+            (F.col("vec_id") + F.col("k") * max_vec).alias("vec_id"),
+            rotated.alias("embedding"),
+            "label",
+        ),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    maxes = ev.agg(F.max("event_id"), F.max("user_id")).first()
+    max_eid, max_uid = maxes[0] + 1, maxes[1] + 1
+    _single_file(
+        spark,
+        ev.select(reps, "*").select(
+            (F.col("event_id") + F.col("k") * max_eid).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("k") * max_uid).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        ),
+        os.path.join(out_dir, "events.parquet"),
+    )
+
+    for tbl in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
+        dst = os.path.join(out_dir, f"{tbl}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, f"{tbl}.parquet"), dst)
+    with open(done, "w") as fh:
+        fh.write(f"factor={factor} from {sf_dir}\n")
+    return out_dir
+
+
+def rehearse_registry_heavy(
+    sf_dir: str, factor: int, repeats: int, names: list[str] | None = None
+) -> None:
+    import math
+    import statistics
+
+    from steam_data_pipeline_spark.plans.registry import QUERIES
+
+    spark = _spark()
+    names = names or HEAVY_QUERIES
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_scaled_{factor}x"
+    )
+    t0 = time.time()
+    build_scaled_dir(spark, sf_dir, factor, out_dir)
+    print(
+        f"# registry-heavy rehearsal: {factor}x volume at {out_dir} "
+        f"(build/reuse {time.time() - t0:.1f} s), repeats={repeats}, "
+        f"exponent = log(t_big/t_base)/log({factor})"
+    )
+    print("query\tbase_s\tbig_s\texponent")
+    for name in names:
+        q = QUERIES[name]
+        walls = {}
+        for label, d in (("base", sf_dir), ("big", out_dir)):
+            runs = []
+            for _ in range(repeats):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                q.spark(spark, d).write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            walls[label] = min(runs) if repeats > 1 else runs[0]
+            _ = statistics  # (median available if repeats grow)
+        exp = math.log(walls["big"] / walls["base"]) / math.log(factor)
+        print(
+            f"{name}\t{walls['base']:.2f}\t{walls['big']:.2f}\t{exp:.2f}"
+        )
+    spark.stop()
+
+
 BOILERPLATE = (
     "this page is provided for informational purposes only "
     "please review the terms before continuing"
@@ -189,12 +471,24 @@ def rehearse_substring_skew(sf_dir: str) -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("op", choices=["ann", "substring-skew"])
+    p.add_argument(
+        "op",
+        choices=["ann", "ann-clustered", "substring-skew", "registry-heavy"],
+    )
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     p.add_argument("--factors", nargs="*", type=int, default=[1, 3, 10])
+    p.add_argument("--factor", type=int, default=10)
+    p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--queries", nargs="*", default=None)
     args = p.parse_args()
     if args.op == "ann":
         rehearse_ann(args.sf_dir, args.factors)
+    elif args.op == "ann-clustered":
+        rehearse_ann_clustered(args.sf_dir, args.factors)
+    elif args.op == "registry-heavy":
+        rehearse_registry_heavy(
+            args.sf_dir, args.factor, args.repeats, args.queries
+        )
     else:
         rehearse_substring_skew(args.sf_dir)
 
