@@ -226,6 +226,71 @@ def build_lsh_index(
     return LshIndex(tables, n_planes=n_planes, seed_base=seed_base)
 
 
+def save_lsh_index(index: LshIndex, path: str) -> None:
+    """Persist an LSH index WITH its build parameters — the durable
+    form of the :class:`LshIndex` contract. Layout::
+
+        <path>/_params            1-row parquet (n_planes, seed_base, n_tables)
+        <path>/table_000/...      bucket assignments, partitioned by __bucket
+
+    Everything is written through Spark (object-store safe, no driver-
+    local filesystem assumptions). Partitioning each table by
+    ``__bucket`` means a probe join against a RELOADED index prunes at
+    the file-listing level (dynamic partition pruning): each query
+    batch reads only the probed buckets' files — at 100 TB that is the
+    difference between scanning the index and scanning ~14 % of it."""
+    spark = index.tables[0].sparkSession
+    spark.createDataFrame(
+        [(index.n_planes, index.seed_base, index.n_tables)],
+        "n_planes int, seed_base int, n_tables int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+    for i, t in enumerate(index.tables):
+        t.write.mode("overwrite").partitionBy("__bucket").parquet(
+            f"{path}/table_{i:03d}"
+        )
+
+
+def load_lsh_index(spark, path: str) -> LshIndex:
+    """Reload a persisted LSH index; the build parameters travel with
+    it, so ``lsh_topk`` probes with the exact planes the buckets were
+    built under — the mismatch/out-of-order failure mode ADVICE r4
+    flagged cannot occur through this path."""
+    p = spark.read.parquet(f"{path}/_params").first()
+    tables = [
+        spark.read.parquet(f"{path}/table_{i:03d}") for i in range(p.n_tables)
+    ]
+    return LshIndex(tables, n_planes=p.n_planes, seed_base=p.seed_base)
+
+
+def save_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist an IVF index: tiny centroid table, assignments
+    partitioned by ``centroid_id`` (the inverted lists become
+    partition directories, so probing a reloaded index prunes to the
+    probed lists at the scan — no full index read per query batch),
+    and the build parameters."""
+    spark = index.centroids.sparkSession
+    spark.createDataFrame(
+        [(index.n_centroids,)], "n_centroids int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+    index.centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    index.assignments.write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{path}/assignments")
+
+
+def load_ivf_index(spark, path: str) -> IvfIndex:
+    """Reload a persisted IVF index; carries its centroid count, so
+    ``ivf_topk``'s probe-fraction default needs no ``count()`` job."""
+    p = spark.read.parquet(f"{path}/_params").first()
+    return IvfIndex(
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/assignments"),
+        p.n_centroids,
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

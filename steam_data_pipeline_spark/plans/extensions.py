@@ -467,6 +467,37 @@ def llm_sim_ivf(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_sim_ivf_persisted",
+    oracle=_ANN_RECALL_ORACLE,
+    doc=(
+        "The PRODUCTION ANN calling convention end-to-end, driver-"
+        "checked: build the IVF index once, persist it (centroid table "
+        "+ assignments PARTITIONED BY centroid_id + build params), "
+        "reload, probe. Probing the reloaded index dynamic-partition-"
+        "prunes the assignment scan to the probed inverted lists — at "
+        "100 TB each query batch reads ~n_probe/C of the index, never "
+        "all of it. Same recall contract as llm_sim_ivf (>= 0.70 vs "
+        "in-query brute-force truth); the persisted index carries its "
+        "build parameters, so probe sizing needs no count() job and "
+        "parameter-mismatched reloads are structurally impossible "
+        "(llm/simsearch.py save_ivf_index/load_ivf_index)."
+    ),
+    tags=("llm", "similarity", "invariant", "persistence"),
+)
+def llm_sim_ivf_persisted(spark, sf_dir):
+    def _probe(emb, queries, k):
+        def _write(d):
+            S.save_ivf_index(S.build_ivf_index(emb), d)
+
+        path = _cached_layout("ivfidx", sf_dir, _write)
+        return S.ivf_topk(
+            emb, queries, k=k, index=S.load_ivf_index(spark, path), n_probe=6
+        )
+
+    return _ann_recall_invariant(spark, sf_dir, _probe, recall_bound=0.70)
+
+
+@EXT.add(
     "llm_sim_lsh",
     oracle=_ANN_RECALL_ORACLE,
     doc=(

@@ -193,6 +193,61 @@ class TestSimSearch:
         )
         assert reused_lsh == inline_lsh
 
+    def test_persisted_index_roundtrip_and_partition_pruning(
+        self, spark, emb, tmp_path
+    ):
+        """save/load round-trip for BOTH index types: identical top-k
+        results, parameters restored, and — the 100 TB point — probing
+        a reloaded index dynamic-partition-prunes the scan to the
+        probed lists/buckets (assignments are partitioned by
+        centroid_id/__bucket on disk)."""
+        from steam_data_pipeline_spark.llm.simsearch import (
+            build_ivf_index,
+            build_lsh_index,
+            ivf_topk,
+            load_ivf_index,
+            load_lsh_index,
+            lsh_topk,
+            save_ivf_index,
+            save_lsh_index,
+        )
+
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        idx = build_ivf_index(emb)
+        save_ivf_index(idx, str(tmp_path / "ivf"))
+        loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+        assert loaded.n_centroids == idx.n_centroids
+        inline = sorted(
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(emb, queries, k=5, index=idx).collect()
+        )
+        reloaded = ivf_topk(emb, queries, k=5, index=loaded)
+        assert inline == sorted(
+            (r.query_id, r.vec_id) for r in reloaded.collect()
+        )
+        plan = reloaded._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+
+        lidx = build_lsh_index(emb, n_planes=8, n_tables=2)
+        save_lsh_index(lidx, str(tmp_path / "lsh"))
+        lloaded = load_lsh_index(spark, str(tmp_path / "lsh"))
+        assert (lloaded.n_planes, lloaded.seed_base, lloaded.n_tables) == (
+            lidx.n_planes,
+            lidx.seed_base,
+            lidx.n_tables,
+        )
+        a = sorted(
+            (r.query_id, r.vec_id)
+            for r in lsh_topk(emb, queries, k=5, index=lidx).collect()
+        )
+        rel = lsh_topk(emb, queries, k=5, index=lloaded)
+        assert a == sorted((r.query_id, r.vec_id) for r in rel.collect())
+        plan2 = rel._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan2.lower()
+
     def test_index_contract_enforced(self, spark, emb):
         """ADVICE r4: the prebuilt-index contract must be enforced, not
         documented — mismatched n_planes and redundant n_tables raise,

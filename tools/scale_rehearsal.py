@@ -362,6 +362,13 @@ def build_scaled_dir(spark, sf_dir: str, factor: int, out_dir: str) -> str:
     ev = read_table(spark, sf_dir, "events")
     maxes = ev.agg(F.max("event_id"), F.max("user_id")).first()
     max_eid, max_uid = maxes[0] + 1, maxes[1] + 1
+    # Spark's default parquet timestamp output is INT96, which the
+    # footer-precision sniffer in read_table would classify as nanos
+    # and then fail to read as int64 — write micros explicitly so the
+    # scaled dir round-trips through the same reader as the fixture
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     _single_file(
         spark,
         ev.select(reps, "*").select(
@@ -413,18 +420,24 @@ def rehearse_registry_heavy(
         f"exponent = log(t_big/t_base)/log({factor})"
     )
     print("query\tbase_s\tbig_s\texponent")
+    _ = statistics  # (median available if repeats grow)
     for name in names:
         q = QUERIES[name]
         walls = {}
-        for label, d in (("base", sf_dir), ("big", out_dir)):
-            runs = []
-            for _ in range(repeats):
-                spark.catalog.clearCache()
-                t0 = time.time()
-                q.spark(spark, d).write.format("noop").mode("overwrite").save()
-                runs.append(time.time() - t0)
-            walls[label] = min(runs) if repeats > 1 else runs[0]
-            _ = statistics  # (median available if repeats grow)
+        try:
+            for label, d in (("base", sf_dir), ("big", out_dir)):
+                runs = []
+                for _i in range(repeats):
+                    spark.catalog.clearCache()
+                    t0 = time.time()
+                    q.spark(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(time.time() - t0)
+                walls[label] = min(runs) if repeats > 1 else runs[0]
+        except Exception as e:  # noqa: BLE001 - rehearse every query
+            print(f"{name}\tERROR\t{type(e).__name__}: {str(e)[:160]}")
+            continue
         exp = math.log(walls["big"] / walls["base"]) / math.log(factor)
         print(
             f"{name}\t{walls['base']:.2f}\t{walls['big']:.2f}\t{exp:.2f}"
