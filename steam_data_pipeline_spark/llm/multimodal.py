@@ -5,12 +5,13 @@ metadata struct; all Spark-side mechanics — schema, partition-sized
 Arrow batches, ``mapInPandas`` signatures — are real and tested.
 
 Decode is capability-gated: PNG images (8-bit grey/RGB/±alpha,
-non-interlaced) are decoded to REAL PIXELS by the pure-stdlib codec in
-`llm.png` and yield pixel-statistic features with ``decoded=true``;
-any other byte content (audio, video, other image formats — their
-libraries are not in this container) falls back to a deterministic
-byte-histogram feature with ``decoded=false``. Swapping the codec for
-PIL/av/soundfile widens the gate without touching the Spark plumbing.
+non-interlaced; pure-stdlib codec `llm.png`) decode to REAL PIXELS
+and WAV audio (PCM 8/16-bit; `llm.wav`) decodes to REAL SAMPLES, each
+yielding exact statistics with ``decoded=true``; any other byte
+content (video, other formats — their libraries are not in this
+container) falls back to a deterministic byte-histogram feature with
+``decoded=false``. Swapping the codecs for PIL/av/soundfile widens
+the gate without touching the Spark plumbing.
 """
 
 from __future__ import annotations
@@ -70,14 +71,44 @@ def _decode(content: bytes, modality: str) -> tuple[bool, list[float]]:
 
     PNG bytes decode to real pixels (llm.png) and yield
     ``[width, height, channels, mean_r, mean_g, mean_b, mean_luma,
-    std_luma]`` — channel means are computed as exact integer sums
-    divided once, so an analytic oracle can reproduce them
-    bit-identically. Everything else falls back to the byte histogram.
+    std_luma]``; WAV bytes decode to real PCM samples (llm.wav) and
+    yield ``[sample_rate, n_channels, n_frames, duration_ms, mean,
+    rms, peak, zero_crossings]``. The statistics that feed analytic
+    oracles (channel/sample means, rms) are exact integer sums divided
+    once, so a DuckDB oracle reproduces them bit-identically.
+    Everything else falls back to the byte histogram.
     """
     from steam_data_pipeline_spark.llm.png import PNG_MAGIC, PngError, decode_png
+    from steam_data_pipeline_spark.llm.wav import WavError, decode_wav
 
     if content is None:
         raise NotImplementedError("media decode requires content bytes")
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        try:
+            rate, n_ch, samples = decode_wav(content)
+        except WavError:
+            return False, _histogram_fallback(content)
+        n = len(samples)
+        if n == 0:
+            return True, [float(rate), float(n_ch), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        import math
+
+        total = sum(samples)
+        sumsq = sum(s * s for s in samples)
+        zcr = sum(
+            1 for i in range(1, n) if samples[i] * samples[i - 1] < 0
+        )  # interleaved-sequence crossings (fixtures are mono)
+        n_frames = n // n_ch
+        return True, [
+            float(rate),
+            float(n_ch),
+            float(n_frames),
+            float(n_frames * 1000 // rate),
+            total / n,
+            math.sqrt(sumsq / n),
+            float(max(abs(s) for s in samples)),
+            float(zcr),
+        ]
     if content[:8] == PNG_MAGIC:
         try:
             w, h, ch, px = decode_png(content)

@@ -856,6 +856,89 @@ def llm_media_decode(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_media_decode_audio",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS n,
+             CAST(16 + n_nationkey AS BIGINT) AS num
+      FROM nation
+    ),
+    s AS (
+      SELECT k.n, k.num, r.i,
+             ((r.i * (k.n + 3)) % 201) - 100 AS v
+      FROM k, LATERAL (SELECT UNNEST(range(k.num)) AS i) r
+    ),
+    lagged AS (
+      SELECT *, LAG(v) OVER (PARTITION BY n ORDER BY i) AS pv FROM s
+    ),
+    st AS (
+      SELECT n, num,
+             SUM(v) AS total, SUM(v * v) AS sumsq, MAX(ABS(v)) AS peak,
+             SUM(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END) AS zcr
+      FROM lagged GROUP BY n, num
+    )
+    SELECT n AS media_id,
+           TRUE AS decoded,
+           8000 AS sample_rate,
+           CAST(num AS INT) AS n_frames,
+           CAST(total AS DOUBLE) / num AS mean_sample,
+           sqrt(CAST(sumsq AS DOUBLE) / num) AS rms,
+           CAST(peak AS INT) AS peak,
+           CAST(zcr AS INT) AS zcr
+    FROM st
+    """,
+    doc=(
+        "REAL audio decode through the multimodal extractor — the WAV "
+        "sibling of llm_media_decode: one mono 16-bit PCM WAV per "
+        "nation key (8 kHz, 16+n samples, sample i = ((i*(n+3)) % 201) "
+        "- 100), encoded by the pure-stdlib RIFF codec (llm.wav), "
+        "decoded back to samples inside the Arrow mapInPandas "
+        "extractor. The oracle derives mean/rms/peak/zero-crossings "
+        "ANALYTICALLY from the generating formula (exact integer sums "
+        "divided once, IEEE sqrt on identical doubles — bit-exact), "
+        "and asserts decoded=true so the real-sample path, not the "
+        "histogram fallback, must have fired."
+    ),
+    tags=("llm", "multimodal", "decode"),
+)
+def llm_media_decode_audio(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.multimodal import extract_features
+    from steam_data_pipeline_spark.llm.wav import encode_wav
+
+    keys = sorted(
+        r[0] for r in t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    rows = []
+    for n in keys:
+        num = 16 + n
+        samples = [((i * (n + 3)) % 201) - 100 for i in range(num)]
+        rows.append(
+            (int(n), int(n), "audio", bytearray(encode_wav(8000, 1, samples)))
+        )
+    media = spark.createDataFrame(
+        rows, "media_id long, doc_id long, modality string, content binary"
+    ).withColumn(
+        "meta",
+        F.named_struct(
+            F.lit("mime"), F.lit("audio/wav"),
+            F.lit("width"), F.lit(None).cast("int"),
+            F.lit("height"), F.lit(None).cast("int"),
+            F.lit("duration_ms"), F.lit(None).cast("long"),
+        ),
+    )
+    return extract_features(media).select(
+        "media_id",
+        "decoded",
+        F.element_at("feature", 1).cast("int").alias("sample_rate"),
+        F.element_at("feature", 3).cast("int").alias("n_frames"),
+        F.element_at("feature", 5).alias("mean_sample"),
+        F.element_at("feature", 6).alias("rms"),
+        F.element_at("feature", 7).cast("int").alias("peak"),
+        F.element_at("feature", 8).cast("int").alias("zcr"),
+    )
+
+
+@EXT.add(
     "llm_corpus_clean",
     oracle=f"""
     WITH deduped AS (
