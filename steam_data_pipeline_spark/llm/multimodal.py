@@ -175,6 +175,76 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, delay_ms long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def extract_frames(media: DataFrame) -> DataFrame:
+    """REAL frame extraction for the video modality: rows whose content
+    is APNG (animated PNG, decoded by the pure-stdlib codec in
+    `llm.png`) emit one row per frame — frame index, start timestamp on
+    the animation timeline (cumulative delays), delay, and exact
+    channel means (integer sums divided once, analytically
+    oracle-able). Undecodable content emits no frame rows (filter-
+    style semantics; pair with :func:`extract_features` when a
+    per-media decodability flag is needed).
+
+    Same Arrow `mapInPandas` shape as `extract_features`: decode
+    parallelism = partition parallelism, frames of one media row stay
+    in one task, nothing touches the driver.
+    """
+    import numpy as np
+
+    from steam_data_pipeline_spark.llm.png import PngError, decode_apng
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id",
+                    "frame_idx",
+                    "ts_ms",
+                    "delay_ms",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                )
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    w, h, ch, frames = decode_apng(bytes(content))
+                except PngError:
+                    continue
+                n = w * h
+                ts = 0
+                for idx, (delay_ms, px) in enumerate(frames):
+                    a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+                        h, w, ch
+                    )
+                    if ch >= 3:
+                        sums = a[:, :, :3].astype(np.int64).sum(axis=(0, 1))
+                        mr, mg, mb = (int(s) / n for s in sums)
+                    else:
+                        s = int(a[:, :, 0].astype(np.int64).sum())
+                        mr = mg = mb = s / n
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(ts)
+                    out["delay_ms"].append(delay_ms)
+                    out["mean_r"].append(mr)
+                    out["mean_g"].append(mg)
+                    out["mean_b"].append(mb)
+                    ts += delay_ms
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: computes the frame
     timestamps to sample from metadata (JVM-side), leaving per-frame

@@ -102,6 +102,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}") from None
+    return width, height, channels, _unfilter(raw, width, height, channels)
+
+
+def _unfilter(raw: bytes, width: int, height: int, channels: int) -> bytearray:
+    """Reverse per-row PNG filtering over an inflated pixel stream."""
     stride = width * channels
     if len(raw) != height * (1 + stride):
         raise PngError("decompressed size mismatch")
@@ -133,7 +138,155 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
             raise PngError(f"unknown filter type {f} in row {y}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
-    return width, height, channels, out
+    return out
+
+
+def decode_apng(
+    data: bytes,
+) -> tuple[int, int, int, list[tuple[int, bytearray]]]:
+    """Decode APNG (animated PNG) bytes → ``(width, height, channels,
+    frames)`` with ``frames`` a list of ``(delay_ms, pixels)``.
+
+    Supported subset: every frame full-canvas (offset 0, canvas size),
+    ``blend_op`` 0 (source replace) — each frame stands alone, which is
+    what a frame-sampling pipeline consumes. Sequence numbers are
+    validated strictly increasing and the frame count must match acTL.
+    Non-animated PNGs (no acTL) raise; use :func:`decode_png`.
+    """
+    if len(data) < 8 or data[:8] != PNG_MAGIC:
+        raise PngError("not a PNG (bad magic)")
+    pos = 8
+    width = height = channels = -1
+    num_frames = -1
+    seq_expect = 0
+    frames: list[tuple[int, bytearray]] = []
+    cur: bytearray | None = None
+    cur_delay = 0
+
+    def _close_frame():
+        nonlocal cur
+        if cur is not None:
+            if not cur:
+                raise PngError("frame with no image data")
+            try:
+                raw = zlib.decompress(bytes(cur))
+            except zlib.error as e:
+                raise PngError(f"frame inflate failed: {e}") from None
+            frames.append((cur_delay, _unfilter(raw, width, height, channels)))
+            cur = None
+
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise PngError("truncated chunk")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise PngError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _CHANNELS or interlace != 0:
+                raise PngError("unsupported IHDR for APNG subset")
+            channels = _CHANNELS[color]
+        elif ctype == b"acTL":
+            num_frames, _plays = struct.unpack(">II", body)
+        elif ctype == b"fcTL":
+            _close_frame()
+            (seq, fw, fh, fx, fy, dnum, dden, _disp, blend) = struct.unpack(
+                ">IIIIIHHBB", body
+            )
+            if seq != seq_expect:
+                raise PngError(f"fcTL sequence {seq}, expected {seq_expect}")
+            seq_expect += 1
+            if (fw, fh, fx, fy) != (width, height, 0, 0) or blend != 0:
+                raise PngError(
+                    "APNG subset requires full-canvas source-blend frames"
+                )
+            cur = bytearray()
+            cur_delay = dnum * 1000 // (dden if dden else 100)
+        elif ctype == b"IDAT":
+            if cur is None:
+                raise PngError(
+                    "IDAT outside an fcTL frame (plain PNG without acTL, "
+                    "or default-image APNG — both unsupported here; use "
+                    "decode_png for stills)"
+                )
+            cur.extend(body)
+        elif ctype == b"fdAT":
+            if cur is None:
+                raise PngError("fdAT outside an fcTL frame")
+            (seq,) = struct.unpack(">I", body[:4])
+            if seq != seq_expect:
+                raise PngError(f"fdAT sequence {seq}, expected {seq_expect}")
+            seq_expect += 1
+            cur.extend(body[4:])
+        elif ctype == b"IEND":
+            _close_frame()
+            break
+        pos += 12 + length
+    if num_frames < 0:
+        raise PngError("missing acTL (not an animated PNG)")
+    if len(frames) != num_frames:
+        raise PngError(
+            f"acTL declares {num_frames} frames, found {len(frames)}"
+        )
+    return width, height, channels, frames
+
+
+def encode_apng(
+    width: int,
+    height: int,
+    channels: int,
+    frames: list[tuple[int, bytes | bytearray]],
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Encode ``(delay_ms, pixels)`` frames as a real APNG (full-canvas
+    source-blend frames; ``row_filters`` applies to every frame)."""
+    if not frames:
+        raise PngError("need at least one frame")
+    color = {1: 0, 3: 2, 2: 4, 4: 6}.get(channels)
+    if color is None:
+        raise PngError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if row_filters is None:
+        row_filters = [0] * height
+    if len(row_filters) != height:
+        raise PngError("need one filter type per row")
+
+    def _compress(pixels) -> bytes:
+        if len(pixels) != height * stride:
+            raise PngError("pixel buffer size mismatch")
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(height):
+            line = bytes(pixels[y * stride : (y + 1) * stride])
+            raw.append(row_filters[y])
+            raw.extend(_filter_row(row_filters[y], line, prev, channels))
+            prev = line
+        return zlib.compress(bytes(raw), 6)
+
+    out = bytearray(PNG_MAGIC)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, (delay_ms, pixels) in enumerate(frames):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, width, height, 0, 0, delay_ms, 1000, 0, 0
+        )
+        seq += 1
+        out += _chunk(b"fcTL", fctl)
+        comp = _compress(pixels)
+        if i == 0:
+            out += _chunk(b"IDAT", comp)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + comp)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
 
 
 def _filter_row(

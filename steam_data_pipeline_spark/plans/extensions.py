@@ -856,6 +856,73 @@ def llm_media_decode(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_media_decode_frames",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS n,
+             CAST(4 + n_nationkey % 4 AS BIGINT) AS w,
+             CAST(3 + n_nationkey % 3 AS BIGINT) AS h,
+             CAST(2 + n_nationkey % 3 AS BIGINT) AS nf
+      FROM nation
+    ),
+    fr AS (
+      SELECT k.*, r.f FROM k, LATERAL (SELECT UNNEST(range(k.nf)) AS f) r
+    )
+    SELECT n AS media_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(20 * f * (f + 1) AS BIGINT) AS ts_ms,
+           CAST(40 * (f + 1) AS BIGINT) AS delay_ms,
+           CAST(w*h*(n+f) + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS DOUBLE) / (w*h) AS mean_r,
+           CAST(w*h*(2*n+3*f) + h*(w*(w-1)//2) AS DOUBLE) / (w*h) AS mean_g,
+           CAST(w*h*(3*n+5*f) + w*(h*(h-1)//2) AS DOUBLE) / (w*h) AS mean_b
+    FROM fr
+    """,
+    doc=(
+        "REAL video-frame decode through the multimodal extractor — "
+        "the animation sibling of llm_media_decode: one APNG (animated "
+        "PNG, a real public format) per nation key with 2+n%3 "
+        "full-canvas frames, frame f's pixels (n+f+x+y, 2n+3f+x, "
+        "3n+5f+y) and delay 40(f+1) ms, encoded by the pure-stdlib "
+        "codec (llm.png acTL/fcTL/fdAT path), decoded frame-by-frame "
+        "inside Arrow mapInPandas (llm.multimodal.extract_frames). "
+        "Output is one row per frame with its cumulative timeline "
+        "timestamp and channel means; the oracle derives every value "
+        "ANALYTICALLY from the generating formulas (bit-exact integer-"
+        "sum/single-division means, closed-form ts_ms = 20f(f+1)), so "
+        "a frame-ordering or unfilter bug cannot cancel out."
+    ),
+    tags=("llm", "multimodal", "decode"),
+)
+def llm_media_decode_frames(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.multimodal import extract_frames
+    from steam_data_pipeline_spark.llm.png import encode_apng
+
+    keys = sorted(
+        r[0] for r in t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    rows = []
+    for n in keys:
+        w, h, nf = 4 + n % 4, 3 + n % 3, 2 + n % 3
+        frames = []
+        for f in range(nf):
+            px = bytes(
+                v & 0xFF
+                for y in range(h)
+                for x in range(w)
+                for v in (n + f + x + y, 2 * n + 3 * f + x, 3 * n + 5 * f + y)
+            )
+            frames.append((40 * (f + 1), px))
+        apng = encode_apng(
+            w, h, 3, frames, row_filters=[(n + y) % 5 for y in range(h)]
+        )
+        rows.append((int(n), int(n), "video", bytearray(apng)))
+    media = spark.createDataFrame(
+        rows, "media_id long, doc_id long, modality string, content binary"
+    )
+    return extract_frames(media)
+
+
+@EXT.add(
     "llm_media_decode_audio",
     oracle="""
     WITH k AS (

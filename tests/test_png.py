@@ -142,3 +142,82 @@ class TestDecodeFeatures:
     def test_null_content_still_raises(self):
         with pytest.raises(NotImplementedError):
             _decode(None, "image")
+
+
+class TestApng:
+    def _frames(self, w=4, h=3, ch=3, n=3):
+        return [
+            (
+                40 * (f + 1),
+                _img(w, h, ch, lambda x, y, c, f=f: 10 * f + x + 2 * y + 5 * c),
+            )
+            for f in range(n)
+        ]
+
+    def test_roundtrip_frames_and_delays(self):
+        from steam_data_pipeline_spark.llm.png import decode_apng, encode_apng
+
+        frames = self._frames()
+        data = encode_apng(4, 3, 3, frames, row_filters=[0, 2, 4])
+        w, h, ch, got = decode_apng(data)
+        assert (w, h, ch) == (4, 3, 3)
+        assert [(d, bytes(p)) for d, p in got] == [
+            (d, bytes(p)) for d, p in frames
+        ]
+
+    def test_single_frame_apng(self):
+        from steam_data_pipeline_spark.llm.png import decode_apng, encode_apng
+
+        frames = self._frames(n=1)
+        assert len(decode_apng(encode_apng(4, 3, 3, frames))[3]) == 1
+
+    def test_plain_png_rejected_by_apng_decoder(self):
+        from steam_data_pipeline_spark.llm.png import decode_apng
+
+        plain = encode_png(2, 2, 3, _img(2, 2, 3, lambda x, y, c: x + y))
+        with pytest.raises(PngError, match="acTL"):
+            decode_apng(plain)
+
+    def test_corrupt_sequence_rejected(self):
+        from steam_data_pipeline_spark.llm.png import decode_apng, encode_apng
+
+        data = bytearray(encode_apng(4, 3, 3, self._frames()))
+        # find the second fcTL and break its sequence number, fixing CRC
+        idx = data.find(b"fcTL", data.find(b"fcTL") + 4)
+        body_start = idx + 4
+        struct.pack_into(">I", data, body_start, 99)
+        body = bytes(data[idx : idx + 4 + 26])
+        struct.pack_into(
+            ">I", data, idx + 4 + 26, zlib.crc32(body) & 0xFFFFFFFF
+        )
+        with pytest.raises(PngError, match="sequence"):
+            decode_apng(bytes(data))
+
+    def test_extract_frames_spark(self, spark):
+        """Mixed media batch: APNG rows yield per-frame rows with
+        cumulative timeline timestamps and exact channel means; junk
+        and plain-PNG rows yield nothing."""
+        from steam_data_pipeline_spark.llm.multimodal import extract_frames
+        from steam_data_pipeline_spark.llm.png import encode_apng
+
+        frames = [
+            (100, bytes([10, 20, 30] * 4)),   # 2x2 RGB, all pixels equal
+            (250, bytes([50, 60, 70] * 4)),
+        ]
+        apng = encode_apng(2, 2, 3, frames)
+        rows = [
+            (1, 1, "video", bytearray(apng)),
+            (2, 2, "video", bytearray(b"not media")),
+            (3, 3, "image", bytearray(encode_png(1, 1, 1, bytes([7])))),
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, doc_id long, modality string, content binary"
+        )
+        got = sorted(
+            (r.media_id, r.frame_idx, r.ts_ms, r.delay_ms, r.mean_r, r.mean_g, r.mean_b)
+            for r in extract_frames(media).collect()
+        )
+        assert got == [
+            (1, 0, 0, 100, 10.0, 20.0, 30.0),
+            (1, 1, 100, 250, 50.0, 60.0, 70.0),
+        ]
