@@ -1609,10 +1609,26 @@ def _prepare_islands_stream_fixture(spark, sf_dir: str) -> str:
 #: table is ALREADY STORED before queries run belong here — never
 #: anything that executes an operator's own work (the format
 #: round-trips' write leg and the streaming sinks stay in-query).
+def _prepare_ivf_index(spark, sf_dir: str) -> str:
+    """The persisted IVF index that ``llm_sim_ivf_persisted`` loads and
+    probes. In production the index EXISTS on disk before any query
+    batch runs (built once, amortized — that is the whole point of the
+    persisted convention), so its one-time build+save cost belongs to
+    bench startup, not to the query timing; the query measures
+    load + DPP-probe + truth verification."""
+    emb = t(spark, sf_dir, "embeddings")
+
+    def _write(d):
+        S.save_ivf_index(S.build_ivf_index(emb), d)
+
+    return _cached_layout("ivfidx", sf_dir, _write)
+
+
 BENCH_FIXTURES = [
     _prepare_day_partitioned,
     _prepare_dpp_dim,
     _prepare_islands_stream_fixture,
+    _prepare_ivf_index,
 ]
 
 
@@ -3526,8 +3542,23 @@ def _lsh_operator_only(spark, sf_dir):
 #: the operator's own cost separately instead of operator+oracle
 #: (round-3 verdict: the truth leg must be sampled at 100 TB anyway,
 #: so the composite number overstates what production would pay).
+def _ivf_persisted_operator_only(spark, sf_dir):
+    """Probe-only cost against the pre-existing persisted index — the
+    per-query-batch production cost of llm_sim_ivf_persisted (the
+    registered form adds the in-query brute-force truth leg)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = S.load_ivf_index(spark, _prepare_ivf_index(spark, sf_dir))
+    return S.ivf_topk(emb, queries, k=10, index=idx, n_probe=6).select(
+        "query_id", "vec_id"
+    )
+
+
 OPERATOR_ONLY = {
     "llm_dedup_simhash": _simhash_operator_only,
     "llm_sim_ivf": _ivf_operator_only,
     "llm_sim_lsh": _lsh_operator_only,
+    "llm_sim_ivf_persisted": _ivf_persisted_operator_only,
 }
