@@ -373,8 +373,21 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    try:  # map a BENCH file back to the exact code it measured
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 - git is optional for the bench
+        sha = None
     out = {
         "metric": "steam_data_pipeline_spark full query-set wall-clock",
+        "commit": sha,
         "value": total,
         "unit": "sec",
         "queries": timings,
