@@ -359,3 +359,23 @@ class TestRound4PlanContracts:
         ).select("source", F.explode("shingles_h").alias("h"))
         opt = flat._jdf.queryExecution().optimizedPlan().toString()
         assert opt.count("split(") == 1
+
+
+class TestMediaDecodeContracts:
+    """The decode family's scale property: decoding is embarrassingly
+    parallel — one Arrow MapInPandas over the media scan, ZERO
+    exchanges. A shuffle appearing in these plans means someone broke
+    the narrow pipeline (e.g. an accidental repartition or join)."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["llm_media_decode", "llm_media_decode_audio", "llm_media_decode_frames"],
+    )
+    def test_decode_is_shuffle_free_map_in_pandas(self, spark, name):
+        plan = _plan(QUERIES[name].spark(spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange") == 0, plan
+        assert "MapInPandas" in plan
+
+    def test_media_features_shuffle_free(self, spark):
+        plan = _plan(QUERIES["llm_media_features"].spark(spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange") == 0, plan

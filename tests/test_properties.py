@@ -460,3 +460,94 @@ def test_remove_duplicated_spans_matches_python(spark, docs, k):
         for r in remove_duplicated_spans(df, k=k).collect()
     }
     assert got == _py_remove_spans(texts, k)
+
+
+# --- media codec roundtrip properties (round 5: real decode layer) ---
+# Pure Python, no Spark session: hypothesis shrinks any failing image/
+# waveform to a minimal counterexample, which the seeded-random tests
+# in test_png/test_wav cannot do.
+
+CODEC_SETTINGS = settings(max_examples=40, deadline=None)
+
+
+@CODEC_SETTINGS
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, ch, data):
+    from steam_data_pipeline_spark.llm.png import decode_png, encode_png
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+            )
+        )
+    )
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    got = decode_png(encode_png(w, h, ch, px, row_filters=filters))
+    assert (got[0], got[1], got[2], bytes(got[3])) == (w, h, ch, px)
+
+
+@CODEC_SETTINGS
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    n_ch=st.integers(1, 2),
+    bits=st.sampled_from([8, 16]),
+    data=st.data(),
+)
+def test_wav_roundtrip_property(rate, n_ch, bits, data):
+    from steam_data_pipeline_spark.llm.wav import decode_wav, encode_wav
+
+    lo, hi = (-128, 127) if bits == 8 else (-32768, 32767)
+    n_frames = data.draw(st.integers(0, 24))
+    samples = data.draw(
+        st.lists(
+            st.integers(lo, hi),
+            min_size=n_frames * n_ch,
+            max_size=n_frames * n_ch,
+        )
+    )
+    grate, gch, got = decode_wav(encode_wav(rate, n_ch, samples, bits=bits))
+    assert (grate, gch, got) == (rate, n_ch, samples)
+
+
+@CODEC_SETTINGS
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 6),
+    ch=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+def test_apng_roundtrip_property(w, h, ch, data):
+    from steam_data_pipeline_spark.llm.png import decode_apng, encode_apng
+
+    n_frames = data.draw(st.integers(1, 4))
+    frames = [
+        (
+            data.draw(st.integers(0, 500)),
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=w * h * ch,
+                        max_size=w * h * ch,
+                    )
+                )
+            ),
+        )
+        for _ in range(n_frames)
+    ]
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    gw, gh, gch, got = decode_apng(
+        encode_apng(w, h, ch, frames, row_filters=filters)
+    )
+    assert (gw, gh, gch) == (w, h, ch)
+    assert [(d, bytes(p)) for d, p in got] == [
+        (d, bytes(p)) for d, p in frames
+    ]
