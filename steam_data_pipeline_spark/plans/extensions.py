@@ -923,6 +923,112 @@ def llm_media_decode_frames(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_media_frame_sample",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS n,
+             CAST(4 + n_nationkey % 4 AS BIGINT) AS w,
+             CAST(3 + n_nationkey % 3 AS BIGINT) AS h,
+             CAST(2 + n_nationkey % 3 AS BIGINT) AS nf
+      FROM nation
+    ),
+    frames AS (
+      SELECT k.n, k.w, k.h, r.f,
+             CAST(20 * r.f * (r.f + 1) AS BIGINT) AS ts_ms,
+             CAST(40 * (r.f + 1) AS BIGINT) AS delay_ms
+      FROM k, LATERAL (SELECT UNNEST(range(k.nf)) AS f) r
+    ),
+    samples AS (
+      SELECT k.n, s.t
+      FROM k, LATERAL (
+        SELECT UNNEST(range(0, 20 * k.nf * (k.nf + 1), 30)) AS t
+      ) s
+    )
+    SELECT s.n AS media_id,
+           CAST(s.t AS BIGINT) AS sample_ts,
+           CAST(fr.f AS INT) AS frame_idx,
+           CAST(fr.w*fr.h*(s.n+fr.f) + fr.h*(fr.w*(fr.w-1)//2)
+                + fr.w*(fr.h*(fr.h-1)//2) AS DOUBLE) / (fr.w*fr.h) AS mean_r
+    FROM samples s
+    JOIN frames fr
+      ON fr.n = s.n AND s.t >= fr.ts_ms AND s.t < fr.ts_ms + fr.delay_ms
+    """,
+    doc=(
+        "Frame SAMPLING end-to-end — the composition the multimodal "
+        "plumbing exists for: sample timestamps every 30 ms from the "
+        "metadata duration (sample_frames, pure JVM sequence+explode), "
+        "REAL per-frame decode of the same APNGs as "
+        "llm_media_decode_frames (extract_frames), then a RANGE JOIN "
+        "assigning each sample instant the frame displayed at that "
+        "time (ts_ms <= t < ts_ms + delay) — broadcast range join "
+        "here; at 100 TB the same plan binds sample times to frames "
+        "with the frames side partitioned by media. The oracle builds "
+        "the frame table analytically from the generating formulas and "
+        "replays the identical interval join in SQL, so decode, "
+        "timeline accumulation, and join semantics are all checked "
+        "bit-exactly."
+    ),
+    tags=("llm", "multimodal", "decode", "range-join"),
+)
+def llm_media_frame_sample(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.multimodal import (
+        extract_frames,
+        sample_frames,
+    )
+    from steam_data_pipeline_spark.llm.png import encode_apng
+
+    keys = sorted(
+        r[0] for r in t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    rows = []
+    for n in keys:
+        w, h, nf = 4 + n % 4, 3 + n % 3, 2 + n % 3
+        frames = []
+        for f in range(nf):
+            px = bytes(
+                v & 0xFF
+                for y in range(h)
+                for x in range(w)
+                for v in (n + f + x + y, 2 * n + 3 * f + x, 3 * n + 5 * f + y)
+            )
+            frames.append((40 * (f + 1), px))
+        apng = encode_apng(w, h, 3, frames)
+        rows.append(
+            (int(n), "video", bytearray(apng), 20 * nf * (nf + 1))
+        )
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, content binary, dur long"
+    ).select(
+        "media_id",
+        "modality",
+        "content",
+        F.named_struct(
+            F.lit("mime"), F.lit("image/apng"),
+            F.lit("width"), F.lit(None).cast("int"),
+            F.lit("height"), F.lit(None).cast("int"),
+            F.lit("duration_ms"), F.col("dur"),
+        ).alias("meta"),
+    )
+    samples = sample_frames(media, every_ms=30).withColumnRenamed(
+        "frame_ts_ms", "sample_ts"
+    )
+    frames = extract_frames(media)
+    return samples.join(
+        frames,
+        on=[
+            samples["media_id"] == frames["media_id"],
+            samples["sample_ts"] >= frames["ts_ms"],
+            samples["sample_ts"] < frames["ts_ms"] + frames["delay_ms"],
+        ],
+    ).select(
+        samples["media_id"],
+        "sample_ts",
+        "frame_idx",
+        "mean_r",
+    )
+
+
+@EXT.add(
     "llm_media_decode_audio",
     oracle="""
     WITH k AS (
