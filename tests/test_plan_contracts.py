@@ -379,3 +379,16 @@ class TestMediaDecodeContracts:
     def test_media_features_shuffle_free(self, spark):
         plan = _plan(QUERIES["llm_media_features"].spark(spark, SF_SMOKE), "simple")
         assert plan.count("Exchange") == 0, plan
+
+    def test_frame_sample_range_join_is_keyed(self, spark):
+        """The sample-time -> frame range join must key on media_id
+        (sort-merge — the scale-correct plan: both sides grow with the
+        corpus, nothing is broadcastable) with the interval condition
+        as a join residual, never a cartesian/nested-loop pairing of
+        all samples with all frames."""
+        plan = _plan(
+            QUERIES["llm_media_frame_sample"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan
