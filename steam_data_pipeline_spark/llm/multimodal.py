@@ -265,6 +265,107 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+PHASH_SCHEMA = "media_id long, phash long, decoded boolean"
+
+
+def _dhash(gray, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Difference hash over a grayscale array: area-resize to
+    (hash_w+1, hash_h), then bit (x,y) = [cell(x+1,y) > cell(x,y)].
+    Invariant to uniform brightness/contrast shifts (it compares
+    neighbors, not absolute values) — the property that makes it a
+    NEAR-duplicate key for re-encoded/re-exposed images."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = (np.arange(hash_h + 1) * h) // hash_h
+    xs = (np.arange(hash_w + 2) * w) // (hash_w + 1)
+    cells = np.array(
+        [
+            [
+                gray[ys[i] : max(ys[i + 1], ys[i] + 1),
+                     xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+                for j in range(hash_w + 1)
+            ]
+            for i in range(hash_h)
+        ]
+    )
+    bits = 0
+    for i in range(hash_h):
+        for j in range(hash_w):
+            bits = (bits << 1) | int(cells[i, j + 1] > cells[i, j])
+    # keep within signed 64-bit for a Spark LongType column
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """Perceptual (difference-hash) fingerprints for image rows — the
+    multimodal near-dup operator: decoded pixels → grayscale →
+    9×8 area-resize → 64-bit dHash. Identical-looking images (uniform
+    brightness shifts, lossless re-encodes, filter-choice differences)
+    collide; structurally different images do not. Undecodable bytes
+    get a NULL phash with ``decoded=false`` (they fall back to exact
+    byte-hash dedup, `llm_media_dedup`).
+
+    Scale shape: narrow mapInPandas (decode parallelism = partition
+    parallelism) followed by whatever keyed op consumes the hash — a
+    dedup groupBy shuffles 8-byte hashes, never pixels."""
+    import numpy as np
+
+    from steam_data_pipeline_spark.llm.png import PNG_MAGIC, PngError, decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, flags = [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                ph, ok = None, False
+                if content is not None and bytes(content[:8]) == PNG_MAGIC:
+                    try:
+                        w, h, ch, px = decode_png(bytes(content))
+                        a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+                            h, w, ch
+                        )
+                        gray = (
+                            a[:, :, :3].astype(np.float64).mean(axis=2)
+                            if ch >= 3
+                            else a[:, :, 0].astype(np.float64)
+                        )
+                        ph, ok = _dhash(gray), True
+                    except PngError:
+                        pass
+                ids.append(media_id)
+                hashes.append(ph)
+                flags.append(ok)
+            # phash MUST be pandas nullable Int64: with plain object/
+            # None a mixed batch coerces to float64, and 64-bit hashes
+            # above 2^53 silently lose low bits — observed as exposure
+            # variants landing in different dedup groups whenever an
+            # undecodable row shared their Arrow batch
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "decoded": flags,
+                }
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def perceptual_dedup(media: DataFrame) -> DataFrame:
+    """Group image rows by perceptual hash, min-media_id survivor:
+    (phash, n_media, keeper). Only decoded rows participate —
+    undecodable content has no perceptual identity."""
+    return (
+        perceptual_hash(media)
+        .filter(F.col("decoded"))
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.min("media_id").alias("keeper"),
+        )
+    )
+
+
 def multimodal_join(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
     """documents ⋈ embeddings as one multimodal row (text + vector),
     the §2.10 ``llm_multimodal_cols`` surface on the driver testdata."""

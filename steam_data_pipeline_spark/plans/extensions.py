@@ -923,6 +923,60 @@ def llm_media_decode_frames(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_media_dedup_perceptual",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100)
+    SELECT MIN(doc_id) AS keeper,
+           CAST(COUNT(*) AS BIGINT) AS n_media
+    FROM d GROUP BY doc_id % 20
+    """,
+    doc=(
+        "PERCEPTUAL image dedup over decoded pixels — the multimodal "
+        "near-dup operator (every production media pipeline dedups "
+        "re-encoded/re-exposed images by dHash, not byte hash, which "
+        "llm_media_dedup covers). Each doc_id<100 gets a real 9x8 "
+        "grayscale PNG whose dHash bits encode doc_id%20 exactly (a "
+        "staircase image: each row walks +/-5 per hash bit), and "
+        "doc_id//20 adds a uniform +7 brightness shift per replica — "
+        "so the five exposure variants of each group are DIFFERENT "
+        "bytes (different sha2, different content) but the SAME "
+        "perceptual identity. A planted undecodable row is excluded "
+        "(no perceptual identity without pixels). The oracle derives "
+        "the group structure analytically; a decoder or hash bug "
+        "collapses/splits groups and cannot cancel out. Scale shape: "
+        "narrow decode + groupBy on an 8-byte hash — the shuffle "
+        "carries hashes, never pixels."
+    ),
+    tags=("llm", "multimodal", "dedup", "decode"),
+)
+def llm_media_dedup_perceptual(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.multimodal import perceptual_dedup
+    from steam_data_pipeline_spark.llm.png import encode_png
+
+    keys = sorted(
+        r[0]
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id < 100")
+        .collect()
+    )
+    rows = []
+    for d in keys:
+        g, shift = d % 20, 7 * (d // 20)
+        px = []
+        for y in range(8):
+            v = 90 + shift
+            px.append(v)
+            for x in range(8):
+                v += 5 if (g >> ((y * 8 + x) % 5)) & 1 else -5
+                px.append(v)
+        rows.append((int(d), bytearray(encode_png(9, 8, 1, bytes(px)))))
+    rows.append((1_000_000, bytearray(b"not an image at all")))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    return perceptual_dedup(media).select("keeper", "n_media")
+
+
+@EXT.add(
     "llm_media_frame_sample",
     oracle="""
     WITH k AS (

@@ -221,3 +221,88 @@ class TestApng:
             (1, 0, 0, 100, 10.0, 20.0, 30.0),
             (1, 1, 100, 250, 50.0, 60.0, 70.0),
         ]
+
+
+class TestPerceptualHash:
+    def _png_gray(self, pixels, w, h):
+        return encode_png(w, h, 1, bytes(pixels))
+
+    def _staircase(self, bits, base=90):
+        """9x8 grayscale whose dHash bits are EXACTLY `bits` (64 bools):
+        each row walks +5/-5 from `base` per bit."""
+        px = []
+        for y in range(8):
+            v = base
+            px.append(v)
+            for x in range(8):
+                v += 5 if bits[y * 8 + x] else -5
+                px.append(v)
+        return px
+
+    def test_dhash_encodes_comparisons_exactly(self):
+        from steam_data_pipeline_spark.llm.multimodal import _dhash
+        import numpy as np
+
+        bits = [(i * 7 + 3) % 5 < 2 for i in range(64)]
+        px = self._staircase(bits)
+        a = np.array(px, dtype=np.float64).reshape(8, 9)
+        got = _dhash(a)
+        want = 0
+        for b in bits:
+            want = (want << 1) | int(b)
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert got == want
+
+    def test_dhash_brightness_invariant(self):
+        from steam_data_pipeline_spark.llm.multimodal import _dhash
+        import numpy as np
+
+        bits = [i % 3 == 0 for i in range(64)]
+        a = np.array(self._staircase(bits), dtype=np.float64).reshape(8, 9)
+        assert _dhash(a) == _dhash(a + 40.0)  # uniform exposure shift
+
+    def test_dhash_block_scale_invariant(self):
+        """2x upscaling with constant blocks resizes back to the same
+        cells -> same hash (the resize path is exercised for real)."""
+        from steam_data_pipeline_spark.llm.multimodal import _dhash
+        import numpy as np
+
+        bits = [(i % 7) < 3 for i in range(64)]
+        a = np.array(self._staircase(bits), dtype=np.float64).reshape(8, 9)
+        big = np.kron(a, np.ones((2, 2)))
+        assert _dhash(big) == _dhash(a)
+
+    def test_dhash_structure_sensitive(self):
+        from steam_data_pipeline_spark.llm.multimodal import _dhash
+        import numpy as np
+
+        a = np.array(
+            self._staircase([True] * 64), dtype=np.float64
+        ).reshape(8, 9)
+        b = np.array(
+            self._staircase([False] * 64), dtype=np.float64
+        ).reshape(8, 9)
+        assert _dhash(a) != _dhash(b)
+
+    def test_perceptual_dedup_spark(self, spark):
+        """Two perceptual groups (same structure, different exposure)
+        plus one undecodable row: brightness variants collide, the
+        junk row is excluded, keepers are min media_id."""
+        from steam_data_pipeline_spark.llm.multimodal import perceptual_dedup
+
+        bits_a = [i % 2 == 0 for i in range(64)]
+        bits_b = [i % 2 == 1 for i in range(64)]
+        rows = []
+        for mid, (bits, base) in enumerate(
+            [(bits_a, 90), (bits_a, 120), (bits_b, 90), (bits_b, 100)]
+        ):
+            rows.append(
+                (mid, bytearray(self._png_gray(self._staircase(bits, base), 9, 8)))
+            )
+        rows.append((99, bytearray(b"junk bytes, not an image")))
+        media = spark.createDataFrame(rows, "media_id long, content binary")
+        got = sorted(
+            (r.keeper, r.n_media) for r in perceptual_dedup(media).collect()
+        )
+        assert got == [(0, 2), (2, 2)]
