@@ -445,6 +445,61 @@ def rehearse_registry_heavy(
     spark.stop()
 
 
+def rehearse_media(sf_dir: str, factors: list[int], n0: int = 2000) -> None:
+    """Decode-throughput scaling for the media path: n synthetic 16x12
+    RGB PNGs generated ON EXECUTORS (mapInPandas over spark.range — no
+    driver materialization), pinned with localCheckpoint so the timed
+    runs measure decode, not generation. The claim under test: decode
+    is a narrow map (plan-contract: zero exchanges), so wall grows
+    ~linearly in rows and rows/s is flat — no hidden driver funnel or
+    shuffle appears as the corpus grows."""
+    import pandas as pd
+
+    spark = _spark()
+
+    def gen(batches):
+        from steam_data_pipeline_spark.llm.png import encode_png
+
+        for pdf in batches:
+            ids, contents = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                px = bytes(
+                    v & 0xFF
+                    for y in range(12)
+                    for x in range(16)
+                    for v in (i + x + y, 2 * i + x, i + 3 * y)
+                )
+                ids.append(i)
+                contents.append(encode_png(16, 12, 3, px, row_filters=[(i + y) % 5 for y in range(12)]))
+            yield pd.DataFrame(
+                {"media_id": ids, "modality": "image", "content": contents}
+            )
+
+    print(f"# media decode rehearsal: 16x12 RGB PNGs, base n {n0}")
+    print("factor\tn\tfeat_wall_s\tfeat_rows_per_s\tphash_wall_s")
+    for f in factors:
+        n = f * n0
+        media = (
+            spark.range(0, n, 1, 32)
+            .mapInPandas(gen, "media_id long, modality string, content binary")
+            .localCheckpoint(eager=True)
+        )
+        from steam_data_pipeline_spark.llm.multimodal import (
+            extract_features,
+            perceptual_hash,
+        )
+
+        t0 = time.time()
+        extract_features(media).write.format("noop").mode("overwrite").save()
+        feat_s = time.time() - t0
+        t0 = time.time()
+        perceptual_hash(media).write.format("noop").mode("overwrite").save()
+        ph_s = time.time() - t0
+        print(f"{f}x\t{n}\t{feat_s:.2f}\t{n / feat_s:.0f}\t{ph_s:.2f}")
+    spark.stop()
+
+
 BOILERPLATE = (
     "this page is provided for informational purposes only "
     "please review the terms before continuing"
@@ -486,7 +541,13 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
         "op",
-        choices=["ann", "ann-clustered", "substring-skew", "registry-heavy"],
+        choices=[
+            "ann",
+            "ann-clustered",
+            "substring-skew",
+            "registry-heavy",
+            "media",
+        ],
     )
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     p.add_argument("--factors", nargs="*", type=int, default=[1, 3, 10])
@@ -502,6 +563,8 @@ def main() -> None:
         rehearse_registry_heavy(
             args.sf_dir, args.factor, args.repeats, args.queries
         )
+    elif args.op == "media":
+        rehearse_media(args.sf_dir, args.factors)
     else:
         rehearse_substring_skew(args.sf_dir)
 
