@@ -16,12 +16,21 @@ the gate without touching the Spark plumbing.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+from steam_data_pipeline_spark.llm.png import (
+    PNG_MAGIC,
+    PngError,
+    decode_apng,
+    decode_png,
+)
+from steam_data_pipeline_spark.llm.wav import WavError, decode_wav
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -47,6 +56,28 @@ FEATURE_SCHEMA = (
     "media_id long, modality string, n_bytes long, content_hash string, "
     "decoded boolean, feature array<double>"
 )
+
+
+def _pixel_array(px, w: int, h: int, ch: int):
+    """Decoded sample buffer → (h, w, ch) uint8 array."""
+    return np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, ch)
+
+
+def _channel_means(a) -> tuple[float, float, float]:
+    """Exact channel means — integer sums divided ONCE, so DuckDB
+    oracles reproduce the doubles bit-identically. Shared by the
+    still-image feature, the per-frame extractor, and anything else
+    whose oracle re-derives means analytically: the arithmetic must
+    stay identical across all decode surfaces."""
+    h, w, ch = a.shape
+    n = w * h
+    if ch >= 3:
+        sums = a[:, :, :3].astype(np.int64).sum(axis=(0, 1))
+        mr, mg, mb = (int(s) / n for s in sums)
+        return mr, mg, mb
+    s = int(a[:, :, 0].astype(np.int64).sum())
+    m = s / n
+    return m, m, m
 
 
 def _histogram_fallback(content: bytes) -> list[float]:
@@ -78,9 +109,6 @@ def _decode(content: bytes, modality: str) -> tuple[bool, list[float]]:
     once, so a DuckDB oracle reproduces them bit-identically.
     Everything else falls back to the byte histogram.
     """
-    from steam_data_pipeline_spark.llm.png import PNG_MAGIC, PngError, decode_png
-    from steam_data_pipeline_spark.llm.wav import WavError, decode_wav
-
     if content is None:
         raise NotImplementedError("media decode requires content bytes")
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
@@ -91,13 +119,17 @@ def _decode(content: bytes, modality: str) -> tuple[bool, list[float]]:
         n = len(samples)
         if n == 0:
             return True, [float(rate), float(n_ch), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-        import math
-
         total = sum(samples)
         sumsq = sum(s * s for s in samples)
+        # zero crossings PER CHANNEL, summed: the interleaved sequence
+        # would count L-vs-R alternations as crossings on multi-channel
+        # audio (reduces to the plain definition for mono)
         zcr = sum(
-            1 for i in range(1, n) if samples[i] * samples[i - 1] < 0
-        )  # interleaved-sequence crossings (fixtures are mono)
+            1
+            for c in range(n_ch)
+            for i in range(c + n_ch, n, n_ch)
+            if samples[i] * samples[i - n_ch] < 0
+        )
         n_frames = n // n_ch
         return True, [
             float(rate),
@@ -114,21 +146,15 @@ def _decode(content: bytes, modality: str) -> tuple[bool, list[float]]:
             w, h, ch, px = decode_png(content)
         except PngError:
             return False, _histogram_fallback(content)
-        import numpy as np
-
-        a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, ch)
-        n = w * h
+        a = _pixel_array(px, w, h, ch)
+        mr, mg, mb = _channel_means(a)
         if ch >= 3:
-            sums = a[:, :, :3].astype(np.int64).sum(axis=(0, 1))
-            mr, mg, mb = (int(s) / n for s in sums)
             luma = (
                 0.299 * a[:, :, 0].astype(np.float64)
                 + 0.587 * a[:, :, 1].astype(np.float64)
                 + 0.114 * a[:, :, 2].astype(np.float64)
             )
         else:  # greyscale (+alpha): channel 0 is the value
-            s = int(a[:, :, 0].astype(np.int64).sum())
-            mr = mg = mb = s / n
             luma = a[:, :, 0].astype(np.float64)
         return True, [
             float(w),
@@ -195,9 +221,6 @@ def extract_frames(media: DataFrame) -> DataFrame:
     parallelism = partition parallelism, frames of one media row stay
     in one task, nothing touches the driver.
     """
-    import numpy as np
-
-    from steam_data_pipeline_spark.llm.png import PngError, decode_apng
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -220,18 +243,9 @@ def extract_frames(media: DataFrame) -> DataFrame:
                     w, h, ch, frames = decode_apng(bytes(content))
                 except PngError:
                     continue
-                n = w * h
                 ts = 0
                 for idx, (delay_ms, px) in enumerate(frames):
-                    a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
-                        h, w, ch
-                    )
-                    if ch >= 3:
-                        sums = a[:, :, :3].astype(np.int64).sum(axis=(0, 1))
-                        mr, mg, mb = (int(s) / n for s in sums)
-                    else:
-                        s = int(a[:, :, 0].astype(np.int64).sum())
-                        mr = mg = mb = s / n
+                    mr, mg, mb = _channel_means(_pixel_array(px, w, h, ch))
                     out["media_id"].append(media_id)
                     out["frame_idx"].append(idx)
                     out["ts_ms"].append(ts)
@@ -274,8 +288,6 @@ def _dhash(gray, hash_w: int = 8, hash_h: int = 8) -> int:
     Invariant to uniform brightness/contrast shifts (it compares
     neighbors, not absolute values) — the property that makes it a
     NEAR-duplicate key for re-encoded/re-exposed images."""
-    import numpy as np
-
     h, w = gray.shape
     ys = (np.arange(hash_h + 1) * h) // hash_h
     xs = (np.arange(hash_w + 2) * w) // (hash_w + 1)
@@ -309,9 +321,6 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     Scale shape: narrow mapInPandas (decode parallelism = partition
     parallelism) followed by whatever keyed op consumes the hash — a
     dedup groupBy shuffles 8-byte hashes, never pixels."""
-    import numpy as np
-
-    from steam_data_pipeline_spark.llm.png import PNG_MAGIC, PngError, decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -321,9 +330,7 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
                 if content is not None and bytes(content[:8]) == PNG_MAGIC:
                     try:
                         w, h, ch, px = decode_png(bytes(content))
-                        a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
-                            h, w, ch
-                        )
+                        a = _pixel_array(px, w, h, ch)
                         gray = (
                             a[:, :, :3].astype(np.float64).mean(axis=2)
                             if ch >= 3

@@ -50,50 +50,70 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
-    """Decode PNG bytes → ``(width, height, channels, pixels)``.
-
-    ``pixels`` is row-major interleaved sample bytes (length
-    ``width*height*channels``), fully unfiltered.
-    """
+def _iter_chunks(data: bytes):
+    """Validated chunk walk shared by the still and animated decoders:
+    checks magic, per-chunk truncation, and CRCs, yields
+    ``(ctype, body)`` pairs, and stops after IEND. Sharing ONE walk
+    keeps the two parsers structurally consistent — the r5 review
+    found the duplicated copies had already diverged on IHDR length
+    validation."""
     if len(data) < 8 or data[:8] != PNG_MAGIC:
         raise PngError("not a PNG (bad magic)")
     pos = 8
-    width = height = channels = -1
-    idat = bytearray()
-    seen_iend = False
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length or pos + 12 + length > len(data):
             raise PngError("truncated chunk")
-        (crc,) = struct.unpack(
-            ">I", data[pos + 8 + length : pos + 12 + length]
-        )
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise PngError(f"bad CRC in {ctype!r}")
+        yield ctype, body
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+
+
+def _parse_ihdr(body: bytes) -> tuple[int, int, int]:
+    """Validate IHDR against the supported subset → (w, h, channels)."""
+    if len(body) != 13:
+        raise PngError("bad IHDR length")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", body
+    )
+    if width < 1 or height < 1:
+        # the PNG spec requires nonzero dimensions; accepting 0 would
+        # put a divide-by-zero inside the feature extractor, outside
+        # the PngError fallback gate
+        raise PngError("zero-dimension image")
+    if depth != 8:
+        raise PngError(f"unsupported bit depth {depth}")
+    if color not in _CHANNELS:
+        raise PngError(f"unsupported color type {color}")
+    if comp != 0 or filt != 0:
+        raise PngError("unsupported compression/filter method")
+    if interlace != 0:
+        raise PngError("interlaced PNG unsupported")
+    return width, height, _CHANNELS[color]
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode PNG bytes → ``(width, height, channels, pixels)``.
+
+    ``pixels`` is row-major interleaved sample bytes (length
+    ``width*height*channels``), fully unfiltered.
+    """
+    width = height = channels = -1
+    idat = bytearray()
+    seen_iend = False
+    for ctype, body in _iter_chunks(data):
         if ctype == b"IHDR":
-            if length != 13:
-                raise PngError("bad IHDR length")
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8:
-                raise PngError(f"unsupported bit depth {depth}")
-            if color not in _CHANNELS:
-                raise PngError(f"unsupported color type {color}")
-            if comp != 0 or filt != 0:
-                raise PngError("unsupported compression/filter method")
-            if interlace != 0:
-                raise PngError("interlaced PNG unsupported")
-            channels = _CHANNELS[color]
+            width, height, channels = _parse_ihdr(body)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
             seen_iend = True
-            break
-        pos += 12 + length
     if width < 0:
         raise PngError("missing IHDR")
     if not seen_iend:
@@ -153,9 +173,6 @@ def decode_apng(
     validated strictly increasing and the frame count must match acTL.
     Non-animated PNGs (no acTL) raise; use :func:`decode_png`.
     """
-    if len(data) < 8 or data[:8] != PNG_MAGIC:
-        raise PngError("not a PNG (bad magic)")
-    pos = 8
     width = height = channels = -1
     num_frames = -1
     seq_expect = 0
@@ -175,25 +192,16 @@ def decode_apng(
             frames.append((cur_delay, _unfilter(raw, width, height, channels)))
             cur = None
 
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length or pos + 12 + length > len(data):
-            raise PngError("truncated chunk")
-        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise PngError(f"bad CRC in {ctype!r}")
+    for ctype, body in _iter_chunks(data):
         if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or color not in _CHANNELS or interlace != 0:
-                raise PngError("unsupported IHDR for APNG subset")
-            channels = _CHANNELS[color]
+            width, height, channels = _parse_ihdr(body)
         elif ctype == b"acTL":
+            if len(body) != 8:
+                raise PngError("bad acTL length")
             num_frames, _plays = struct.unpack(">II", body)
         elif ctype == b"fcTL":
+            if len(body) != 26:
+                raise PngError("bad fcTL length")
             _close_frame()
             (seq, fw, fh, fx, fy, dnum, dden, _disp, blend) = struct.unpack(
                 ">IIIIIHHBB", body
@@ -218,6 +226,8 @@ def decode_apng(
         elif ctype == b"fdAT":
             if cur is None:
                 raise PngError("fdAT outside an fcTL frame")
+            if len(body) < 4:
+                raise PngError("bad fdAT length")
             (seq,) = struct.unpack(">I", body[:4])
             if seq != seq_expect:
                 raise PngError(f"fdAT sequence {seq}, expected {seq_expect}")
@@ -225,8 +235,6 @@ def decode_apng(
             cur.extend(body[4:])
         elif ctype == b"IEND":
             _close_frame()
-            break
-        pos += 12 + length
     if num_frames < 0:
         raise PngError("missing acTL (not an animated PNG)")
     if len(frames) != num_frames:
@@ -250,24 +258,8 @@ def encode_apng(
     color = {1: 0, 3: 2, 2: 4, 4: 6}.get(channels)
     if color is None:
         raise PngError(f"unsupported channel count {channels}")
-    stride = width * channels
     if row_filters is None:
         row_filters = [0] * height
-    if len(row_filters) != height:
-        raise PngError("need one filter type per row")
-
-    def _compress(pixels) -> bytes:
-        if len(pixels) != height * stride:
-            raise PngError("pixel buffer size mismatch")
-        raw = bytearray()
-        prev = bytes(stride)
-        for y in range(height):
-            line = bytes(pixels[y * stride : (y + 1) * stride])
-            raw.append(row_filters[y])
-            raw.extend(_filter_row(row_filters[y], line, prev, channels))
-            prev = line
-        return zlib.compress(bytes(raw), 6)
-
     out = bytearray(PNG_MAGIC)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
     out += _chunk(b"IHDR", ihdr)
@@ -279,7 +271,7 @@ def encode_apng(
         )
         seq += 1
         out += _chunk(b"fcTL", fctl)
-        comp = _compress(pixels)
+        comp = _filtered_deflate(width, height, channels, pixels, row_filters)
         if i == 0:
             out += _chunk(b"IDAT", comp)
         else:
@@ -315,6 +307,31 @@ def _filter_row(
     return bytes(out)
 
 
+def _filtered_deflate(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes | bytearray,
+    row_filters: list[int],
+) -> bytes:
+    """Validate + filter + deflate one image's rows — the shared body
+    of both encoders (a compression/filter fix must hit stills and
+    animation frames identically)."""
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise PngError("pixel buffer size mismatch")
+    if len(row_filters) != height:
+        raise PngError("need one filter type per row")
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = bytes(pixels[y * stride : (y + 1) * stride])
+        raw.append(row_filters[y])
+        raw.extend(_filter_row(row_filters[y], line, prev, channels))
+        prev = line
+    return zlib.compress(bytes(raw), 6)
+
+
 def _chunk(ctype: bytes, body: bytes) -> bytes:
     return (
         struct.pack(">I", len(body))
@@ -341,24 +358,15 @@ def encode_png(
     color = {1: 0, 3: 2, 2: 4, 4: 6}.get(channels)
     if color is None:
         raise PngError(f"unsupported channel count {channels}")
-    stride = width * channels
-    if len(pixels) != height * stride:
-        raise PngError("pixel buffer size mismatch")
     if row_filters is None:
         row_filters = [0] * height
-    if len(row_filters) != height:
-        raise PngError("need one filter type per row")
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        line = bytes(pixels[y * stride : (y + 1) * stride])
-        raw.append(row_filters[y])
-        raw.extend(_filter_row(row_filters[y], line, prev, channels))
-        prev = line
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(
+            b"IDAT",
+            _filtered_deflate(width, height, channels, pixels, row_filters),
+        )
         + _chunk(b"IEND", b"")
     )

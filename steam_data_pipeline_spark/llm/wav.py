@@ -60,6 +60,10 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
                 raise WavError(f"unsupported bit depth {bits}")
             if n_ch < 1:
                 raise WavError("zero channels")
+            if rate < 1:
+                # a zero rate would divide-by-zero in the duration
+                # feature, outside the WavError fallback gate
+                raise WavError("zero sample rate")
             fmt = (rate, n_ch, bits)
         elif ctype == b"data":
             raw = body

@@ -306,3 +306,63 @@ class TestPerceptualHash:
             (r.keeper, r.n_media) for r in perceptual_dedup(media).collect()
         )
         assert got == [(0, 2), (2, 2)]
+
+
+class TestReviewHardening:
+    """Round-5 self-review regressions: malformed media must FALL BACK
+    (or raise PngError/WavError), never escape the capability gate
+    with ZeroDivisionError/struct.error and kill the Spark task."""
+
+    def test_zero_dimension_png_rejected_and_falls_back(self):
+        data = encode_png(0, 3, 3, b"")  # encoder is permissive; decoder not
+        with pytest.raises(PngError, match="zero-dimension"):
+            decode_png(data)
+        decoded, feat = _decode(data, "image")
+        assert decoded is False and len(feat) == 8
+
+    def test_short_ihdr_body_is_pngerror(self):
+        from steam_data_pipeline_spark.llm.png import _chunk, decode_apng
+
+        data = PNG_MAGIC + _chunk(b"IHDR", b"\x00" * 5) + _chunk(b"IEND", b"")
+        with pytest.raises(PngError, match="IHDR"):
+            decode_png(data)
+        with pytest.raises(PngError, match="IHDR"):
+            decode_apng(data)
+
+    def test_short_actl_fctl_fdat_are_pngerror(self):
+        import struct as _s
+
+        from steam_data_pipeline_spark.llm.png import _chunk, decode_apng
+
+        ihdr = _chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        for bad in (
+            _chunk(b"acTL", b"\x00\x00"),
+            _chunk(b"acTL", _s.pack(">II", 1, 0)) + _chunk(b"fcTL", b"\x00" * 4),
+        ):
+            with pytest.raises(PngError, match="length"):
+                decode_apng(PNG_MAGIC + ihdr + bad + _chunk(b"IEND", b""))
+
+    def test_zero_rate_wav_falls_back(self):
+        from steam_data_pipeline_spark.llm.wav import WavError, decode_wav, encode_wav
+
+        data = encode_wav(0, 1, [1, -2, 3])
+        with pytest.raises(WavError, match="rate"):
+            decode_wav(data)
+        decoded, feat = _decode(data, "audio")
+        assert decoded is False and len(feat) == 8
+
+    def test_stereo_zcr_is_per_channel(self):
+        """L=+100,+100 / R=-100,-100: neither channel crosses zero;
+        the old interleaved count reported 3."""
+        from steam_data_pipeline_spark.llm.wav import encode_wav
+
+        decoded, feat = _decode(
+            encode_wav(8000, 2, [100, -100, 100, -100]), "audio"
+        )
+        assert decoded is True
+        assert feat[7] == 0.0  # zcr
+        # and a genuinely alternating mono signal still counts
+        decoded, feat = _decode(
+            encode_wav(8000, 1, [100, -100, 100, -100]), "audio"
+        )
+        assert feat[7] == 3.0
