@@ -498,6 +498,35 @@ def llm_sim_ivf_persisted(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_sim_lsh_persisted",
+    oracle=_ANN_RECALL_ORACLE,
+    doc=(
+        "LSH sibling of llm_sim_ivf_persisted: build the SRP bucket "
+        "index once, persist it (per-table assignments PARTITIONED BY "
+        "__bucket + the build parameters), reload, probe. The reloaded "
+        "index carries its own (n_planes, seed_base), so the probe "
+        "planes match the build by construction — the mismatched/"
+        "out-of-order-reload failure ADVICE r4 flagged is structurally "
+        "impossible through this path — and bucket probes dynamic-"
+        "partition-prune the scan to the probed buckets. Same recall "
+        "contract as llm_sim_lsh (>= 0.75 vs in-query brute force)."
+    ),
+    tags=("llm", "similarity", "invariant", "persistence"),
+)
+def llm_sim_lsh_persisted(spark, sf_dir):
+    def _probe(emb, queries, k):
+        def _write(d):
+            S.save_lsh_index(S.build_lsh_index(emb), d)
+
+        path = _cached_layout("lshidx", sf_dir, _write)
+        return S.lsh_topk(
+            emb, queries, k=k, index=S.load_lsh_index(spark, path)
+        )
+
+    return _ann_recall_invariant(spark, sf_dir, _probe, recall_bound=0.75)
+
+
+@EXT.add(
     "llm_sim_lsh",
     oracle=_ANN_RECALL_ORACLE,
     doc=(
@@ -1784,11 +1813,24 @@ def _prepare_ivf_index(spark, sf_dir: str) -> str:
     return _cached_layout("ivfidx", sf_dir, _write)
 
 
+def _prepare_lsh_index(spark, sf_dir: str) -> str:
+    """The persisted LSH index that ``llm_sim_lsh_persisted`` loads —
+    same startup-fixture accounting as the IVF index: it exists on
+    disk before any query batch in production."""
+    emb = t(spark, sf_dir, "embeddings")
+
+    def _write(d):
+        S.save_lsh_index(S.build_lsh_index(emb), d)
+
+    return _cached_layout("lshidx", sf_dir, _write)
+
+
 BENCH_FIXTURES = [
     _prepare_day_partitioned,
     _prepare_dpp_dim,
     _prepare_islands_stream_fixture,
     _prepare_ivf_index,
+    _prepare_lsh_index,
 ]
 
 
