@@ -3758,9 +3758,23 @@ def _ivf_persisted_operator_only(spark, sf_dir):
     )
 
 
+def _lsh_persisted_operator_only(spark, sf_dir):
+    """Probe-only cost against the pre-existing persisted LSH index —
+    the per-query-batch production cost of llm_sim_lsh_persisted."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = S.load_lsh_index(spark, _prepare_lsh_index(spark, sf_dir))
+    return S.lsh_topk(emb, queries, k=10, index=idx).select(
+        "query_id", "vec_id"
+    )
+
+
 OPERATOR_ONLY = {
     "llm_dedup_simhash": _simhash_operator_only,
     "llm_sim_ivf": _ivf_operator_only,
     "llm_sim_lsh": _lsh_operator_only,
     "llm_sim_ivf_persisted": _ivf_persisted_operator_only,
+    "llm_sim_lsh_persisted": _lsh_persisted_operator_only,
 }
