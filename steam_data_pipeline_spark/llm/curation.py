@@ -181,6 +181,29 @@ def pack_sequences(
     return toks.groupBy(group).applyInPandas(pack, schema)
 
 
+def word_ngrams(
+    df: DataFrame, text_col: str, n: int, keep_key: bool
+) -> DataFrame:
+    """One row per DISTINCT word n-gram per document (``gram`` column,
+    plus ``doc_id`` when keep_key). Documents with fewer than n words
+    contribute no rows."""
+    # materialize the token array BEFORE the lambda: an expression
+    # embedded in a higher-order-function body re-evaluates per
+    # element (the split would run O(words²) per document)
+    w = F.col("__w")
+    g = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cols = (["doc_id"] if keep_key else []) + [
+        F.explode(F.array_distinct(g)).alias("gram")
+    ]
+    return df.withColumn("__w", _words(text_col)).select(*cols)
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -196,26 +219,8 @@ def contamination(
     broadcasts; the corpus side is one explode + broadcast-join +
     groupBy — no shuffle of the corpus itself beyond the count.
     """
-
-    def grams(df: DataFrame, keep_key: bool) -> DataFrame:
-        # materialize the token array BEFORE the lambda: an expression
-        # embedded in a higher-order-function body re-evaluates per
-        # element (the split would run O(words²) per document)
-        w = F.col("__w")
-        g = F.when(
-            F.size(w) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        cols = (["doc_id"] if keep_key else []) + [
-            F.explode(F.array_distinct(g)).alias("gram")
-        ]
-        return df.withColumn("__w", _words(text_col)).select(*cols)
-
-    bench_grams = grams(benchmark, keep_key=False).distinct()
-    doc_grams = grams(docs, keep_key=True)
+    bench_grams = word_ngrams(benchmark, text_col, n, keep_key=False).distinct()
+    doc_grams = word_ngrams(docs, text_col, n, keep_key=True)
     scored = (
         doc_grams.join(
             F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
@@ -230,6 +235,55 @@ def contamination(
         .withColumn("contamination", F.col("n_matched") / F.col("n_grams"))
     )
     return scored
+
+
+def decontam_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """`contamination`, bloom-gated: pack the benchmark n-gram set into
+    a fixed-size bloom filter and pre-filter the corpus grams MAP-SIDE
+    (an array-literal membership expression riding the scan — no join,
+    no shuffle for the clean majority). Only bloom candidates (true
+    matches + the tiny FPR) reach the exact verification join, so the
+    output EQUALS `contamination` bit-for-bit: blooms have no false
+    negatives, and every candidate is exactly verified.
+
+    100 TB shape: a 2^17-bit bloom is 16 KiB however large the eval
+    suite grows, and the expensive exact join's probe side shrinks
+    from every corpus gram to candidates only. Increase n_bits with
+    the suite to hold FPR ≈ (1 − e^(−kn/m))^k down.
+    """
+    from steam_data_pipeline_spark.llm import sketches as SK
+
+    bench_grams = word_ngrams(benchmark, text_col, n, keep_key=False).distinct()
+    dense = SK.bloom_dense(
+        SK.bloom_build(bench_grams, "gram", n_bits, n_hashes), n_bits
+    )
+    doc_grams = word_ngrams(docs, text_col, n, keep_key=True)
+    candidates = doc_grams.filter(
+        SK.bloom_contains(dense, F.col("gram"), n_bits, n_hashes)
+    )
+    matched = (
+        candidates.join(F.broadcast(bench_grams), on="gram", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    totals = doc_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    return totals.join(matched, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+        (
+            F.coalesce("n_matched", F.lit(0)).cast("long") / F.col("n_grams")
+        ).alias("contamination"),
+    )
 
 
 #: query parameters dropped during URL canonicalization — the tracking

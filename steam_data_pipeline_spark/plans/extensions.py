@@ -3712,6 +3712,146 @@ def stream_islands_stateful(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# frequency sketches: heavy hitters / count-min / bloom decontamination
+# (round 6 — llm/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+@EXT.add(
+    "agg_heavy_hitters",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token ASC
+    LIMIT 20
+    """,
+    doc=(
+        "Two-pass heavy hitters (top-20 tokens): bounded-memory "
+        "per-partition space-saving summaries (mapInPandas, O(capacity) "
+        "state) produce <= partitions x capacity candidates, then ONE "
+        "exact recount restricted to the candidate set. The full token "
+        "frequency table is never shuffled - the Misra-Gries union "
+        "guarantee makes candidates a provable superset of every token "
+        "with count >= N/capacity, so with margin the result IS the "
+        "exact top-k, which the DuckDB oracle checks outright."
+    ),
+    tags=("agg", "sketch", "llm"),
+)
+def agg_heavy_hitters(spark, sf_dir):
+    from steam_data_pipeline_spark.llm import sketches as SK
+
+    return SK.heavy_hitters_sketched(
+        t(spark, sf_dir, "documents"), k=20, capacity=128
+    )
+
+
+@EXT.add(
+    "agg_countmin_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+      FROM documents
+    ),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tok
+      WHERE token <> '' GROUP BY token
+    )
+    SELECT token, exact_cnt,
+           TRUE AS est_ge_exact, TRUE AS est_within_bound
+    FROM exact
+    ORDER BY exact_cnt DESC, token ASC
+    LIMIT 10
+    """,
+    doc=(
+        "MERGEABLE count-min sketch in its distributed-native sparse "
+        "form (d, bucket, cnt): one map-side-combined aggregation "
+        "builds it, union+re-sum merges shards, and point estimates "
+        "broadcast the <= depth x width sketch. Invariant oracle (the "
+        "agg_hll_mergeable pattern): exact counts for the top-10 "
+        "probe tokens anchor the row; the CMS estimate must satisfy "
+        "est >= exact (always, by construction) and est <= exact + "
+        "4N/width (w.p. >= 1-2^-depth per probe; deterministic for "
+        "the fixed seed, verified at sf0.001/0.01/0.1)."
+    ),
+    tags=("agg", "approx", "sketch"),
+)
+def agg_countmin_tokens(spark, sf_dir):
+    from steam_data_pipeline_spark.llm import sketches as SK
+
+    WIDTH, DEPTH = 4096, 4
+    toks = SK.tokens(t(spark, sf_dir, "documents"))
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    probes = exact.orderBy(F.col("exact_cnt").desc(), F.col("token").asc()).limit(10)
+    sketch = SK.countmin_build(toks, "token", width=WIDTH, depth=DEPTH)
+    est = SK.countmin_estimate(sketch, probes, "token", width=WIDTH, depth=DEPTH)
+    n_total = toks.count()  # one scalar: the error-bound scale 4N/width
+    return (
+        probes.join(est.withColumnRenamed("item", "token"), "token")
+        .select(
+            "token",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias("est_ge_exact"),
+            (
+                F.col("est") <= F.col("exact_cnt") + F.lit(4.0 * n_total / WIDTH)
+            ).alias("est_within_bound"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+    )
+
+
+@EXT.add(
+    "llm_decontam_bloom",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+4], ' ')
+                            for i in range(1, len(words) - 3)]) AS grams
+      FROM w WHERE len(words) >= 5
+    ),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
+    dg AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+    SELECT dg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*)
+             AS contamination
+    FROM dg LEFT JOIN bench b ON dg.gram = b.gram
+    GROUP BY dg.doc_id
+    """,
+    doc=(
+        "Bloom-gated benchmark decontamination: the benchmark 5-gram "
+        "set is packed into a fixed-size bloom filter (one bit_or "
+        "aggregation; the dense word array is bounded by construction "
+        "at n_bits/64 int64s, so it embeds MAP-SIDE in the scan "
+        "expression - no join, no shuffle to discard the overwhelming "
+        "clean majority). Only bloom candidates (true matches + FPR) "
+        "reach the exact verification join, so the output equals "
+        "llm_contamination exactly (bloom has no false negatives) - "
+        "checked by the full-value oracle. The 100 TB shape: when the "
+        "eval-suite gram set outgrows a broadcast join, the bloom "
+        "stays kilobytes-to-megabytes and the exact join's probe side "
+        "shrinks from the corpus to the candidates."
+    ),
+    tags=("llm", "curation", "decontamination", "sketch"),
+)
+def llm_decontam_bloom(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.curation import decontam_bloom
+
+    docs = t(spark, sf_dir, "documents")
+    return decontam_bloom(docs, docs.filter(F.col("doc_id") < 50), n=5)
+
+
+# ---------------------------------------------------------------------------
 # bench-only operator legs
 # ---------------------------------------------------------------------------
 
