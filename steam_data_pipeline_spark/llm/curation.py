@@ -286,6 +286,97 @@ def decontam_bloom(
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition
+    filters, Rae et al. 2021 §A1.1, re-expressed as one explode +
+    grouped aggregation per n-gram order):
+
+    * ``top_2gram_frac`` — fraction of the document's characters
+      covered by occurrences of its MOST frequent word 2-gram
+      (cnt × len(gram) / len(text)); loops like "click here click
+      here …" light this up.
+    * ``dup_5gram_frac`` — fraction of characters covered by ALL word
+      5-grams that occur more than once (boilerplate paragraphs
+      repeated within one page).
+    * ``keep`` — Gopher-style gate: top_2gram_frac ≤ 0.20 and
+      dup_5gram_frac ≤ 0.30.
+
+    Tie-break for the top 2-gram: count desc, gram asc — deterministic
+    set semantics for the oracle. Documents too short for an n-gram
+    keep the row with zero fractions (null top gram). Scale shape: two
+    explode→groupBy legs keyed by (doc_id, gram) — map-side combined,
+    never cross-document; no window over the corpus.
+    """
+    n_chars = F.length(F.col(text_col))
+    base = docs.select("doc_id", n_chars.alias("__len"), F.col(text_col))
+
+    def gram_counts(n: int) -> DataFrame:
+        w = F.col("__w")
+        g = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            base.withColumn("__w", _words(text_col))
+            .select("doc_id", F.explode(g).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    # deterministic top-1 per doc: (cnt desc, gram asc); row_number
+    # under a rank<=1 filter compiles to WindowGroupLimit, so each task
+    # keeps one candidate row per doc before any sort
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    )
+    top2 = gram_counts(2).withColumn("__rn", rn).filter(F.col("__rn") == 1).select(
+        "doc_id",
+        F.col("gram").alias("top_2gram"),
+        F.col("cnt").alias("top_2gram_cnt"),
+    )
+    dup5 = (
+        gram_counts(5)
+        .filter(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.length("gram")).cast("long").alias("__dup5_chars")
+        )
+    )
+    out = (
+        base.select("doc_id", "__len")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "top_2gram",
+            F.coalesce("top_2gram_cnt", F.lit(0)).cast("long").alias("top_2gram_cnt"),
+            (
+                F.coalesce(F.col("top_2gram_cnt") * F.length("top_2gram"), F.lit(0))
+                / F.col("__len")
+            ).alias("top_2gram_frac"),
+            (F.coalesce("__dup5_chars", F.lit(0)) / F.col("__len")).alias(
+                "dup_5gram_frac"
+            ),
+            "__len",
+        )
+    )
+    return out.select(
+        "doc_id",
+        "top_2gram",
+        "top_2gram_cnt",
+        "top_2gram_frac",
+        "dup_5gram_frac",
+        (
+            (F.col("top_2gram_frac") <= 0.20) & (F.col("dup_5gram_frac") <= 0.30)
+        ).alias("keep"),
+    )
+
+
 #: query parameters dropped during URL canonicalization — the tracking
 #: families every web-corpus pipeline strips before URL-identity dedup
 _TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "ref_")

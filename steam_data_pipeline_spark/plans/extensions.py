@@ -3851,6 +3851,106 @@ def llm_decontam_bloom(spark, sf_dir):
     return decontam_bloom(docs, docs.filter(F.col("doc_id") < 50), n=5)
 
 
+@EXT.add(
+    "llm_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, length(text) AS len,
+             string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ),
+    c2 AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id,
+                   unnest([array_to_string(words[i:i+1], ' ')
+                           for i in range(1, len(words))]) AS gram
+            FROM w WHERE len(words) >= 2)
+      GROUP BY doc_id, gram
+    ),
+    top2 AS (
+      SELECT doc_id, gram AS top_2gram, cnt AS top_2gram_cnt
+      FROM c2
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, gram ASC) = 1
+    ),
+    c5 AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id,
+                   unnest([array_to_string(words[i:i+4], ' ')
+                           for i in range(1, len(words) - 3)]) AS gram
+            FROM w WHERE len(words) >= 5)
+      GROUP BY doc_id, gram
+    ),
+    dup5 AS (
+      SELECT doc_id, CAST(SUM(cnt * length(gram)) AS BIGINT) AS dup5_chars
+      FROM c5 WHERE cnt > 1 GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           t.top_2gram,
+           CAST(COALESCE(t.top_2gram_cnt, 0) AS BIGINT) AS top_2gram_cnt,
+           COALESCE(t.top_2gram_cnt * length(t.top_2gram), 0) / w.len
+             AS top_2gram_frac,
+           COALESCE(d.dup5_chars, 0) / w.len AS dup_5gram_frac,
+           (COALESCE(t.top_2gram_cnt * length(t.top_2gram), 0) / w.len <= 0.20
+            AND COALESCE(d.dup5_chars, 0) / w.len <= 0.30) AS keep
+    FROM w LEFT JOIN top2 t USING (doc_id) LEFT JOIN dup5 d USING (doc_id)
+    """,
+    doc=(
+        "Within-document repetition filter (the Gopher repetition "
+        "gates, Rae et al. 2021 SA1.1): characters covered by the most "
+        "frequent word 2-gram and by all duplicated 5-grams, as "
+        "fractions of document length, with the keep gate at "
+        "(0.20, 0.30). Two explode->groupBy legs keyed (doc_id, gram) "
+        "- map-side combined, never cross-document; the per-doc top-1 "
+        "compiles to WindowGroupLimit. Full-value DuckDB oracle."
+    ),
+    tags=("llm", "curation", "quality"),
+)
+def llm_repetition_filter(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.curation import repetition_signals
+
+    return repetition_signals(t(spark, sf_dir, "documents"))
+
+
+@EXT.add(
+    "samp_reservoir_per_key",
+    oracle="""
+    SELECT source, doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)) ASC,
+                      doc_id ASC) AS BIGINT) AS rank
+    FROM documents
+    QUALIFY rank <= 5
+    """,
+    doc=(
+        "Deterministic per-key uniform k-sample (the distributed "
+        "reservoir-sampling equivalent): rank every row by a seeded "
+        "cryptographic hash of its id and keep the k smallest per key. "
+        "Same sample every run and on every re-execution over the same "
+        "data (unlike rand()-based reservoirs), so downstream stages "
+        "can re-derive it; changing the seed redraws. Scale shape: the "
+        "row_number()<=k filter compiles to WindowGroupLimit, so each "
+        "task keeps at most k rows per key BEFORE the single per-key "
+        "shuffle - no full sort of the corpus. md5 on both engines "
+        "makes the oracle value-exact."
+    ),
+    tags=("sampling", "llm"),
+)
+def samp_reservoir_per_key(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    )
+    return (
+        docs.select("source", "doc_id", rn.cast("long").alias("rank"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # bench-only operator legs
 # ---------------------------------------------------------------------------

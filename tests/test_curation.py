@@ -255,3 +255,89 @@ class TestUrlDedup:
             "also not a url": (1, 4),
             "mailto:x@y.com": (1, 5),
         }
+
+
+class TestRepetitionSignals:
+    def test_known_fractions(self, spark):
+        from steam_data_pipeline_spark.llm.curation import repetition_signals
+
+        # "ab cd ab cd ab cd" -> top 2-gram "ab cd" x3 (len 5), text len 17
+        # no 5-gram repeats (grams: 2 distinct)
+        df = spark.createDataFrame(
+            [
+                (1, "ab cd ab cd ab cd"),
+                (2, " ".join(f"w{i:02d}" for i in range(30))),  # all unique
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+        r1 = rows[1]
+        assert r1.top_2gram == "ab cd" and r1.top_2gram_cnt == 3
+        assert r1.top_2gram_frac == 3 * 5 / 17
+        assert r1.dup_5gram_frac == 0.0
+        assert not r1.keep  # 15/17 > 0.20
+        r2 = rows[2]
+        assert r2.top_2gram_cnt == 1 and r2.keep
+
+    def test_short_doc_keeps_row(self, spark):
+        from steam_data_pipeline_spark.llm.curation import repetition_signals
+
+        df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        r = repetition_signals(df).collect()[0]
+        assert r.top_2gram is None and r.top_2gram_frac == 0.0 and r.keep
+
+    def test_dup5_counts_all_occurrences(self, spark):
+        from steam_data_pipeline_spark.llm.curation import repetition_signals
+
+        # the same 5-gram 3 times back-to-back: "a b c d e" repeated
+        text = "a b c d e " * 3
+        df = spark.createDataFrame([(1, text.strip())], "doc_id long, text string")
+        r = repetition_signals(df).collect()[0]
+        assert r.dup_5gram_frac > 0.30 and not r.keep
+
+
+class TestReservoirSample:
+    def test_sample_size_and_stability(self, spark, sf_dir):
+        from steam_data_pipeline_spark.plans.registry import QUERIES
+
+        q = QUERIES["samp_reservoir_per_key"].spark
+        a = {(r.source, r.doc_id, r.rank) for r in q(spark, sf_dir).collect()}
+        b = {(r.source, r.doc_id, r.rank) for r in q(spark, sf_dir).collect()}
+        assert a == b  # deterministic across runs
+        per_key = {}
+        for src, _, _ in a:
+            per_key[src] = per_key.get(src, 0) + 1
+        assert all(v == 5 for v in per_key.values())
+
+    def test_windowgrouplimit_plan(self, spark, sf_dir):
+        from steam_data_pipeline_spark.plans.registry import QUERIES
+
+        import contextlib
+        import io
+
+        df = QUERIES["samp_reservoir_per_key"].spark(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "WindowGroupLimit" in buf.getvalue()
+
+    def test_seed_redraws(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+
+        def sample(seed: str):
+            key = F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string")))
+            rn = F.row_number().over(
+                Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+            )
+            return {
+                (r.source, r.doc_id)
+                for r in docs.select("source", "doc_id", rn.alias("rank"))
+                .filter(F.col("rank") <= 5)
+                .collect()
+            }
+
+        assert sample("seed42:") != sample("seed43:")
