@@ -1,0 +1,174 @@
+"""Distributed BPE (byte-pair encoding) vocabulary induction.
+
+Classic Sennrich et al. 2016 BPE, restructured for Spark's execution
+model. The key scale observation: BPE never needs the corpus after the
+first pass — it operates on the WORD-FREQUENCY table (distinct words ×
+counts), which is orders of magnitude smaller than the corpus and stays
+distributed here (at web scale it is still hundreds of millions of
+rows — too big to collect, which is why the merge loop below runs as
+Spark jobs over the vocab DataFrame rather than a driver-side dict).
+
+Per merge iteration:
+1. adjacent-pair counts — one explode + map-side-combined sum over the
+   vocab table (weighted by word frequency);
+2. argmax — a ONE-ROW collect (the merge decision itself, bounded by
+   construction: count desc, pair-string asc tie-break);
+3. apply the merge to every symbol array — a pure higher-order
+   `aggregate` fold (greedy left-to-right non-overlapping, exactly
+   Sennrich's replacement semantics), no Python;
+4. every `checkpoint_every` iterations, `localCheckpoint` the vocab so
+   the plan/lineage stays bounded across the loop.
+
+Tokenizing a corpus with the learned merges is a broadcast join of the
+final word→symbols table onto exploded corpus words — the corpus is
+touched exactly twice total (word counting + tokenization), never
+per-merge.
+
+Reference parity: no analog in Jiawei57/steam-data-pipeline (text-only
+ETL, no tokenizer); this implements the brief's "token counting (… a
+BPE-ish regex)" end point properly: a real learned BPE vocabulary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+#: separator inside pair keys ("a|b"). Fine for whitespace-tokenized
+#: fixtures; switch to "\x01" for corpora whose words may contain "|".
+PAIR_SEP = "|"
+
+END = "</w>"
+
+
+@dataclass(frozen=True)
+class Merge:
+    rank: int
+    a: str
+    b: str
+    count: int
+
+    @property
+    def merged(self) -> str:
+        return self.a + self.b
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over whitespace tokenization — the only pass over
+    the corpus the trainer makes."""
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def init_symbols(word_freq: DataFrame) -> DataFrame:
+    """(word, freq, syms): characters plus the end-of-word marker —
+    merges never cross word boundaries."""
+    return word_freq.withColumn(
+        "syms", F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    syms = F.col("syms")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.concat(
+            F.element_at(syms, i), F.lit(PAIR_SEP), F.element_at(syms, i + 1)
+        ),
+    )
+    return (
+        vocab.filter(F.size(syms) >= 2)
+        .select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right non-overlapping replacement of the
+    adjacent pair (a, b) by a+b in every symbol array — a single
+    `aggregate` fold per row, entirely JVM-side."""
+    merged = a + b
+
+    def step(acc, x):
+        can_merge = (
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b)
+        )
+        return F.when(
+            can_merge,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return vocab.withColumn(
+        "syms",
+        F.aggregate(F.col("syms"), F.array().cast("array<string>"), step),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+    checkpoint_every: int = 6,
+) -> tuple[list[Merge], DataFrame]:
+    """Learn up to `n_merges` BPE merges; returns (merges, final vocab
+    DataFrame (word, freq, syms)). Stops early when the best pair's
+    weighted count drops below `min_count`."""
+    vocab = init_symbols(word_frequencies(docs, text_col)).localCheckpoint(eager=True)
+    merges: list[Merge] = []
+    for rank in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_count:
+            break
+        a, _, b = top[0]["pair"].partition(PAIR_SEP)
+        merges.append(Merge(rank=rank, a=a, b=b, count=int(top[0]["cnt"])))
+        vocab = _apply_merge(vocab, a, b)
+        if (rank + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def tokenize(docs: DataFrame, vocab: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, tokens array<string>) — explode corpus words, broadcast
+    join the learned word→symbols map, reassemble in word order. The
+    merge loop never sees the corpus; this single join does."""
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    mapped = words.join(
+        F.broadcast(vocab.select("word", "syms")), "word", "left"
+    ).select(
+        "doc_id",
+        "pos",
+        # unseen word (not in training vocab) → character fallback
+        F.coalesce(
+            F.col("syms"), F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
+        ).alias("syms"),
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "syms"))
+                    ),
+                    lambda s: s["syms"],
+                )
+            ).alias("tokens")
+        )
+    )

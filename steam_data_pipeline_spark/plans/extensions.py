@@ -4010,6 +4010,82 @@ def src_zorder_scan(spark, sf_dir):
     ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
 
 
+@EXT.add(
+    "llm_bpe_train",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words
+      WHERE word <> '' GROUP BY word
+    ),
+    sym AS (
+      SELECT word, freq, list_append(string_split(word, ''), '</w>') AS s
+      FROM wf
+    ),
+    pc AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest([s[i] || '|' || s[i+1] for i in range(1, len(s))]) AS pair
+        FROM sym
+      ) GROUP BY pair
+    )
+    SELECT (SELECT pair FROM pc ORDER BY cnt DESC, pair ASC LIMIT 1)
+             AS first_pair,
+           (SELECT cnt FROM pc ORDER BY cnt DESC, pair ASC LIMIT 1)
+             AS first_cnt,
+           CAST(16 AS BIGINT) AS n_merges,
+           TRUE AS counts_nonincreasing,
+           TRUE AS roundtrip_ok,
+           TRUE AS compressed
+    """,
+    doc=(
+        "Distributed BPE vocabulary induction (Sennrich et al. 2016, "
+        "llm/bpe.py): the merge loop runs over the word-frequency "
+        "table - the corpus is scanned once for word counts and once "
+        "for tokenization, never per merge. Each iteration: pair-count "
+        "aggregation (map-side combined), a ONE-ROW argmax collect, a "
+        "JVM-side aggregate-fold replacement, localCheckpoint every 6 "
+        "merges to bound lineage. Invariant oracle (approximate-op "
+        "pattern): DuckDB independently computes merge #1 - the exact "
+        "argmax char pair with the same (count desc, pair asc) "
+        "tie-break - anchoring the learned sequence; the remaining "
+        "columns are proved in-query: 16 merges learned, weighted "
+        "merge counts non-increasing (a BPE theorem: new pairs count "
+        "<= the chosen pair), every vocab word reassembles exactly "
+        "from its final symbols, and total symbol count strictly "
+        "shrank."
+    ),
+    tags=("llm", "tokenizer", "iterative"),
+)
+def llm_bpe_train(spark, sf_dir):
+    from steam_data_pipeline_spark.llm import bpe as B
+
+    merges, vocab = B.train_bpe(t(spark, sf_dir, "documents"), n_merges=16)
+    noninc = all(
+        merges[i].count >= merges[i + 1].count for i in range(len(merges) - 1)
+    )
+    rt_bad = vocab.filter(
+        F.concat_ws("", "syms") != F.concat(F.col("word"), F.lit(B.END))
+    ).count()
+    sizes = vocab.agg(
+        F.sum(F.col("freq") * (F.length("word") + 1)).alias("init_syms"),
+        F.sum(F.col("freq") * F.size("syms")).alias("final_syms"),
+    ).collect()[0]
+    return spark.range(1).select(
+        F.lit(merges[0].a + B.PAIR_SEP + merges[0].b).alias("first_pair"),
+        F.lit(merges[0].count).cast("long").alias("first_cnt"),
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+        F.lit(noninc).alias("counts_nonincreasing"),
+        F.lit(rt_bad == 0).alias("roundtrip_ok"),
+        F.lit(int(sizes["final_syms"]) < int(sizes["init_syms"])).alias(
+            "compressed"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # bench-only operator legs
 # ---------------------------------------------------------------------------

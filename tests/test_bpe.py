@@ -1,0 +1,122 @@
+"""BPE trainer tests: exact merge-sequence equality against a
+pure-Python reference implementation (Sennrich et al. 2016 semantics),
+tokenization round-trip, early stop, and fold edge cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from steam_data_pipeline_spark.llm import bpe as B
+
+
+def _ref_bpe(word_freqs: dict[str, int], n_merges: int, min_count: int = 2):
+    """Reference BPE: dict-based, same tie-break (count desc,
+    'a|b' string asc), greedy left-to-right non-overlapping apply."""
+    vocab = {w: list(w) + [B.END] for w in word_freqs}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        best = min(
+            counts.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + B.PAIR_SEP + kv[0][1]),
+        )
+        (a, b), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((rank, a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+CORPUS = [
+    (0, "low low low low low"),
+    (1, "lower lower newest newest newest newest"),
+    (2, "newest newest widest widest widest"),
+    (3, "low lower newest widest west west west"),
+]
+
+
+class TestTrainMatchesReference:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+    def test_merge_sequence_exact(self, spark, docs):
+        wf = {
+            r["word"]: r["freq"]
+            for r in B.word_frequencies(docs).collect()
+        }
+        ref_merges, ref_vocab = _ref_bpe(wf, n_merges=12)
+        merges, vocab = B.train_bpe(docs, n_merges=12)
+        assert [(m.rank, m.a, m.b, m.count) for m in merges] == ref_merges
+        got = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+        assert got == ref_vocab
+
+    def test_counts_nonincreasing(self, spark, docs):
+        merges, _ = B.train_bpe(docs, n_merges=12)
+        assert all(
+            merges[i].count >= merges[i + 1].count
+            for i in range(len(merges) - 1)
+        )
+
+    def test_early_stop(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "ab cd ef")], "doc_id long, text string"
+        )  # every pair unique → weighted counts of 1 → stop at min_count=2
+        merges, _ = B.train_bpe(docs, n_merges=10)
+        assert merges == []
+
+
+class TestFoldEdgeCases:
+    def test_overlapping_same_symbol(self, spark):
+        """'xxxx' under merge (x,x): greedy left-to-right gives
+        [xx, xx], never the overlapping [x, xx, x] readings."""
+        docs = spark.createDataFrame(
+            [(0, "xxxx xxxx xxxx")], "doc_id long, text string"
+        )
+        merges, vocab = B.train_bpe(docs, n_merges=1)
+        assert (merges[0].a, merges[0].b) == ("x", "x")
+        syms = vocab.collect()[0]["syms"]
+        assert syms == ["xx", "xx", B.END]
+
+
+class TestTokenize:
+    def test_roundtrip_and_fallback(self, spark):
+        docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        _, vocab = B.train_bpe(docs, n_merges=8)
+        new = spark.createDataFrame(
+            [(9, "low newest zzz")], "doc_id long, text string"
+        )  # zzz unseen → char fallback
+        toks = B.tokenize(new, vocab).collect()[0]["tokens"]
+        rebuilt = "".join(toks).replace(B.END, " ").strip()
+        assert rebuilt == "low newest zzz"
+
+    def test_tokens_shrink_known_words(self, spark):
+        docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        _, vocab = B.train_bpe(docs, n_merges=12)
+        toks = B.tokenize(
+            spark.createDataFrame([(1, "newest newest")], "doc_id long, text string"),
+            vocab,
+        ).collect()[0]["tokens"]
+        # after 12 merges on this corpus, 'newest' is far fewer than
+        # its 7 char+END symbols
+        assert len(toks) < 2 * 7
