@@ -4086,6 +4086,74 @@ def llm_bpe_train(spark, sf_dir):
     )
 
 
+@EXT.add(
+    "llm_bpe_encode",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    w AS (SELECT word FROM words WHERE word <> ''),
+    docs AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT CAST((SELECT n_docs FROM docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_words,
+           CAST(SUM(LENGTH(word) + 1) AS BIGINT) AS chars_plus_words,
+           TRUE AS vocab_consistent,
+           TRUE AS bounded,
+           TRUE AS compressed
+    FROM w
+    """,
+    doc=(
+        "Corpus tokenization with the learned BPE merges (llm/bpe.py "
+        "tokenize): the merge loop never touches the corpus - encoding "
+        "is ONE broadcast join of the final word->symbols table onto "
+        "posexploded corpus words, reassembled in word order. Verified "
+        "by distributed equivalence: the corpus-side token total "
+        "(explode -> join -> flatten -> sum) must equal the vocab-side "
+        "weighted total (sum freq*|syms| over the word-frequency "
+        "table) - two independent plans over different tables agreeing "
+        "on the same number. DuckDB anchors n_docs / total_words / "
+        "chars_plus_words exactly; bounds (words <= tokens <= "
+        "chars+words) and strict compression are proved in-query."
+    ),
+    tags=("llm", "tokenizer"),
+)
+def llm_bpe_encode(spark, sf_dir):
+    from steam_data_pipeline_spark.llm import bpe as B
+
+    docs = t(spark, sf_dir, "documents")
+    merges, vocab = B.train_bpe(docs, n_merges=8)
+    toks = B.tokenize(docs, vocab)
+    corpus = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("tokens")).cast("long").alias("total_tokens"),
+    ).collect()[0]
+    vside = vocab.agg(
+        F.sum("freq").cast("long").alias("total_words"),
+        F.sum(F.col("freq") * F.size("syms")).cast("long").alias("vocab_tokens"),
+        F.sum(F.col("freq") * (F.length("word") + 1))
+        .cast("long")
+        .alias("chars_plus_words"),
+    ).collect()[0]
+    total_tokens = int(corpus["total_tokens"])
+    total_words = int(vside["total_words"])
+    cpw = int(vside["chars_plus_words"])
+    return spark.range(1).select(
+        F.lit(int(corpus["n_docs"])).cast("long").alias("n_docs"),
+        F.lit(total_words).cast("long").alias("total_words"),
+        F.lit(cpw).cast("long").alias("chars_plus_words"),
+        F.lit(total_tokens == int(vside["vocab_tokens"])).alias(
+            "vocab_consistent"
+        ),
+        F.lit(total_words <= total_tokens <= cpw).alias("bounded"),
+        F.lit(total_tokens < cpw).alias("compressed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # bench-only operator legs
 # ---------------------------------------------------------------------------
