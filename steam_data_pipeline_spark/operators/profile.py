@@ -1,0 +1,266 @@
+"""Data-quality layer: table profiling, declarative expectations, and
+distribution-drift scoring (PSI).
+
+The reference pipeline validates ingested rows ad hoc (steam-data-pipeline
+main.py:254-note — success-flag checks and null guards inline in the ETL
+loop); at 100 TB that becomes a first-class concern, so this module gives
+the engine a deequ-style quality surface built Spark-first:
+
+* ``profile`` — per-column stats in a MELT-then-aggregate shape: one
+  projection explodes each row into (col, value) pairs, then two hash
+  aggregations (groupBy(col, value) count → groupBy(col)) produce
+  row/null/distinct/min/max per column. This deliberately avoids the
+  ``Expand``-based plan Spark generates for multiple COUNT(DISTINCT x)
+  aggregates in one agg (k distinct aggs multiply the scan k-fold) and
+  avoids one-job-per-column driver loops: cost is one scan + two
+  map-side-combined shuffles regardless of column count, and the
+  distinct counts are EXACT (the scale swap to approx_count_distinct is
+  a one-line change per column spec).
+* ``check`` — declarative constraints (completeness, uniqueness, range,
+  set membership, referential integrity) compiled into the minimum
+  number of jobs: all row-local predicates fold into ONE conditional
+  aggregate pass; uniqueness is a two-stage hash aggregate; referential
+  integrity is a broadcast left-anti join against the (small) dimension.
+* ``psi_drift`` — Population Stability Index between two populations of
+  one numeric column over fixed-width bins derived from the GLOBAL
+  min/max (deterministic, unlike ntile-style quantile bins whose edges
+  depend on partition order). Counts are exact BIGINTs; the single
+  float expression per bin is rounded to 9 decimals because ln() is not
+  IEEE-correctly-rounded across engines (unlike sqrt).
+
+All outputs are value-exact against a DuckDB oracle; see the qa_*
+queries in plans/extensions.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class ColSpec:
+    """How one column enters the profile melt.
+
+    kind: 'num' → distinctness/min/max on the double value;
+          'str' → on the raw string;
+          'ts'  → timestamp cast to its canonical string form
+                  (verified identical between Spark and DuckDB for
+                  micro-precision timestamps; lexicographic order ==
+                  chronological order for the fixed-width format).
+    """
+
+    name: str
+    kind: str  # 'num' | 'str' | 'ts'
+
+    def melt_struct(self) -> Column:
+        c = F.col(self.name)
+        if self.kind == "num":
+            sval = F.lit(None).cast("string")
+            dval = c.cast("double")
+        elif self.kind == "ts":
+            sval = c.cast("string")
+            dval = F.lit(None).cast("double")
+        else:
+            sval = c.cast("string")
+            dval = F.lit(None).cast("double")
+        return F.struct(
+            F.lit(self.name).alias("col"),
+            sval.alias("sval"),
+            dval.alias("dval"),
+        )
+
+
+def profile(df: DataFrame, specs: Sequence[ColSpec]) -> DataFrame:
+    """One row per column: (col, n_rows, n_nonnull, n_distinct,
+    min_num, max_num, min_str, max_str).
+
+    Plan shape: Project(explode) → HashAggregate(col, sval, dval)
+    → HashAggregate(col). Both aggregates partial+final (map-side
+    combine), so the shuffled volume after stage 1 is bounded by the
+    number of DISTINCT values, not rows.
+    """
+    melted = df.select(
+        F.explode(F.array(*[s.melt_struct() for s in specs])).alias("m")
+    ).select("m.col", "m.sval", "m.dval")
+    per_value = melted.groupBy("col", "sval", "dval").agg(
+        F.count(F.lit(1)).alias("cnt"),
+    ).withColumn(
+        "is_null_group", F.col("sval").isNull() & F.col("dval").isNull()
+    )
+    nonnull = ~F.col("is_null_group")
+    return per_value.groupBy("col").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(nonnull, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_nonnull"),
+        F.sum(F.when(nonnull, 1).otherwise(0)).cast("long").alias("n_distinct"),
+        F.min("dval").alias("min_num"),
+        F.max("dval").alias("max_num"),
+        F.min("sval").alias("min_str"),
+        F.max("sval").alias("max_str"),
+    )
+
+
+# --------------------------------------------------------------------------
+# expectations
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Expect:
+    """One declarative constraint. kind ∈ {'complete', 'predicate',
+    'unique', 'ref'}; violations = rows that break it."""
+
+    name: str
+    kind: str
+    col: str = ""
+    predicate: Column | None = None
+    ref_df: DataFrame | None = None
+    ref_col: str = ""
+
+
+def check(df: DataFrame, expects: Sequence[Expect]) -> DataFrame:
+    """(constraint, violations, passed) per expectation.
+
+    Row-local constraints ('complete', 'predicate') share ONE
+    aggregate pass over df. 'unique' runs a two-stage hash aggregate
+    (violations = n_rows − n_distinct_nonnull − n_null? no: duplicate
+    rows beyond the first per key). 'ref' is a broadcast left-anti
+    join; the referenced side must be dimension-sized.
+    """
+    spark = df.sparkSession
+    local = [e for e in expects if e.kind in ("complete", "predicate")]
+    rows: list[DataFrame] = []
+    if local:
+        aggs = []
+        for e in local:
+            if e.kind == "complete":
+                bad = F.col(e.col).isNull()
+            else:
+                bad = ~e.predicate | e.predicate.isNull()
+            aggs.append(
+                F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(e.name)
+            )
+        one = df.agg(*aggs)
+        melt = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(e.name).alias("constraint"),
+                        F.col(e.name).alias("violations"),
+                    )
+                    for e in local
+                ]
+            )
+        ).alias("m")
+        rows.append(one.select(melt).select("m.constraint", "m.violations"))
+    for e in expects:
+        if e.kind == "unique":
+            dup = (
+                df.groupBy(e.col)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .agg(
+                    F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+                    .cast("long")
+                    .alias("violations")
+                )
+                .select(
+                    F.lit(e.name).alias("constraint"), F.col("violations")
+                )
+            )
+            rows.append(dup)
+        elif e.kind == "ref":
+            orphans = (
+                df.join(
+                    F.broadcast(
+                        e.ref_df.select(
+                            F.col(e.ref_col).alias(e.col)
+                        ).distinct()
+                    ),
+                    on=e.col,
+                    how="left_anti",
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+                .select(
+                    F.lit(e.name).alias("constraint"), F.col("violations")
+                )
+            )
+            rows.append(orphans)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.withColumn("passed", F.col("violations") == 0)
+
+
+# --------------------------------------------------------------------------
+# drift
+# --------------------------------------------------------------------------
+
+
+def psi_drift(
+    ref: DataFrame, cur: DataFrame, col: str, n_bins: int = 10
+) -> DataFrame:
+    """Per-bin PSI contributions between two populations of `col`.
+
+    Bin edges are fixed-width over the GLOBAL min/max of both
+    populations — deterministic under any partitioning, unlike
+    quantile binning. Returns one row per bin:
+    (bin, cnt_ref, cnt_cur, contrib) with contrib rounded to 9
+    decimals (ln() is not correctly-rounded IEEE, so the last bits
+    are engine-specific; 1e-9 rounding removes them). Laplace
+    smoothing (+1 per bin) keeps empty bins finite.
+
+    Scale shape: one union scan → one agg for min/max (broadcast back
+    as literals via a cross join of the 1-row bounds), one groupBy per
+    population — no collect of data rows.
+    """
+    both = ref.select(F.col(col).alias("x")).unionByName(
+        cur.select(F.col(col).alias("x"))
+    )
+    bounds = both.agg(
+        F.min("x").alias("vmin"), F.max("x").alias("vmax")
+    )
+
+    def binned(df: DataFrame, label: str) -> DataFrame:
+        w = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+        b = F.floor((F.col("x") - F.col("vmin")) / w)
+        # NULLs must be dropped BEFORE the least(): least(NULL, k)
+        # skips NULL args and returns k, which would silently route
+        # every NULL row into the last bin.
+        return (
+            df.select(F.col(col).alias("x"))
+            .filter(F.col("x").isNotNull())
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                F.least(b, F.lit(n_bins - 1)).cast("long").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"cnt_{label}"))
+        )
+    spine = ref.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    joined = (
+        spine.join(binned(ref, "ref"), "bin", "left")
+        .join(binned(cur, "cur"), "bin", "left")
+        .fillna(0, subset=["cnt_ref", "cnt_cur"])
+    )
+    tot = joined.agg(
+        F.sum("cnt_ref").alias("tr"), F.sum("cnt_cur").alias("tc")
+    )
+    p = (F.col("cnt_ref") + 1).cast("double") / (
+        (F.col("tr") + n_bins).cast("double")
+    )
+    q = (F.col("cnt_cur") + 1).cast("double") / (
+        (F.col("tc") + n_bins).cast("double")
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "cnt_ref",
+            "cnt_cur",
+            F.round((p - q) * F.log(p / q), 9).alias("contrib"),
+        )
+    )

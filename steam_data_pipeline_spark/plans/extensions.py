@@ -4155,6 +4155,211 @@ def llm_bpe_encode(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# data-quality layer (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+
+@EXT.add(
+    "qa_profile",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+             source, n_chars
+      FROM documents
+    )
+    SELECT 'doc_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(doc_id) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(doc_id) AS DOUBLE) AS min_num,
+           CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM d
+    UNION ALL
+    SELECT 'lang', COUNT(*), COUNT(lang), COUNT(DISTINCT lang),
+           NULL, NULL, MIN(lang), MAX(lang) FROM d
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(source), COUNT(DISTINCT source),
+           NULL, NULL, MIN(source), MAX(source) FROM d
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), COUNT(n_chars), COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+           NULL, NULL FROM d
+    """,
+    doc=(
+        "Single-scan table profiler (operators/profile.py): per-column "
+        "rows/nonnull/EXACT distinct/min/max via a melt (one explode "
+        "projection) into two map-side-combined hash aggregates — "
+        "deliberately NOT k COUNT(DISTINCT) aggs in one agg (Spark's "
+        "Expand plan multiplies the scan k-fold) and NOT a "
+        "one-job-per-column driver loop. Cost is one scan + two "
+        "shuffles regardless of column count; shuffle volume after "
+        "stage 1 is bounded by distinct values, not rows. NULLs are "
+        "injected deterministically (doc_id %% 7) on both sides so the "
+        "null-accounting path is non-vacuous. Reference analog: the "
+        "ad-hoc inline validation in steam-data-pipeline main.py's ETL "
+        "loop, promoted to a first-class deequ-style surface."
+    ),
+    tags=("qa",),
+)
+def qa_profile(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.profile import ColSpec, profile
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        "n_chars",
+    )
+    return profile(
+        d,
+        [
+            ColSpec("doc_id", "num"),
+            ColSpec("lang", "str"),
+            ColSpec("source", "str"),
+            ColSpec("n_chars", "num"),
+        ],
+    )
+
+
+@EXT.add(
+    "qa_check",
+    oracle="""
+    WITH raw AS (
+      SELECT 'custkey_complete' AS check_name,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'price_positive',
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'price_under_100k',
+             CAST(SUM(CASE WHEN o_totalprice < 100000 THEN 0 ELSE 1 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orderkey_unique', CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+      FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'custkey_in_customer', CAST(COUNT(*) AS BIGINT)
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT check_name, violations, violations = 0 AS passed FROM raw
+    """,
+    doc=(
+        "Declarative expectations (operators/profile.py check): all "
+        "row-local constraints (completeness, predicates — NULL "
+        "predicate counts as violation) fold into ONE conditional-"
+        "aggregate pass over the fact table; uniqueness is a two-stage "
+        "hash aggregate (sum of per-key count-1, NULL keys included, "
+        "matching GROUP BY); referential integrity is a broadcast "
+        "left-anti join against the distinct dimension keys (NULL FK = "
+        "orphan, matching NOT EXISTS). price_under_100k fails on "
+        "purpose so the violation-counting path is non-vacuous. The "
+        "boolean passed column is derived, not compared-away."
+    ),
+    tags=("qa",),
+)
+def qa_check(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.profile import Expect, check
+
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    out = check(
+        orders,
+        [
+            Expect("custkey_complete", "complete", col="o_custkey"),
+            Expect(
+                "price_positive",
+                "predicate",
+                predicate=F.col("o_totalprice") > 0,
+            ),
+            Expect(
+                "price_under_100k",
+                "predicate",
+                predicate=F.col("o_totalprice") < 100000,
+            ),
+            Expect("orderkey_unique", "unique", col="o_orderkey"),
+            Expect(
+                "custkey_in_customer",
+                "ref",
+                col="o_custkey",
+                ref_df=customer,
+                ref_col="c_custkey",
+            ),
+        ],
+    )
+    return out.select(
+        F.col("constraint").alias("check_name"), "violations", "passed"
+    )
+
+
+@EXT.add(
+    "qa_psi_drift",
+    oracle="""
+    WITH ref AS (SELECT value AS x FROM events WHERE day(ts) <= 15),
+    cur AS (SELECT value AS x FROM events WHERE day(ts) > 15),
+    bounds AS (
+      SELECT MIN(x) AS vmin, MAX(x) AS vmax
+      FROM (SELECT x FROM ref UNION ALL SELECT x FROM cur)
+    ),
+    spine AS (SELECT CAST(g AS BIGINT) AS bin
+              FROM generate_series(0, 7) s(g)),
+    br AS (
+      SELECT LEAST(CAST(FLOOR((x - vmin) / ((vmax - vmin) / 8.0)) AS BIGINT),
+                   7) AS bin, COUNT(*) AS c
+      FROM ref, bounds GROUP BY 1
+    ),
+    bc AS (
+      SELECT LEAST(CAST(FLOOR((x - vmin) / ((vmax - vmin) / 8.0)) AS BIGINT),
+                   7) AS bin, COUNT(*) AS c
+      FROM cur, bounds GROUP BY 1
+    ),
+    j AS (
+      SELECT spine.bin,
+             CAST(COALESCE(br.c, 0) AS BIGINT) AS cnt_ref,
+             CAST(COALESCE(bc.c, 0) AS BIGINT) AS cnt_cur
+      FROM spine LEFT JOIN br USING (bin) LEFT JOIN bc USING (bin)
+    ),
+    tot AS (SELECT SUM(cnt_ref) AS tr, SUM(cnt_cur) AS tc FROM j)
+    SELECT bin, cnt_ref, cnt_cur,
+           ROUND((CAST(cnt_ref + 1 AS DOUBLE) / CAST(tr + 8 AS DOUBLE)
+                  - CAST(cnt_cur + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE))
+                 * LN((CAST(cnt_ref + 1 AS DOUBLE) / CAST(tr + 8 AS DOUBLE))
+                      / (CAST(cnt_cur + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE))),
+                 9) AS contrib
+    FROM j, tot
+    """,
+    doc=(
+        "Population-Stability-Index drift (operators/profile.py "
+        "psi_drift) between the first and second half-month of "
+        "events.value: fixed-width bins over the GLOBAL min/max "
+        "(deterministic under any partitioning — quantile/ntile bin "
+        "edges are partition-order-dependent and would not oracle), "
+        "Laplace-smoothed per-bin contributions. Bin assignment is "
+        "pure IEEE float64 (sub, div, floor) so Spark and DuckDB agree "
+        "bit-exactly; ln() is not correctly-rounded IEEE, so contrib "
+        "is rounded to 9 decimals on both sides. Plan: one scan per "
+        "population + broadcast 1-row bounds — no collect of data "
+        "rows, no quantile pass."
+    ),
+    tags=("qa",),
+)
+def qa_psi_drift(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.profile import psi_drift
+
+    ev = t(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15)
+    cur = ev.filter(F.dayofmonth("ts") > 15)
+    return psi_drift(ref, cur, "value", n_bins=8)
+
+
+# ---------------------------------------------------------------------------
 # bench-only operator legs
 # ---------------------------------------------------------------------------
 
