@@ -1245,3 +1245,124 @@ def remove_duplicated_spans(
             ).alias("cleaned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup join (Ed-Join)
+# ---------------------------------------------------------------------------
+
+
+def editdist_pairs(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    max_d: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_d``, Ed-Join style
+    (Xiao, Wang & Lin, PVLDB 1(1) 2008 — public algorithm).
+
+    Candidate generation is the q-gram count-filter prefix, never an
+    all-pairs join: one edit destroys at most ``q`` q-grams, so two
+    strings within distance d share all but ≤ q·d multiset q-grams,
+    and under any fixed global total order on positional gram
+    elements ``(gram, occurrence#)`` they must share an element among
+    their first ``q·d + 1`` elements (prefix-filter lemma with
+    per-pair overlap threshold α = max(|G_a|,|G_b|) − q·d). Prefixes
+    are built RAREST-GRAM-FIRST (global document frequency) so the
+    inverted-index self-join posts the shortest lists — the same
+    cold-first discipline as ``jaccard_pairs``. Candidates then pass a
+    length filter (|len_a − len_b| ≤ d) and exact verification with
+    Spark's built-in ``levenshtein(_, _, threshold)`` (JVM,
+    early-exit banded DP).
+
+    The lemma needs α ≥ 1, i.e. max(len) ≥ q·(d+1); pairs where BOTH
+    strings are shorter go through a separate short-string leg —
+    length-banded all-pairs (each string probes only lengths
+    [len, len+d]) — which is exact and bounded by the short-bucket
+    sizes (at 100 TB a pathological pile-up of near-empty strings
+    would need salting; documents shorter than q·(d+1) chars are
+    degenerate for a training corpus). The two legs PARTITION the
+    pair space (gram leg keeps only max(len) ≥ q·(d+1)), so the union
+    is duplicate-free. Strings with no q-gram at all (len < q) can
+    only pair with strings ≤ len+d < q·(d+1): always the short leg.
+
+    Returns (a, b, dist) with a < b, dist ≤ max_d, dist exact.
+    """
+    n_pref = q * max_d + 1
+    min_long = q * (max_d + 1)
+    base = (
+        docs.select(F.col(key).alias("id"), F.col(text_col).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .withColumn("len", F.length("s"))
+    )
+
+    # -- gram leg: all pairs with max(len_a, len_b) >= min_long -------------
+    grammed = base.filter(F.col("len") >= q)
+    grams = grammed.select(
+        "id",
+        "len",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(s) - {q} + 1),"
+                f" i -> substring(s, i, {q}))"
+            )
+        ).alias("pos", "g"),
+    )
+    occ = grams.withColumn(
+        "occ", F.row_number().over(W.partitionBy("id", "g").orderBy("pos"))
+    )
+    freq = occ.filter(F.col("occ") == 1).groupBy("g").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ranked = occ.join(freq, on="g").withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("id").orderBy("df", "g", "occ")),
+    )
+    pref = ranked.filter(F.col("rk") <= n_pref).select("id", "len", "g", "occ")
+    cand = (
+        pref.select(F.col("id").alias("a"), F.col("len").alias("la"), "g", "occ")
+        .join(
+            pref.select(F.col("id").alias("b"), F.col("len").alias("lb"), "g", "occ"),
+            on=["g", "occ"],
+        )
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= max_d)
+            & (F.greatest("la", "lb") >= min_long)
+        )
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    sa = base.select(F.col("id").alias("a"), F.col("s").alias("s_a"))
+    sb = base.select(F.col("id").alias("b"), F.col("s").alias("s_b"))
+    long_pairs = (
+        cand.join(sa, on="a")
+        .join(sb, on="b")
+        .withColumn("dist", F.levenshtein("s_a", "s_b", max_d))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_d))
+        .select("a", "b", "dist")
+    )
+
+    # -- short leg: both strings shorter than min_long ----------------------
+    short = base.filter(F.col("len") < min_long)
+    probe = short.select(
+        F.col("id").alias("b"),
+        F.col("s").alias("s_b"),
+        F.explode(
+            F.sequence(F.col("len"), F.col("len") + F.lit(max_d))
+        ).alias("lk"),
+    )
+    short_pairs = (
+        short.select(F.col("id").alias("a"), F.col("s").alias("s_a"), F.col("len").alias("lk"))
+        .join(probe, on="lk")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.levenshtein("s_a", "s_b", max_d).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_d))
+        .dropDuplicates(["a", "b"])
+    )
+    return long_pairs.unionByName(short_pairs)

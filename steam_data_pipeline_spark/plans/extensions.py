@@ -4154,6 +4154,58 @@ def llm_bpe_encode(spark, sf_dir):
     )
 
 
+@EXT.add(
+    "llm_dedup_editdist",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, substring(text, 1, 40) AS s FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             concat(substring(substring(text, 1, 40), 1, 6), 'Z',
+                    substring(substring(text, 1, 40), 8, 33))
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(levenshtein(a.s, b.s) AS INT) AS dist
+    FROM k a JOIN k b ON a.doc_id < b.doc_id
+    WHERE abs(length(a.s) - length(b.s)) <= 2
+      AND levenshtein(a.s, b.s) <= 2
+    """,
+    doc=(
+        "Edit-distance near-dup join, Ed-Join style (llm/dedup.py "
+        "editdist_pairs; Xiao/Wang/Lin PVLDB'08): candidates from a "
+        "rarest-first positional-q-gram prefix inverted index (the "
+        "count-filter lemma — one edit destroys <= q grams, so "
+        "d-close strings share an element in their first q*d+1 "
+        "ordered gram elements), length-filtered, verified with "
+        "Spark's JVM levenshtein(threshold) — NEVER an all-pairs "
+        "join; a separate length-banded leg is exact for the "
+        "sub-q*(d+1)-char strings the lemma cannot cover. Fixture "
+        "plants a 1-substitution copy of every 5th doc's 40-char key "
+        "('Z' is outside the corpus alphabet, so planted dist is "
+        "exactly 1); the DuckDB oracle is the full quadratic "
+        "levenshtein truth over the same keys, so the banded "
+        "candidate generation is proven LOSSLESS, recovering the 25 "
+        "natural ED<=2 pairs plus every planted one."
+    ),
+    tags=("llm", "dedup"),
+)
+def llm_dedup_editdist(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    k40 = F.substring("text", 1, 40)
+    base = docs.select("doc_id", k40.alias("s"))
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring(k40, 1, 6), F.lit("Z"), F.substring(k40, 8, 33)
+        ).alias("s"),
+    )
+    corpus = base.unionByName(planted)
+    return D.editdist_pairs(corpus, key="doc_id", text_col="s", max_d=2).select(
+        "a", "b", F.col("dist").cast("int").alias("dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # data-quality layer (operators/profile.py)
 # ---------------------------------------------------------------------------

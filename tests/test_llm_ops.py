@@ -690,3 +690,59 @@ class TestRemoveDuplicatedSpans:
         out = {r.doc_id: (r.n_removed, r.cleaned) for r in
                remove_duplicated_spans(docs, k=8).collect()}
         assert out == {0: (0, "one two three"), 1: (0, "one two three")}
+
+
+class TestEditDistPairs:
+    """editdist_pairs must equal the quadratic Levenshtein truth —
+    including the short-string leg the prefix-filter lemma cannot
+    cover and empty strings."""
+
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[:], i
+            for j in range(1, n + 1):
+                d[j] = min(
+                    prev[j] + 1, d[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    def test_matches_bruteforce(self, spark):
+        import itertools
+        import random
+
+        from steam_data_pipeline_spark.llm.dedup import editdist_pairs
+
+        rng = random.Random(7)
+        vocab = "abcde"
+        strs = [
+            (i, "".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+            for i in range(80)
+        ]
+        for i in range(80, 95):
+            base = "".join(rng.choice(vocab) for _ in range(rng.randint(9, 25)))
+            mut = list(base)
+            mut[rng.randrange(len(base))] = "z"
+            strs += [(i, base), (i + 1000, "".join(mut))]
+        df = spark.createDataFrame(strs, "doc_id long, text string")
+        got = {
+            (r["a"], r["b"], r["dist"])
+            for r in editdist_pairs(df, max_d=2).collect()
+        }
+        want = set()
+        for (i, s1), (j, s2) in itertools.combinations(strs, 2):
+            d = self._lev(s1, s2)
+            if d <= 2:
+                want.add((min(i, j), max(i, j), d))
+        assert got == want
+
+    def test_no_pairs_when_far(self, spark):
+        from steam_data_pipeline_spark.llm.dedup import editdist_pairs
+
+        df = spark.createDataFrame(
+            [(1, "aaaaaaaaaaaa"), (2, "bbbbbbbbbbbb"), (3, "cccccccccccc")],
+            "doc_id long, text string",
+        )
+        assert editdist_pairs(df, max_d=2).count() == 0
