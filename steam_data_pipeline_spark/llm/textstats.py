@@ -105,3 +105,68 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
         )
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (keyword-extraction /
+    topic-tagging pass of a curation pipeline).
+
+    score = tf · ln(N / df) with tf the in-document term count, df the
+    term's document frequency, N the corpus size. The score is rounded
+    to 9 decimals BEFORE ranking — ln() is not correctly-rounded IEEE,
+    so ranking on the raw double could order a cross-engine tie
+    differently; rounding first, then breaking ties on the term string,
+    makes the top-k a deterministic set. Terms are lowercased
+    whitespace tokens (same tokenizer as the rest of this module).
+
+    Plan shape: one scan → groupBy(doc, term) [map-side combined] →
+    groupBy(term) for df → tf ⋈ df shuffle join on term (Zipf-skewed
+    key, but df is pre-aggregated to one row per term so only the tf
+    side fans out) → window top-k by doc (WindowGroupLimit pushes the
+    rank filter below the sort). N is a 1-row broadcast. No UDFs.
+    """
+    from pyspark.sql.window import Window as W
+
+    terms = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(key),
+            F.explode(F.transform(tokens_expr(text_col), F.lower)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy(key, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.filter(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(df, on="term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                9,
+            ),
+        )
+    )
+    w = W.partitionBy(key).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            key,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -4206,6 +4206,48 @@ def llm_dedup_editdist(spark, sf_dir):
     )
 
 
+@EXT.add(
+    "llm_tfidf_keywords",
+    oracle="""
+    WITH w0 AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (SELECT doc_id, lower(term) AS term FROM w0 WHERE term <> ''),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM w GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * LN(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)),
+                   9) AS score
+      FROM tf JOIN df USING (term), n
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term ASC) AS rk
+          FROM scored)
+    SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+    doc=(
+        "Per-document top-3 keywords by TF-IDF (llm/textstats.py "
+        "tfidf_topk) — the keyword-extraction/topic-tagging pass of a "
+        "curation pipeline. Score = tf*ln(N/df) rounded to 9 decimals "
+        "BEFORE ranking (ln is not correctly-rounded IEEE; ranking on "
+        "the raw double could order cross-engine ties differently), "
+        "ties broken on the term string, so the top-k is a "
+        "deterministic SET. Plan: groupBy(doc,term) -> groupBy(term) "
+        "-> tf-join-df on term (df pre-aggregated to one row/term so "
+        "only the tf side fans out on the Zipf key) -> WindowGroupLimit "
+        "top-k per doc; N is a 1-row broadcast; zero UDFs."
+    ),
+    tags=("llm", "text"),
+)
+def llm_tfidf_keywords(spark, sf_dir):
+    return TS.tfidf_topk(t(spark, sf_dir, "documents"), k=3)
+
+
 # ---------------------------------------------------------------------------
 # data-quality layer (operators/profile.py)
 # ---------------------------------------------------------------------------

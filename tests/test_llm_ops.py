@@ -746,3 +746,37 @@ class TestEditDistPairs:
             "doc_id long, text string",
         )
         assert editdist_pairs(df, max_d=2).count() == 0
+
+
+class TestTfidfTopk:
+    def test_known_corpus(self, spark):
+        import math
+
+        from steam_data_pipeline_spark.llm.textstats import tfidf_topk
+
+        df = spark.createDataFrame(
+            [
+                (1, "apple apple banana"),
+                (2, "banana cherry"),
+                (3, "cherry cherry cherry durian"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r["doc_id"], r["rk"]): r
+            for r in tfidf_topk(df, k=2).collect()
+        }
+        # doc 1: apple tf=2 df=1 → 2*ln(3); banana tf=1 df=2 → ln(1.5)
+        assert rows[(1, 1)]["term"] == "apple"
+        assert rows[(1, 1)]["score"] == round(2 * math.log(3.0), 9)
+        assert rows[(1, 2)]["term"] == "banana"
+        # doc 3: durian tf=1 df=1 → ln(3) beats cherry tf=3 df=2 → 3*ln(1.5)
+        assert rows[(3, 1)]["term"] == "cherry"  # 3*ln(1.5)=1.216 > ln(3)=1.098
+        assert rows[(3, 2)]["term"] == "durian"
+
+    def test_window_group_limit_in_plan(self, spark):
+        from steam_data_pipeline_spark.llm.textstats import tfidf_topk
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = tfidf_topk(df, k=2)._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, plan
