@@ -1263,18 +1263,24 @@ def editdist_pairs(
     (Xiao, Wang & Lin, PVLDB 1(1) 2008 — public algorithm).
 
     Candidate generation is the q-gram count-filter prefix, never an
-    all-pairs join: one edit destroys at most ``q`` q-grams, so two
-    strings within distance d share all but ≤ q·d multiset q-grams,
-    and under any fixed global total order on positional gram
-    elements ``(gram, occurrence#)`` they must share an element among
-    their first ``q·d + 1`` elements (prefix-filter lemma with
-    per-pair overlap threshold α = max(|G_a|,|G_b|) − q·d). Prefixes
-    are built RAREST-GRAM-FIRST (global document frequency) so the
+    all-pairs join: one edit destroys at most ``q`` q-gram
+    occurrences, so at most q·d gram VALUES can vanish from a
+    string's DISTINCT-gram set — |S_a \\ S_b| ≤ q·d for any pair
+    within distance d. Under any fixed global total order on grams
+    the pair must then share a gram among their first ``q·d + 1``
+    set elements (prefix-filter lemma with per-pair overlap threshold
+    α = max(|S_a|,|S_b|) − q·d). Prefixes are built
+    RAREST-GRAM-FIRST (global document frequency) so the
     inverted-index self-join posts the shortest lists — the same
     cold-first discipline as ``jaccard_pairs``. Candidates then pass a
     length filter (|len_a − len_b| ≤ d) and exact verification with
     Spark's built-in ``levenshtein(_, _, threshold)`` (JVM,
     early-exit banded DP).
+
+    The gram-frequency table is BROADCAST: its cardinality is bounded
+    by the q-gram alphabet (|charset|^q — ~1M for 3-grams over text),
+    independent of corpus size, so the df join never shuffles the
+    corpus-sized gram table.
 
     The lemma needs α ≥ 1, i.e. max(len) ≥ q·(d+1); pairs where BOTH
     strings are shorter go through a separate short-string leg —
@@ -1302,29 +1308,25 @@ def editdist_pairs(
     grams = grammed.select(
         "id",
         "len",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(s) - {q} + 1),"
-                f" i -> substring(s, i, {q}))"
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(s) - {q} + 1),"
+                    f" i -> substring(s, i, {q}))"
+                )
             )
-        ).alias("pos", "g"),
+        ).alias("g"),
     )
-    occ = grams.withColumn(
-        "occ", F.row_number().over(W.partitionBy("id", "g").orderBy("pos"))
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = grams.join(F.broadcast(freq), on="g").withColumn(
+        "rk", F.row_number().over(W.partitionBy("id").orderBy("df", "g"))
     )
-    freq = occ.filter(F.col("occ") == 1).groupBy("g").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    ranked = occ.join(freq, on="g").withColumn(
-        "rk",
-        F.row_number().over(W.partitionBy("id").orderBy("df", "g", "occ")),
-    )
-    pref = ranked.filter(F.col("rk") <= n_pref).select("id", "len", "g", "occ")
+    pref = ranked.filter(F.col("rk") <= n_pref).select("id", "len", "g")
     cand = (
-        pref.select(F.col("id").alias("a"), F.col("len").alias("la"), "g", "occ")
+        pref.select(F.col("id").alias("a"), F.col("len").alias("la"), "g")
         .join(
-            pref.select(F.col("id").alias("b"), F.col("len").alias("lb"), "g", "occ"),
-            on=["g", "occ"],
+            pref.select(F.col("id").alias("b"), F.col("len").alias("lb"), "g"),
+            on="g",
         )
         .filter(
             (F.col("a") < F.col("b"))

@@ -4180,7 +4180,11 @@ def llm_bpe_encode(spark, sf_dir):
         "ordered gram elements), length-filtered, verified with "
         "Spark's JVM levenshtein(threshold) — NEVER an all-pairs "
         "join; a separate length-banded leg is exact for the "
-        "sub-q*(d+1)-char strings the lemma cannot cover. Fixture "
+        "sub-q*(d+1)-char strings the lemma cannot cover. q=5 here: "
+        "the fixture vocabulary is ~40 words, so 3-grams are dense "
+        "(689 values for 6600 keys) and q=5 widens the gram space "
+        "~3x, cutting candidate volume 3.7x (measured) for a prefix "
+        "of 11 vs 7. Fixture "
         "plants a 1-substitution copy of every 5th doc's 40-char key "
         "('Z' is outside the corpus alphabet, so planted dist is "
         "exactly 1); the DuckDB oracle is the full quadratic "
@@ -4201,7 +4205,9 @@ def llm_dedup_editdist(spark, sf_dir):
         ).alias("s"),
     )
     corpus = base.unionByName(planted)
-    return D.editdist_pairs(corpus, key="doc_id", text_col="s", max_d=2).select(
+    return D.editdist_pairs(
+        corpus, key="doc_id", text_col="s", max_d=2, q=5
+    ).select(
         "a", "b", F.col("dist").cast("int").alias("dist")
     )
 
