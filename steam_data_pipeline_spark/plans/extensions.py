@@ -4254,6 +4254,57 @@ def llm_tfidf_keywords(spark, sf_dir):
     return TS.tfidf_topk(t(spark, sf_dir, "documents"), k=3)
 
 
+def _pagerank_oracle():
+    from steam_data_pipeline_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(
+        "SELECT c_custkey AS node FROM customer",
+        "SELECT o_custkey AS src,"
+        " o_orderkey % (SELECT COUNT(*) FROM customer) AS dst"
+        " FROM orders WHERE o_orderpriority = '1-URGENT'",
+        n_iter=4,
+    )
+
+
+@EXT.add(
+    "llm_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=(
+        "Link-graph centrality for document quality weighting "
+        "(operators/graph.py pagerank): 4 iterations of fixed-point "
+        "INTEGER PageRank — probability mass in 10^12 micro-units, "
+        "only BIGINT add/multiply/floor-divide, so the result is "
+        "bit-identical on any engine/partitioning and the DuckDB "
+        "oracle (same iterations unrolled as CTEs by "
+        "pagerank_oracle_sql) matches with NO float tolerance; a "
+        "float PageRank could never be value-hash-oracled. Fixture "
+        "graph: customers as nodes, 1-URGENT orders as edges "
+        "(o_custkey -> o_orderkey mod |customer|), which leaves 203 "
+        "dangling nodes at sf0.01 so the dangling-mass redistribution "
+        "path is non-vacuous. Per iteration: edges-join-ranks on src, "
+        "map-side-combined groupBy(dst), left join onto the node "
+        "spine; localCheckpoint every 3 iterations bounds the plan."
+    ),
+    tags=("llm", "graph", "quality"),
+)
+def llm_graph_pagerank(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.graph import pagerank
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    nodes = cust.select(F.col("c_custkey").alias("node"))
+    n_cust = cust.agg(F.count(F.lit(1)).alias("nc"))
+    edges = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .crossJoin(F.broadcast(n_cust))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % F.col("nc")).alias("dst"),
+        )
+    )
+    return pagerank(nodes, edges, n_iter=4)
+
+
 # ---------------------------------------------------------------------------
 # data-quality layer (operators/profile.py)
 # ---------------------------------------------------------------------------

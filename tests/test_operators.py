@@ -180,3 +180,74 @@ class TestPaginatedStreamReader:
         assert replay[-1] == (249, "app-000249", 2)
         # partial range replays only its pages
         assert len(list(r.readBetweenOffsets({"next": 1}, {"next": 2}))) == 100
+
+
+class TestPagerank:
+    def _run(self, spark, nodes, edges, **kw):
+        from steam_data_pipeline_spark.operators.graph import pagerank
+
+        ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+        edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+        if not edges:
+            edf = edf.limit(0)
+        return {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(ndf, edf, **kw).collect()
+        }
+
+    def test_uniform_cycle_stays_uniform(self, spark):
+        from steam_data_pipeline_spark.operators.graph import SCALE
+
+        n = 5
+        got = self._run(
+            spark, range(n), [(i, (i + 1) % n) for i in range(n)], n_iter=3
+        )
+        assert len(set(got.values())) == 1
+        assert abs(sum(got.values()) - SCALE) <= 5 * 3  # floor leakage bound
+
+    def test_hub_outranks_leaves(self, spark):
+        # every node links to 0; 0 links back to 1 only
+        edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+        got = self._run(spark, range(6), edges, n_iter=6, checkpoint_every=2)
+        # 0 holds the hub mass but forwards it all to 1 each round, so
+        # the pair oscillates — both must dominate the leaves, which
+        # stay at the undamped base rank and are exactly tied.
+        leaves = {got[i] for i in range(2, 6)}
+        assert len(leaves) == 1
+        assert min(got[0], got[1]) > leaves.pop()
+
+    def test_all_dangling_redistributes(self, spark):
+        from steam_data_pipeline_spark.operators.graph import SCALE
+
+        got = self._run(spark, range(4), [], n_iter=2)
+        assert len(set(got.values())) == 1
+        assert abs(sum(got.values()) - SCALE) <= 4 * 2
+
+    def test_matches_unrolled_oracle_on_random_graph(self, spark):
+        import random
+
+        import duckdb
+
+        from steam_data_pipeline_spark.operators.graph import (
+            pagerank_oracle_sql,
+        )
+
+        rng = random.Random(13)
+        nodes = list(range(30))
+        edges = list(
+            {(rng.randrange(30), rng.randrange(30)) for _ in range(70)}
+        )
+        got = self._run(spark, nodes, edges, n_iter=5, checkpoint_every=2)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t_n(node BIGINT)")
+        con.executemany("INSERT INTO t_n VALUES (?)", [(n,) for n in nodes])
+        con.execute("CREATE TABLE t_e(src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO t_e VALUES (?,?)", edges)
+        want = dict(
+            con.execute(
+                pagerank_oracle_sql(
+                    "SELECT node FROM t_n", "SELECT src, dst FROM t_e", n_iter=5
+                )
+            ).fetchall()
+        )
+        assert got == want
