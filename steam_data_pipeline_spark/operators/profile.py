@@ -127,11 +127,10 @@ def check(df: DataFrame, expects: Sequence[Expect]) -> DataFrame:
 
     Row-local constraints ('complete', 'predicate') share ONE
     aggregate pass over df. 'unique' runs a two-stage hash aggregate
-    (violations = n_rows − n_distinct_nonnull − n_null? no: duplicate
-    rows beyond the first per key). 'ref' is a broadcast left-anti
-    join; the referenced side must be dimension-sized.
+    (violations = duplicate rows beyond the first per key, NULL keys
+    grouped like GROUP BY). 'ref' is a broadcast left-anti join; the
+    referenced side must be dimension-sized.
     """
-    spark = df.sparkSession
     local = [e for e in expects if e.kind in ("complete", "predicate")]
     rows: list[DataFrame] = []
     if local:
@@ -262,5 +261,55 @@ def psi_drift(
             "cnt_ref",
             "cnt_cur",
             F.round((p - q) * F.log(p / q), 9).alias("contrib"),
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    ts_col: str,
+    thr: float = 4.4478,
+) -> DataFrame:
+    """Robust daily-volume anomaly detection: flag days whose row
+    count deviates from the median by more than ``thr`` × MAD
+    (default 4.4478 = 3 × 1.4826, the 3σ-equivalent under the normal
+    consistency constant).
+
+    Median/MAD, not mean/stddev: a single ingest spike inflates the
+    stddev enough to mask itself (masking/breakdown problem); the
+    median absolute deviation has a 50% breakdown point, so the
+    detector still fires when half the days are bad — exactly the
+    regime a pipeline monitor exists for.
+
+    Determinism: counts are exact BIGINTs; the exact median of
+    integers is x.0 or x.5 (interpolated midpoint), exact in double;
+    ``thr`` must be passed as the SAME decimal literal on any
+    comparing engine (both parse to the identical double). Days is a
+    bounded dimension, so everything after the map-side-combined
+    day-count aggregate is dimension-sized.
+    """
+    daily = (
+        df.select(F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    med = daily.agg(F.median("cnt").alias("med"))
+    mad = (
+        daily.crossJoin(F.broadcast(med))
+        .select(F.abs(F.col("cnt") - F.col("med")).alias("dev"))
+        .agg(F.median("dev").alias("mad"))
+    )
+    return (
+        daily.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "cnt",
+            "med",
+            "mad",
+            (
+                F.abs(F.col("cnt") - F.col("med"))
+                > F.lit(thr) * F.col("mad")
+            ).alias("is_outlier"),
         )
     )

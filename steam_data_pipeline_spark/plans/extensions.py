@@ -4451,6 +4451,41 @@ def qa_check(spark, sf_dir):
 
 
 @EXT.add(
+    "qa_anomaly_days",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT median(cnt) AS med FROM d),
+    m2 AS (SELECT median(abs(cnt - med)) AS mad FROM d, m)
+    SELECT day, cnt, med, mad,
+           abs(cnt - med) > 4.4478 * mad AS is_outlier
+    FROM d, m, m2
+    """,
+    doc=(
+        "Robust ingest-volume anomaly detection (operators/profile.py "
+        "mad_outliers): flag days whose order count deviates from the "
+        "median by > 4.4478 x MAD (3 x 1.4826, the 3-sigma-equivalent "
+        "consistency constant). Median/MAD instead of mean/stddev "
+        "because a spike inflates the stddev enough to mask itself; "
+        "MAD has a 50% breakdown point. 5 natural outlier days at "
+        "sf0.01 keep the flag non-vacuous. Exact-integer counts; the "
+        "median of integers is exact in double; both engines parse "
+        "the same 4.4478 literal to the identical double. After the "
+        "map-side day-count aggregate everything is dimension-sized; "
+        "med/mad re-join as 1-row broadcasts."
+    ),
+    tags=("qa",),
+)
+def qa_anomaly_days(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.profile import mad_outliers
+
+    return mad_outliers(t(spark, sf_dir, "orders"), "o_orderdate")
+
+
+@EXT.add(
     "qa_psi_drift",
     oracle="""
     WITH ref AS (SELECT value AS x FROM events WHERE day(ts) <= 15),

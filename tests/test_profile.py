@@ -162,3 +162,31 @@ class TestPsiDrift:
         cur = spark.createDataFrame([(1.0,), (2.0,)], "x double")
         rows = psi_drift(ref, cur, "x", n_bins=2).collect()
         assert sum(r["cnt_ref"] for r in rows) == 2
+
+
+class TestMadOutliers:
+    def test_flags_planted_spike(self, spark):
+        from steam_data_pipeline_spark.operators.profile import mad_outliers
+
+        rows = []
+        for d in range(1, 21):
+            n = 100 if d != 10 else 900  # day 10 is a 9x spike
+            rows += [(f"2024-01-{d:02d} 00:00:00",)] * n
+        df = spark.createDataFrame(rows, "ts string").select(
+            F.to_timestamp("ts").alias("ts")
+        )
+        out = {r["day"].day: r for r in mad_outliers(df, "ts").collect()}
+        assert out[10]["is_outlier"] is True
+        assert sum(r["is_outlier"] for r in out.values()) == 1
+        assert out[10]["med"] == 100.0 and out[10]["mad"] == 0.0
+
+    def test_uniform_series_no_flags(self, spark):
+        from steam_data_pipeline_spark.operators.profile import mad_outliers
+
+        rows = [(f"2024-02-{d:02d} 12:00:00",) for d in range(1, 11)] * 7
+        df = spark.createDataFrame(rows, "ts string").select(
+            F.to_timestamp("ts").alias("ts")
+        )
+        assert (
+            mad_outliers(df, "ts").filter(F.col("is_outlier")).count() == 0
+        )
