@@ -293,20 +293,39 @@ def main() -> None:
 
         return run
 
-    warm_jobs = [
-        _timed(fn.__name__.removeprefix("_warm_"), fn) for fn in warm_fns
-    ]
-    fixture_jobs = [
-        _timed(f"fixture:{prep.__name__}", prep, spark, sf_dir)
+    labeled = [
+        (fn.__name__.removeprefix("_warm_"), _timed(fn.__name__.removeprefix("_warm_"), fn))
+        for fn in warm_fns
+    ] + [
+        (f"fixture:{prep.__name__}", _timed(f"fixture:{prep.__name__}", prep, spark, sf_dir))
         for prep in BENCH_FIXTURES
     ]
-    # fixtures (~5-8 s each) slot in after the heaviest warmups
-    jobs = warm_jobs[:4] + fixture_jobs + warm_jobs[4:]
-    # Bounded pool, heaviest-first: an unbounded pool ran all ~15
-    # warmups at once and the contention stretched the critical path
-    # (logreg measured 12.4 s under full contention vs ~7 s with the
-    # pool capped) — startup pays max(warmup), so the cap directly
-    # shortens the longest pole. warm_fns is ordered heaviest-first.
+    # Longest-pole-first: startup pays the pool's critical path, so the
+    # job that finishes last must START first. Costs below are the
+    # measured solo walls (sf0.1, this host) — anything unknown gets a
+    # middling default so new warmups neither jump the queue nor sink.
+    _measured_cost = {
+        "fixture:_prepare_ivf_index": 17.8,
+        "fixture:_prepare_lsh_index": 16.6,
+        "fixture:_prepare_zorder_layout": 9.7,
+        "logreg": 9.7,
+        "kmeans": 7.5,
+        "jaccard_codegen": 7.4,
+        "als": 6.5,
+        "fixture:_prepare_day_partitioned": 6.0,
+        "stream_datasource": 5.5,
+        "datasource_workers": 5.0,
+        "fixture:_prepare_dpp_dim": 3.9,
+        "stateful_stream": 3.8,
+        "streaming": 2.4,
+        "minhash_codegen": 1.3,
+        "fixture:_prepare_islands_stream_fixture": 0.9,
+    }
+    labeled.sort(key=lambda lj: -_measured_cost.get(lj[0], 5.0))
+    jobs = [j for _, j in labeled]
+    # Bounded pool: an unbounded pool ran all ~15 warmups at once and
+    # the contention stretched the critical path (logreg measured
+    # 12.4 s under full contention vs ~7 s with the pool capped).
     with ThreadPoolExecutor(max_workers=6) as pool:
         for f in [pool.submit(j) for j in jobs]:
             f.result()

@@ -1709,18 +1709,52 @@ def llm_contamination(spark, sf_dir):
 _LAYOUT_CACHE: dict[tuple, str] = {}
 
 
+# Bump when any layout/index build logic changes: the on-disk cache key
+# includes it, so old artifacts are never reused across logic changes.
+_LAYOUT_VERSION = 1
+
+
 def _cached_layout(kind: str, sf_dir: str, write_fn) -> str:
-    """Per-process cache of derived table layouts (format round-trips,
-    partitioned copies): repeated registry/bench/difftest runs in one
-    process reuse a single directory per (kind, sf_dir) instead of
-    leaking a fresh mkdtemp — and skip the rewrite cost."""
+    """Cache of derived table layouts (format round-trips, partitioned
+    copies, persisted ANN indexes) — per-process dict in front of an
+    ON-DISK cache keyed by (kind, sf_dir, source-parquet mtimes,
+    _LAYOUT_VERSION).
+
+    The disk layer models the production posture these fixtures exist
+    for: a partitioned copy or a persisted index EXISTS on disk before
+    any query batch runs, so a fresh bench process must not pay the
+    build again (the IVF/LSH builds alone were the 20 s startup pole).
+    A ``_SUCCESS`` marker written only after ``write_fn`` completes
+    guards against a killed build poisoning later runs; staleness is
+    impossible because the key hashes the input files' (path, mtime,
+    size) — any driver-side testdata regeneration changes the key.
+    Every layout-consuming query is oracle-checked, so even a
+    hypothetical bad artifact surfaces as a red query, never silently.
+    """
+    import hashlib
     import os
     import tempfile
 
     key = (kind, os.path.abspath(sf_dir))
     if key not in _LAYOUT_CACHE:
-        out = tempfile.mkdtemp(prefix=f"sdp_{kind}_")
-        write_fn(out)
+        sig = hashlib.sha256()
+        sig.update(f"{kind}|{_LAYOUT_VERSION}|".encode())
+        for root, _, files in sorted(os.walk(sf_dir)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                sig.update(f"{p}|{st.st_mtime_ns}|{st.st_size};".encode())
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "sdp_layout_cache",
+            f"{kind}_{sig.hexdigest()[:16]}",
+        )
+        marker = os.path.join(out, "_SDP_LAYOUT_SUCCESS")
+        if not os.path.exists(marker):
+            os.makedirs(out, exist_ok=True)
+            write_fn(out)
+            with open(marker, "w") as fh:
+                fh.write("ok")
         _LAYOUT_CACHE[key] = out
     return _LAYOUT_CACHE[key]
 
