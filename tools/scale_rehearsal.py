@@ -274,6 +274,12 @@ HEAVY_QUERIES = [
     "llm_dedup_near",
     "llm_sim_ivf",
     "llm_dedup_substring",
+    # round-6 additions
+    "llm_dedup_editdist",
+    "llm_graph_pagerank",
+    "llm_tfidf_keywords",
+    "llm_bpe_encode",
+    "qa_profile",
 ]
 
 
@@ -382,13 +388,39 @@ def build_scaled_dir(spark, sf_dir: str, factor: int, out_dir: str) -> str:
         os.path.join(out_dir, "events.parquet"),
     )
 
+    # customer/orders scale too (round 6): the link-graph rehearsal
+    # (llm_graph_pagerank) needs node AND edge cardinality to grow.
+    # Replica k offsets c_custkey / o_custkey / o_orderkey past the
+    # base max consistently, so each replica is an isomorphic copy of
+    # the base graph — per-node degree structure preserved, graph size
+    # scales by factor.
+    cust = read_table(spark, sf_dir, "customer")
+    max_ck = cust.agg(F.max("c_custkey")).first()[0] + 1
+    _single_file(
+        spark,
+        cust.select(reps, "*").select(
+            (F.col("c_custkey") + F.col("k") * max_ck).alias("c_custkey"),
+            *[c for c in cust.columns if c != "c_custkey"],
+        ),
+        os.path.join(out_dir, "customer.parquet"),
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    max_ok = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    _single_file(
+        spark,
+        orders.select(reps, "*").select(
+            (F.col("o_orderkey") + F.col("k") * max_ok).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("k") * max_ck).alias("o_custkey"),
+            *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+        ),
+        os.path.join(out_dir, "orders.parquet"),
+    )
+
     for tbl in (
         "region",
         "nation",
-        "customer",
         "supplier",
         "part",
-        "orders",
         "lineitem",
     ):
         dst = os.path.join(out_dir, f"{tbl}.parquet")
