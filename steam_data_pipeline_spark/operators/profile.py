@@ -313,3 +313,41 @@ def mad_outliers(
             ).alias("is_outlier"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    content_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level diff between two versions of a table: one row per key
+    with status ∈ {added, removed, changed, unchanged}.
+
+    Content equality is decided on ``md5(concat_ws(chr(31), cols))`` —
+    a digest both Spark and DuckDB compute identically (so the diff is
+    value-exact cross-engine) and, at scale, the reason this shape
+    works: the full-outer join shuffles (key, 32-byte digest) instead
+    of the row payload. The unit separator keeps ("ab","c") ≠ ("a","bc");
+    NULL columns hash as empty (concat_ws skips NULLs) — callers who
+    need NULL ≠ '' add an explicit sentinel projection first.
+    """
+    def digest(df: DataFrame, label: str) -> DataFrame:
+        return df.select(
+            F.col(key),
+            F.md5(
+                F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in content_cols]
+                )
+            ).alias(f"h_{label}"),
+        )
+
+    o, n = digest(old, "old"), digest(new, "new")
+    joined = o.join(n, on=key, how="full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col(key), status.alias("status"))

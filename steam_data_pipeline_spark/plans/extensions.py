@@ -4485,6 +4485,62 @@ def qa_check(spark, sf_dir):
 
 
 @EXT.add(
+    "qa_snapshot_diff",
+    oracle="""
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+             lang
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 13 = 0
+    ),
+    o AS (SELECT doc_id, md5(concat_ws(chr(31), text, lang)) AS h_old
+          FROM documents),
+    n AS (SELECT doc_id, md5(concat_ws(chr(31), text, lang)) AS h_new
+          FROM v2)
+    SELECT doc_id,
+           CASE WHEN h_old IS NULL THEN 'added'
+                WHEN h_new IS NULL THEN 'removed'
+                WHEN h_old = h_new THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL JOIN n USING (doc_id)
+    """,
+    doc=(
+        "Corpus version diff (operators/profile.py snapshot_diff): "
+        "added/removed/changed/unchanged per key between two table "
+        "versions. Content equality via md5(concat_ws(US, cols)) — a "
+        "digest Spark and DuckDB compute identically, and the scale "
+        "reason for the shape: the full-outer join shuffles (key, "
+        "32-byte digest), never the row payload. Fixture v2 drops "
+        "doc_id%11 (removed), appends ' v2' for doc_id%7 (changed), "
+        "plants doc_id%13 copies at +1e6 (added) — all four statuses "
+        "non-vacuous at sf0.01."
+    ),
+    tags=("qa",),
+)
+def qa_snapshot_diff(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.profile import snapshot_diff
+
+    docs = t(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", "text", "lang")
+    kept = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    added = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    v2 = kept.unionByName(added)
+    return snapshot_diff(v1, v2, "doc_id", ["text", "lang"])
+
+
+@EXT.add(
     "qa_anomaly_days",
     oracle="""
     WITH d AS (

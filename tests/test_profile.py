@@ -190,3 +190,30 @@ class TestMadOutliers:
         assert (
             mad_outliers(df, "ts").filter(F.col("is_outlier")).count() == 0
         )
+
+
+class TestSnapshotDiff:
+    def test_all_statuses(self, spark):
+        from steam_data_pipeline_spark.operators.profile import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")],
+            "k long, c1 string, c2 string",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", "x"), (2, "B", "y"), (4, "d", "w")],
+            "k long, c1 string, c2 string",
+        )
+        out = {
+            r["k"]: r["status"]
+            for r in snapshot_diff(old, new, "k", ["c1", "c2"]).collect()
+        }
+        assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    def test_separator_prevents_column_bleed(self, spark):
+        from steam_data_pipeline_spark.operators.profile import snapshot_diff
+
+        old = spark.createDataFrame([(1, "ab", "c")], "k long, c1 string, c2 string")
+        new = spark.createDataFrame([(1, "a", "bc")], "k long, c1 string, c2 string")
+        [r] = snapshot_diff(old, new, "k", ["c1", "c2"]).collect()
+        assert r["status"] == "changed"
