@@ -172,3 +172,20 @@ def tokenize(docs: DataFrame, vocab: DataFrame, text_col: str = "text") -> DataF
             ).alias("tokens")
         )
     )
+
+
+def detokenize(toks: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(doc_id, text) — inverse of :func:`tokenize` up to whitespace
+    normalization: BPE symbols concatenate back to the original
+    characters by construction (merges only ever glue adjacent
+    symbols), and every word ends in the ``</w>`` sentinel, so one
+    concat + sentinel→space substitution reassembles the document.
+    Zero joins: a single projection over the token array."""
+    return toks.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.concat_ws("", F.col(tokens_col)), END, " "
+            )
+        ).alias("text"),
+    )

@@ -4189,6 +4189,55 @@ def llm_bpe_encode(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_bpe_roundtrip",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             array_to_string(string_split_regex(trim(text), '\\s+'), ' ')
+               AS ntext
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(ntext)) AS BIGINT) AS total_chars,
+           TRUE AS roundtrip_exact
+    FROM norm
+    """,
+    doc=(
+        "Tokenizer closure property (llm/bpe.py detokenize): "
+        "detokenize(tokenize(text)) must equal the whitespace-"
+        "normalized original for EVERY document — BPE merges only glue "
+        "adjacent symbols, so symbols concatenate back to the original "
+        "characters, and the </w> sentinel marks word boundaries. "
+        "roundtrip_exact is computed in-query (per-doc string "
+        "equality, all-doc AND); DuckDB anchors n_docs and the total "
+        "normalized char count exactly, so the reconstruction length "
+        "can neither drop nor invent characters."
+    ),
+    tags=("llm", "tokenizer"),
+)
+def llm_bpe_roundtrip(spark, sf_dir):
+    from steam_data_pipeline_spark.llm import bpe as B
+
+    docs = t(spark, sf_dir, "documents")
+    merges, vocab = B.train_bpe(docs, n_merges=8)
+    detok = B.detokenize(B.tokenize(docs, vocab))
+    norm = docs.filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+        ).alias("ntext"),
+    )
+    cmp = norm.join(detok, on="doc_id")
+    return cmp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("ntext")).cast("long").alias("total_chars"),
+        F.every(F.col("ntext") == F.col("text")).alias("roundtrip_exact"),
+    )
+
+
+@EXT.add(
     "llm_dedup_editdist",
     oracle="""
     WITH k AS (

@@ -120,3 +120,25 @@ class TestTokenize:
         # after 12 merges on this corpus, 'newest' is far fewer than
         # its 7 char+END symbols
         assert len(toks) < 2 * 7
+
+
+class TestDetokenize:
+    def test_roundtrip_with_fallback_and_whitespace(self, spark):
+        from steam_data_pipeline_spark.llm.bpe import detokenize, tokenize, train_bpe
+
+        train = spark.createDataFrame(
+            [(1, "low lower lowest low low")], "doc_id long, text string"
+        )
+        _, vocab = train_bpe(train, n_merges=4)
+        # doc 2 contains words never seen in training (char fallback)
+        # and messy whitespace that must normalize to single spaces
+        docs = spark.createDataFrame(
+            [(1, "low lower"), (2, "  zebra   low\tunseen  ")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in detokenize(tokenize(docs, vocab)).collect()
+        }
+        assert out[1] == "low lower"
+        assert out[2] == "zebra low unseen"
