@@ -551,3 +551,76 @@ def test_apng_roundtrip_property(w, h, ch, data):
     assert [(d, bytes(p)) for d, p in got] == [
         (d, bytes(p)) for d, p in frames
     ]
+
+
+def _py_lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[:], i
+        for j in range(1, n + 1):
+            d[j] = min(prev[j] + 1, d[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+    return d[n]
+
+
+@given(
+    strs=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_editdist_pairs_lossless(spark, strs):
+    """Banded Ed-Join candidate generation must be LOSSLESS: the pair
+    set equals the quadratic Levenshtein truth on any corpus — the
+    prefix-filter lemma and the short-string leg leave no gap."""
+    import itertools
+
+    from steam_data_pipeline_spark.llm.dedup import editdist_pairs
+
+    rows = list(enumerate(strs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in editdist_pairs(df, max_d=2, q=2).collect()
+    }
+    want = {
+        (i, j, _py_lev(s1, s2))
+        for (i, s1), (j, s2) in itertools.combinations(rows, 2)
+        if _py_lev(s1, s2) <= 2
+    }
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    n_iter=st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_pagerank_mass_and_positivity(spark, edges, n_iter):
+    """Mass is conserved up to bounded floor leakage (< n per
+    iteration in micro-units) and every node keeps a positive rank —
+    on ANY graph shape hypothesis produces (self-loops, multi-edges,
+    disconnected nodes, all-dangling)."""
+    from steam_data_pipeline_spark.operators.graph import SCALE, pagerank
+
+    n = 10
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        edf = edf.limit(0)
+    got = {r["node"]: r["rank_micro"] for r in pagerank(ndf, edf, n_iter=n_iter).collect()}
+    assert set(got) == set(range(n))
+    assert all(v > 0 for v in got.values())
+    total = sum(got.values())
+    # each of base/dangling/share floor-divides leaks < 1 unit per
+    # node per iteration; 3 division sites → conservative 3n/iter
+    assert SCALE - 3 * n * n_iter <= total <= SCALE
