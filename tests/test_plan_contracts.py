@@ -392,3 +392,32 @@ class TestMediaDecodeContracts:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "SortMergeJoin" in plan
+
+
+class TestRound6PlanContracts:
+    def test_editdist_gram_df_join_broadcasts(self, spark):
+        """Ed-Join's gram-frequency join must be a broadcast (the df
+        table is bounded by |charset|^q, corpus-independent) and the
+        candidate self-join must never degenerate to a cartesian
+        pairing."""
+        plan = _plan(QUERIES["llm_dedup_editdist"].spark(spark, SF_SMOKE), "simple")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_tfidf_df_preaggregated_before_join(self, spark):
+        """TF-IDF joins tf against a PRE-AGGREGATED one-row-per-term df
+        table (never the raw term stream against itself) and the top-k
+        uses WindowGroupLimit, so the rank filter prunes below the
+        per-doc sort."""
+        plan = _plan(QUERIES["llm_tfidf_keywords"].spark(spark, SF_SMOKE), "simple")
+        assert "WindowGroupLimit" in plan, plan
+        assert "CartesianProduct" not in plan
+
+    def test_profile_single_scan_no_expand(self, spark):
+        """qa_profile: one scan + two hash aggregates for ANY column
+        count — no Expand-based multi-COUNT(DISTINCT) plan (Expand
+        multiplies the scan k-fold), no per-column jobs."""
+        plan = _plan(QUERIES["qa_profile"].spark(spark, SF_SMOKE), "simple")
+        assert "Expand" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 2, plan
