@@ -486,3 +486,85 @@ def ivf_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add symmetric per-vector int8 quantization columns:
+    ``__q`` (array<int> in [-127, 127]) and ``__qs`` (the per-vector
+    scale, max|x|/127). The 100 TB rationale: the corpus-side vector
+    bytes drop ~4× (int8 vs float32, 8× vs float64) and the dot
+    product becomes an exact INTEGER fold — quantization error enters
+    only through the two scales, one multiply per pair."""
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = F.greatest(amax, F.lit(1e-30)) / F.lit(127.0)
+    return df.withColumn("__qs", scale).withColumn(
+        "__q",
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x / F.col("__qs")).cast("int"),
+        ),
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key: str = "query_id",
+) -> DataFrame:
+    """Top-k cosine neighbors over int8-QUANTIZED vectors — the
+    memory-bound scale path: scan cost is dominated by vector bytes at
+    100 TB, and int8 cuts them 4-8× while the per-pair work becomes an
+    integer zip-fold plus one float multiply. Norms are taken over the
+    quantized vectors too, so the score is the exact cosine OF THE
+    QUANTIZED representation (scales cancel) — recall vs the float
+    truth is the quality contract, enforced in-query by the recall
+    invariant (llm_sim_quantized: >= 0.9 measured with margin on
+    64-dim vectors; int8 keeps ~2 decimal digits per coordinate).
+    Deterministic tie-break: (score desc, key asc)."""
+    cq = quantize_int8(corpus, vec_col)
+    qq = quantize_int8(queries, vec_col)
+    q = F.broadcast(
+        qq.select(
+            F.col(query_key),
+            F.col("__q").alias("__qv"),
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("__q"), F.col("__qv"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    inorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda a: (a * a).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+    )
+    scored = (
+        cq.select(key, "__q")
+        .crossJoin(q)
+        .select(
+            query_key,
+            key,
+            (
+                idot.cast("double")
+                / F.greatest(
+                    inorm("__q") * inorm("__qv"), F.lit(1e-30)
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("cosine").desc(), F.col(key).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

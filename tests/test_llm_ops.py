@@ -780,3 +780,57 @@ class TestTfidfTopk:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         plan = tfidf_topk(df, k=2)._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan, plan
+
+
+class TestQuantizedTopk:
+    def test_quantization_bounds_and_self_hit(self, spark):
+        from steam_data_pipeline_spark.llm.simsearch import (
+            quantize_int8,
+            quantized_topk,
+        )
+
+        import random
+
+        rng = random.Random(5)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = quantize_int8(df)
+        bounds = q.select(
+            F.array_min("__q").alias("lo"), F.array_max("__q").alias("hi")
+        ).agg(F.min("lo"), F.max("hi")).collect()[0]
+        assert bounds[0] >= -127 and bounds[1] <= 127
+
+        queries = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        top = quantized_topk(df, queries, k=5)
+        firsts = {
+            r["query_id"]: r["vec_id"]
+            for r in top.filter("cosine >= 0.9999").collect()
+            if r["query_id"] == r["vec_id"]
+        }
+        # every query's quantized self-similarity is exactly 1
+        assert set(firsts) == {0, 1, 2}
+
+    def test_recall_against_float_truth(self, spark):
+        import random
+
+        from steam_data_pipeline_spark.llm.simsearch import (
+            brute_force_topk,
+            quantized_topk,
+        )
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        ann = quantized_topk(df, queries, k=10).select("query_id", "vec_id")
+        truth = brute_force_topk(df, queries, k=10).select("query_id", "vec_id")
+        hits = ann.join(truth, ["query_id", "vec_id"], "left_semi").count()
+        assert hits / 50 >= 0.9
