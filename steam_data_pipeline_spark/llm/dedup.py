@@ -1368,3 +1368,57 @@ def editdist_pairs(
         .dropDuplicates(["a", "b"])
     )
     return long_pairs.unionByName(short_pairs)
+
+
+def suggest_editdist_q(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_d: int = 2,
+    qs: tuple[int, ...] = (3, 5, 7, 9),
+    mean_df_cap: float = 32.0,
+) -> int:
+    """Size the Ed-Join q-gram length for a corpus — the analog of
+    ``simsearch.suggest_ivf_params``.
+
+    Ed-Join's candidate volume is Σ_g df(g)² over PREFIX grams, so the
+    knob that keeps it linear in corpus size is gram selectivity: the
+    q-gram space grows ~|charset|^q while corpus gram occurrences grow
+    only linearly in q, so raising q shortens posting lists
+    exponentially. (Measured on the 10× rehearsal corpus: q=5 40.3 s /
+    exponent 1.31 superlinear, q=7 8.6 s, q=9 5.4 s / exponent ≈0.4 —
+    identical output all three.) This helper picks the SMALLEST q in
+    ``qs`` whose mean posting length (distinct doc-gram rows ÷
+    distinct gram values) is ≤ ``mean_df_cap``; the prefix uses the
+    RAREST grams, so the mean is a conservative upper bound on prefix
+    posting lengths. q is capped so the lemma floor q·(d+1) stays
+    within the corpus's minimum string length (longer q would route
+    everything through the quadratic short-string leg).
+
+    One cheap two-scalar aggregate per candidate q — an index-sizing
+    job run once per corpus, not per query.
+    """
+    base = docs.select(F.length(F.col(text_col)).alias("len"), F.col(text_col).alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    min_len = base.agg(F.min("len")).first()[0] or 0
+    best = None
+    for q in qs:
+        if q * (max_d + 1) > max(min_len, qs[0] * (max_d + 1)):
+            break
+        g = base.filter(F.col("len") >= q).select(
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(s) - {q} + 1),"
+                        f" i -> substring(s, i, {q}))"
+                    )
+                )
+            ).alias("g")
+        )
+        n_rows, n_grams = g.agg(
+            F.count(F.lit(1)), F.count_distinct("g")
+        ).first()
+        best = q
+        if n_grams and n_rows / n_grams <= mean_df_cap:
+            return q
+    return best if best is not None else qs[0]

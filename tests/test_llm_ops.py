@@ -834,3 +834,49 @@ class TestQuantizedTopk:
         truth = brute_force_topk(df, queries, k=10).select("query_id", "vec_id")
         hits = ann.join(truth, ["query_id", "vec_id"], "left_semi").count()
         assert hits / 50 >= 0.9
+
+
+class TestSuggestEditdistQ:
+    def test_grows_with_corpus_density(self, spark):
+        from steam_data_pipeline_spark.llm.dedup import suggest_editdist_q
+
+        import random
+
+        rng = random.Random(3)
+        # dense corpus: many 30-char strings over a 3-letter alphabet
+        dense = spark.createDataFrame(
+            [
+                (i, "".join(rng.choice("abc") for _ in range(30)))
+                for i in range(400)
+            ],
+            "doc_id long, text string",
+        )
+        # sparse corpus: few strings over a wide alphabet
+        sparse = spark.createDataFrame(
+            [
+                (
+                    i,
+                    "".join(
+                        rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                        for _ in range(30)
+                    ),
+                )
+                for i in range(20)
+            ],
+            "doc_id long, text string",
+        )
+        qd = suggest_editdist_q(dense)
+        qs = suggest_editdist_q(sparse)
+        assert qs == 3  # wide alphabet: 3-grams already selective
+        assert qd > qs  # dense gram space forces a longer q
+
+    def test_respects_short_string_floor(self, spark):
+        from steam_data_pipeline_spark.llm.dedup import suggest_editdist_q
+
+        # min length 12 caps q at 4 for d=2 (q*(d+1) <= 12) → of the
+        # candidate set only q=3 is admissible
+        df = spark.createDataFrame(
+            [(i, "aaaabbbbccc" + "d") for i in range(50)],
+            "doc_id long, text string",
+        )
+        assert suggest_editdist_q(df, max_d=2) == 3
