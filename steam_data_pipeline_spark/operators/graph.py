@@ -1,4 +1,5 @@
-"""Graph centrality: fixed-point integer PageRank.
+"""Graph analytics: fixed-point integer PageRank and exact triangle
+counting / clustering coefficient.
 
 Why it's here: web-scale pretraining pipelines weight documents by
 link-graph centrality (PageRank over the crawl graph is a standard
@@ -146,4 +147,91 @@ def pagerank_oracle_sql(
         + ","
         + ",".join(steps)
         + f"\n    SELECT node, rank AS rank_micro FROM r{n_iter}"
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected simple graph (self-loops dropped, multi-edges
+    collapsed, direction ignored).
+
+    Algorithm: degree-ordered edge orientation (each undirected edge
+    points from its lower-(degree, id) endpoint to the higher one), so
+    every triangle is counted EXACTLY once at its lowest-rank vertex
+    and — the scale property — the oriented out-degree is bounded by
+    O(√m) on any graph (a node of degree d only keeps out-edges to
+    neighbors of degree ≥ d, and there are at most 2m/d of those), so
+    the wedge join is Σ outdeg² ≤ O(m^1.5) instead of the Σ deg²
+    blow-up a hub would cause under arbitrary orientation. This is the
+    standard MapReduce/GraphX triangle-count shape.
+
+    Returns ONE row, all exact integers plus one IEEE division:
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
+    n_wedges = Σ d(d−1)/2 over undirected degrees and clustering =
+    3·triangles / wedges (a single correctly-rounded double division —
+    engine-portable without tolerance).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    # The rank is the (deg, id) TUPLE compared lexicographically —
+    # never a global row_number, which would be a one-partition sort
+    # over every node at scale. Struct comparison gives the same total
+    # order with zero extra passes.
+    withd = und.join(
+        deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withd.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dw"),
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("w").alias("v"), F.col("dw").alias("dv")
+    )
+    o2 = oriented.select(F.col("u"), F.col("w"), F.col("dw"))
+    wedges = (
+        o1.join(o2, on="u")
+        .filter(F.struct("dv", "v") < F.struct("dw", "w"))
+        .select("v", "w")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("v"), F.col("w")),
+        on=["v", "w"],
+        how="left_semi",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                   3.0 * F.col("n_triangles") / F.col("n_wedges"))
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
     )

@@ -4373,6 +4373,68 @@ def _pagerank_oracle():
 
 
 @EXT.add(
+    "llm_graph_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT o_custkey AS src,
+             o_orderkey % (SELECT COUNT(*) FROM customer) AS dst
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM e WHERE src <> dst),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+      GROUP BY v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM und e1
+            JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles,
+           3.0 * (SELECT COUNT(*)
+                  FROM und e1
+                  JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+                  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+             / (SELECT SUM(d * (d - 1)) / 2 FROM deg) AS clustering
+    """,
+    doc=(
+        "Exact triangle count + global clustering coefficient "
+        "(operators/graph.py triangle_stats) over the same "
+        "customer/orders link graph as llm_graph_pagerank. "
+        "Degree-ordered orientation: every triangle counted once at "
+        "its lowest-(deg,id) vertex, and oriented out-degree is "
+        "O(sqrt(m)) on ANY graph, so the wedge join is O(m^1.5) "
+        "instead of hub-degree-squared — the standard distributed "
+        "triangle-count shape. The (deg,id) rank is compared as a "
+        "struct tuple, never a global row_number (that would be a "
+        "one-partition sort at scale). All-integer outputs plus one "
+        "IEEE division; the DuckDB oracle counts a<b<c ID-ordered "
+        "triangles — a different orientation whose TOTAL must agree "
+        "exactly."
+    ),
+    tags=("llm", "graph"),
+)
+def llm_graph_triangles(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.graph import triangle_stats
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    n_cust = cust.agg(F.count(F.lit(1)).alias("nc"))
+    edges = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .crossJoin(F.broadcast(n_cust))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % F.col("nc")).alias("dst"),
+        )
+    )
+    return triangle_stats(edges)
+
+
+@EXT.add(
     "llm_graph_pagerank",
     oracle=_pagerank_oracle(),
     doc=(

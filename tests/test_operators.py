@@ -251,3 +251,55 @@ class TestPagerank:
             ).fetchall()
         )
         assert got == want
+
+
+class TestTriangleStats:
+    def _stats(self, spark, edges):
+        from steam_data_pipeline_spark.operators.graph import triangle_stats
+
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_stats(edf).collect()[0]
+
+    def test_known_graph(self, spark):
+        # K4 minus one edge: 2 triangles, 5 edges, wedges = sum d(d-1)/2
+        # degrees: 2,3,3,2 → wedges 1+3+3+1 = 8
+        edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+        r = self._stats(spark, edges)
+        assert r["n_nodes"] == 4 and r["n_edges"] == 5
+        assert r["n_wedges"] == 8
+        assert r["n_triangles"] == 2
+        assert r["clustering"] == 3.0 * 2 / 8
+
+    def test_dedup_selfloops_direction(self, spark):
+        # multi-edges, reversed duplicates and self-loops must collapse
+        edges = [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 3)]
+        r = self._stats(spark, edges)
+        assert r["n_edges"] == 3
+        assert r["n_triangles"] == 1
+
+    def test_triangle_free(self, spark):
+        edges = [(i, i + 1) for i in range(10)]  # path graph
+        r = self._stats(spark, edges)
+        assert r["n_triangles"] == 0 and r["clustering"] == 0.0
+
+    def test_hub_star_plus_rim(self, spark):
+        # star center 0 to 1..6 plus rim edge (1,2): exactly 1 triangle;
+        # exercises the degree-ordered orientation around a hub
+        edges = [(0, i) for i in range(1, 7)] + [(1, 2)]
+        r = self._stats(spark, edges)
+        assert r["n_triangles"] == 1
+
+    def test_matches_bruteforce_random(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(21)
+        edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(40)})
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(sorted({v for e in und for v in e}), 3)
+            if (a, b) in und and (b, c) in und and (a, c) in und
+        )
+        r = self._stats(spark, edges)
+        assert r["n_triangles"] == want
