@@ -1737,7 +1737,7 @@ _LAYOUT_CACHE: dict[tuple, str] = {}
 _LAYOUT_VERSION = 1
 
 
-def _cached_layout(kind: str, sf_dir: str, write_fn) -> str:
+def _cached_layout(kind: str, sf_dir: str, write_fn, disk: bool = True) -> str:
     """Cache of derived table layouts (format round-trips, partitioned
     copies, persisted ANN indexes) — per-process dict in front of an
     ON-DISK cache keyed by (kind, sf_dir, source-parquet mtimes,
@@ -1753,12 +1753,24 @@ def _cached_layout(kind: str, sf_dir: str, write_fn) -> str:
     size) — any driver-side testdata regeneration changes the key.
     Every layout-consuming query is oracle-checked, so even a
     hypothetical bad artifact surfaces as a red query, never silently.
+
+    ``disk=False`` keeps the per-process-only behavior — used by the
+    STREAMING sink queries (parquet sink, quality gate), where
+    executing the stream is the behavior under test: a cross-process
+    cache would let later runs validate output without ever running a
+    stream.
     """
     import hashlib
     import os
     import tempfile
 
     key = (kind, os.path.abspath(sf_dir))
+    if not disk:
+        if key not in _LAYOUT_CACHE:
+            out = tempfile.mkdtemp(prefix=f"sdp_{kind}_")
+            write_fn(out)
+            _LAYOUT_CACHE[key] = out
+        return _LAYOUT_CACHE[key]
     if key not in _LAYOUT_CACHE:
         sig = hashlib.sha256()
         sig.update(f"{kind}|{_LAYOUT_VERSION}|".encode())
@@ -2881,9 +2893,115 @@ def stream_parquet_sink(spark, sf_dir):
     # were reused across processes — each new process gets a fresh
     # mkdtemp and re-runs the stream from scratch. No temp-dir
     # accretion within a registry run either way.
-    out_dir = _cached_layout("psink", sf_dir, _run)
+    out_dir = _cached_layout("psink", sf_dir, _run, disk=False)
     back = spark.read.parquet(_os.path.join(out_dir, "data"))
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@EXT.add(
+    "stream_quality_gate",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad
+      FROM events WHERE day(ts) <= 12 GROUP BY 1
+    )
+    SELECT day, n_rows, n_bad,
+           CASE WHEN n_bad * 5 > n_rows THEN 'quarantined'
+                ELSE 'accepted' END AS status
+    FROM d
+    """,
+    doc=(
+        "BATCH-level streaming quality gate (the qa layer on the "
+        "ingest path): events arrive as one file per day "
+        "(maxFilesPerTrigger=1 makes each micro-batch exactly one "
+        "day), foreachBatch computes the batch's error fraction in ONE "
+        "aggregate job and routes the WHOLE batch — error rate > 20% "
+        "(integer compare n_bad*5 > n_rows, no float threshold) goes "
+        "to the quarantine sink, otherwise to accepted; both are real "
+        "parquet appends. This is the reject-bad-ingest semantics a "
+        "row filter cannot express (a batch with too many errors is "
+        "suspect IN TOTAL - its clean-looking rows are quarantined "
+        "too). 6 of 12 days quarantine at sf0.01 - both paths "
+        "non-vacuous. The result re-reads BOTH sinks and must "
+        "reproduce the per-day truth DuckDB computes from raw events."
+    ),
+    tags=("streaming", "qa"),
+)
+def stream_quality_gate(spark, sf_dir):
+    import os as _os
+
+    def _build(out_dir: str) -> None:
+        ev = (
+            t(spark, sf_dir, "events")
+            .filter(F.dayofmonth("ts") <= 12)
+            .select(
+                "event_id",
+                "event_type",
+                "value",
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            )
+        )
+        # one FILE per day: repartition by the partition column, then
+        # partitionBy — each micro-batch below is exactly one day
+        ev.repartition(F.col("day")).write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(_os.path.join(out_dir, "in"))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double, day string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(out_dir, "in"))
+        )
+
+        def _gate(batch_df, _bid):
+            row = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("event_type") == "error", 1).otherwise(0)
+                ).alias("bad"),
+            ).first()
+            if not row["n"]:
+                return
+            target = (
+                "quarantined" if row["bad"] * 5 > row["n"] else "accepted"
+            )
+            batch_df.write.mode("append").parquet(
+                _os.path.join(out_dir, target)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_gate)
+            .option(
+                "checkpointLocation", _os.path.join(out_dir, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out_dir = _cached_layout("qgate", sf_dir, _build, disk=False)
+
+    def _summarize(sub: str):
+        return (
+            spark.read.parquet(_os.path.join(out_dir, sub))
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("event_type") == "error", 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_bad"),
+            )
+            .withColumn("status", F.lit(sub))
+        )
+
+    return _summarize("accepted").unionByName(_summarize("quarantined"))
 
 
 @EXT.add(
