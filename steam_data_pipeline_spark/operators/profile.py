@@ -351,3 +351,93 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(F.col(key), status.alias("status"))
+
+
+def psi_drift_multi(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: Sequence[str],
+    n_bins: int = 8,
+) -> DataFrame:
+    """Per-column PSI drift for MANY numeric columns in ONE scan per
+    population — the wide-table drift monitor. Same semantics per
+    column as :func:`psi_drift` (fixed-width bins over the global
+    min/max of both populations, Laplace smoothing, contrib rounded
+    to 9 decimals); the multi-column shape is the melt trick from
+    :func:`profile`: one projection explodes each row into (col, x)
+    pairs, so k columns cost one scan + one groupBy, not k jobs.
+    Returns (col, bin, cnt_ref, cnt_cur, contrib) — per-bin rows, not
+    a per-column float sum (summing doubles across bins would be
+    partition-order-dependent; callers sum the 9-decimal contribs,
+    which is deterministic at fixed row set).
+    """
+    def melt(df: DataFrame, side: str) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.col(c).cast("double").alias("x"),
+                )
+                for c in cols
+            ]
+        )
+        return (
+            df.select(F.explode(pairs).alias("m"))
+            .select("m.col", "m.x")
+            .filter(F.col("x").isNotNull())
+            .withColumn("side", F.lit(side))
+        )
+
+    both = melt(ref, "ref").unionByName(melt(cur, "cur"))
+    bounds = both.groupBy("col").agg(
+        F.min("x").alias("vmin"), F.max("x").alias("vmax")
+    )
+    w = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    binned = (
+        both.join(F.broadcast(bounds), on="col")
+        .select(
+            "col",
+            "side",
+            F.least(
+                F.floor((F.col("x") - F.col("vmin")) / w),
+                F.lit(n_bins - 1),
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("col", "bin")
+        .agg(
+            F.sum(F.when(F.col("side") == "ref", 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_ref"),
+            F.sum(F.when(F.col("side") == "cur", 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_cur"),
+        )
+    )
+    spark = ref.sparkSession
+    spine = (
+        spark.createDataFrame([(c,) for c in cols], "col string")
+        .crossJoin(
+            spark.range(n_bins).select(F.col("id").alias("bin"))
+        )
+    )
+    j = spine.join(binned, on=["col", "bin"], how="left").fillna(
+        0, subset=["cnt_ref", "cnt_cur"]
+    )
+    tot = j.groupBy("col").agg(
+        F.sum("cnt_ref").alias("tr"), F.sum("cnt_cur").alias("tc")
+    )
+    p = (F.col("cnt_ref") + 1).cast("double") / (
+        (F.col("tr") + n_bins).cast("double")
+    )
+    q = (F.col("cnt_cur") + 1).cast("double") / (
+        (F.col("tc") + n_bins).cast("double")
+    )
+    return j.join(F.broadcast(tot), on="col").select(
+        "col",
+        "bin",
+        "cnt_ref",
+        "cnt_cur",
+        F.round((p - q) * F.log(p / q), 9).alias("contrib"),
+    )

@@ -4792,6 +4792,70 @@ def qa_snapshot_diff(spark, sf_dir):
     return snapshot_diff(v1, v2, "doc_id", ["text", "lang"])
 
 
+def _psi_multi_oracle(cols: tuple[str, ...], n_bins: int = 8) -> str:
+    """One UNION ALL block per column, each the single-column PSI
+    pattern — the oracle pays k passes; the Spark side is the point
+    (one melt scan for all k)."""
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+    SELECT '{c}' AS col, bin, cnt_ref, cnt_cur,
+           ROUND((CAST(cnt_ref + 1 AS DOUBLE) / CAST(tr + {n_bins} AS DOUBLE)
+                  - CAST(cnt_cur + 1 AS DOUBLE) / CAST(tc + {n_bins} AS DOUBLE))
+                 * LN((CAST(cnt_ref + 1 AS DOUBLE) / CAST(tr + {n_bins} AS DOUBLE))
+                      / (CAST(cnt_cur + 1 AS DOUBLE) / CAST(tc + {n_bins} AS DOUBLE))),
+                 9) AS contrib
+    FROM (
+      WITH r_{c} AS (SELECT CAST({c} AS DOUBLE) AS x FROM events
+                     WHERE day(ts) <= 15 AND {c} IS NOT NULL),
+      c_{c} AS (SELECT CAST({c} AS DOUBLE) AS x FROM events
+                WHERE day(ts) > 15 AND {c} IS NOT NULL),
+      bounds AS (SELECT MIN(x) AS vmin, MAX(x) AS vmax
+                 FROM (SELECT x FROM r_{c} UNION ALL SELECT x FROM c_{c})),
+      spine AS (SELECT CAST(g AS BIGINT) AS bin
+                FROM generate_series(0, {n_bins - 1}) s(g)),
+      br AS (SELECT LEAST(CAST(FLOOR((x - vmin) / ((vmax - vmin) / {n_bins}.0))
+                          AS BIGINT), {n_bins - 1}) AS bin, COUNT(*) AS c
+             FROM r_{c}, bounds GROUP BY 1),
+      bc AS (SELECT LEAST(CAST(FLOOR((x - vmin) / ((vmax - vmin) / {n_bins}.0))
+                          AS BIGINT), {n_bins - 1}) AS bin, COUNT(*) AS c
+             FROM c_{c}, bounds GROUP BY 1),
+      j AS (SELECT spine.bin,
+                   CAST(COALESCE(br.c, 0) AS BIGINT) AS cnt_ref,
+                   CAST(COALESCE(bc.c, 0) AS BIGINT) AS cnt_cur
+            FROM spine LEFT JOIN br USING (bin) LEFT JOIN bc USING (bin)),
+      tot AS (SELECT SUM(cnt_ref) AS tr, SUM(cnt_cur) AS tc FROM j)
+      SELECT j.bin, cnt_ref, cnt_cur, tr, tc FROM j, tot
+    )""")
+    return "\n    UNION ALL\n".join(blocks)
+
+
+@EXT.add(
+    "qa_psi_multi",
+    oracle=_psi_multi_oracle(("value", "user_id", "event_id")),
+    doc=(
+        "Wide-table drift report (operators/profile.py psi_drift_multi): "
+        "per-column PSI for value/user_id/event_id between the two "
+        "half-months of events, computed in ONE melted scan per "
+        "population + one groupBy - k columns never cost k jobs (the "
+        "profile melt trick applied to drift monitoring). Per-bin "
+        "contribs are emitted instead of a per-column float sum "
+        "(summing doubles across bins would be partition-order-"
+        "dependent); bins/counts exact, contrib rounded to 9 decimals "
+        "under the module's ln() convention. The DuckDB oracle pays "
+        "one pass per column - the Spark plan shape is the point."
+    ),
+    tags=("qa",),
+)
+def qa_psi_multi(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.profile import psi_drift_multi
+
+    ev = t(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15)
+    cur = ev.filter(F.dayofmonth("ts") > 15)
+    return psi_drift_multi(ref, cur, ["value", "user_id", "event_id"])
+
+
 @EXT.add(
     "qa_anomaly_days",
     oracle="""

@@ -217,3 +217,32 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, "a", "bc")], "k long, c1 string, c2 string")
         [r] = snapshot_diff(old, new, "k", ["c1", "c2"]).collect()
         assert r["status"] == "changed"
+
+
+class TestPsiDriftMulti:
+    def test_equals_per_column_psi(self, spark):
+        from steam_data_pipeline_spark.operators.profile import (
+            psi_drift,
+            psi_drift_multi,
+        )
+
+        ref = spark.createDataFrame(
+            [(float(i % 10), float(i % 3)) for i in range(90)],
+            "a double, b double",
+        )
+        cur = spark.createDataFrame(
+            [(float(i % 5), float(i % 7)) for i in range(70)],
+            "a double, b double",
+        )
+        multi = {
+            (r["col"], r["bin"]): (r["cnt_ref"], r["cnt_cur"], r["contrib"])
+            for r in psi_drift_multi(ref, cur, ["a", "b"], n_bins=4).collect()
+        }
+        for c in ("a", "b"):
+            single = {
+                (c, r["bin"]): (r["cnt_ref"], r["cnt_cur"], r["contrib"])
+                for r in psi_drift(ref, cur, c, n_bins=4).collect()
+            }
+            for k, v in single.items():
+                assert multi[k] == v, (k, v, multi[k])
+        assert len(multi) == 8
