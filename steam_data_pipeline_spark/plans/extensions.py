@@ -4330,6 +4330,93 @@ def llm_bpe_encode(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_quality_adaptive",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang,
+             least(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS DOUBLE) / 50.0, 1.0)
+               * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       AS DOUBLE)
+                  / CAST(greatest(length(text), 1) AS DOUBLE))
+               * (0.5 + 0.5 * least(
+                    CAST(len(list_intersect(
+                      list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                     x -> lower(x)),
+                      ['the','a','of','and','to','der','die','das','und','ist',
+                       'le','la','et','les','des','el','que','de','y']))
+                      AS DOUBLE) / 2.0, 1.0)) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, score,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM q
+    ),
+    thr AS (
+      SELECT lang, score AS thr, CAST(n AS BIGINT) AS n_docs
+      FROM ranked WHERE rn = CAST(CEIL(0.25 * n) AS BIGINT)
+    )
+    SELECT t.lang, t.n_docs, ROUND(t.thr, 9) AS thr_r,
+           CAST(SUM(CASE WHEN q.score >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM thr t JOIN q ON q.lang = t.lang
+    GROUP BY t.lang, t.n_docs, t.thr
+    """,
+    doc=(
+        "Per-language ADAPTIVE quality gating (the BLOOM/ROOTS-style "
+        "fix for global quality thresholds biasing against low-"
+        "resource languages): each language keeps its own top-75% by "
+        "quality score. The threshold is the DISCRETE p25 order "
+        "statistic (the value at rank ceil(0.25*n) ascending) - never "
+        "an interpolated quantile, whose (1-f)*lo+f*hi vs lo+f*(hi-lo) "
+        "arithmetic differs between engines in the last ulp; an order "
+        "statistic is one of the actual score values, which both "
+        "engines compute bit-identically (proven by llm_langid_"
+        "quality's value-hash green). Tie order inside ROW_NUMBER is "
+        "engine-dependent but the VALUE at rank k is the k-th smallest "
+        "either way. Plan: one scored scan, per-lang rank window, "
+        "lang-count join broadcast (languages are a bounded "
+        "dimension), threshold broadcast back for the kept count."
+    ),
+    tags=("llm", "curation", "quality"),
+)
+def llm_quality_adaptive(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", TS.quality_score("text").alias("score")
+    )
+    ranked = scored.select(
+        "lang",
+        "score",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("score"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    thr = ranked.filter(
+        F.col("rn") == F.ceil(F.lit(0.25) * F.col("n")).cast("long")
+    ).select(
+        "lang",
+        F.col("score").alias("thr"),
+        F.col("n").cast("long").alias("n_docs"),
+    )
+    return (
+        scored.join(F.broadcast(thr), on="lang")
+        .groupBy("lang", "n_docs", "thr")
+        .agg(
+            F.sum(F.when(F.col("score") >= F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept")
+        )
+        .select("lang", "n_docs", F.round("thr", 9).alias("thr_r"), "n_kept")
+    )
+
+
+@EXT.add(
     "llm_bpe_roundtrip",
     oracle="""
     WITH norm AS (
