@@ -4352,6 +4352,111 @@ def llm_bpe_encode(spark, sf_dir):
 
 
 @EXT.add(
+    "llm_bigram_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bi AS (
+      SELECT w[i] AS a, w[i + 1] AS b
+      FROM toks, UNNEST(generate_series(1, greatest(len(w) - 1, 0))) s(i)
+    ),
+    bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+           FROM bi GROUP BY a, b),
+    uni AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(w) AS word FROM toks
+      ) GROUP BY word
+    ),
+    tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n2 FROM bc),
+    tot1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM uni),
+    pmi AS (
+      SELECT bc.a, bc.b, bc.c_ab,
+             ROUND(LN((CAST(bc.c_ab AS DOUBLE) / n2)
+                      / ((CAST(ua.c AS DOUBLE) / n1)
+                         * (CAST(ub.c AS DOUBLE) / n1))), 9) AS pmi
+      FROM bc
+      JOIN uni ua ON ua.word = bc.a
+      JOIN uni ub ON ub.word = bc.b
+      CROSS JOIN tot CROSS JOIN tot1
+      WHERE bc.c_ab >= 5
+    )
+    SELECT a, b, c_ab, pmi FROM pmi
+    ORDER BY pmi DESC, a ASC, b ASC LIMIT 50
+    """,
+    doc=(
+        "Collocation mining: top-50 adjacent-word bigrams by PMI "
+        "(min count 5) — the phrase-detection pass of a tokenizer/"
+        "vocab pipeline (word2vec-style phrase merging). "
+        "PMI = ln(p(a,b) / p(a)p(b)) with bigram and unigram "
+        "probability spaces kept distinct; integers everywhere except "
+        "the final ln, rounded to 9 decimals BEFORE the top-k so "
+        "cross-engine ties rank identically, (a,b) as the tie-break. "
+        "Plan: one tokenized scan feeds both bigram and unigram "
+        "counts; unigram totals re-join by word (Zipf-keyed join with "
+        "the count side pre-aggregated to one row/word); totals are "
+        "1-row broadcasts; TakeOrderedAndProject for the limit."
+    ),
+    tags=("llm", "text"),
+)
+def llm_bigram_pmi(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        F.filter(
+            F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != ""
+        ).alias("w")
+    )
+    bi = (
+        toks.filter(F.size("w") >= 2)  # ANSI: w[i] out of range throws
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i-1] AS a, w[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    bc = bi.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    uni = (
+        toks.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n2 = bc.agg(F.sum("c_ab").cast("long").alias("n2"))
+    n1 = uni.agg(F.sum("c").cast("long").alias("n1"))
+    pmi = (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(uni.select(F.col("word").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uni.select(F.col("word").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("n2"))
+                    / (
+                        (F.col("ca").cast("double") / F.col("n1"))
+                        * (F.col("cb").cast("double") / F.col("n1"))
+                    )
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(
+        F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(50)
+
+
+@EXT.add(
     "llm_quality_adaptive",
     oracle="""
     WITH q AS (
