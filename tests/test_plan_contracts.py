@@ -421,3 +421,21 @@ class TestRound6PlanContracts:
         plan = _plan(QUERIES["qa_profile"].spark(spark, SF_SMOKE), "simple")
         assert "Expand" not in plan, plan
         assert plan.count("Exchange hashpartitioning") == 2, plan
+
+    def test_triangles_no_cartesian_no_global_sort(self, spark):
+        """Degree-ordered triangle counting must never pair arbitrary
+        rows (no cartesian) and must not rank nodes with a global
+        row_number (a one-partition sort at scale) — the (deg,id)
+        struct comparison replaces it."""
+        plan = _plan(QUERIES["llm_graph_triangles"].spark(spark, SF_SMOKE), "simple")
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan, plan
+
+    def test_quantized_topk_broadcasts_queries(self, spark):
+        """The quantized scorer broadcasts the (small) query set over
+        the corpus scan — same shape as brute_force_topk: a
+        BroadcastNestedLoopJoin over the bounded query side, never a
+        shuffled cartesian."""
+        plan = _plan(QUERIES["llm_sim_quantized"].spark(spark, SF_SMOKE), "simple")
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "CartesianProduct" not in plan
