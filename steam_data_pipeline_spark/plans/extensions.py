@@ -4951,6 +4951,70 @@ def qa_check(spark, sf_dir):
 
 
 @EXT.add(
+    "agg_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+            FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.row_total AS BIGINT) AS prob
+    FROM c JOIN tot t USING (from_type)
+    """,
+    doc=(
+        "User-journey Markov transition matrix: per-user event "
+        "sequences (ordered by (ts, event_id) — the event_id tie-break "
+        "makes same-timestamp ordering deterministic, without which "
+        "LEAD would be partition-order-dependent), lead-paired into "
+        "(from, to) transitions, normalized per source state. prob is "
+        "one integer-over-integer IEEE division — exact cross-engine. "
+        "Plan: one shuffle on user_id for the sequence window, then "
+        "type-pair aggregation over a bounded state space; row totals "
+        "re-join broadcast (states are a dimension)."
+    ),
+    tags=("agg", "analytics"),
+)
+def agg_markov_transitions(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    c = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = c.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return c.join(F.broadcast(tot), on="from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("row_total")).alias("prob"),
+    )
+
+
+@EXT.add(
     "qa_snapshot_diff",
     oracle="""
     WITH v2 AS (
