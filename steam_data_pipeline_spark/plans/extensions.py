@@ -5135,6 +5135,71 @@ def qa_psi_multi(spark, sf_dir):
 
 
 @EXT.add(
+    "qa_table_checksum",
+    oracle="""
+    SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(concat('0x',
+             substring(md5(concat_ws(chr(31),
+               CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+               o_orderstatus, CAST(o_totalprice AS VARCHAR),
+               CAST(o_orderdate AS VARCHAR), o_orderpriority)), 1, 15))
+             AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+    FROM orders
+    UNION ALL
+    SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+           CAST(CAST(SUM(CAST(concat('0x',
+             substring(md5(concat_ws(chr(31),
+               CAST(doc_id AS VARCHAR), text, lang, source,
+               CAST(n_chars AS VARCHAR))), 1, 15))
+             AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+    FROM documents
+    """,
+    doc=(
+        "Order-insensitive table content checksum - the cheap "
+        "replication/migration integrity check (compare checksums, "
+        "not tables): per-row md5 of the unit-separated column "
+        "payload, first 15 hex chars as a 60-bit integer (verified "
+        "identical Spark conv vs DuckDB 0x-cast), SUMMED as "
+        "DECIMAL(38,0) - addition is commutative so the checksum is "
+        "partitioning/order-invariant, and 38 digits hold 10^12 rows "
+        "x 2^60 without overflow (ANSI would throw on BIGINT "
+        "overflow; decimal sums are exact). One scan, one map-side-"
+        "combined aggregate per table; float columns enter via their "
+        "canonical string form (same cast both engines, proven by "
+        "qa_profile's ts parity)."
+    ),
+    tags=("qa",),
+)
+def qa_table_checksum(spark, sf_dir):
+    def one(tbl: str, cols: list[str]):
+        df = t(spark, sf_dir, tbl)
+        payload = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in cols]
+        )
+        rowsum = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+            "decimal(38,0)"
+        )
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(rowsum).cast("decimal(38,0)").cast("string").alias("checksum"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
+
+    return one(
+        "orders",
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    ).unionByName(
+        one("documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    )
+
+
+@EXT.add(
     "qa_anomaly_days",
     oracle="""
     WITH d AS (
