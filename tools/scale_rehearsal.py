@@ -277,9 +277,13 @@ HEAVY_QUERIES = [
     # round-6 additions
     "llm_dedup_editdist",
     "llm_graph_pagerank",
+    "llm_graph_triangles",
     "llm_tfidf_keywords",
+    "llm_bigram_pmi",
     "llm_bpe_encode",
+    "llm_sim_quantized",
     "qa_profile",
+    "qa_table_checksum",
 ]
 
 
