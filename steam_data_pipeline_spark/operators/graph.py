@@ -1,5 +1,5 @@
-"""Graph analytics: fixed-point integer PageRank and exact triangle
-counting / clustering coefficient.
+"""Graph analytics: fixed-point integer PageRank, exact triangle
+counting / clustering coefficient, and k-core decomposition.
 
 Why it's here: web-scale pretraining pipelines weight documents by
 link-graph centrality (PageRank over the crawl graph is a standard
@@ -116,7 +116,8 @@ def pagerank_oracle_sql(
     pr_e AS (SELECT DISTINCT src, dst FROM ({edge_sql})),
     pr_deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM pr_e GROUP BY src),
     pr_nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pr_nodes),
-    r0 AS (SELECT node, CAST({SCALE} AS BIGINT) // (SELECT n FROM pr_nn) AS rank
+    r0 AS MATERIALIZED (SELECT node,
+           CAST({SCALE} AS BIGINT) // (SELECT n FROM pr_nn) AS rank
            FROM pr_nodes)"""
     steps = []
     for i in range(n_iter):
@@ -135,7 +136,7 @@ def pagerank_oracle_sql(
       SELECT pr_e.dst, CAST(SUM(s.share) AS BIGINT) AS inflow
       FROM pr_e JOIN sh{i} s ON s.src = pr_e.src GROUP BY pr_e.dst
     ),
-    {cur} AS (
+    {cur} AS MATERIALIZED (
       SELECT n.node,
              CAST(({SCALE} * {100 - damping_pct}) // 100 // (SELECT n FROM pr_nn)
                   + (SELECT dshare FROM dg{i})
@@ -234,4 +235,109 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("clustering"),
         )
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected simple graph: the maximal subgraph
+    where every node has degree ≥ k — the standard graph-hygiene pass
+    (peel off low-connectivity fringe before community/centrality
+    work). Iterative peeling: drop all nodes with degree < k, recompute
+    degrees on the remainder, repeat until a fixpoint. Termination is
+    DATA-dependent (each round either converges or strictly shrinks
+    the node set, so rounds ≤ |V|; ``max_rounds`` is a safety cap) —
+    the driver loop checks convergence with a node-set-sized count and
+    ``localCheckpoint``s the active set so the plan stays bounded,
+    same discipline as :func:`pagerank` and connected components.
+
+    Per round: two semi-joins of the (static, cached) oriented edge
+    table against the active set + one map-side-combined degree
+    aggregate + one anti-join — everything node- or edge-sized, no
+    driver-side data.
+
+    Returns ``(node, core_deg)`` with core_deg ≥ k (degree counted
+    within the core).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    sym = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    ).localCheckpoint(eager=True)
+    def _deg(act):
+        return (
+            sym.join(act, on="v", how="left_semi")
+            .join(act.select(F.col("v").alias("w")), on="w", how="left_semi")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        )
+
+    # The active set is node-sized, so checkpointing it EVERY round is
+    # cheap and buys one-action-per-round convergence: nxt ⊆ active,
+    # so |nxt| == |active| IS the fixpoint test — no anti-join probe,
+    # and the count reuses the checkpoint instead of recomputing the
+    # semi-join pipeline.
+    active = sym.select("v").distinct().localCheckpoint(eager=True)
+    n_active = active.count()
+    for _rnd in range(max_rounds):
+        nxt = (
+            _deg(active)
+            .filter(F.col("core_deg") >= k)
+            .select("v")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        converged = n_nxt == n_active
+        active, n_active = nxt, n_nxt
+        if converged:
+            break
+    return _deg(active).filter(F.col("core_deg") >= k).select(
+        F.col("v").alias("node"), "core_deg"
+    )
+
+
+def kcore_oracle_sql(edge_sql: str, k: int = 3, rounds: int = 12) -> str:
+    """DuckDB oracle for :func:`kcore`: the peeling recurrence unrolled
+    a FIXED ``rounds`` times (must be ≥ the fixture's convergence depth
+    — converged rounds are no-ops, so overshooting is safe). Every CTE
+    is MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    references the previous twice, so the un-materialized recurrence
+    expands to 2^rounds base-table scans (observed as a
+    too-many-open-files explosion at 12 rounds)."""
+    pre = f"""
+    WITH kc_und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({edge_sql}) WHERE src <> dst
+    ),
+    kc_sym AS MATERIALIZED (
+      SELECT a AS v, b AS w FROM kc_und
+      UNION ALL SELECT b, a FROM kc_und
+    ),
+    kn0 AS MATERIALIZED (SELECT DISTINCT v FROM kc_sym)"""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+    kd{i} AS MATERIALIZED (
+      SELECT s.v, CAST(COUNT(*) AS BIGINT) AS core_deg
+      FROM kc_sym s
+      WHERE s.v IN (SELECT v FROM kn{i})
+        AND s.w IN (SELECT v FROM kn{i})
+      GROUP BY s.v
+    ),
+    kn{i + 1} AS MATERIALIZED (SELECT v FROM kd{i} WHERE core_deg >= {k})""")
+    return (
+        pre
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT v AS node, core_deg FROM kd{rounds - 1} WHERE core_deg >= {k}"""
     )

@@ -4766,6 +4766,53 @@ def llm_graph_triangles(spark, sf_dir):
     return triangle_stats(edges)
 
 
+def _kcore_oracle():
+    from steam_data_pipeline_spark.operators.graph import kcore_oracle_sql
+
+    return kcore_oracle_sql(
+        "SELECT o_custkey AS src,"
+        " o_orderkey % (SELECT COUNT(*) FROM customer) AS dst"
+        " FROM orders WHERE o_orderpriority = '1-URGENT'",
+        k=3,
+        rounds=12,
+    )
+
+
+@EXT.add(
+    "llm_graph_kcore",
+    oracle=_kcore_oracle(),
+    doc=(
+        "3-core of the link graph (operators/graph.py kcore): the "
+        "graph-hygiene peel that strips low-connectivity fringe "
+        "before community/centrality work. Iterative peeling with "
+        "DATA-dependent termination (the real implementation loops to "
+        "a fixpoint with a convergence check + localCheckpoint; the "
+        "fixture converges in 9 rounds, peeling 1500 nodes to a "
+        "1008-node core at sf0.01). The DuckDB oracle unrolls a fixed "
+        "12 rounds - converged rounds are no-ops, so overshooting is "
+        "safe. Per round: two semi-joins of the cached symmetric edge "
+        "table against the active set + one map-side degree aggregate "
+        "+ one anti-join; all integer, matched with no tolerance."
+    ),
+    tags=("llm", "graph", "iterative"),
+)
+def llm_graph_kcore(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.graph import kcore
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    n_cust = cust.agg(F.count(F.lit(1)).alias("nc"))
+    edges = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .crossJoin(F.broadcast(n_cust))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % F.col("nc")).alias("dst"),
+        )
+    )
+    return kcore(edges, k=3)
+
+
 @EXT.add(
     "llm_graph_pagerank",
     oracle=_pagerank_oracle(),

@@ -303,3 +303,53 @@ class TestTriangleStats:
         )
         r = self._stats(spark, edges)
         assert r["n_triangles"] == want
+
+
+class TestKcore:
+    def _run(self, spark, edges, k=3, **kw):
+        from steam_data_pipeline_spark.operators.graph import kcore
+
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: r["core_deg"] for r in kcore(edf, k=k, **kw).collect()
+        }
+
+    def test_clique_plus_tail(self, spark):
+        import itertools
+
+        # K4 clique (each deg 3) with a pendant chain hanging off it:
+        # the chain peels away over multiple rounds, the clique stays
+        clique = list(itertools.combinations(range(4), 2))
+        tail = [(3, 10), (10, 11), (11, 12)]
+        got = self._run(spark, clique + tail, k=3)
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_cascading_peel(self, spark):
+        # path graph: 2-core is empty, and peeling cascades end-inward
+        got = self._run(spark, [(i, i + 1) for i in range(6)], k=2)
+        assert got == {}
+
+    def test_cycle_is_its_own_2core(self, spark):
+        n = 5
+        got = self._run(spark, [(i, (i + 1) % n) for i in range(n)], k=2)
+        assert got == {i: 2 for i in range(n)}
+
+    def test_matches_python_peeling_random(self, spark):
+        import random
+
+        rng = random.Random(31)
+        edges = list({(rng.randrange(15), rng.randrange(15)) for _ in range(45)})
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nodes = {v for e in und for v in e}
+        while True:
+            deg = {}
+            for a, b in und:
+                if a in nodes and b in nodes:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+            drop = {v for v in nodes if deg.get(v, 0) < 3}
+            if not drop:
+                break
+            nodes -= drop
+        want = {v: deg[v] for v in nodes}
+        assert self._run(spark, edges, k=3) == want
