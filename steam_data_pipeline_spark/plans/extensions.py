@@ -1730,6 +1730,7 @@ def llm_contamination(spark, sf_dir):
 
 
 _BPE_CACHE: dict[tuple, tuple] = {}
+_EDQ_CACHE: dict[str, int] = {}
 
 
 def _trained_bpe(spark, sf_dir: str, n_merges: int):
@@ -4618,11 +4619,13 @@ def llm_bpe_roundtrip(spark, sf_dir):
         "ordered gram elements), length-filtered, verified with "
         "Spark's JVM levenshtein(threshold) — NEVER an all-pairs "
         "join; a separate length-banded leg is exact for the "
-        "sub-q*(d+1)-char strings the lemma cannot cover. q=5 here: "
-        "the fixture vocabulary is ~40 words, so 3-grams are dense "
-        "(689 values for 6600 keys) and q=5 widens the gram space "
-        "~3x, cutting candidate volume 3.7x (measured) for a prefix "
-        "of 11 vs 7. Fixture "
+        "sub-q*(d+1)-char strings the lemma cannot cover. q is SELF-SIZED per corpus "
+        "by suggest_editdist_q (cached per sf_dir; the one-time "
+        "index-sizing job): the fixture vocabulary is ~40 words, so "
+        "3-grams are dense (689 values over 6600 keys) - the helper "
+        "picks q=5 at bench scale (candidates 7.6M -> 2.0M vs q=3) "
+        "and q=9 at 10x volume, where fixed q=5 went superlinear "
+        "(exponent 1.25 -> ~0.4, identical output). Fixture "
         "plants a 1-substitution copy of every 5th doc's 40-char key "
         "('Z' is outside the corpus alphabet, so planted dist is "
         "exactly 1); the DuckDB oracle is the full quadratic "
@@ -4643,8 +4646,13 @@ def llm_dedup_editdist(spark, sf_dir):
         ).alias("s"),
     )
     corpus = base.unionByName(planted)
+    import os as _os
+
+    ck = _os.path.abspath(sf_dir)
+    if ck not in _EDQ_CACHE:
+        _EDQ_CACHE[ck] = D.suggest_editdist_q(corpus, text_col="s", max_d=2)
     return D.editdist_pairs(
-        corpus, key="doc_id", text_col="s", max_d=2, q=5
+        corpus, key="doc_id", text_col="s", max_d=2, q=_EDQ_CACHE[ck]
     ).select(
         "a", "b", F.col("dist").cast("int").alias("dist")
     )
