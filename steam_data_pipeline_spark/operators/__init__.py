@@ -12,4 +12,13 @@ Each module maps to a SURVEY.md §2 family:
 * ``upsert``      — MERGE-style key upsert + append sinks (§2.1 sinks)
 * ``state``       — KV state table semantics (§2.1 ``state_kv_rw``)
 * ``forecast``    — grouped-map ``applyInPandas`` trend fit (§2.9)
+* ``profile``     — data-quality layer: melt profiler, declarative
+                    expectations, PSI drift (single + wide-table),
+                    MAD anomaly days, snapshot diff (qa_* queries)
+* ``graph``       — fixed-point integer PageRank, exact triangle
+                    counting / clustering coefficient, k-core peeling
+                    (llm_graph_* queries)
+* ``recommend``   — seeded implicit-feedback ALS (§2.9)
+* ``skew``/``layout``/``asof`` — salting escapes, Z-order storage
+                    layout, as-of join variants
 """
