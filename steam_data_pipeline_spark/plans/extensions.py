@@ -5007,6 +5007,43 @@ def qa_check(spark, sf_dir):
 
 
 @EXT.add(
+    "agg_pivot_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "Wide daily matrix via groupBy().pivot() with DECLARED pivot "
+        "values - the dashboard-table shape. Declaring the value list "
+        "is the scale-correct form: without it Spark runs an extra "
+        "distinct-collect job over the pivot column before planning, "
+        "and an unbounded value set would mint unbounded columns. "
+        "Compiles to one pass of conditional aggregates (the same "
+        "plan as the oracle's CASE columns), map-side combined, one "
+        "shuffle on day."
+    ),
+    tags=("agg", "pivot"),
+)
+def agg_pivot_daily(spark, sf_dir):
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=types)
+        .select(
+            "day", *[F.col(c).cast("long").alias(c) for c in types]
+        )
+    )
+
+
+@EXT.add(
     "agg_markov_transitions",
     oracle="""
     WITH seq AS (
