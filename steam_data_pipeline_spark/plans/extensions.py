@@ -5228,6 +5228,53 @@ def qa_psi_multi(spark, sf_dir):
 
 
 @EXT.add(
+    "qa_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en
+    FROM documents
+    """,
+    doc=(
+        "Pipeline telemetry via Dataset.observe(): named aggregate "
+        "metrics collected AS A SIDE EFFECT of the pass that already "
+        "scans the data (here a corpus pass forced by a count) - at "
+        "100 TB the ingest job gets its row/byte/quality accounting "
+        "for free instead of paying a second scan, which is how "
+        "production pipelines feed their freshness dashboards. The "
+        "Observation handle blocks until the action finishes and "
+        "returns the exact aggregate values; the query re-emits them "
+        "as a 1-row frame the oracle recomputes directly."
+    ),
+    tags=("qa", "observability"),
+)
+def qa_observe_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    docs = t(spark, sf_dir, "documents").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+    docs.write.format("noop").mode("overwrite").save()  # the real pass
+    m = obs.get
+    return spark.range(1).select(
+        F.lit(int(m["n_rows"])).cast("long").alias("n_rows"),
+        F.lit(int(m["total_chars"])).cast("long").alias("total_chars"),
+        F.lit(int(m["min_chars"])).cast("long").alias("min_chars"),
+        F.lit(int(m["max_chars"])).cast("long").alias("max_chars"),
+        F.lit(int(m["n_en"])).cast("long").alias("n_en"),
+    )
+
+
+@EXT.add(
     "qa_table_checksum",
     oracle="""
     SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
