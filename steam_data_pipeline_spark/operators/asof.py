@@ -119,3 +119,78 @@ def asof_forward(
         F.first("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def asof_backward_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """As-of backward join through ``cogroup().applyInPandas`` — the
+    Arrow-path twin of the expression-based :func:`asof_backward`:
+    both sides are co-partitioned BY KEY in one shuffle each, and the
+    per-key pandas ``merge_asof`` (a linear two-pointer merge over the
+    sorted frames) replaces the JVM window machinery. The right side
+    is sorted by (ts, tiebreak) so ties at equal timestamps resolve to
+    the max tiebreak — identical to a ``row_number() OVER (ORDER BY
+    ts DESC, tiebreak DESC)`` pick. When to prefer this path: the
+    per-key logic is about to grow beyond what expressions say
+    (custom staleness rules, interpolation) — cogroup hands both
+    sorted frames to Python at Arrow batch cost, one shuffle per side,
+    no driver involvement.
+
+    Output: all left columns + ``asof_<c>`` for each right col
+    (nullable — missing matches stay NULL through pandas' masked
+    dtypes, never NaN-coerced integers).
+    """
+    import pandas as pd
+
+    out_fields = left.schema.fields + [
+        next(f for f in right.schema.fields if f.name == c) for c in right_cols
+    ]
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        left.schema.fields
+        + [
+            type(f)(f"asof_{f.name}", f.dataType, True)
+            for f in out_fields[len(left.schema.fields):]
+        ]
+    )
+    lcols = [f.name for f in left.schema.fields]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        lpdf = lpdf.sort_values([left_ts])
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in right_cols:
+                out[f"asof_{c}"] = None
+            return out
+        rpdf = rpdf.sort_values([right_ts, tiebreak])
+        # copy (not rename) so right_ts stays available as the merge
+        # key even when it is itself a requested output column
+        for c in right_cols:
+            rpdf[f"asof_{c}"] = rpdf[c]
+        rpdf = rpdf[[right_ts] + [f"asof_{c}" for c in right_cols]]
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+            suffixes=("", "__r"),
+        )
+        keep = lcols + [f"asof_{c}" for c in right_cols]
+        return merged[keep]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, schema)
+    )

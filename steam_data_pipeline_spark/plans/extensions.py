@@ -5007,6 +5007,64 @@ def qa_check(spark, sf_dir):
 
 
 @EXT.add(
+    "join_asof_cogrouped",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id, value
+          FROM events WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.purchase_id, c.ts, c.value,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.p_ts
+    )
+    SELECT p.purchase_id, p.user_id, p.p_ts,
+           cand.ts AS asof_ts, cand.value AS asof_value
+    FROM p LEFT JOIN cand
+      ON cand.purchase_id = p.purchase_id AND cand.rn = 1
+    """,
+    doc=(
+        "Click attribution as-of join through cogroup().applyInPandas "
+        "(operators/asof.py asof_backward_cogrouped): each purchase "
+        "gets the same user's latest at-or-before click, ties at equal "
+        "timestamps resolved by max event_id - bit-identical to the "
+        "SQL row_number pick. The Arrow cogroup path: one shuffle per "
+        "side co-partitions both frames by user, then a per-key "
+        "pandas merge_asof (linear two-pointer over sorted frames) "
+        "replaces the JVM window machinery - the path you take when "
+        "per-key logic outgrows expressions (custom staleness, "
+        "interpolation). Purchases with no prior click keep NULL "
+        "attribution through pandas masked dtypes."
+    ),
+    tags=("join", "asof", "udf"),
+)
+def join_asof_cogrouped(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.asof import (
+        asof_backward_cogrouped,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_backward_cogrouped(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="p_ts",
+        right_ts="ts",
+        right_cols=["ts", "value"],
+        tiebreak="event_id",
+    )
+
+
+@EXT.add(
     "agg_pivot_daily",
     oracle="""
     SELECT date_trunc('day', ts) AS day,

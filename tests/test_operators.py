@@ -353,3 +353,35 @@ class TestKcore:
             nodes -= drop
         want = {v: deg[v] for v in nodes}
         assert self._run(spark, edges, k=3) == want
+
+
+class TestAsofCogrouped:
+    def test_semantics_ties_and_nulls(self, spark):
+        from steam_data_pipeline_spark.operators.asof import (
+            asof_backward_cogrouped,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "u", _ts(5)), (2, "u", _ts(1)), (3, "v", _ts(2)), (4, "w", _ts(9))],
+            "pid long, k string, lts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                ("u", _ts(5), 10, 100.0),  # tie with pid 1's ts — inclusive
+                ("u", _ts(5), 11, 200.0),  # same ts, higher tiebreak wins
+                ("u", _ts(0), 9, 50.0),
+                ("v", _ts(3), 12, 70.0),   # after pid 3 → no match
+            ],
+            "k string, rts timestamp, eid long, val double",
+        )
+        got = {
+            r["pid"]: (r["asof_rts"], r["asof_val"])
+            for r in asof_backward_cogrouped(
+                left, right, key="k", left_ts="lts", right_ts="rts",
+                right_cols=["rts", "val"], tiebreak="eid",
+            ).collect()
+        }
+        assert got[1] == (_ts(5), 200.0)  # inclusive tie, max-eid pick
+        assert got[2] == (_ts(0), 50.0)
+        assert got[3] == (None, None)     # only later clicks
+        assert got[4] == (None, None)     # key with empty right cogroup
