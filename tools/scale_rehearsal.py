@@ -278,6 +278,7 @@ HEAVY_QUERIES = [
     "llm_dedup_editdist",
     "llm_graph_pagerank",
     "llm_graph_triangles",
+    "llm_graph_kcore",
     "llm_tfidf_keywords",
     "llm_bigram_pmi",
     "llm_bpe_encode",
