@@ -5312,8 +5312,18 @@ def qa_psi_multi(spark, sf_dir):
 def qa_observe_metrics(spark, sf_dir):
     from pyspark.sql import Observation
 
+    # The observed pass runs on a CLONED session (same SparkContext,
+    # separate session state): Observation registers itself with the
+    # session's ObservationManager, which is not serializable, and a
+    # lingering registration poisons ANY later RDD-closure
+    # serialization on that session (observed live: llm_quality_model's
+    # localCheckpoint failing with NotSerializableException:
+    # ObservationManager after this query ran). Isolating the
+    # registration on a throwaway session confines the hazard; the
+    # returned metrics are plain Python scalars.
+    obs_spark = spark.newSession()
     obs = Observation()
-    docs = t(spark, sf_dir, "documents").observe(
+    docs = t(obs_spark, sf_dir, "documents").observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_chars").alias("total_chars"),

@@ -189,3 +189,18 @@ class TestRotationOrder:
             seen_verified = True
             assert r >= prev, "fresher green precedes staler green"
             prev = r
+
+
+def test_observe_does_not_poison_session(spark):
+    """Observation registers with the session's ObservationManager,
+    which is NOT serializable — a lingering registration on the shared
+    session made llm_quality_model's localCheckpoint fail closure
+    serialization whenever it ran after qa_observe_metrics (seen as a
+    full-suite-only 'Task not serializable'). qa_observe_metrics must
+    isolate its registration on a cloned session, so this exact pair
+    must run back-to-back on one session."""
+    from steam_data_pipeline_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    assert QUERIES["qa_observe_metrics"].spark(spark, SF_SMOKE).count() == 1
+    assert QUERIES["llm_quality_model"].spark(spark, SF_SMOKE).count() == 1
