@@ -5007,6 +5007,60 @@ def qa_check(spark, sf_dir):
 
 
 @EXT.add(
+    "win_ntile_bands",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority,
+             NTILE(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile,
+             PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS pr,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           ROUND(MIN(pr), 9) AS min_pr, ROUND(MAX(pr), 9) AS max_pr
+    FROM r GROUP BY 1, 2
+    """,
+    doc=(
+        "Price decile bands per priority class: NTILE(10) + "
+        "PERCENT_RANK with an (o_totalprice, o_orderkey) total order - "
+        "the tie-break makes both rank functions deterministic; "
+        "without it NTILE's bucket boundaries inside a tie run would "
+        "be partition-order-dependent and could never value-hash. "
+        "PARTITION BY keeps the sort distributed (one hash shuffle on "
+        "the class key, never a global single-partition sort); "
+        "percent_rank is (rank-1)/(n-1), an integer-over-integer IEEE "
+        "division, rounded to 9 only for display symmetry. The "
+        "equi-depth band edges (lo/hi per decile) are the "
+        "histogram-calibration shape dashboards consume."
+    ),
+    tags=("window", "analytics"),
+)
+def win_ntile_bands(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        "o_totalprice",
+    )
+    return r.groupBy(
+        "o_orderpriority", F.col("decile").cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.round(F.min("pr"), 9).alias("min_pr"),
+        F.round(F.max("pr"), 9).alias("max_pr"),
+    )
+
+
+@EXT.add(
     "join_asof_cogrouped",
     oracle="""
     WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
