@@ -439,3 +439,10 @@ class TestRound6PlanContracts:
         plan = _plan(QUERIES["llm_sim_quantized"].spark(spark, SF_SMOKE), "simple")
         assert "BroadcastNestedLoopJoin" in plan, plan
         assert "CartesianProduct" not in plan
+
+    def test_ntile_bands_sort_is_distributed(self, spark):
+        """NTILE within priority classes must hash-partition by the
+        class key — never collapse to a single-partition global sort."""
+        plan = _plan(QUERIES["win_ntile_bands"].spark(spark, SF_SMOKE), "simple")
+        assert "Exchange hashpartitioning" in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
