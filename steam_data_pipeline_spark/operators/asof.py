@@ -129,19 +129,27 @@ def asof_backward_cogrouped(
     right_ts: str,
     right_cols: list[str],
     tiebreak: str,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """As-of backward join through ``cogroup().applyInPandas`` — the
     Arrow-path twin of the expression-based :func:`asof_backward`:
-    both sides are co-partitioned BY KEY in one shuffle each, and the
-    per-key pandas ``merge_asof`` (a linear two-pointer merge over the
-    sorted frames) replaces the JVM window machinery. The right side
-    is sorted by (ts, tiebreak) so ties at equal timestamps resolve to
-    the max tiebreak — identical to a ``row_number() OVER (ORDER BY
-    ts DESC, tiebreak DESC)`` pick. When to prefer this path: the
-    per-key logic is about to grow beyond what expressions say
-    (custom staleness rules, interpolation) — cogroup hands both
-    sorted frames to Python at Arrow batch cost, one shuffle per side,
-    no driver involvement.
+    both sides are co-partitioned in one shuffle each and a pandas
+    ``merge_asof`` (linear two-pointer over sorted frames) replaces
+    the JVM window machinery.
+
+    GRANULARITY is the make-or-break decision: cogrouping on the raw
+    key would invoke pandas once PER KEY (measured 11+ s at sf0.1 —
+    ~10k sub-millisecond calls of pure overhead), so both sides are
+    cogrouped on ``hash(key) % n_buckets`` and each call runs ONE
+    ``merge_asof(by=key)`` over the whole bucket — per-key exact
+    matching inside a vectorized merge, ~n_buckets Python calls total
+    regardless of key cardinality. The right side is pre-sorted by
+    (ts, tiebreak), and merge_asof's last-match-per-group rule then
+    picks the max tiebreak at equal timestamps — identical to a
+    ``row_number() OVER (ORDER BY ts DESC, tiebreak DESC)`` pick.
+    When to prefer this path over the expression asof: the per-key
+    logic is about to outgrow expressions (custom staleness rules,
+    interpolation).
 
     Output: all left columns + ``asof_<c>`` for each right col
     (nullable — missing matches stay NULL through pandas' masked
@@ -164,33 +172,53 @@ def asof_backward_cogrouped(
     lcols = [f.name for f in left.schema.fields]
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.drop(columns=["__b"])
+        rpdf = rpdf.drop(columns=["__b"], errors="ignore")
+        # undo the lineage-breaking rename (see below)
+        rpdf = rpdf.rename(
+            columns={c: c.removeprefix("__r_") for c in rpdf.columns}
+        )
         if lpdf.empty:
             return pd.DataFrame(columns=[f.name for f in schema.fields])
-        lpdf = lpdf.sort_values([left_ts])
+        # merge_asof sorts on the `on` key globally; `by` handles the
+        # per-key exact match inside the single vectorized merge
+        lpdf = lpdf.sort_values([left_ts, key], kind="mergesort")
         if rpdf.empty:
             out = lpdf.copy()
             for c in right_cols:
                 out[f"asof_{c}"] = None
             return out
-        rpdf = rpdf.sort_values([right_ts, tiebreak])
+        rpdf = rpdf.sort_values([right_ts, tiebreak], kind="mergesort")
         # copy (not rename) so right_ts stays available as the merge
         # key even when it is itself a requested output column
         for c in right_cols:
             rpdf[f"asof_{c}"] = rpdf[c]
-        rpdf = rpdf[[right_ts] + [f"asof_{c}" for c in right_cols]]
+        rpdf = rpdf[[key, right_ts] + [f"asof_{c}" for c in right_cols]]
         merged = pd.merge_asof(
             lpdf,
             rpdf,
             left_on=left_ts,
             right_on=right_ts,
+            by=key,
             direction="backward",
             suffixes=("", "__r"),
         )
         keep = lcols + [f"asof_{c}" for c in right_cols]
         return merged[keep]
 
+    lb = left.withColumn("__b", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+    # Alias EVERY right column to a fresh name before the cogroup:
+    # when both sides derive from the same scan (self-as-of, e.g.
+    # purchases vs clicks of one events table), the two plans share
+    # attribute IDs and the analyzer silently prunes the right side's
+    # shared columns out of the Arrow batch (observed: right frame
+    # arrived without its key column). Alias mints new expression IDs,
+    # which breaks the ambiguity; the pandas side strips the prefix.
+    rb = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in right.columns]
+    ).withColumn("__b", F.pmod(F.xxhash64(F.col(f"__r_{key}")), F.lit(n_buckets)))
     return (
-        left.groupBy(key)
-        .cogroup(right.groupBy(key))
+        lb.groupBy("__b")
+        .cogroup(rb.groupBy("__b"))
         .applyInPandas(merge, schema)
     )
