@@ -5623,3 +5623,193 @@ OPERATOR_ONLY = {
     "llm_sim_ivf_persisted": _ivf_persisted_operator_only,
     "llm_sim_lsh_persisted": _lsh_persisted_operator_only,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-7: statistical-LM curation (CCNet fluency scoring, DSIR
+# importance weights) and weighted reservoir sampling — the data-
+# SELECTION layer that runs between dedup and domain mixing.
+# ---------------------------------------------------------------------------
+
+@EXT.add(
+    "llm_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bi AS (
+      SELECT doc_id, w[i] AS a, w[i + 1] AS b
+      FROM toks, UNNEST(generate_series(1, greatest(len(w) - 1, 0))) s(i)
+    ),
+    bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+           FROM bi GROUP BY a, b),
+    ctx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM bc GROUP BY a),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+      FROM (SELECT unnest(w) AS word FROM toks)
+    ),
+    lp AS (
+      SELECT bc.a, bc.b,
+             CAST(ROUND(LN((CAST(c_ab AS DOUBLE) + 0.5)
+                           / (CAST(c_a AS DOUBLE)
+                              + 0.5 * CAST(v AS DOUBLE))), 9)
+                  AS DECIMAL(20,9)) AS lp
+      FROM bc JOIN ctx USING (a) CROSS JOIN vocab
+    ),
+    dm AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS m
+           FROM bi GROUP BY doc_id, a, b)
+    SELECT dm.doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(lp * CAST(m AS DECIMAL(10,0))
+                               AS DECIMAL(38,9))) AS DOUBLE)
+                 / SUM(m), 6) AS avg_logprob
+    FROM dm JOIN lp USING (a, b)
+    GROUP BY dm.doc_id
+    """,
+    doc=(
+        "CCNet-style LM fluency scoring (Wenzek et al. 2020): train an "
+        "add-1/2-smoothed bigram LM on the corpus, score every document "
+        "by mean bigram log-probability — the gibberish/boilerplate "
+        "gate of a curation pipeline. Determinism: every ln takes exact-"
+        "integer-ratio operands and is rounded to 9 dp + cast to "
+        "DECIMAL before the per-document sum (exact, partitioning-"
+        "invariant); one final float division rounded to 6. Plan: one "
+        "tokenized scan feeds model and document sides; the model re-"
+        "join is Zipf-keyed on bigram TYPES with the LM side pre-"
+        "aggregated; V is a 1-row broadcast. See llm/lm.py."
+    ),
+    tags=("llm", "curation", "quality", "lm"),
+)
+def llm_lm_score(spark, sf_dir):
+    from steam_data_pipeline_spark.llm import lm as LM
+
+    return LM.lm_score(t(spark, sf_dir, "documents"))
+
+
+@EXT.add(
+    "llm_dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tflag AS (
+      SELECT doc_id, (lang = 'en') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    words AS (
+      SELECT u.doc_id, tflag.t,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split(u.word, ''),
+                                c -> CAST(unicode(c) AS BIGINT))),
+                 (acc, cp) -> (acc * 31 + cp) % 1000003) % 256 AS bucket
+      FROM (SELECT doc_id, unnest(w) AS word FROM toks) u
+      JOIN tflag USING (doc_id)
+    ),
+    lm AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS c_b,
+             CAST(COUNT(*) FILTER (WHERE t) AS BIGINT) AS c_t
+      FROM words GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(c_b) AS BIGINT) AS n_b,
+                   CAST(SUM(c_t) AS BIGINT) AS n_t FROM lm),
+    ratio AS (
+      SELECT bucket,
+             CAST(ROUND(LN(((CAST(c_t AS DOUBLE) + 0.5)
+                            / (CAST(n_t AS DOUBLE) + 0.5 * 256.0))
+                           / ((CAST(c_b AS DOUBLE) + 0.5)
+                              / (CAST(n_b AS DOUBLE) + 0.5 * 256.0))), 9)
+                  AS DECIMAL(20,9)) AS lr
+      FROM lm CROSS JOIN tot
+    ),
+    dm AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS m
+           FROM words GROUP BY doc_id, bucket)
+    SELECT dm.doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(lr * CAST(m AS DECIMAL(10,0))
+                               AS DECIMAL(38,9))) AS DOUBLE), 6)
+             AS dsir_logweight
+    FROM dm JOIN ratio USING (bucket)
+    GROUP BY dm.doc_id
+    """,
+    doc=(
+        "DSIR importance weights (Xie et al. 2023): log-likelihood "
+        "ratio of each document's hashed-unigram bag under the TARGET "
+        "domain LM (lang='en' slice) vs the background (whole-pool) LM "
+        "— resample ∝ exp(weight) to tilt the mix toward the target. "
+        "Feature hash is a Horner-mod codepoint roll (portable integer "
+        "SQL — Spark aggregate() and DuckDB list_reduce() agree by "
+        "value, unlike built-in hash()). Both LMs are 256-row tables "
+        "built in ONE conditional-count pass and broadcast into the "
+        "per-document join — model side is O(n_buckets) at any corpus "
+        "size. Same ln→round→decimal-sum determinism as llm_lm_score. "
+        "See llm/lm.py (dsir_weights)."
+    ),
+    tags=("llm", "curation", "sampling", "lm"),
+)
+def llm_dsir_weights(spark, sf_dir):
+    from steam_data_pipeline_spark.llm import lm as LM
+
+    return LM.dsir_weights(
+        t(spark, sf_dir, "documents"), target=F.col("lang") == "en"
+    )
+
+
+@EXT.add(
+    "samp_weighted_reservoir",
+    oracle="""
+    WITH s AS (
+      SELECT source, doc_id, n_chars,
+             ROUND(LN((((doc_id % 1000003) * 48271) % 1000003 + 1)
+                      / 1000004.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT source, doc_id, n_chars, es_key, rk
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+                      PARTITION BY source
+                      ORDER BY es_key DESC, doc_id) AS BIGINT) AS rk
+          FROM s)
+    WHERE rk <= 5
+    """,
+    doc=(
+        "Weighted reservoir sample WITHOUT replacement, 5 docs per "
+        "source, inclusion probability proportional to n_chars — "
+        "Efraimidis–Spirakis A-ES: rank by u^(1/w) and keep the top-k, "
+        "expressed in log space (ln(u)/w, monotone-equivalent) so the "
+        "key is one ln + one division from exact-integer operands. u "
+        "comes from a SEEDED minstd roll on doc_id ((id*48271) mod "
+        "1000003 — portable integer SQL, not rand()), so the sample is "
+        "reproducible across engines, retries and partitionings — the "
+        "property that makes a weighted sample usable as a pinned "
+        "training subset. Plan: one scan, one hash-partitioned window "
+        "per source (no global sort); at 100 TB swap the window for "
+        "the per-partition-top-k + merge the rehearsal tool uses."
+    ),
+    tags=("sampling", "window"),
+)
+def samp_weighted_reservoir(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    r = ((F.col("doc_id") % F.lit(1000003)) * F.lit(48271)) % F.lit(1000003)
+    u = (r + F.lit(1)).cast("double") / F.lit(1000004.0)
+    s = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars").cast("double"), 9).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
