@@ -5813,3 +5813,50 @@ def samp_weighted_reservoir(spark, sf_dir):
         s.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
     )
+
+
+@EXT.add(
+    "llm_embedding_pca",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    e AS (SELECT unnest(qv) AS qi, generate_subscripts(qv, 1) AS i FROM q),
+    s AS (SELECT i,
+                 SUM(CAST(qi AS HUGEINT) * qi) AS sq2,
+                 SUM(CAST(qi AS HUGEINT)) AS s1
+          FROM e GROUP BY i),
+    agg AS (SELECT SUM(sq2) AS tot2, SUM(s1 * s1) AS ss FROM s),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                  CAST(MAX(len(qv)) AS BIGINT) AS d FROM q)
+    SELECT CAST(t.k AS BIGINT) AS component,
+           CAST(nn.n AS BIGINT) AS n_vecs,
+           nn.d AS d,
+           CAST(nn.n * agg.tot2 - agg.ss AS VARCHAR) AS trace_num,
+           TRUE AS eigsum_ok, TRUE AS ordered_ok,
+           TRUE AS orthonormal_ok, TRUE AS bounds_ok
+    FROM range(1, 9) t(k), agg, nn
+    """,
+    doc=(
+        "Distributed PCA over the embedding column (SemDeDup's "
+        "reduction step): quantize components to exact integers, "
+        "per-partition int64 partial Gramians via mapInPandas (the "
+        "tree-aggregate shape — shuffle carries O(partitions*d^2) "
+        "tiny rows), exact DECIMAL final reduce, then a driver "
+        "eigensolve on the bounded d x d collect (2 145 values at "
+        "d=64, corpus-size-independent). Oracle: the EXACT integer "
+        "trace numerator (n*SUM q_i^2 - SUM(S_i)^2, HUGEINT in DuckDB "
+        "vs python-int on the Spark side) pins the whole distributed "
+        "phase value-exactly; the eigensolve is pinned by spectral "
+        "invariants (eigenvalue sum = trace, descending order, "
+        "orthonormal basis, Rayleigh bounds) — the invariant-oracle "
+        "pattern of agg_hll_mergeable. See llm/pca.py."
+    ),
+    tags=("llm", "embedding", "pca", "approx-free"),
+)
+def llm_embedding_pca(spark, sf_dir):
+    from steam_data_pipeline_spark.llm import pca as P
+
+    return P.pca_invariants(t(spark, sf_dir, "embeddings"))

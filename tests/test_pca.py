@@ -1,0 +1,74 @@
+"""Unit tests for llm/pca.py — known-covariance hand checks and the
+projection contract (properties the invariant oracle can't see)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from steam_data_pipeline_spark.llm import pca as P
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """120 vectors in R^4 with variance concentrated on axis 0:
+    x0 ~ +/-10, x1 ~ +/-1, x2/x3 = 0 — PCA must find e0 then e1."""
+    rows = []
+    for i in range(120):
+        x0 = 10.0 if i % 2 == 0 else -10.0
+        x1 = 1.0 if i % 4 < 2 else -1.0
+        rows.append((i, [x0, x1, 0.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestMoments:
+    def test_exact_trace_matches_numpy(self, spark, planted):
+        inv = P.pca_invariants(planted, top_k=2).collect()
+        assert len(inv) == 2
+        r = inv[0]
+        assert r["n_vecs"] == 120 and r["d"] == 4
+        # trace of population covariance = 100 + 1 (exact inputs)
+        trace = int(r["trace_num"]) / (120 * 120 * P.SCALE**2)
+        assert trace == pytest.approx(101.0, rel=1e-9)
+        assert r["eigsum_ok"] and r["ordered_ok"]
+        assert r["orthonormal_ok"] and r["bounds_ok"]
+
+    def test_partitioning_invariance(self, spark, planted):
+        """The decimal reduce makes the moments EXACT — repartitioning
+        must not change a single output value."""
+        a = P.pca_invariants(planted.repartition(1), top_k=3).collect()
+        b = P.pca_invariants(planted.repartition(13), top_k=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestProjection:
+    def test_projects_onto_planted_axes(self, spark, planted):
+        pcs = {
+            r["vec_id"]: r["pc"]
+            for r in P.pca_project(planted, top_k=2).collect()
+        }
+        # pc1 must recover the +/-10 axis (sign of the eigenvector is
+        # arbitrary but consistent): |pc1| = 10 for every vector
+        for i in (0, 1, 2, 3):
+            assert abs(abs(pcs[i][0]) - 10.0) < 1e-6
+            assert abs(abs(pcs[i][1]) - 1.0) < 1e-6
+        # and opposite-parity vectors land on opposite sides
+        assert pcs[0][0] == pytest.approx(-pcs[1][0], abs=1e-6)
+
+    def test_projection_preserves_distances(self, spark, planted):
+        """Data lives entirely in a 2-D subspace, so the top-2
+        projection is an isometry on it."""
+        pcs = {
+            r["vec_id"]: np.array(r["pc"])
+            for r in P.pca_project(planted, top_k=2).collect()
+        }
+        raw = {
+            r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in planted.collect()
+        }
+        for a, b in [(0, 1), (0, 2), (1, 3)]:
+            want = float(np.linalg.norm(raw[a] - raw[b]))
+            got = float(np.linalg.norm(pcs[a] - pcs[b]))
+            assert got == pytest.approx(want, rel=1e-6)
