@@ -5860,3 +5860,94 @@ def llm_embedding_pca(spark, sf_dir):
     from steam_data_pipeline_spark.llm import pca as P
 
     return P.pca_invariants(t(spark, sf_dir, "embeddings"))
+
+
+@EXT.add(
+    "sink_cdc_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT p_partkey, p_name, p_retailprice
+      FROM part WHERE p_partkey % 3 = 0
+    ),
+    v2 AS (
+      SELECT p_partkey, p_name,
+             CASE WHEN p_partkey % 2 = 0 THEN p_retailprice + 1.0
+                  ELSE p_retailprice END AS p_retailprice
+      FROM part WHERE p_partkey % 3 = 0 AND p_partkey % 5 <> 0
+      UNION ALL
+      SELECT p_partkey, p_name, p_retailprice
+      FROM part WHERE p_partkey % 3 = 1 AND p_partkey % 7 = 0
+    ),
+    j AS (
+      SELECT COALESCE(v1.p_partkey, v2.p_partkey) AS p_partkey,
+             v1.p_name AS old_p_name,
+             v1.p_retailprice AS old_p_retailprice,
+             v2.p_name AS new_p_name,
+             v2.p_retailprice AS new_p_retailprice,
+             v1.p_partkey IS NOT NULL AS in_old,
+             v2.p_partkey IS NOT NULL AS in_new
+      FROM v1 FULL OUTER JOIN v2 ON v1.p_partkey = v2.p_partkey
+    )
+    SELECT p_partkey, old_p_name, old_p_retailprice,
+           new_p_name, new_p_retailprice, change_type
+    FROM (
+      SELECT *,
+             CASE WHEN NOT in_old THEN 'insert'
+                  WHEN NOT in_new THEN 'delete'
+                  WHEN old_p_name IS DISTINCT FROM new_p_name
+                    OR old_p_retailprice IS DISTINCT FROM new_p_retailprice
+                  THEN 'update' END AS change_type
+      FROM j
+    ) WHERE change_type IS NOT NULL
+    """,
+    doc=(
+        "Change-data-capture from store time travel: two overwrite "
+        "generations of a part-derived table (deletes = %15 keys, "
+        "updates = even-key price bump, inserts = a disjoint key "
+        "slice), then cdc_diff(read_at(g1), read_at(g2)) classifies "
+        "every key as insert/update/delete with old/new images - "
+        "Delta-style CHANGE DATA FEED computed post hoc from retained "
+        "generations (operators/upsert.py cdc_diff). The diff is ONE "
+        "full-outer join hash-partitioned on the key; unchanged keys "
+        "drop out. Exercises the REAL on-disk store (pointer flip + "
+        "immutable generations), not a logical twin; the oracle "
+        "replays both snapshot definitions in SQL."
+    ),
+    tags=("sink", "store", "cdc"),
+)
+def sink_cdc_diff(spark, sf_dir):
+    import tempfile
+
+    from steam_data_pipeline_spark.operators.upsert import (
+        ParquetTableStore,
+        cdc_diff,
+    )
+
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    v1 = part.filter(F.col("p_partkey") % 3 == 0)
+    v2 = (
+        part.filter(
+            (F.col("p_partkey") % 3 == 0) & (F.col("p_partkey") % 5 != 0)
+        )
+        .withColumn(
+            "p_retailprice",
+            F.when(
+                F.col("p_partkey") % 2 == 0, F.col("p_retailprice") + F.lit(1.0)
+            ).otherwise(F.col("p_retailprice")),
+        )
+        .unionByName(
+            part.filter(
+                (F.col("p_partkey") % 3 == 1) & (F.col("p_partkey") % 7 == 0)
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="sdp_cdc_")
+    store = ParquetTableStore(spark, root, keep_generations=2)
+    store.overwrite("meta", v1)
+    store.overwrite("meta", v2)
+    g1, g2 = store.generations("meta")[-2:]
+    return cdc_diff(
+        store.read_at("meta", g1), store.read_at("meta", g2), key="p_partkey"
+    )

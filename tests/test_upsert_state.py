@@ -191,3 +191,51 @@ class TestCompaction:
         # the store still upserts normally after compaction
         store.upsert("t", _df(spark, [("3", "c", 3)]), key="app_id")
         assert {r.name for r in store.read("t").filter("app_id = '3'").collect()} == {"c"}
+
+
+class TestCdcDiff:
+    def test_classifies_and_drops_unchanged(self, spark):
+        from steam_data_pipeline_spark.operators.upsert import cdc_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+            "k long, name string, v double",
+        )
+        new = spark.createDataFrame(
+            [(2, "b", 2.5), (3, "c", None), (4, "D", 4.0), (5, "e", 5.0)],
+            "k long, name string, v double",
+        )
+        got = {r["k"]: r for r in cdc_diff(old, new, key="k").collect()}
+        assert set(got) == {1, 2, 4, 5}  # 3 unchanged (null-safe) drops
+        assert got[1]["change_type"] == "delete" and got[1]["new_name"] is None
+        assert got[2]["change_type"] == "update" and got[2]["new_v"] == 2.5
+        assert got[4]["change_type"] == "update"  # name-only change
+        assert got[5]["change_type"] == "insert" and got[5]["old_name"] is None
+
+    def test_compare_cols_subset(self, spark):
+        from steam_data_pipeline_spark.operators.upsert import cdc_diff
+
+        old = spark.createDataFrame([(1, "a", 1.0)], "k long, name string, v double")
+        new = spark.createDataFrame([(1, "a", 9.0)], "k long, name string, v double")
+        # comparing only `name`, the v change is invisible
+        assert cdc_diff(old, new, key="k", compare_cols=["name"]).count() == 0
+
+    def test_store_generations_roundtrip(self, spark, tmp_path):
+        from steam_data_pipeline_spark.operators.upsert import (
+            ParquetTableStore,
+            cdc_diff,
+        )
+
+        store = ParquetTableStore(spark, str(tmp_path), keep_generations=2)
+        store.overwrite("s", spark.createDataFrame([(1, 10)], "k long, v long"))
+        store.overwrite(
+            "s", spark.createDataFrame([(1, 11), (2, 20)], "k long, v long")
+        )
+        g1, g2 = store.generations("s")[-2:]
+        got = {
+            r["k"]: r["change_type"]
+            for r in cdc_diff(
+                store.read_at("s", g1), store.read_at("s", g2), key="k"
+            ).collect()
+        }
+        assert got == {1: "update", 2: "insert"}
