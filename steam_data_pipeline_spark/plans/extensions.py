@@ -5951,3 +5951,100 @@ def sink_cdc_diff(spark, sf_dir):
     return cdc_diff(
         store.read_at("meta", g1), store.read_at("meta", g2), key="p_partkey"
     )
+
+
+@EXT.add(
+    "llm_semdedup",
+    oracle=f"""
+    WITH RECURSIVE u AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 32
+      UNION ALL
+      SELECT vec_id + 2000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 16
+    ),
+    ep AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.95
+    ),
+    eedges AS (
+      SELECT a AS src, b AS dst FROM ep
+      UNION SELECT b AS src, a AS dst FROM ep
+    ),
+    ereach AS (
+      SELECT src AS node, src AS label FROM eedges
+      UNION
+      SELECT e.src AS node, r.label FROM eedges e JOIN ereach r ON e.dst = r.node
+    ),
+    comp AS (
+      SELECT node, CAST(MIN(label) AS BIGINT) AS keeper
+      FROM ereach GROUP BY node
+    )
+    SELECT CAST(node AS BIGINT) AS vec_id, keeper
+    FROM comp WHERE keeper < node
+    """,
+    doc=(
+        "SemDeDup (Abbas et al. 2023) end-to-end: PCA-reduce the "
+        "embeddings (llm/pca.py, top-8 of 64 dims), k-means-cluster "
+        "the REDUCED vectors (the IVF centroid machinery reused as "
+        "the clustering step), generate candidate pairs ONLY within "
+        "clusters, verify with exact cosine on the ORIGINAL vectors "
+        "(>= 0.95), connected-components the verified pairs, drop "
+        "every member but the min-id keeper. Output = (dropped "
+        "vec_id, keeper). Candidate generation is within-cluster "
+        "only — the published algorithm's cost shape: k ~ sqrt(n) "
+        "clusters keep per-cluster all-pairs bounded while identical "
+        "vectors land in the same cluster with probability 1 "
+        "(identical embedding => identical projection => same nearest "
+        "centroid), so the planted duplicate chains (32 copies, 16 "
+        "second copies) are provably detected and the output equals "
+        "the brute-force transitive-closure truth the recursive-CTE "
+        "oracle computes. Exactness never depends on WHERE k-means "
+        "put the cluster boundaries — only completeness for identical "
+        "vectors does."
+    ),
+    tags=("llm", "dedup", "embedding", "pca", "iterative"),
+)
+def llm_semdedup(spark, sf_dir):
+    from steam_data_pipeline_spark.llm import pca as P
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    p1 = emb.filter(F.col("vec_id") < 32).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    p2 = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.union(p1).union(p2).localCheckpoint(eager=True)
+    red = P.pca_project(corpus, key="vec_id", vec_col="embedding", top_k=8)
+    idx = S.build_ivf_index(
+        red.select("vec_id", F.col("pc").alias("embedding")), n_centroids=23
+    )
+    asg = idx.assignments.select("vec_id", "centroid_id")
+    cand = (
+        asg.alias("x")
+        .join(
+            asg.alias("y"),
+            (F.col("x.centroid_id") == F.col("y.centroid_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b")
+        )
+    )
+    ea = corpus.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = corpus.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    ver = (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .filter(S.cosine_expr("va", "vb") >= 0.95)
+        .select("a", "b")
+    )
+    comps = D.connected_components(ver)
+    return comps.filter(F.col("component") < F.col("node")).select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("keeper"),
+    )
