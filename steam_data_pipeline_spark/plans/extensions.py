@@ -6019,9 +6019,14 @@ def llm_semdedup(spark, sf_dir):
         (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
     )
     corpus = emb.union(p1).union(p2).localCheckpoint(eager=True)
+    # self-size the cluster count at sqrt(n) (SemDeDup's published
+    # sizing): per-cluster all-pairs stays ~n total as the corpus
+    # grows; k never affects OUTPUT (exact verify on original
+    # vectors), only candidate volume
+    k = max(16, int(corpus.count() ** 0.5))
     red = P.pca_project(corpus, key="vec_id", vec_col="embedding", top_k=8)
     idx = S.build_ivf_index(
-        red.select("vec_id", F.col("pc").alias("embedding")), n_centroids=23
+        red.select("vec_id", F.col("pc").alias("embedding")), n_centroids=k
     )
     asg = idx.assignments.select("vec_id", "centroid_id")
     cand = (

@@ -285,6 +285,11 @@ HEAVY_QUERIES = [
     "llm_sim_quantized",
     "qa_profile",
     "qa_table_checksum",
+    # round-7 additions: LM curation + PCA/SemDeDup
+    "llm_lm_score",
+    "llm_dsir_weights",
+    "llm_embedding_pca",
+    "llm_semdedup",
 ]
 
 
