@@ -11,8 +11,19 @@ Designed for the 100 TB regime:
 * ``textstats``  — token counts, language-ID heuristic, quality
                    scoring, document fingerprints; pure JVM expressions.
 * ``multimodal`` — opaque binary media columns with typed metadata;
-                   decode/feature plumbing via ``mapInPandas`` (decode
-                   itself stubbed — media libs not in this container).
+                   decode/feature plumbing via ``mapInPandas`` (real
+                   pure-Python PNG/WAV decode, histogram fallback for
+                   formats the container can't decode).
+* ``lm``         — statistical-LM curation: CCNet bigram fluency
+                   scoring, DSIR importance weights (portable
+                   Horner-mod feature hash).
+* ``pca``        — distributed PCA over embeddings: exact-integer
+                   moment sums via per-partition Gramians, bounded
+                   driver eigensolve, JVM-side projection.
+* ``curation``   — PII scrub, Gopher gates, URL canonicalization,
+                   contamination, domain mixing.
+* ``sketches``   — mergeable HLL / count-min / bloom / MinHash
+                   sketches with in-query error contracts.
 
 Determinism: every hash is ``xxhash64``/``sha2`` with pinned seeds —
 never Python ``hash()`` — so results are stable across runs, JVMs and
