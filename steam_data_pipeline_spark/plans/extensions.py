@@ -6053,3 +6053,200 @@ def llm_semdedup(spark, sf_dir):
         F.col("node").cast("long").alias("vec_id"),
         F.col("component").cast("long").alias("keeper"),
     )
+
+
+@EXT.add(
+    "llm_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sized AS (
+      SELECT doc_id, w, len(w) AS n,
+             1 + greatest(0, (len(w) - 9) // 24) AS n_chunks
+      FROM toks WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS chunk_id,
+           CAST(len(w[(1 + 24 * j):(24 * j + 32)]) AS BIGINT)
+             AS n_words_chunk,
+           array_to_string(w[(1 + 24 * j):(24 * j + 32)], ' ')
+             AS chunk_text
+    FROM sized, UNNEST(generate_series(0, n_chunks - 1)) s(j)
+    """,
+    doc=(
+        "RAG/embedding-prep chunking: overlapping 32-word windows with "
+        "stride 24 (8-word overlap), stable (doc_id, chunk_id) keys — "
+        "the retrieval-corpus preparation step between curation and "
+        "embedding. Chunk count = 1 + max(0, ceil((n-32)/24)) in pure "
+        "integer arithmetic (no float sizing), so the last chunk "
+        "always covers the tail and short docs yield exactly one "
+        "chunk. Pure JVM: one scan, transform(sequence)+explode+slice "
+        "— a narrow map, no shuffle at all; at 100 TB chunking is "
+        "embarrassingly parallel and this plan keeps it that way."
+    ),
+    tags=("llm", "text", "chunking"),
+)
+def llm_chunking(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("w"),
+    ).filter(F.size("w") > 0)
+    sized = toks.withColumn(
+        "n_chunks",
+        F.lit(1)
+        + F.greatest(
+            F.lit(0), F.floor((F.size("w") - F.lit(9)) / F.lit(24)).cast("int")
+        ),
+    )
+    return (
+        sized.select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("j"),
+        )
+        .select(
+            "doc_id",
+            F.col("j").cast("long").alias("chunk_id"),
+            F.size(F.slice("w", F.lit(1) + F.lit(24) * F.col("j"), F.lit(32)))
+            .cast("long")
+            .alias("n_words_chunk"),
+            F.concat_ws(
+                " ", F.slice("w", F.lit(1) + F.lit(24) * F.col("j"), F.lit(32))
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@EXT.add(
+    "llm_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bi AS (
+      SELECT doc_id, w[i] AS a, w[i + 1] AS b
+      FROM toks, UNNEST(generate_series(1, greatest(len(w) - 1, 0))) s(i)
+    ),
+    bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+           FROM bi GROUP BY a, b),
+    ctx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM bc GROUP BY a),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+      FROM (SELECT unnest(w) AS word FROM toks)
+    ),
+    lp AS (
+      SELECT bc.a, bc.b,
+             CAST(ROUND(LN((CAST(c_ab AS DOUBLE) + 0.5)
+                           / (CAST(c_a AS DOUBLE)
+                              + 0.5 * CAST(v AS DOUBLE))), 9)
+                  AS DECIMAL(20,9)) AS lp
+      FROM bc JOIN ctx USING (a) CROSS JOIN vocab
+    ),
+    dm AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS m
+           FROM bi GROUP BY doc_id, a, b),
+    scores AS (
+      SELECT dm.doc_id,
+             CAST(SUM(m) AS BIGINT) AS n_bigrams,
+             ROUND(CAST(SUM(CAST(lp * CAST(m AS DECIMAL(10,0))
+                                 AS DECIMAL(38,9))) AS DOUBLE)
+                   / SUM(m), 6) AS avg_logprob
+      FROM dm JOIN lp USING (a, b)
+      GROUP BY dm.doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, s.n_bigrams, s.avg_logprob,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_logprob DESC, s.doc_id)
+               AS bucket
+      FROM scores s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CAST(bucket AS BIGINT) AS bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS sum_tokens,
+           MIN(avg_logprob) AS lo, MAX(avg_logprob) AS hi,
+           CASE bucket WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
+                       ELSE 0.1 END AS sample_rate,
+           CAST(round(SUM(n_bigrams)
+                      * CASE bucket WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
+                                    ELSE 0.1 END) AS BIGINT)
+             AS expected_tokens
+    FROM bucketed GROUP BY lang, bucket
+    """,
+    doc=(
+        "CCNet's per-language perplexity bucketing (Wenzek et al. "
+        "2020 section 4.3): within each language, rank documents by "
+        "LM score (llm_lm_score's model) and cut head/middle/tail "
+        "terciles, then per-bucket doc/token accounting plus the "
+        "head-heavy sampling rate (1.0/0.5/0.1) and expected token "
+        "yield — the table a curation run reads to decide what "
+        "actually enters training. PARTITION BY lang keeps the ntile "
+        "sort distributed (the win_ntile_bands contract — languages "
+        "shuffle-hash, no global single-partition sort); the "
+        "(avg_logprob desc, doc_id) total order makes tercile edges "
+        "deterministic. Scores are exact-decimal (llm_lm_score), so "
+        "the whole composition value-hashes."
+    ),
+    tags=("llm", "curation", "quality", "lm", "window"),
+)
+def llm_ccnet_buckets(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from steam_data_pipeline_spark.llm import lm as LM
+
+    docs = t(spark, sf_dir, "documents")
+    scores = LM.lm_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    bucketed = scores.select(
+        "lang",
+        "n_bigrams",
+        "avg_logprob",
+        F.ntile(3).over(w).alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("lang", F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("sum_tokens"),
+            F.min("avg_logprob").alias("lo"),
+            F.max("avg_logprob").alias("hi"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            F.when(F.col("bucket") == 1, F.lit("head"))
+            .when(F.col("bucket") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("label"),
+            "n_docs",
+            "sum_tokens",
+            "lo",
+            "hi",
+            F.when(F.col("bucket") == 1, F.lit(1.0))
+            .when(F.col("bucket") == 2, F.lit(0.5))
+            .otherwise(F.lit(0.1))
+            .alias("sample_rate"),
+            F.round(
+                F.col("sum_tokens")
+                * F.when(F.col("bucket") == 1, F.lit(1.0))
+                .when(F.col("bucket") == 2, F.lit(0.5))
+                .otherwise(F.lit(0.1))
+            )
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+    )
