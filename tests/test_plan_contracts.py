@@ -446,3 +446,63 @@ class TestRound6PlanContracts:
         plan = _plan(QUERIES["win_ntile_bands"].spark(spark, SF_SMOKE), "simple")
         assert "Exchange hashpartitioning" in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
+
+
+class TestRound7PlanContracts:
+    def test_chunking_is_shuffle_free(self, spark):
+        """Chunking is a narrow map: explode+slice, ZERO exchanges."""
+        plan = _plan(QUERIES["llm_chunking"].spark(spark, SF_SMOKE), "simple")
+        assert "Exchange" not in plan, plan
+
+    def test_dsir_model_side_broadcasts(self, spark):
+        """Both DSIR LMs are O(n_buckets) tables: the per-document
+        join must consume them via broadcast, never shuffle the
+        corpus against the model."""
+        plan = _plan(QUERIES["llm_dsir_weights"].spark(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_lm_score_joins_on_types_model_preaggregated(self, spark):
+        """The LM re-join is keyed on bigram TYPES with the model side
+        pre-aggregated — the plan must aggregate (HashAggregate)
+        before the join, and never form a cartesian product."""
+        plan = _plan(QUERIES["llm_lm_score"].spark(spark, SF_SMOKE), "simple")
+        assert "CartesianProduct" not in plan
+        assert "HashAggregate" in plan
+
+    def test_weighted_reservoir_sort_is_distributed(self, spark):
+        """A-ES top-k per source: window hash-partitions by source and
+        keeps <= k rows per key per task before the sort."""
+        plan = _plan(
+            QUERIES["samp_weighted_reservoir"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Exchange hashpartitioning" in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "WindowGroupLimit" in plan, plan
+
+    def test_ccnet_buckets_ntile_distributed(self, spark):
+        """Per-language terciles: PARTITION BY lang keeps the rank
+        sort hash-partitioned on lang — never a single-partition
+        global sort. (ONE SinglePartition exchange is expected and
+        allowed: the 1-row final merge of the scalar vocabulary
+        count-distinct, not a data sort.)"""
+        plan = _plan(QUERIES["llm_ccnet_buckets"].spark(spark, SF_SMOKE), "simple")
+        assert "Exchange hashpartitioning(lang" in plan, plan
+        assert plan.count("Exchange SinglePartition") <= 1, plan
+        # the window's sort must be the partial (per-partition) kind
+        import re
+
+        m = re.search(r"Sort \[lang[^\n]*\], (\w+),", plan)
+        assert m and m.group(1) == "false", plan  # global=false
+
+    def test_pca_moments_shuffle_carries_partials_only(self, spark):
+        """The PCA moment reduce shuffles (i, j) keyed partial sums —
+        the exchange must sit ABOVE the mapInPandas stage (partials),
+        and the scan must prune to the embedding column."""
+        from steam_data_pipeline_spark.llm import pca as P
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        emb = read_table(spark, SF_SMOKE, "embeddings")
+        plan = _plan(P.moment_sums(emb), "simple")
+        assert "MapInPandas" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "vec_id" not in plan  # column pruned: only embedding read
