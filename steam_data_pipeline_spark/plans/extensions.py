@@ -6250,3 +6250,95 @@ def llm_ccnet_buckets(spark, sf_dir):
             .alias("expected_tokens"),
         )
     )
+
+
+@EXT.add(
+    "llm_dsir_resample",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tflag AS (
+      SELECT doc_id, (lang = 'en') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    words AS (
+      SELECT u.doc_id, tflag.t,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split(u.word, ''),
+                                c -> CAST(unicode(c) AS BIGINT))),
+                 (acc, cp) -> (acc * 31 + cp) % 1000003) % 256 AS bucket
+      FROM (SELECT doc_id, unnest(w) AS word FROM toks) u
+      JOIN tflag USING (doc_id)
+    ),
+    lm AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS c_b,
+             CAST(COUNT(*) FILTER (WHERE t) AS BIGINT) AS c_t
+      FROM words GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(c_b) AS BIGINT) AS n_b,
+                   CAST(SUM(c_t) AS BIGINT) AS n_t FROM lm),
+    ratio AS (
+      SELECT bucket,
+             CAST(ROUND(LN(((CAST(c_t AS DOUBLE) + 0.5)
+                            / (CAST(n_t AS DOUBLE) + 0.5 * 256.0))
+                           / ((CAST(c_b AS DOUBLE) + 0.5)
+                              / (CAST(n_b AS DOUBLE) + 0.5 * 256.0))), 9)
+                  AS DECIMAL(20,9)) AS lr
+      FROM lm CROSS JOIN tot
+    ),
+    dm AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS m
+           FROM words GROUP BY doc_id, bucket),
+    weights AS (
+      SELECT dm.doc_id,
+             CAST(SUM(m) AS BIGINT) AS n_tokens,
+             ROUND(CAST(SUM(CAST(lr * CAST(m AS DECIMAL(10,0))
+                                 AS DECIMAL(38,9))) AS DOUBLE), 6)
+               AS dsir_logweight
+      FROM dm JOIN ratio USING (bucket)
+      GROUP BY dm.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens, dsir_logweight,
+             ROUND(dsir_logweight
+                   - LN(-LN((((doc_id % 1000003) * 16807 + 12345)
+                             % 1000003 + 1) / 1000004.0)), 9) AS gkey
+      FROM weights
+    )
+    SELECT doc_id, n_tokens, dsir_logweight, gkey
+    FROM keyed ORDER BY gkey DESC, doc_id LIMIT 100
+    """,
+    doc=(
+        "DSIR importance RESAMPLING — the step llm_dsir_weights feeds: "
+        "draw 100 documents without replacement with probability "
+        "proportional to exp(logweight) via the Gumbel-top-k trick "
+        "(argmax_k of logweight + Gumbel(0,1) is exactly a PPSWOR "
+        "sample — the log-space twin of the A-ES reservoir key). The "
+        "Gumbel comes from a SEEDED minstd roll on doc_id (different "
+        "multiplier/offset than samp_weighted_reservoir, so the two "
+        "samples decorrelate), -ln(-ln u) rounded to 9 with the "
+        "logweight before ranking; (gkey desc, doc_id) total order -> "
+        "deterministic sample set, TakeOrderedAndProject top-k (no "
+        "global sort materialization). The pinned-sample property is "
+        "what makes an importance-resampled training mix reproducible "
+        "across retries and cluster sizes."
+    ),
+    tags=("llm", "curation", "sampling", "lm"),
+)
+def llm_dsir_resample(spark, sf_dir):
+    from steam_data_pipeline_spark.llm import lm as LM
+
+    docs = t(spark, sf_dir, "documents")
+    weights = LM.dsir_weights(docs, target=F.col("lang") == "en")
+    r = (
+        (F.col("doc_id") % F.lit(1000003)) * F.lit(16807) + F.lit(12345)
+    ) % F.lit(1000003)
+    u = (r + F.lit(1)).cast("double") / F.lit(1000004.0)
+    keyed = weights.withColumn(
+        "gkey", F.round(F.col("dsir_logweight") - F.log(-F.log(u)), 9)
+    )
+    return keyed.orderBy(F.col("gkey").desc(), F.col("doc_id")).limit(100)
