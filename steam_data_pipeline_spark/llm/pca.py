@@ -44,12 +44,36 @@ SCALE = 1_000_000
 
 
 def quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """(qv: array<long>) — exact fixed-point components."""
-    return emb.select(
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * F.lit(SCALE), 0).cast("long"),
-        ).alias("qv")
+    """(qv: array<long>) — exact fixed-point components.
+
+    NULL vectors are dropped and the dimension is pinned to the first
+    row's (ragged/truncated rows are dropped too, not silently
+    zero-padded into the moments): messy upstream embeddings must not
+    crash the Gramian matmul or corrupt the covariance — the
+    try_parse_url lesson applied to the vector column. NULL
+    *components* would quantize to NULL and poison a whole Gramian
+    row, so they are filtered with the same policy."""
+    base = emb.filter(F.col(vec_col).isNotNull())
+    probe = base.select(F.size(vec_col).alias("d")).first()
+    if probe is None:
+        raise ValueError(f"pca: no non-null rows in {vec_col!r}")
+    d = probe["d"]
+    return (
+        base.filter(
+            (F.size(vec_col) == d)
+            & (
+                F.size(F.filter(F.col(vec_col), lambda x: x.isNull()))
+                == 0
+            )
+        )
+        .select(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * F.lit(SCALE), 0).cast(
+                    "long"
+                ),
+            ).alias("qv")
+        )
     )
 
 

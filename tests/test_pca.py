@@ -72,3 +72,33 @@ class TestProjection:
             want = float(np.linalg.norm(raw[a] - raw[b]))
             got = float(np.linalg.norm(pcs[a] - pcs[b]))
             assert got == pytest.approx(want, rel=1e-6)
+
+
+class TestBadInputs:
+    def test_null_and_ragged_rows_dropped(self, spark):
+        """NULL vectors, ragged lengths and NULL components must be
+        dropped under an explicit policy - not crash the matmul or
+        silently poison the moments."""
+        clean = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        )
+        dirty = spark.createDataFrame(
+            [
+                (100, None),
+                (101, [1.0]),
+                (102, [1.0, 2.0, 3.0]),
+                (103, [None, 2.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        a = P.pca_invariants(clean, top_k=2).collect()
+        b = P.pca_invariants(clean.unionByName(dirty), top_k=2).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_all_null_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, None)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="no non-null rows"):
+            P.pca_invariants(df)
