@@ -6342,3 +6342,48 @@ def llm_dsir_resample(spark, sf_dir):
         "gkey", F.round(F.col("dsir_logweight") - F.log(-F.log(u)), 9)
     )
     return keyed.orderBy(F.col("gkey").desc(), F.col("doc_id")).limit(100)
+
+
+@EXT.add(
+    "join_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+    ) t
+    """,
+    doc=(
+        "Correlated LATERAL subquery: top-3 customers by balance PER "
+        "NATION written as the per-row subquery a SQL user reaches "
+        "for - and Catalyst DE-CORRELATES it into the distributed "
+        "top-N plan (WindowGroupLimit partial+final around one hash "
+        "exchange + broadcast dim join; verified by plan contract), "
+        "identical physical shape to the hand-written window top-N "
+        "(win_topn_per_key). The point for the API surface: the naive "
+        "formulation is NOT executed naively - no per-outer-row "
+        "subquery execution survives optimization. Uses templated "
+        "spark.sql({df}) binding, no temp-view namespace pollution. "
+        "(c_acctbal desc, c_custkey) total order makes the pick "
+        "deterministic."
+    ),
+    tags=("join", "lateral", "sql-api"),
+)
+def join_lateral_topk(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation")
+    customer = t(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM {nation} n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM {customer} c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        ) t
+        """,
+        nation=nation,
+        customer=customer,
+    )

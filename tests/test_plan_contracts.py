@@ -506,3 +506,12 @@ class TestRound7PlanContracts:
         assert "MapInPandas" in plan, plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "vec_id" not in plan  # column pruned: only embedding read
+
+    def test_lateral_topk_decorrelates(self, spark):
+        """The correlated LATERAL subquery must be rewritten to the
+        distributed top-N shape: WindowGroupLimit + ONE hash exchange,
+        never a per-outer-row nested execution or cartesian."""
+        plan = _plan(QUERIES["join_lateral_topk"].spark(spark, SF_SMOKE), "simple")
+        assert "WindowGroupLimit" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
