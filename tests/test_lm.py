@@ -122,3 +122,36 @@ class TestDsirWeights:
             for w in words
         }
         assert got_spark == got_duck
+
+
+class TestPartitioningInvariance:
+    """The exact-decimal-sum discipline's observable guarantee: any
+    repartitioning yields BIT-identical scores (a float-sum
+    implementation would differ in the last ulps and break the
+    value-hash oracle nondeterministically)."""
+
+    def test_lm_score_partitioning_invariant(self, spark, tiny):
+        a = sorted(map(tuple, LM.lm_score(tiny.repartition(1)).collect()))
+        b = sorted(map(tuple, LM.lm_score(tiny.repartition(7)).collect()))
+        assert a == b
+
+    def test_dsir_partitioning_invariant(self, spark, tiny):
+        import pyspark.sql.functions as F2
+
+        a = sorted(
+            map(
+                tuple,
+                LM.dsir_weights(
+                    tiny.repartition(1), target=F2.col("lang") == "en"
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                LM.dsir_weights(
+                    tiny.repartition(5), target=F2.col("lang") == "en"
+                ).collect(),
+            )
+        )
+        assert a == b
