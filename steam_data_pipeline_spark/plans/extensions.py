@@ -6387,3 +6387,124 @@ def join_lateral_topk(spark, sf_dir):
         nation=nation,
         customer=customer,
     )
+
+
+@EXT.add(
+    "llm_bm25_search",
+    oracle="""
+    WITH terms(term) AS (VALUES ('table'), ('spark'), ('window')),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+           WHERE len(w) > 0),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT u.doc_id, u.word AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(w) AS word FROM toks) u
+      JOIN terms ON terms.term = u.word
+      GROUP BY u.doc_id, u.word
+    ),
+    dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ROUND(LN((CAST(n_docs AS DOUBLE) - df + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
+               * (CAST(tf AS DOUBLE)
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                              / (CAST(total_len AS DOUBLE) / n_docs))))),
+               9) AS DECIMAL(20,9)) AS c
+      FROM tf
+      JOIN dft USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    doc=(
+        "BM25 ranked keyword retrieval (Robertson-Sparck Jones, "
+        "k1=1.2, b=0.75; the +1 idf keeps scores positive a la "
+        "Lucene): top-20 documents for a 3-term query - the "
+        "lexical-retrieval sibling of the ANN family (hybrid search "
+        "pairs exactly these two). Plan: the terms list is a 3-row "
+        "broadcast into the token stream (the inverted-index probe "
+        "shape - only matching postings leave the scan); doc-length "
+        "and corpus stats are 1-row broadcasts; per-term "
+        "contributions round to 9 and sum as DECIMAL per doc (order-"
+        "invariant), final score rounds to 6 under a (score desc, "
+        "doc_id) total order into TakeOrderedAndProject. At 100 TB "
+        "the tf table IS the inverted index - persist it partitioned "
+        "by term and the probe prunes at file level."
+    ),
+    tags=("llm", "text", "retrieval"),
+)
+def llm_bm25_search(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    terms = spark.createDataFrame(
+        [("table",), ("spark",), ("window",)], "term string"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != ""
+        ).alias("w"),
+    ).filter(F.size("w") > 0)
+    dl = toks.select("doc_id", F.size("w").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    words = toks.select("doc_id", F.explode("w").alias("term"))
+    tf = (
+        words.join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    idf9 = F.round(
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        9,
+    )
+    satur = F.col("tf").cast("double") / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * (
+                F.col("dl").cast("double")
+                / (F.col("total_len").cast("double") / F.col("n_docs"))
+            )
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf9 * satur, 9).cast("decimal(20,9)").alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(20)
+    )
