@@ -6449,6 +6449,17 @@ def join_lateral_topk(spark, sf_dir):
     tags=("llm", "text", "retrieval"),
 )
 def llm_bm25_search(spark, sf_dir):
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_scores(spark, sf_dir):
+    """(doc_id, bm25) for the fixed 3-term query — shared by
+    llm_bm25_search (ranked list) and llm_hybrid_search (RRF leg).
+    See llm_bm25_search's doc for the determinism discipline."""
     docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     terms = spark.createDataFrame(
         [("table",), ("spark",), ("window",)], "term string"
@@ -6502,9 +6513,133 @@ def llm_bm25_search(spark, sf_dir):
             F.round(idf9 * satur, 9).cast("decimal(20,9)").alias("c"),
         )
     )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("c").cast("double"), 6).alias("bm25"))
+    return contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c").cast("double"), 6).alias("bm25")
+    )
+
+
+@EXT.add(
+    "llm_hybrid_search",
+    oracle=f"""
+    WITH terms(term) AS (VALUES ('table'), ('spark'), ('window')),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+           WHERE len(w) > 0),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT u.doc_id, u.word AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(w) AS word FROM toks) u
+      JOIN terms ON terms.term = u.word
+      GROUP BY u.doc_id, u.word
+    ),
+    dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ROUND(LN((CAST(n_docs AS DOUBLE) - df + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
+               * (CAST(tf AS DOUBLE)
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                              / (CAST(total_len AS DOUBLE) / n_docs))))),
+               9) AS DECIMAL(20,9)) AS c
+      FROM tf
+      JOIN dft USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY ROUND(CAST(SUM(c) AS DOUBLE), 6) DESC, doc_id)
+               AS BIGINT) AS r_lex
+      FROM contrib GROUP BY doc_id
+      ORDER BY ROUND(CAST(SUM(c) AS DOUBLE), 6) DESC, doc_id LIMIT 20
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+               AS BIGINT) AS r_dense
+      FROM (
+        SELECT e.vec_id,
+               {_COS_SQL.format(a="e.embedding", b="qv.v")} AS cosine
+        FROM embeddings e CROSS JOIN qv
+      ) ORDER BY cosine DESC, vec_id LIMIT 20
+    )
+    SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+           r_lex, r_dense,
+           ROUND(COALESCE(1.0 / (60 + r_lex), 0.0)
+                 + COALESCE(1.0 / (60 + r_dense), 0.0), 9) AS rrf
+    FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc=(
+        "HYBRID retrieval: BM25 lexical top-20 (shared scorer with "
+        "llm_bm25_search) fused with exact dense-cosine top-20 for "
+        "the doc-0 query vector via Reciprocal Rank Fusion "
+        "(Cormack et al. 2009, k=60) — the standard two-leg retrieval "
+        "stack (Lucene+ANN) as one declarative plan. RRF needs only "
+        "RANKS, which are deterministic under each leg's (score desc, "
+        "id) total order, so the fusion is exactly reproducible even "
+        "though the two legs' score scales are incomparable; the "
+        "final score adds exactly two fixed-order terms (no float "
+        "SUM aggregation), rounded to 9. Both leg top-20s are "
+        "TakeOrderedAndProject; each leg is independently "
+        "scale-shaped (BM25 = inverted-index probe, dense = the ANN "
+        "family's exact baseline, swappable for IVF/LSH at scale)."
+    ),
+    tags=("llm", "retrieval", "similarity", "flagship"),
+)
+def llm_hybrid_search(spark, sf_dir):
+    from pyspark.sql import Window
+
+    lex = (
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(20)
+        .withColumn(
+            "r_lex",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+            .cast("long"),
+        )
+        .select("doc_id", "r_lex")
     )
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("v")
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(qv))
+        .select("vec_id", S.cosine_expr("embedding", "v").alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(20)
+        .withColumn(
+            "r_dense",
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id")))
+            .cast("long"),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "r_dense")
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_dense",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_dense")), F.lit(0.0)
+            ),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
