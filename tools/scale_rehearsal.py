@@ -285,11 +285,14 @@ HEAVY_QUERIES = [
     "llm_sim_quantized",
     "qa_profile",
     "qa_table_checksum",
-    # round-7 additions: LM curation + PCA/SemDeDup
+    # round-7 additions: LM curation + PCA/SemDeDup + retrieval
     "llm_lm_score",
     "llm_dsir_weights",
     "llm_embedding_pca",
     "llm_semdedup",
+    "llm_ccnet_buckets",
+    "llm_bm25_search",
+    "llm_hybrid_search",
 ]
 
 
