@@ -515,3 +515,18 @@ class TestRound7PlanContracts:
         assert "WindowGroupLimit" in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_bm25_terms_broadcast_into_token_stream(self, spark):
+        """The query-term list must broadcast (inverted-index probe
+        shape): only matching postings leave the scan; the final top-k
+        is TakeOrderedAndProject, not a global sort."""
+        plan = _plan(QUERIES["llm_bm25_search"].spark(spark, SF_SMOKE), "simple")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_hybrid_search_both_legs_take_ordered(self, spark):
+        """RRF fuses two top-20 lists: each leg must cut to k via
+        TakeOrderedAndProject before the fusion join."""
+        plan = _plan(QUERIES["llm_hybrid_search"].spark(spark, SF_SMOKE), "simple")
+        assert plan.count("TakeOrderedAndProject") >= 2, plan
+        assert "CartesianProduct" not in plan, plan
