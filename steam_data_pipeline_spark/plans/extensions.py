@@ -6643,3 +6643,90 @@ def llm_hybrid_search(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance: a late/correcting batch
+# arrives, only the partitions it touches are recomputed, and the
+# refreshed view must equal a from-scratch rebuild. The reference
+# rebuilds its daily aggregates from the full table every run
+# (main.py:421-447 recreates the summary on each scrape cycle); at
+# 100 TB a full rebuild per arriving batch is the canonical
+# anti-pattern, so the Spark-first form is partition-scoped refresh.
+# ---------------------------------------------------------------------------
+
+@EXT.add(
+    "sink_mv_refresh",
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1
+    )
+    SELECT day, n_events, n_users,
+           EXTRACT(day FROM day) IN (5, 17, 29) AS refreshed
+    FROM agg
+    """,
+    doc=(
+        "Incremental materialized-view refresh: the daily-counts MV is "
+        "built from the base load (everything except the late half of "
+        "three days' events), then a late batch arrives and ONLY the "
+        "days present in that batch are recomputed — a broadcast "
+        "left-anti join drops the stale MV rows and the recompute leg "
+        "reads the day-partitioned stored layout through a broadcast "
+        "SEMI join on the partition column, so dynamic partition "
+        "pruning limits the rebuild scan to the affected partitions "
+        "(3 of 30 here; the same 3-of-N at 100 TB — refresh cost "
+        "scales with the batch's day span, never with table size). "
+        "The oracle is a FULL recompute over base+batch: incremental "
+        "maintenance must be indistinguishable from rebuild. The "
+        "refreshed flag marks which rows came through the recompute "
+        "leg, so a vacuous no-op refresh cannot pass. Reference "
+        "parity: main.py:421-447 rebuilds its summary table on every "
+        "cycle; this is that operation made batch-incremental."
+    ),
+    tags=("sink", "store", "incremental"),
+)
+def sink_mv_refresh(spark, sf_dir):
+    part_dir = _prepare_day_partitioned(spark, sf_dir)
+    ev = t(spark, sf_dir, "events")
+    # Deterministic late-arrival scenario: for three days spread across
+    # the month, half the events (odd event_id) arrive AFTER the MV was
+    # first built.
+    is_late = F.dayofmonth("ts").isin(5, 17, 29) & (
+        F.col("event_id") % 2 == 1
+    )
+    base, batch = ev.filter(~is_late), ev.filter(is_late)
+
+    def daily(df, day_expr):
+        return df.groupBy(day_expr.alias("d")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+
+    mv0 = daily(base, F.to_date("ts"))
+    # Affected-day set comes from the BATCH (bounded by its day span),
+    # not from any static rule — the general maintenance contract.
+    aff_days = batch.select(F.to_date("ts").alias("d")).distinct()
+    kept = mv0.join(F.broadcast(aff_days), "d", "left_anti").withColumn(
+        "refreshed", F.lit(False)
+    )
+    # Recompute leg: the stored day-partitioned table (base+batch all
+    # present on disk) joined semi against the affected days — DPP
+    # prunes the scan to those partitions.
+    stored = spark.read.parquet(part_dir)
+    recomputed = daily(
+        stored.join(
+            F.broadcast(aff_days.withColumnRenamed("d", "day")),
+            "day",
+            "left_semi",
+        ),
+        F.col("day"),
+    ).withColumn("refreshed", F.lit(True))
+    return kept.unionByName(recomputed).select(
+        F.col("d").cast("timestamp").alias("day"),
+        "n_events",
+        "n_users",
+        "refreshed",
+    )

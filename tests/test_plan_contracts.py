@@ -530,3 +530,16 @@ class TestRound7PlanContracts:
         plan = _plan(QUERIES["llm_hybrid_search"].spark(spark, SF_SMOKE), "simple")
         assert plan.count("TakeOrderedAndProject") >= 2, plan
         assert "CartesianProduct" not in plan, plan
+
+    def test_mv_refresh_recompute_is_partition_pruned(self, spark):
+        """The MV refresh's rebuild leg must read ONLY the affected
+        day partitions: the semi join against the batch's day set has
+        to inject a runtime pruning subquery into the partitioned
+        scan, and both maintenance joins (anti drop + semi rebuild)
+        must broadcast the tiny day set — refresh cost scales with the
+        batch's day span, never with the stored table."""
+        plan = _plan(QUERIES["sink_mv_refresh"].spark(spark, SF_SMOKE))
+        assert "dynamicpruning" in plan.lower(), plan
+        assert "CartesianProduct" not in plan, plan
+        simple = _plan(QUERIES["sink_mv_refresh"].spark(spark, SF_SMOKE), "simple")
+        assert "BroadcastHashJoin" in simple and "LeftAnti" in simple, simple
