@@ -543,3 +543,36 @@ class TestRound7PlanContracts:
         assert "CartesianProduct" not in plan, plan
         simple = _plan(QUERIES["sink_mv_refresh"].spark(spark, SF_SMOKE), "simple")
         assert "BroadcastHashJoin" in simple and "LeftAnti" in simple, simple
+
+
+class TestGlobalPlanAudit:
+    """Registry-wide anti-pattern sweep: every registered query's
+    physical plan is screened, not just the individually-contracted
+    ones. Two patterns are banned outright at 100 TB:
+
+    * ``CartesianProduct`` — an unbroadcast cross join over data-sized
+      relations. Every intentional crossJoin in the repo pairs with a
+      broadcast small side (query vectors, centroids, 1-row aggregates)
+      and must therefore plan as BroadcastNestedLoopJoin.
+    * ``BatchEvalPython`` — the row-at-a-time Python UDF path. All
+      Python crossings must be Arrow-vectorized (ArrowEvalPython /
+      FlatMapGroupsInPandas / MapInPandas / FlatMapCoGroupsInPandas).
+
+    Building a plan only plans (no execution), so the sweep is cheap;
+    queries that execute work at build time (streaming harnesses,
+    fixture writes) still only pay sf0.001.
+    """
+
+    def test_no_cartesian_no_rowwise_python_anywhere(self, spark):
+        bad: list[str] = []
+        for name, q in sorted(QUERIES.items()):
+            try:
+                plan = _plan(q.spark(spark, SF_SMOKE), "simple")
+            except Exception as e:  # noqa: BLE001 - report, don't mask
+                bad.append(f"{name}: plan build failed: {e}")
+                continue
+            if "CartesianProduct" in plan:
+                bad.append(f"{name}: CartesianProduct")
+            if "BatchEvalPython" in plan:
+                bad.append(f"{name}: row-at-a-time BatchEvalPython")
+        assert not bad, "\n".join(bad)
