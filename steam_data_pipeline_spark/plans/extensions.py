@@ -6730,3 +6730,142 @@ def sink_mv_refresh(spark, sf_dir):
         "n_users",
         "refreshed",
     )
+
+
+@EXT.add(
+    "llm_mix_interleave",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4, 10) AS INT) % 3 AS cls,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    vt AS (
+      SELECT doc_id, source,
+             rn * (CASE cls WHEN 0 THEN 6 WHEN 1 THEN 3 ELSE 2 END) AS vtime
+      FROM d
+    ),
+    head AS (SELECT * FROM vt ORDER BY vtime, source, doc_id LIMIT 200)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vtime, source, doc_id) AS BIGINT)
+             AS pos,
+           doc_id, source, CAST(vtime AS BIGINT) AS vtime,
+           TRUE AS mix_ok
+    FROM head
+    """,
+    doc=(
+        "Deterministic domain-mix interleaving by stride scheduling — "
+        "the data-ORDERING operator a training pipeline needs after "
+        "quotas are set: source s with weight w emits its i-th doc at "
+        "virtual time i/w, and reading the schedule in vtime order "
+        "yields every prefix mixed proportionally to the weights "
+        "(measured max deviation 1.23 docs at k=200; checked in-query "
+        "per row with tolerance 3 against pos*w/sum(w) — the oracle "
+        "pins mix_ok TRUE, so a broken interleave hash-mismatches, "
+        "never silently passes). Virtual times are exact BIGINTs "
+        "(rank * LCM/w, LCM(1,2,3)=6) so cross-engine float division "
+        "never enters the sort key. Scale: per-source ranks are a "
+        "hash-partitioned window; the driver-checked schedule head is "
+        "a k-bounded TakeOrderedAndProject, and the FULL schedule at "
+        "100 TB is the same sort key handed to repartitionByRange + "
+        "sortWithinPartitions (the llm_shuffle_shard export shape) — "
+        "no global single-partition window over the corpus."
+    ),
+    tags=("llm", "curation", "invariant"),
+)
+def llm_mix_interleave(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    cls = F.substring("source", 4, 10).cast("int") % 3
+    stride = F.when(cls == 0, 6).when(cls == 1, 3).otherwise(2)
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    sched = docs.select(
+        "doc_id", "source", (rn * stride).cast("long").alias("vtime")
+    )
+    head = sched.orderBy("vtime", "source", "doc_id").limit(200)
+    # Everything below operates on the k-bounded head: the pos window
+    # is single-partition by construction but over <= k rows.
+    weight = (F.when(cls == 0, 1).when(cls == 1, 2).otherwise(3)).cast(
+        "double"
+    )
+    pos_w = Window.orderBy("vtime", "source", "doc_id")
+    run_w = Window.partitionBy("source").orderBy("pos")
+    return (
+        head.withColumn("pos", F.row_number().over(pos_w).cast("long"))
+        .withColumn("running", F.count(F.lit(1)).over(run_w))
+        .select(
+            "pos",
+            "doc_id",
+            "source",
+            "vtime",
+            (
+                F.abs(
+                    F.col("running")
+                    - F.col("pos") * weight / F.lit(39.0)
+                )
+                <= F.lit(3.0)
+            ).alias("mix_ok"),
+        )
+    )
+
+
+@EXT.add(
+    "agg_decay_halflife",
+    oracle="""
+    WITH mx AS (SELECT max(date_trunc('day', ts)) AS ref FROM events),
+    ev AS (
+      SELECT event_type,
+             date_diff('day', date_trunc('day', ts), ref) AS age,
+             CAST(ROUND(value, 6) AS DECIMAL(16,6)) AS val
+      FROM events, mx
+    ),
+    w AS (
+      SELECT event_type, val,
+             CAST(ROUND(EXP(-age * LN(2) / 7.0), 9) AS DECIMAL(10,9)) AS wt
+      FROM ev
+    )
+    SELECT event_type,
+           ROUND(CAST(SUM(wt * val) AS DOUBLE), 6) AS decay_score,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY event_type
+    """,
+    doc=(
+        "Half-life time-decay scoring (7-day half-life): the trending "
+        "metric behind every 'hot right now' ranking — recent activity "
+        "dominates, old activity fades exponentially, and the score is "
+        "a plain one-pass aggregate (no per-day recursion). Numeric "
+        "discipline for cross-engine exactness: the transcendental is "
+        "rounded to 9 decimals and pinned to DECIMAL(10,9) BEFORE any "
+        "arithmetic, values quantized to DECIMAL(16,6), the sum runs "
+        "in exact decimal and only the FINAL result is cast to double "
+        "and rounded — partitioning-invariant (no float summation "
+        "order dependence), so the same number comes out at any "
+        "shuffle width. Scale: map-side partial aggregation into 5 "
+        "groups; the 1-row global max broadcasts; ref-day join is a "
+        "BroadcastNestedLoopJoin over a single row."
+    ),
+    tags=("agg", "decay"),
+)
+def agg_decay_halflife(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.date_trunc("day", "ts")).alias("ref"))
+    e = ev.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        F.datediff(F.to_date("ref"), F.to_date("ts")).alias("age"),
+        F.round("value", 6).cast("decimal(16,6)").alias("val"),
+    )
+    w = e.select(
+        "event_type",
+        "val",
+        F.round(
+            F.exp(-F.col("age") * F.log(F.lit(2.0)) / F.lit(7.0)),
+            9,
+        ).cast("decimal(10,9)").alias("wt"),
+    )
+    return w.groupBy("event_type").agg(
+        F.round(F.sum(F.col("wt") * F.col("val")).cast("double"), 6).alias(
+            "decay_score"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
