@@ -6941,3 +6941,79 @@ def stream_mv_refresh(spark, sf_dir):
     return store.read("mv_daily").select(
         F.col("day").cast("timestamp").alias("day"), "n_events", "n_users"
     )
+
+
+@EXT.add(
+    "win_ewma_recursive",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    r AS (
+      SELECT event_type, day, n, i, CAST(n AS DECIMAL(20,9)) AS ewma
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.event_type, idx.day, idx.n, idx.i,
+             CAST(ROUND(CAST(0.25 AS DECIMAL(3,2)) * idx.n
+                        + CAST(0.75 AS DECIMAL(3,2)) * r.ewma, 9)
+                  AS DECIMAL(20,9))
+      FROM idx JOIN r ON idx.event_type = r.event_type AND idx.i = r.i + 1
+    )
+    SELECT event_type, day, n, CAST(ewma AS DOUBLE) AS ewma FROM r
+    """,
+    doc=(
+        "Per-key exponential smoothing (EWMA, alpha=0.25) — the "
+        "RECURSIVE window family no built-in window frame expresses "
+        "(each output depends on the previous OUTPUT, not a previous "
+        "input range). Spark form: hash-partitioned daily pre-agg, "
+        "then applyInPandas per key walking days in order with O(1) "
+        "state — same shape as the stateful islands op, keys scale "
+        "out, days per key stay bounded. Numeric contract: the whole "
+        "recursion runs in EXACT decimal (alpha as DECIMAL(3,2), "
+        "per-step ROUND half-up to 9 frac digits bounds scale growth "
+        "exactly where the oracle's DECIMAL(20,9) does), and only the "
+        "final value is converted to double — a single correctly-"
+        "rounded conversion both engines share, so 30 chained steps "
+        "hash-match bit-exactly. Oracle is a true WITH RECURSIVE "
+        "rebuild of the same recurrence."
+    ),
+    tags=("win", "stateful", "udf"),
+)
+def win_ewma_recursive(spark, sf_dir):
+    import pandas as pd
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        alpha, beta = Decimal("0.25"), Decimal("0.75")
+        quantum = Decimal("0.000000001")
+        out, prev = [], None
+        for nval in pdf["n"]:
+            x = Decimal(int(nval))
+            prev = (
+                x
+                if prev is None
+                else (alpha * x + beta * prev).quantize(
+                    quantum, rounding=ROUND_HALF_UP
+                )
+            )
+            out.append(float(prev))
+        pdf["ewma"] = out
+        return pdf[["event_type", "day", "n", "ewma"]]
+
+    return daily.groupBy("event_type").applyInPandas(
+        smooth, "event_type string, day timestamp, n long, ewma double"
+    )
