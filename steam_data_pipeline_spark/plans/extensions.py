@@ -7017,3 +7017,35 @@ def win_ewma_recursive(spark, sf_dir):
     return daily.groupBy("event_type").applyInPandas(
         smooth, "event_type string, day timestamp, n long, ewma double"
     )
+
+
+@EXT.add(
+    "qa_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, n
+    FROM g WHERE n < 8
+    """,
+    doc=(
+        "k-anonymity audit over the quasi-identifier pair (nation, "
+        "market segment): every cohort smaller than k=8 is a "
+        "re-identification risk — rows in it must be suppressed or "
+        "generalized before the table can be released, the standard "
+        "privacy gate next to llm_pii_scrub's masking pass. One "
+        "partial-agg shuffle on the quasi-identifier key (125 cohorts "
+        "regardless of row count), then a post-agg filter — the same "
+        "plan at 100 TB. 11 risky cohorts at sf0.01, so the gate is "
+        "non-vacuous."
+    ),
+    tags=("qa", "privacy"),
+)
+def qa_k_anonymity(spark, sf_dir):
+    g = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return g.filter(F.col("n") < 8)
