@@ -6917,8 +6917,14 @@ def stream_mv_refresh(spark, sf_dir):
     store = ParquetTableStore(spark, root)
 
     def apply_batch(batch_df, batch_id):
-        if not store.append_batch("base", batch_df, batch_id):
-            return  # replay: base has it and the MV was already refreshed
+        # The batch-id marker makes the base append exactly-once; the
+        # REFRESH must still run on a replayed batch — a crash between
+        # the append commit and the MV merge would otherwise leave the
+        # MV stale forever (the refresh is a deterministic recompute +
+        # keyed replace, so re-running it is idempotent by
+        # construction; tests/test_stateful_streaming.py kills the
+        # process inside exactly that window to pin this).
+        store.append_batch("base", batch_df, batch_id)
         aff = batch_df.select(F.to_date("ts").alias("day")).distinct()
         base = store.read("base").withColumn("day", F.to_date("ts"))
         recomputed = (
