@@ -404,24 +404,46 @@ def main() -> None:
         ).stdout.strip() or None
     except Exception:  # noqa: BLE001 - git is optional for the bench
         sha = None
+    # Large per-query maps FIRST, summary scalars LAST: the driver keeps only a
+    # stdout *tail*, so head-truncation must never eat metric/value/n_queries
+    # (BENCH_r06 lost its totals this way).
     out = {
-        "metric": "steam_data_pipeline_spark full query-set wall-clock",
-        "commit": sha,
-        "value": total,
-        "unit": "sec",
         "queries": timings,
-        "sf": sf,
-        "n_queries": len(timings),
-        "startup_sec": round(startup, 3),
-        "session_sec": session_sec,
-        "warmed": warmed,
         "operator_sec": operator_sec,
     }
     if stall_reruns:
         out["stall_reruns"] = stall_reruns
     if failures:
         out["failures"] = failures
+    out.update(
+        {
+            "metric": "steam_data_pipeline_spark full query-set wall-clock",
+            "commit": sha,
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "startup_sec": round(startup, 3),
+            "session_sec": session_sec,
+            "warmed": warmed,
+        }
+    )
     print(json.dumps(out))
+    # Truncation-proof compact recap: one short line AFTER the full dict, so any
+    # tail capture contains the headline numbers even if the dict was cut.
+    print(
+        json.dumps(
+            {
+                "metric": "steam_data_pipeline_spark full query-set wall-clock",
+                "commit": sha,
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failures": len(failures),
+            }
+        )
+    )
     spark.stop()
     sys.exit(1 if failures else 0)
 

@@ -35,11 +35,17 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-#: separator inside pair keys ("a|b"). Fine for whitespace-tokenized
-#: fixtures; switch to "\x01" for corpora whose words may contain "|".
-PAIR_SEP = "|"
+#: separator inside pair keys. Non-printable (\x02) so no corpus word
+#: can contain it — a printable "|" would let "a|b"+"c" alias "a"+"b|c"
+#: in the pair-count groupBy.
+PAIR_SEP = "\x02"
 
-END = "</w>"
+#: end-of-word sentinel. Non-printable prefix (\x01) so no corpus word
+#: — and no sequence of merges over corpus characters — can ever equal
+#: it; the classic "</w>" marker breaks round-trip on text that itself
+#: contains "</w>". (\x00 is avoided: DuckDB VARCHARs reject NUL, and
+#: the oracle recomputes these symbols.)
+END = "\x01w"
 
 
 @dataclass(frozen=True)

@@ -247,7 +247,17 @@ def pca_project(
     centered = F.zip_with(
         F.col(vec_col).cast("array<double>"), m_lit, lambda x, m: x - m
     )
-    return emb.select(
+    # Project ONLY rows that entered the model: quantized() drops
+    # NULL/ragged/NULL-component vectors from the moments, and a row
+    # excluded there must not silently come back as a null-padded pc
+    # array here (zip_with pads the short side with NULLs and the
+    # aggregate fold propagates them — downstream k-means would choke).
+    clean = emb.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == d)
+        & (F.size(F.filter(F.col(vec_col), lambda x: x.isNull())) == 0)
+    )
+    return clean.select(
         key,
         F.transform(
             v_lit,

@@ -55,6 +55,86 @@ def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+SEASONAL_SCHEMA = (
+    "user_id long, n_obs long, phi double, season_next double, "
+    "forecast_next double"
+)
+
+#: seasonal period (positions, i.e. observation index mod PERIOD) — 7
+#: models the weekly cycle of the reference's daily player counts.
+PERIOD = 7
+
+
+def _fit_seasonal_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Seasonal-mean + AR(1) fit, PLAN:71's 'ARIMA-shaped' upgrade.
+
+    Model: per-phase (x mod 7) seasonal means, plus a Yule-Walker AR(1)
+    coefficient over the full series; forecast =
+    ``m[next phase] + phi·(y_last − m[last phase])``.
+
+    Exact-arithmetic discipline (same as :func:`_fit_group`): every SUM
+    is a Python bigint over cent-scaled values, so the float closed
+    form sees bit-identical inputs however Spark partitions, and the
+    DuckDB oracle mirrors the same operation order over HUGEINT sums.
+    Yule-Walker with the sample mean cleared of denominators:
+    ``phi = (n²·C01 − n·S·(Sa+Sb) + (n−1)·S²) / (n²·Q − n·S²)``
+    with C01 = Σ c_t·c_{t−1}, Sa/Sb the lag/lead sums, Q = Σ c_t².
+    """
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    cents = [round(v * 100) for v in pdf["value"].tolist()]
+    n = len(cents)
+    S = sum(cents)
+    mu = float(S) / 100.0 / n if n else 0.0
+    # per-phase exact sums
+    ph_n = [0] * PERIOD
+    ph_s = [0] * PERIOD
+    for i, c in enumerate(cents):
+        ph_n[i % PERIOD] += 1
+        ph_s[i % PERIOD] += c
+
+    def phase_mean(p: int) -> float:
+        if ph_n[p] == 0:
+            return mu
+        return float(ph_s[p]) / 100.0 / ph_n[p]
+
+    if n < 2:
+        phi = 0.0
+    else:
+        Q = sum(c * c for c in cents)
+        C01 = sum(cents[i] * cents[i - 1] for i in range(1, n))
+        Sa = S - cents[-1]  # Σ c_t over t=0..n-2
+        Sb = S - cents[0]   # Σ c_t over t=1..n-1
+        num = n * n * C01 - n * S * (Sa + Sb) + (n - 1) * S * S
+        den = n * n * Q - n * S * S
+        phi = 0.0 if den == 0 else float(num) / float(den)
+    m_next = phase_mean(n % PERIOD)
+    m_last = phase_mean((n - 1) % PERIOD) if n else mu
+    y_last = float(cents[-1]) / 100.0 if n else 0.0
+    forecast = m_next + phi * (y_last - m_last)
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_obs": [n],
+            "phi": [phi],
+            "season_next": [m_next],
+            "forecast_next": [forecast],
+        }
+    )
+
+
+def seasonal_ar_forecast_per_key(events: DataFrame) -> DataFrame:
+    """Per-key seasonal-mean + AR(1) forecast — same grouped-map
+    ``applyInPandas`` shape as :func:`linear_forecast_per_key` (one
+    shuffle on the key, Arrow batches, per-group closed form); only the
+    per-group math differs. Scale posture identical: per-entity history
+    bounded; pre-aggregate pathological keys to daily means first."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(_fit_seasonal_group, schema=SEASONAL_SCHEMA)
+    )
+
+
 def linear_forecast_per_key(events: DataFrame) -> DataFrame:
     """Per-key linear trend + one-step forecast over (ts, value).
 

@@ -224,7 +224,13 @@ def psi_drift(
     )
 
     def binned(df: DataFrame, label: str) -> DataFrame:
-        w = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+        # Constant column ⇒ vmax == vmin ⇒ zero width: clamp like
+        # layout.grid_scale so every row lands in bin 0 instead of a
+        # divide-by-zero (ANSI) / all-null bins (legacy).
+        w = F.greatest(
+            (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins)),
+            F.lit(1e-12),
+        )
         b = F.floor((F.col("x") - F.col("vmin")) / w)
         # NULLs must be dropped BEFORE the least(): least(NULL, k)
         # skips NULL args and returns k, which would silently route
@@ -392,7 +398,12 @@ def psi_drift_multi(
     bounds = both.groupBy("col").agg(
         F.min("x").alias("vmin"), F.max("x").alias("vmax")
     )
-    w = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    # same zero-width clamp as psi_drift: a constant column must not
+    # divide by zero under ANSI mode.
+    w = F.greatest(
+        (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins)),
+        F.lit(1e-12),
+    )
     binned = (
         both.join(F.broadcast(bounds), on="col")
         .select(

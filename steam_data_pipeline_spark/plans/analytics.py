@@ -833,6 +833,81 @@ def udtf_forecast(spark, sf_dir):
 
 
 @ANALYTICS.add(
+    "udtf_forecast_seasonal",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS x
+      FROM events
+    ),
+    sums AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT)) AS s,
+             SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q,
+             arg_min(c, x) AS c_first,
+             arg_max(c, x) AS c_last
+      FROM numbered GROUP BY user_id
+    ),
+    lagged AS (
+      SELECT user_id, SUM(CAST(c AS HUGEINT) * CAST(cl AS HUGEINT)) AS c01
+      FROM (SELECT user_id, c,
+                   lag(c) OVER (PARTITION BY user_id ORDER BY x) AS cl
+            FROM numbered)
+      WHERE cl IS NOT NULL GROUP BY user_id
+    ),
+    phase AS (
+      SELECT user_id, x % 7 AS p,
+             CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) / 100.0 / COUNT(*) AS m
+      FROM numbered GROUP BY user_id, x % 7
+    ),
+    calc AS (
+      SELECT s.user_id, s.n, s.c_last,
+             CAST(s.s AS DOUBLE) / 100.0 / s.n AS mu,
+             CASE
+               WHEN s.n < 2
+                 OR (CAST(s.n AS HUGEINT) * s.n * s.q
+                     - CAST(s.n AS HUGEINT) * s.s * s.s) = 0
+               THEN 0.0
+               ELSE CAST(CAST(s.n AS HUGEINT) * s.n * COALESCE(l.c01, 0)
+                         - CAST(s.n AS HUGEINT) * s.s
+                           * ((s.s - s.c_last) + (s.s - s.c_first))
+                         + (s.n - 1) * s.s * s.s AS DOUBLE)
+                    / CAST(CAST(s.n AS HUGEINT) * s.n * s.q
+                           - CAST(s.n AS HUGEINT) * s.s * s.s AS DOUBLE)
+             END AS phi
+      FROM sums s LEFT JOIN lagged l USING (user_id)
+    )
+    SELECT c.user_id, c.n AS n_obs, c.phi,
+           COALESCE(pn.m, c.mu) AS season_next,
+           COALESCE(pn.m, c.mu)
+             + c.phi * (CAST(c.c_last AS DOUBLE) / 100.0
+                        - COALESCE(pl.m, c.mu)) AS forecast_next
+    FROM calc c
+    LEFT JOIN phase pn ON pn.user_id = c.user_id AND pn.p = c.n % 7
+    LEFT JOIN phase pl ON pl.user_id = c.user_id AND pl.p = (c.n - 1) % 7
+    """,
+    doc=(
+        "Seasonal-mean + Yule-Walker AR(1) per-key forecast (PLAN:71 "
+        "upgrade over udtf_forecast's pure linear trend): per-phase "
+        "(x mod 7) means model the weekly cycle, a closed-form AR(1) "
+        "coefficient over exact HUGEINT/bigint sums models persistence, "
+        "forecast = m[next phase] + phi*(y_last - m[last phase]). Same "
+        "grouped-map applyInPandas shape; exact-integer sums make the "
+        "float closed form engine- and partitioning-independent."
+    ),
+    tags=("udf", "forecast"),
+)
+def udtf_forecast_seasonal(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.forecast import (
+        seasonal_ar_forecast_per_key,
+    )
+
+    return seasonal_ar_forecast_per_key(t(spark, sf_dir, "events"))
+
+
+@ANALYTICS.add(
     "udf_potential_score",
     oracle="""
     SELECT p_partkey, p_name,

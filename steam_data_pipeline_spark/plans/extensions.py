@@ -1797,6 +1797,16 @@ def _cached_layout(kind: str, sf_dir: str, write_fn, disk: bool = True) -> str:
     if key not in _LAYOUT_CACHE:
         sig = hashlib.sha256()
         sig.update(f"{kind}|{_LAYOUT_VERSION}|".encode())
+        # Hash the builder's bytecode into the key so a build-logic
+        # change invalidates the artifact even without a manual
+        # _LAYOUT_VERSION bump (the version stays as a coarse manual
+        # override for changes bytecode can't see, e.g. helper edits).
+        try:
+            code = write_fn.__code__
+            sig.update(code.co_code)
+            sig.update(repr(code.co_consts).encode())
+        except AttributeError:  # builtins/partials — version covers them
+            pass
         for root, _, files in sorted(os.walk(sf_dir)):
             for f in sorted(files):
                 p = os.path.join(root, f)
@@ -1809,10 +1819,29 @@ def _cached_layout(kind: str, sf_dir: str, write_fn, disk: bool = True) -> str:
         )
         marker = os.path.join(out, "_SDP_LAYOUT_SUCCESS")
         if not os.path.exists(marker):
-            os.makedirs(out, exist_ok=True)
-            write_fn(out)
-            with open(marker, "w") as fh:
-                fh.write("ok")
+            # Cross-process safety: stage into a process-unique sibling
+            # and atomically rename into the keyed path, so a bench and
+            # a pytest running concurrently can never interleave partial
+            # writes inside the same cache directory.
+            import shutil
+            import uuid
+
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            tmp = f"{out}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            os.makedirs(tmp)
+            try:
+                write_fn(tmp)
+                with open(
+                    os.path.join(tmp, "_SDP_LAYOUT_SUCCESS"), "w"
+                ) as fh:
+                    fh.write("ok")
+                os.rename(tmp, out)
+            except Exception:
+                shutil.rmtree(tmp, ignore_errors=True)
+                # rename lost to a concurrent builder that finished
+                # first — its complete artifact is the one to use
+                if not os.path.exists(marker):
+                    raise
         _LAYOUT_CACHE[key] = out
     return _LAYOUT_CACHE[key]
 
@@ -4220,13 +4249,13 @@ def src_zorder_scan(spark, sf_dir):
       WHERE word <> '' GROUP BY word
     ),
     sym AS (
-      SELECT word, freq, list_append(string_split(word, ''), '</w>') AS s
+      SELECT word, freq, list_append(string_split(word, ''), chr(1) || 'w') AS s
       FROM wf
     ),
     pc AS (
       SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
         SELECT freq,
-               unnest([s[i] || '|' || s[i+1] for i in range(1, len(s))]) AS pair
+               unnest([s[i] || chr(2) || s[i+1] for i in range(1, len(s))]) AS pair
         FROM sym
       ) GROUP BY pair
     )
@@ -4563,7 +4592,8 @@ def llm_quality_adaptive(spark, sf_dir):
         "detokenize(tokenize(text)) must equal the whitespace-"
         "normalized original for EVERY document — BPE merges only glue "
         "adjacent symbols, so symbols concatenate back to the original "
-        "characters, and the </w> sentinel marks word boundaries. "
+        "characters, and a non-printable end-of-word sentinel (immune "
+        "to corpus-text collision) marks word boundaries. "
         "roundtrip_exact is computed in-query (per-doc string "
         "equality, all-doc AND); DuckDB anchors n_docs and the total "
         "normalized char count exactly, so the reconstruction length "
@@ -5297,10 +5327,10 @@ def _psi_multi_oracle(cols: tuple[str, ...], n_bins: int = 8) -> str:
                  FROM (SELECT x FROM r_{c} UNION ALL SELECT x FROM c_{c})),
       spine AS (SELECT CAST(g AS BIGINT) AS bin
                 FROM generate_series(0, {n_bins - 1}) s(g)),
-      br AS (SELECT LEAST(CAST(FLOOR((x - vmin) / ((vmax - vmin) / {n_bins}.0))
+      br AS (SELECT LEAST(CAST(FLOOR((x - vmin) / GREATEST((vmax - vmin) / {n_bins}.0, 1e-12))
                           AS BIGINT), {n_bins - 1}) AS bin, COUNT(*) AS c
              FROM r_{c}, bounds GROUP BY 1),
-      bc AS (SELECT LEAST(CAST(FLOOR((x - vmin) / ((vmax - vmin) / {n_bins}.0))
+      bc AS (SELECT LEAST(CAST(FLOOR((x - vmin) / GREATEST((vmax - vmin) / {n_bins}.0, 1e-12))
                           AS BIGINT), {n_bins - 1}) AS bin, COUNT(*) AS c
              FROM c_{c}, bounds GROUP BY 1),
       j AS (SELECT spine.bin,
@@ -5508,12 +5538,12 @@ def qa_anomaly_days(spark, sf_dir):
     spine AS (SELECT CAST(g AS BIGINT) AS bin
               FROM generate_series(0, 7) s(g)),
     br AS (
-      SELECT LEAST(CAST(FLOOR((x - vmin) / ((vmax - vmin) / 8.0)) AS BIGINT),
+      SELECT LEAST(CAST(FLOOR((x - vmin) / GREATEST((vmax - vmin) / 8.0, 1e-12)) AS BIGINT),
                    7) AS bin, COUNT(*) AS c
       FROM ref, bounds GROUP BY 1
     ),
     bc AS (
-      SELECT LEAST(CAST(FLOOR((x - vmin) / ((vmax - vmin) / 8.0)) AS BIGINT),
+      SELECT LEAST(CAST(FLOOR((x - vmin) / GREATEST((vmax - vmin) / 8.0, 1e-12)) AS BIGINT),
                    7) AS bin, COUNT(*) AS c
       FROM cur, bounds GROUP BY 1
     ),

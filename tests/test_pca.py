@@ -75,6 +75,25 @@ class TestProjection:
 
 
 class TestBadInputs:
+    def test_project_drops_rows_excluded_from_model(self, spark):
+        """pca_project must apply the same NULL/ragged drop policy as
+        quantized(): a row excluded from the moments must not come back
+        as a null-padded pc array (round-7 advice fix)."""
+        clean = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        )
+        dirty = spark.createDataFrame(
+            [(100, None), (101, [1.0]), (102, [None, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = P.pca_project(clean.unionByName(dirty), top_k=2).collect()
+        ids = sorted(r["vec_id"] for r in out)
+        assert ids == list(range(8))
+        assert all(
+            all(c is not None for c in r["pc"]) for r in out
+        ), "no null components may survive projection"
+
     def test_null_and_ragged_rows_dropped(self, spark):
         """NULL vectors, ragged lengths and NULL components must be
         dropped under an explicit policy - not crash the matmul or

@@ -143,6 +143,15 @@ class TestPsiDrift:
         assert rows[3]["cnt_ref"] == 1 and rows[3]["cnt_cur"] == 2
         assert rows[0]["cnt_ref"] == 1 and rows[0]["cnt_cur"] == 0
 
+    def test_constant_column_no_divide_by_zero(self, spark):
+        """vmax == vmin (constant column) must route every row to bin 0,
+        not divide by zero under ANSI mode (round-7 advice fix)."""
+        df = spark.createDataFrame([(5.0,)] * 6, "x double")
+        rows = {r["bin"]: r for r in psi_drift(df, df, "x", n_bins=4).collect()}
+        assert rows[0]["cnt_ref"] == 6 and rows[0]["cnt_cur"] == 6
+        assert all(rows[b]["cnt_ref"] == 0 for b in (1, 2, 3))
+        assert all(r["contrib"] == 0.0 for r in rows.values())
+
     def test_psi_total_matches_reference_formula(self, spark):
         ref = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
         cur = spark.createDataFrame([(float(i % 5),) for i in range(80)], "x double")
