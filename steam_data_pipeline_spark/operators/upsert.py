@@ -472,6 +472,41 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def apply_cdc(
+    old: DataFrame | None,
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an ordered change feed — inserts/updates ('I'/'U') plus
+    DELETE tombstones ('D') — to a keyed snapshot; the consumer half of
+    :func:`cdc_diff` and the delete-aware superset of
+    :func:`merge_upsert` (reference upsert: main.py:451-457, which has
+    no delete path because the source API never retracts).
+
+    Semantics: for each key, only the LATEST change by ``seq_col``
+    matters (row_number desc, ties impossible for a well-formed feed);
+    if it is a tombstone the key disappears, otherwise its image
+    replaces the stored row; untouched keys survive. Applying batches
+    one-at-a-time in feed order or applying the concatenated feed once
+    yields the same table (fold associativity — pinned by the
+    ``sink_cdc_apply`` oracle and ``tests/test_upsert_state.py``).
+
+    Scale: one shuffle of the (small) change batch on the key for the
+    latest-change window + one key-partitioned anti join against the
+    snapshot — the same cost class as merge_upsert; with the bucketed
+    store layout the snapshot side never re-shuffles.
+    """
+    latest = dedup_last_writer(changes, key, [seq_col])
+    data_cols = [c for c in latest.columns if c not in (op_col, seq_col)]
+    survivors = latest.filter(F.col(op_col) != "D").select(*data_cols)
+    if old is None:
+        return survivors
+    keep_old = old.join(latest.select(key), on=key, how="left_anti")
+    return keep_old.unionByName(survivors)
+
+
 def cdc_diff(
     old: DataFrame,
     new: DataFrame,

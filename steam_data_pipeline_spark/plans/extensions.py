@@ -7116,3 +7116,347 @@ def qa_k_anonymity(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return g.filter(F.col("n") < 8)
+
+
+@EXT.add(
+    "win_resample_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.v
+      FROM spine s LEFT JOIN daily d
+        ON d.user_id = s.user_id AND d.day = s.day
+    )
+    SELECT user_id, day,
+           CAST(v AS DOUBLE) AS v,
+           CAST(last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS v_filled,
+           v IS NULL AS was_gap
+    FROM j
+    """,
+    doc=(
+        "Time-series resampling: per-key daily spine (min..max day, "
+        "sequence+explode) with forward fill over gaps — the gap-"
+        "filling every downstream window/forecast op assumes away. "
+        "Spark shape: exact-decimal daily agg, then ONE groupBy(key) "
+        "collecting the (day, v) map + bounds, spine exploded from "
+        "sequence(), per-day lookup via map access, forward fill via "
+        "last(ignorenulls) over rows-unbounded — the window runs on "
+        "the groupBy's own hash partitioning (no extra exchange; "
+        "per-key spine length is bounded by the calendar, not rows). "
+        "v is summed as DECIMAL so the fill is partitioning-"
+        "independent; one final CAST to double per column."
+    ),
+    tags=("win", "timeseries"),
+)
+def win_resample_ffill(spark, sf_dir):
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    per_user = daily.groupBy("user_id").agg(
+        F.map_from_arrays(
+            F.collect_list("day"), F.collect_list("v")
+        ).alias("vm"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+    )
+    spine = per_user.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+        "vm",
+    ).select("user_id", "day", F.col("vm")[F.col("day")].alias("vdec"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.select(
+        "user_id",
+        "day",
+        F.col("vdec").cast("double").alias("v"),
+        F.last("vdec", ignorenulls=True).over(w).cast("double").alias("v_filled"),
+        F.col("vdec").isNull().alias("was_gap"),
+    )
+
+
+@EXT.add(
+    "win_cusum_drift",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             FIRST_VALUE(n) OVER (PARTITION BY event_type ORDER BY day) AS n1
+      FROM daily
+    ),
+    r AS (
+      SELECT event_type, day, n, i, n1, CAST(0 AS BIGINT) AS cusum
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.event_type, idx.day, idx.n, idx.i, idx.n1,
+             GREATEST(CAST(0 AS BIGINT), r.cusum + idx.n - idx.n1 - 2)
+      FROM idx JOIN r ON idx.event_type = r.event_type AND idx.i = r.i + 1
+    )
+    SELECT event_type, day, n, cusum, cusum > 10 AS alarm FROM r
+    """,
+    doc=(
+        "One-sided CUSUM change detection on per-key daily counts "
+        "(Page 1954): s_i = max(0, s_{i-1} + n_i - baseline - k) with "
+        "the key's first-day count as baseline, slack k=2, alarm at "
+        "h=10 — the sequential drift detector qa_anomaly_days' "
+        "pointwise MAD rule can't express (a slow upward drift never "
+        "trips a pointwise threshold but accumulates here). Recursive "
+        "window family (output depends on previous OUTPUT): same "
+        "applyInPandas-per-key shape as win_ewma_recursive, but the "
+        "entire recursion is INTEGER arithmetic, so no rounding "
+        "contract is needed at all. Oracle is a WITH RECURSIVE rebuild."
+    ),
+    tags=("win", "stateful", "qa"),
+)
+def win_cusum_drift(spark, sf_dir):
+    import pandas as pd
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ns = [int(x) for x in pdf["n"]]
+        base = ns[0]
+        s, out = 0, []
+        for i, n in enumerate(ns):
+            if i > 0:
+                s = max(0, s + n - base - 2)
+            out.append(s)
+        pdf["cusum"] = out
+        pdf["alarm"] = [x > 10 for x in out]
+        return pdf[["event_type", "day", "n", "cusum", "alarm"]]
+
+    return daily.groupBy("event_type").applyInPandas(
+        cusum, "event_type string, day timestamp, n long, cusum long, alarm boolean"
+    )
+
+
+@EXT.add(
+    "qa_l_diversity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 4000) AS BIGINT))
+                  AS BIGINT) AS n_sensitive
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, n, n_sensitive
+    FROM g WHERE n_sensitive < 4
+    """,
+    doc=(
+        "l-diversity audit (Machanavajjhala et al. 2007) — the "
+        "companion gate to qa_k_anonymity: a cohort can be large "
+        "enough to pass k-anonymity yet still leak if every member "
+        "shares the same sensitive value. Per quasi-identifier cohort "
+        "(nation, segment), count DISTINCT sensitive bands (account-"
+        "balance bands of width 4000); cohorts with < 4 distinct "
+        "bands fail (64 at sf0.01, so the gate is non-vacuous at the "
+        "driver's correctness scale). Same single partial-agg shuffle as k-anonymity "
+        "(distinct-count partials merge map-side); cohort count is "
+        "fixed, so the plan is scale-free."
+    ),
+    tags=("qa", "privacy"),
+)
+def qa_l_diversity(spark, sf_dir):
+    g = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / 4000).cast("long")
+            ).alias("n_sensitive"),
+        )
+    )
+    return g.filter(F.col("n_sensitive") < 4)
+
+
+@EXT.add(
+    "qa_referential_integrity",
+    oracle="""
+    SELECT 'customer' AS child_table, 'c_nationkey' AS fk_col,
+           'nation' AS parent_table,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer ch
+             WHERE ch.c_nationkey IS NOT NULL AND NOT EXISTS
+               (SELECT 1 FROM nation p WHERE p.n_nationkey = ch.c_nationkey)
+           ) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey', 'orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem ch
+             WHERE ch.l_orderkey IS NOT NULL AND NOT EXISTS
+               (SELECT 1 FROM orders p WHERE p.o_orderkey = ch.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem', 'l_partkey', 'part',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem ch
+             WHERE ch.l_partkey IS NOT NULL AND NOT EXISTS
+               (SELECT 1 FROM part p WHERE p.p_partkey = ch.l_partkey))
+    UNION ALL
+    SELECT 'lineitem', 'l_suppkey', 'supplier',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem ch
+             WHERE ch.l_suppkey IS NOT NULL AND NOT EXISTS
+               (SELECT 1 FROM supplier p WHERE p.s_suppkey = ch.l_suppkey))
+    UNION ALL
+    SELECT 'nation', 'n_regionkey', 'region',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation ch
+             WHERE ch.n_regionkey IS NOT NULL AND NOT EXISTS
+               (SELECT 1 FROM region p WHERE p.r_regionkey = ch.n_regionkey))
+    UNION ALL
+    SELECT 'orders', 'o_custkey', 'customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders ch
+             WHERE ch.o_custkey IS NOT NULL AND NOT EXISTS
+               (SELECT 1 FROM customer p WHERE p.c_custkey = ch.o_custkey))
+    UNION ALL
+    SELECT 'supplier', 's_nationkey', 'nation',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier ch
+             WHERE ch.s_nationkey IS NOT NULL AND NOT EXISTS
+               (SELECT 1 FROM nation p WHERE p.n_nationkey = ch.s_nationkey))
+    """,
+    doc=(
+        "Referential-integrity audit across the whole foreign-key "
+        "graph (7 edges over the TPC-H-shaped tables): per edge, total "
+        "child rows and ORPHANS — non-null FK values with no parent "
+        "(the dbt 'relationships' test, run as one query). Each edge "
+        "is a left-anti join on the key; dimension parents broadcast "
+        "(nation/region/customer/supplier), fact-fact edges "
+        "(lineitem→orders/part) shuffle once on the key with AQE "
+        "choosing the strategy. The per-edge outputs are 1-row "
+        "aggregates unioned driver-free."
+    ),
+    tags=("qa", "join"),
+)
+def qa_referential_integrity(spark, sf_dir):
+    edges = [
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    outs = []
+    for child, fk, parent, pk in edges:
+        ch = t(spark, sf_dir, child)
+        pa = t(spark, sf_dir, parent).select(F.col(pk).alias(fk)).distinct()
+        n_rows = ch.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        orphans = (
+            ch.filter(F.col(fk).isNotNull())
+            .join(F.broadcast(pa), on=fk, how="left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        outs.append(
+            n_rows.crossJoin(orphans).select(
+                F.lit(child).alias("child_table"),
+                F.lit(fk).alias("fk_col"),
+                F.lit(parent).alias("parent_table"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+@EXT.add(
+    "sink_cdc_apply",
+    oracle="""
+    WITH feed AS (
+      SELECT user_id, event_id AS seq,
+             CASE event_type WHEN 'error' THEN 'D'
+                  WHEN 'signup' THEN 'I' ELSE 'U' END AS op,
+             value, event_type
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, seq, op, value, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+      FROM feed
+    )
+    SELECT user_id, value AS last_value, event_type AS last_type
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    doc=(
+        "Ordered CDC feed applied to a keyed table — inserts/updates "
+        "plus DELETE tombstones (operators/upsert.py apply_cdc, the "
+        "delete-aware superset of the reference upsert at "
+        "main.py:451-457 and the consumer half of sink_cdc_diff). The "
+        "change feed is derived from events (op from event_type, "
+        "'error' = tombstone, seq = event_id) and applied as THREE "
+        "sequential batches split on seq ranges; the oracle applies "
+        "the whole feed at once — equality proves the batch fold is "
+        "associative (exactly the replay-from-checkpoint guarantee a "
+        "streaming CDC consumer needs). Per batch: one window on the "
+        "small change set + one key-partitioned anti join; the "
+        "snapshot never re-shuffles under the bucketed store layout."
+    ),
+    tags=("sink", "cdc", "upsert"),
+)
+def sink_cdc_apply(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.upsert import apply_cdc
+
+    feed = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_type"),
+    )
+    hi = feed.agg(F.max("seq")).first()[0]
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    state = None
+    for lo, up in ((None, cut1), (cut1, cut2), (cut2, None)):
+        batch = feed
+        if lo is not None:
+            batch = batch.filter(F.col("seq") > lo)
+        if up is not None:
+            batch = batch.filter(F.col("seq") <= up)
+        state = apply_cdc(state, batch, "user_id", "seq")
+        # bound lineage across the fold (3 batches here, unbounded in
+        # production where each batch would come off a checkpoint)
+        state = state.localCheckpoint(eager=False)
+    return state

@@ -41,6 +41,53 @@ class TestMergeUpsert:
         assert len(got) == 1 and got[0].name == "v2"
 
 
+class TestApplyCdc:
+    def _feed(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, seq long, op string, v int")
+
+    def test_tombstone_deletes_and_latest_wins(self, spark):
+        from steam_data_pipeline_spark.operators.upsert import apply_cdc
+
+        old = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+        feed = self._feed(
+            spark,
+            [
+                ("a", 10, "U", 11),   # update a
+                ("a", 11, "D", 0),    # ...then delete it (latest wins)
+                ("b", 12, "U", 22),
+                ("c", 13, "I", 33),
+                ("c", 14, "U", 34),
+            ],
+        )
+        got = sorted(map(tuple, apply_cdc(old, feed, "k", "seq").collect()))
+        assert got == [("b", 22), ("c", 34)]
+
+    def test_batch_fold_equals_single_shot(self, spark):
+        """apply(apply(T, B1), B2) == apply(T, B1 ∪ B2) when B1's seqs
+        all precede B2's — the replay-from-checkpoint guarantee."""
+        from steam_data_pipeline_spark.operators.upsert import apply_cdc
+
+        old = spark.createDataFrame([("a", 1)], "k string, v int")
+        b1 = self._feed(spark, [("a", 10, "D", 0), ("b", 11, "I", 5)])
+        b2 = self._feed(spark, [("a", 20, "I", 9), ("b", 21, "U", 6)])
+        folded = apply_cdc(apply_cdc(old, b1, "k", "seq"), b2, "k", "seq")
+        single = apply_cdc(old, b1.unionByName(b2), "k", "seq")
+        assert sorted(map(tuple, folded.collect())) == sorted(
+            map(tuple, single.collect())
+        )
+
+    def test_empty_snapshot_and_reapply_idempotent(self, spark):
+        from steam_data_pipeline_spark.operators.upsert import apply_cdc
+
+        feed = self._feed(spark, [("a", 1, "I", 1), ("a", 2, "D", 0)])
+        once = apply_cdc(None, feed, "k", "seq")
+        assert once.count() == 0
+        twice = apply_cdc(once, feed, "k", "seq")
+        assert sorted(map(tuple, twice.collect())) == sorted(
+            map(tuple, once.collect())
+        )
+
+
 class TestParquetTableStore:
     def test_upsert_roundtrip_and_atomic_swap(self, spark, store):
         store.upsert("t", _df(spark, [("1", "a", 1)]), key="app_id")
