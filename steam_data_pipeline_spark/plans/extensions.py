@@ -7460,3 +7460,260 @@ def sink_cdc_apply(spark, sf_dir):
         # production where each batch would come off a checkpoint)
         state = state.localCheckpoint(eager=False)
     return state
+
+
+@EXT.add(
+    "win_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    r AS (
+      SELECT event_type, day, n, i,
+             CAST(n AS DECIMAL(20,9)) AS lvl,
+             CAST(0 AS DECIMAL(20,9)) AS trd
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.event_type, idx.day, idx.n, idx.i,
+             CAST(ROUND(CAST(0.5 AS DECIMAL(3,2)) * idx.n
+                        + CAST(0.5 AS DECIMAL(3,2)) * (r.lvl + r.trd), 9)
+                  AS DECIMAL(20,9)),
+             CAST(ROUND(CAST(0.25 AS DECIMAL(3,2))
+                          * (CAST(ROUND(CAST(0.5 AS DECIMAL(3,2)) * idx.n
+                                 + CAST(0.5 AS DECIMAL(3,2)) * (r.lvl + r.trd), 9)
+                             AS DECIMAL(20,9)) - r.lvl)
+                        + CAST(0.75 AS DECIMAL(3,2)) * r.trd, 9)
+                  AS DECIMAL(20,9))
+      FROM idx JOIN r ON idx.event_type = r.event_type AND idx.i = r.i + 1
+    )
+    SELECT event_type, day, n,
+           CAST(lvl AS DOUBLE) AS level,
+           CAST(trd AS DOUBLE) AS trend,
+           CAST(lvl + trd AS DOUBLE) AS fc1
+    FROM r
+    """,
+    doc=(
+        "Holt's linear (double) exponential smoothing per key — the "
+        "TWO-state recursive window (level + trend, each step depends "
+        "on both previous OUTPUTS): l_t = α·x_t + (1−α)(l_{t−1} + "
+        "b_{t−1}), b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, α=0.5 "
+        "β=0.25, 1-step forecast l+b. Extends win_ewma_recursive's "
+        "numeric contract to a state VECTOR: both components quantize "
+        "half-up to 9 frac digits each step in exact decimal, so the "
+        "30-step chained recursion hash-matches the WITH RECURSIVE "
+        "oracle bit-exactly; the only doubles are the three final "
+        "casts. Same applyInPandas shape: keys scale out, per-key "
+        "days bounded by the calendar."
+    ),
+    tags=("win", "stateful", "forecast"),
+)
+def win_holt_linear(spark, sf_dir):
+    import pandas as pd
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        a, one_a = Decimal("0.5"), Decimal("0.5")
+        b, one_b = Decimal("0.25"), Decimal("0.75")
+        quantum = Decimal("0.000000001")
+        lvls, trds, fc1s = [], [], []
+        lvl = trd = None
+        for nval in pdf["n"]:
+            x = Decimal(int(nval))
+            if lvl is None:
+                lvl, trd = x, Decimal(0)
+            else:
+                new_lvl = (a * x + one_a * (lvl + trd)).quantize(
+                    quantum, rounding=ROUND_HALF_UP
+                )
+                trd = (b * (new_lvl - lvl) + one_b * trd).quantize(
+                    quantum, rounding=ROUND_HALF_UP
+                )
+                lvl = new_lvl
+            lvls.append(float(lvl))
+            trds.append(float(trd))
+            fc1s.append(float(lvl + trd))
+        pdf["level"], pdf["trend"], pdf["fc1"] = lvls, trds, fc1s
+        return pdf[["event_type", "day", "n", "level", "trend", "fc1"]]
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, day timestamp, n long, "
+        "level double, trend double, fc1 double",
+    )
+
+
+@EXT.add(
+    "agg_quantile_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, c,
+             SUM(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+      FROM b
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    pcts AS (SELECT CAST(g AS BIGINT) AS pct
+             FROM (VALUES (50), (90), (99)) v(g))
+    SELECT p.pct, t.n,
+           (t.n * p.pct + 99) // 100 AS k,
+           MIN(cum.bin) AS est_bin,
+           CAST((MIN(cum.bin) + 1) * 5 AS DOUBLE) AS est
+    FROM pcts p
+    CROSS JOIN tot t
+    JOIN cum ON cum.cm >= (t.n * p.pct + 99) // 100
+    GROUP BY p.pct, t.n
+    """,
+    doc=(
+        "Mergeable quantile sketch as a fixed-width histogram (w=5 "
+        "over the value domain): per-partition bin counts are the "
+        "partials (map-side combined — the shuffle carries ≤100 tiny "
+        "rows per partition, never data), merge = SUM per bin, "
+        "estimate(p) = upper edge of the first bin whose cumulative "
+        "count reaches ⌈p·n⌉ — deterministic with a PROVEN error "
+        "bound (±w), unlike percentile_approx's opaque GK sketch "
+        "(agg_percentiles_approx), and mergeable across days/shards "
+        "like the HLL/count-min family. All arithmetic integer "
+        "(⌈p·n/100⌉ as (n·pct+99) div 100); the cumulative window "
+        "runs over ≤100 bins — a deliberate SinglePartition on sketch "
+        "cells, not data."
+    ),
+    tags=("agg", "sketch"),
+)
+def agg_quantile_histogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hist = (
+        ev.select(F.floor(F.col("value") / 5.0).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = hist.withColumn(
+        "cm",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pcts = spark.createDataFrame([(50,), (90,), (99,)], "pct long")
+    k = F.expr("(n * pct + 99) div 100")
+    return (
+        pcts.crossJoin(F.broadcast(tot))
+        .crossJoin(cum)
+        .filter(F.col("cm") >= k)
+        .groupBy("pct", "n")
+        .agg(F.min("bin").alias("est_bin"))
+        .select(
+            "pct",
+            "n",
+            k.alias("k"),
+            "est_bin",
+            ((F.col("est_bin") + 1) * 5).cast("double").alias("est"),
+        )
+    )
+
+
+@EXT.add(
+    "qa_seasonal_residual_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dowd AS (
+      SELECT *,
+             date_diff('day', TIMESTAMP '2024-01-01', day) % 7 AS dow
+      FROM daily
+    ),
+    season AS (
+      SELECT event_type, dow,
+             CAST(COUNT(*) AS BIGINT) AS g,
+             CAST(SUM(n) AS BIGINT) AS sum_n
+      FROM dowd GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT d.event_type, d.day, d.n, d.dow,
+             d.n * s.g - s.sum_n AS r, s.g
+      FROM dowd d JOIN season s
+        ON s.event_type = d.event_type AND s.dow = d.dow
+    ),
+    spread AS (
+      SELECT event_type, dow, CAST(SUM(ABS(r)) AS BIGINT) AS sum_abs
+      FROM resid GROUP BY 1, 2
+    )
+    SELECT r.event_type, r.day, r.n, r.dow, r.r,
+           ABS(r.r) * r.g > 2 * sp.sum_abs AS flag
+    FROM resid r JOIN spread sp
+      ON sp.event_type = r.event_type AND sp.dow = r.dow
+    """,
+    doc=(
+        "Seasonality-aware anomaly flags: remove the weekly cycle "
+        "(per (key, day-of-week) mean) and flag days whose residual "
+        "exceeds 2x the cohort's mean absolute residual (4 flagged days at every fixture scale) — the drift "
+        "detector qa_anomaly_days' pointwise MAD rule misfires on "
+        "weekly-periodic series (every weekend looks anomalous); "
+        "deseasonalizing first is the STL-shaped fix. ENTIRELY "
+        "integer arithmetic: residuals are scaled by the cohort size "
+        "(r = n·g − Σn) and the threshold cross-multiplied "
+        "(|r|·g > 2·Σ|r|), so no division or rounding contract "
+        "exists at all. Day-of-week from an epoch-anchored datediff "
+        "mod 7 (engine-independent, unlike dayofweek()). Two "
+        "groupBys over key+dow cohorts (70 cells), one fact-side "
+        "broadcast join each — scale-free report."
+    ),
+    tags=("qa", "anomaly", "timeseries"),
+)
+def qa_seasonal_residual_anomaly(spark, sf_dir):
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dowd = daily.withColumn(
+        "dow",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("timestamp")) % 7,
+    )
+    season = dowd.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("g"), F.sum("n").alias("sum_n")
+    )
+    resid = dowd.join(F.broadcast(season), on=["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "n",
+        "dow",
+        (F.col("n") * F.col("g") - F.col("sum_n")).alias("r"),
+        "g",
+    )
+    spread = resid.groupBy("event_type", "dow").agg(
+        F.sum(F.abs("r")).alias("sum_abs")
+    )
+    return resid.join(F.broadcast(spread), on=["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.col("dow").cast("long").alias("dow"),
+        F.col("r").cast("long").alias("r"),
+        (F.abs("r") * F.col("g") > 2 * F.col("sum_abs")).alias("flag"),
+    )
