@@ -7717,3 +7717,145 @@ def qa_seasonal_residual_anomaly(spark, sf_dir):
         F.col("r").cast("long").alias("r"),
         (F.abs("r") * F.col("g") > 2 * F.col("sum_abs")).alias("flag"),
     )
+
+
+@EXT.add(
+    "join_record_linkage",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey + 1000000 AS k, lower(c_name) || '.' AS name,
+             c_nationkey AS nat, c_acctbal + 50 AS bal, c_mktsegment AS seg
+      FROM customer WHERE c_custkey < 40
+    ),
+    uni AS (
+      SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat,
+             c_acctbal AS bal, c_mktsegment AS seg
+      FROM customer
+      UNION ALL SELECT k, name, nat, bal, seg FROM dirty
+    ),
+    pairs AS (
+      SELECT a.k AS a_key, b.k AS b_key,
+             CAST(CASE WHEN regexp_replace(a.name, '[^0-9]', '', 'g')
+                            = regexp_replace(b.name, '[^0-9]', '', 'g')
+                       THEN 4 ELSE 0 END
+                  + CASE WHEN ABS(a.bal - b.bal) <= 100 THEN 2 ELSE 0 END
+                  + CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END
+                  AS BIGINT) AS score
+      FROM uni a JOIN uni b ON a.nat = b.nat AND a.k < b.k
+    )
+    SELECT a_key, b_key, score FROM pairs WHERE score >= 6
+    """,
+    doc=(
+        "Record linkage (Fellegi-Sunter shape): block on the nation "
+        "key, score within-block pairs with deterministic per-field "
+        "agreement weights (name-digit identity 4, balance within 100 "
+        "= 2, same segment 1), link at score >= 6 — so a link REQUIRES "
+        "the name evidence plus one corroborating field, never "
+        "coincidental segment+balance agreement alone. Exercised on "
+        "planted dirty duplicates (case/punctuation-mangled names, "
+        "balance drift +50): exactly the planted pairs link; organic "
+        "same-nation pairs top out at score 3. Scale: blocking bounds "
+        "the quadratic strictly to within-block pairs — at 100 TB the "
+        "block key widens (nation x name-prefix) to keep blocks "
+        "bounded, the same plan shape otherwise; the scorer is pure "
+        "JVM expression (no UDF)."
+    ),
+    tags=("join", "dedup", "entity"),
+)
+def join_record_linkage(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    dirty = cust.filter(F.col("c_custkey") < 40).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.concat(F.lower("c_name"), F.lit(".")).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        (F.col("c_acctbal") + 50).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    uni = clean.unionByName(dirty).withColumn(
+        "digits", F.regexp_replace("name", "[^0-9]", "")
+    )
+    a = uni.select(*[F.col(c).alias(f"a_{c}") for c in uni.columns])
+    b = uni.select(*[F.col(c).alias(f"b_{c}") for c in uni.columns])
+    score = (
+        F.when(F.col("a_digits") == F.col("b_digits"), 4).otherwise(0)
+        + F.when(F.abs(F.col("a_bal") - F.col("b_bal")) <= 100, 2).otherwise(0)
+        + F.when(F.col("a_seg") == F.col("b_seg"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        a.join(b, (F.col("a_nat") == F.col("b_nat")) & (F.col("a_k") < F.col("b_k")))
+        .select(
+            F.col("a_k").alias("a_key"),
+            F.col("b_k").alias("b_key"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= 6)
+    )
+
+
+@EXT.add(
+    "qa_pseudonymize",
+    oracle="""
+    WITH tok AS (
+      SELECT c_custkey,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split('s7:' || c_name, ''),
+                                c -> CAST(unicode(c) AS BIGINT))),
+                 (acc, cp) -> (acc * 31 + cp) % 1000003) AS tok
+      FROM customer
+    ),
+    oc AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_ord
+      FROM orders GROUP BY 1
+    )
+    SELECT t.tok,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(COALESCE(oc.n_ord, 0)) AS BIGINT) AS n_orders
+    FROM tok t LEFT JOIN oc ON oc.o_custkey = t.c_custkey
+    GROUP BY t.tok
+    """,
+    doc=(
+        "Keyed pseudonymization with referential consistency: replace "
+        "the direct identifier (customer name) by a salted Horner-mod "
+        "token (the cross-engine-portable hash, llm/lm.py "
+        "portable_word_bucket) and prove joins still work by "
+        "aggregating order counts per PSEUDONYM — the release-"
+        "pipeline step between llm_pii_scrub's masking and the "
+        "k-anonymity/l-diversity gates: analysts keep join keys, "
+        "identities leave the table. Deterministic tokens (same salt "
+        "+ name -> same token on every engine/run) are what make the "
+        "pseudonymized extract re-joinable across tables; one scalar "
+        "JVM fold per row, one broadcastable dim join, one groupBy."
+    ),
+    tags=("qa", "privacy"),
+)
+def qa_pseudonymize(spark, sf_dir):
+    from steam_data_pipeline_spark.llm.lm import portable_word_bucket
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        portable_word_bucket(
+            F.concat(F.lit("s7:"), F.col("c_name")), 1000003
+        ).alias("tok"),
+    )
+    oc = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ord"))
+    )
+    return (
+        cust.join(oc, cust["c_custkey"] == oc["o_custkey"], "left")
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.coalesce(F.col("n_ord"), F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+        )
+    )
