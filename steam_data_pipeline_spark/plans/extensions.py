@@ -7859,3 +7859,271 @@ def qa_pseudonymize(spark, sf_dir):
             .alias("n_orders"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# feat_* — feature-engineering operators for model-training pipelines.
+# The reference stops at ingest + SQL analytics (main.py:1-655); these are
+# the downstream steps a training pipeline bolts onto the same tables.
+# --------------------------------------------------------------------------
+
+from steam_data_pipeline_spark.llm.lm import (  # noqa: E402
+    dsir_oracle_bucket_sql as _bucket_sql,
+    portable_word_bucket as _pbucket,
+)
+
+
+@EXT.add(
+    "feat_target_encode_loo",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    s AS (
+      SELECT prio, CAST(SUM(cents) AS BIGINT) AS sum_c,
+             CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM o GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.prio,
+           CAST(((s.sum_c - o.cents) * 10000) // (s.n_c - 1) AS BIGINT)
+             AS enc_micro
+    FROM o JOIN s USING (prio)
+    """,
+    doc=(
+        "Leave-one-out target encoding of a categorical feature "
+        "(order priority) against the order value: each row's encoding "
+        "is the category mean EXCLUDING that row, (sum_c - y) / "
+        "(n_c - 1), the standard leakage-free encoding for training "
+        "tables. Exact integer arithmetic end to end: dollars to "
+        "cents, micro-scaled truncating division (Spark `div` == "
+        "DuckDB `//` for positive operands), no float drift. Scale: "
+        "one map-side-combined agg over the tiny category domain, "
+        "broadcast back onto the fact — the fact table is scanned "
+        "once and never shuffled."
+    ),
+    tags=("feat", "ml"),
+)
+def feat_target_encode_loo(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    s = o.groupBy("prio").agg(
+        F.sum("cents").cast("long").alias("sum_c"),
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+    )
+    return o.join(F.broadcast(s), "prio").select(
+        "o_orderkey",
+        "prio",
+        F.expr("((sum_c - cents) * 10000) div (n_c - 1)").alias("enc_micro"),
+    )
+
+
+_SPLIT_BUCKET_SQL = _bucket_sql("'split:' || source", 100)
+
+
+@EXT.add(
+    "feat_split_groupwise",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, n_chars, {_SPLIT_BUCKET_SQL} AS b
+      FROM documents
+    ),
+    lab AS (
+      SELECT source, n_chars,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM d
+    ),
+    grp AS (
+      SELECT source, MIN(split) AS split,
+             CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM lab GROUP BY 1
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(sum_chars) AS BIGINT) AS n_chars,
+           CAST(MAX(n_splits) AS BIGINT) AS max_splits_per_group
+    FROM grp GROUP BY 1
+    """,
+    doc=(
+        "Group-aware deterministic train/valid/test split: the split "
+        "is assigned by a salted portable hash of the GROUP key (the "
+        "document's source domain), not the row, so correlated "
+        "documents — near-duplicates, same-crawl pages — can never "
+        "straddle a split boundary (the classic train/test leakage "
+        "bug). 80/10/10 by hash bucket; deterministic across engines, "
+        "runs, and cluster sizes (no rand()). The output carries its "
+        "own audit: max_splits_per_group == 1 per split row proves "
+        "leakage-freedom. Scale: one narrow map + two map-side-"
+        "combined aggs keyed on the group key; no fact-table shuffle "
+        "beyond the group rollup."
+    ),
+    tags=("feat", "ml", "split"),
+)
+def feat_split_groupwise(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        _pbucket(F.concat(F.lit("split:"), F.col("source")), 100).alias("b"),
+    )
+    lab = d.select(
+        "source",
+        "n_chars",
+        F.when(F.col("b") < 80, "train")
+        .when(F.col("b") < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    grp = lab.groupBy("source").agg(
+        F.min("split").alias("split"),
+        F.countDistinct("split").cast("long").alias("n_splits"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    return grp.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_chars").cast("long").alias("n_chars"),
+        F.max("n_splits").cast("long").alias("max_splits_per_group"),
+    )
+
+
+_FEATHASH_TOK_SQL = _bucket_sql("tok", 512)
+
+
+@EXT.add(
+    "feat_hashing_vectorize",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t AS tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        FROM documents WHERE doc_id % 5 = 0
+      ) WHERE t <> ''
+    )
+    SELECT doc_id, CAST({_FEATHASH_TOK_SQL} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY 1, 2
+    """,
+    doc=(
+        "Hashing-trick vectorization (feature hashing): tokens map "
+        "straight to a fixed 512-dim sparse index by portable hash — "
+        "no vocabulary build, no dictionary broadcast, no OOV "
+        "handling, the standard trick for streaming/large-cardinality "
+        "feature spaces. Output is the sparse COO triple (doc_id, "
+        "bucket, cnt); a 1:20 deterministic doc sample bounds the "
+        "fixture output. Scale: tokenize + hash is a narrow map "
+        "(pure JVM expressions, no UDF); the only shuffle is the "
+        "(doc_id, bucket) count agg, map-side combined, and doc_id "
+        "is the natural partition key so the combine is near-total. "
+        "Contrast llm_vocab_build, which pays a dictionary pass for "
+        "an exact vocabulary; this is the fixed-memory alternative."
+    ),
+    tags=("feat", "ml", "text"),
+)
+def feat_hashing_vectorize(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.select("doc_id", _pbucket(F.col("tok"), 512).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+@EXT.add(
+    "feat_negative_sampling",
+    oracle="""
+    WITH custs AS (SELECT c_custkey AS ck FROM customer WHERE c_custkey <= 100),
+    parts AS (SELECT p_partkey AS pk FROM part WHERE p_partkey <= 50),
+    bought AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cand AS (
+      SELECT c.ck, p.pk,
+             (c.ck * 2654435761 + p.pk * 40503 + 97) % 1000003 AS h
+      FROM custs c CROSS JOIN parts p
+      WHERE NOT EXISTS (SELECT 1 FROM bought b
+                        WHERE b.ck = c.ck AND b.pk = p.pk)
+    )
+    SELECT ck AS c_custkey, pk AS p_partkey, CAST(h AS BIGINT) AS h,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY ck ORDER BY h, pk) AS rk
+          FROM cand)
+    WHERE rk <= 3
+    """,
+    doc=(
+        "Deterministic negative sampling for implicit-feedback "
+        "recommender training (the companion to udf_recommender_als): "
+        "for each user, draw k=3 items they did NOT interact with, "
+        "ranked by a portable integer hash of the (user, item) pair — "
+        "reproducible across engines, runs, and partitionings, unlike "
+        "rand()-based sampling. Shape: candidate pool = bounded item "
+        "broadcast x users, minus observed pairs by anti join, then a "
+        "per-user hash-ranked top-k (partial sort per key, "
+        "WindowGroupLimit prunes to k before the shuffle). Scale: the "
+        "item side is the broadcast dim; the anti join hashes on the "
+        "(user, item) pair; at full catalog size the pool switches to "
+        "hash-bucketed candidate generation (sample buckets, not the "
+        "cross product) with the same ranking contract."
+    ),
+    tags=("feat", "ml", "sampling"),
+)
+def feat_negative_sampling(spark, sf_dir):
+    custs = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(F.col("c_custkey").alias("ck"))
+    )
+    parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 50)
+        .select(F.col("p_partkey").alias("pk"))
+    )
+    bought = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    cand = (
+        custs.crossJoin(F.broadcast(parts))
+        .join(bought, ["ck", "pk"], "left_anti")
+        .withColumn(
+            "h",
+            (
+                F.col("ck") * F.lit(2654435761)
+                + F.col("pk") * F.lit(40503)
+                + F.lit(97)
+            )
+            % F.lit(1000003),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ck").orderBy("h", "pk")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("ck").alias("c_custkey"),
+            F.col("pk").alias("p_partkey"),
+            F.col("h").cast("long").alias("h"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
