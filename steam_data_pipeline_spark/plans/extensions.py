@@ -8127,3 +8127,278 @@ def feat_negative_sampling(spark, sf_dir):
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+@EXT.add(
+    "feat_woe_encode",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS prio,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    cat AS (
+      SELECT prio,
+             CAST(SUM(y) AS BIGINT) AS pos_c,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_c
+      FROM o GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos_c) AS BIGINT) AS pos_t,
+             CAST(SUM(neg_c) AS BIGINT) AS neg_t,
+             CAST(COUNT(*) AS BIGINT) AS ncat
+      FROM cat
+    )
+    SELECT prio, pos_c, neg_c,
+           ROUND(LN(CAST((pos_c + 1) * (neg_t + ncat) AS DOUBLE)
+                    / CAST((neg_c + 1) * (pos_t + ncat) AS DOUBLE)),
+                 9) AS woe
+    FROM cat, tot
+    """,
+    doc=(
+        "Weight-of-evidence encoding of a categorical feature against "
+        "a binary label (order fulfilled): WOE = ln((pos_c/pos_t) / "
+        "(neg_c/neg_t)) with per-cell Laplace smoothing (+1 per cell, "
+        "+ncat to each total) so empty cells stay finite — the "
+        "standard credit-scoring/feature-engineering encoding that, "
+        "unlike one-hot, carries the label signal in one monotone "
+        "column. Numeric discipline: the odds ratio is assembled as a "
+        "single division of two EXACT bigint products, so the only "
+        "engine-sensitive step is one ln(), rounded to 9 decimals on "
+        "both sides (same contract as qa_psi_drift). Scale: one "
+        "map-side-combined agg over the tiny category domain, a 1-row "
+        "totals broadcast, zero fact-table shuffles."
+    ),
+    tags=("feat", "ml"),
+)
+def feat_woe_encode(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    cat = o.groupBy("prio").agg(
+        F.sum("y").cast("long").alias("pos_c"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg_c"),
+    )
+    tot = cat.agg(
+        F.sum("pos_c").cast("long").alias("pos_t"),
+        F.sum("neg_c").cast("long").alias("neg_t"),
+        F.count(F.lit(1)).cast("long").alias("ncat"),
+    )
+    return cat.crossJoin(F.broadcast(tot)).select(
+        "prio",
+        "pos_c",
+        "neg_c",
+        F.round(
+            F.log(
+                ((F.col("pos_c") + 1) * (F.col("neg_t") + F.col("ncat"))).cast("double")
+                / ((F.col("neg_c") + 1) * (F.col("pos_t") + F.col("ncat"))).cast(
+                    "double"
+                )
+            ),
+            9,
+        ).alias("woe"),
+    )
+
+
+@EXT.add(
+    "feat_mutual_info",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y FROM orders
+    ),
+    cell AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
+    mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM cell GROUP BY 1),
+    my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell)
+    SELECT cell.x, cell.y, c,
+           ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * LN(CAST(c * n AS DOUBLE) / CAST(cx * cy AS DOUBLE)),
+                 9) AS mi_contrib
+    FROM cell JOIN mx USING (x) JOIN my USING (y), tot
+    """,
+    doc=(
+        "Per-cell mutual-information contributions between two "
+        "categorical columns (order priority x order status): "
+        "MI = sum over cells of p(x,y) * ln(p(x,y) / (p(x)p(y))) — the "
+        "standard feature-selection relevance score; emitting the "
+        "per-cell terms (not just the scalar) keeps the output "
+        "auditable and the query a pure relation. Numeric discipline: "
+        "the log argument is one division of two EXACT bigint products "
+        "(c*n / cx*cy — every count is exact, products stay well under "
+        "2^53), so only the ln() is engine-sensitive — rounded to 9 "
+        "decimals on both sides. Scale: the cell/marginal/total aggs "
+        "all live on the tiny category domain after one "
+        "map-side-combined fact scan; marginals broadcast back onto "
+        "cells, no fact re-shuffle."
+    ),
+    tags=("feat", "ml"),
+)
+def feat_mutual_info(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    )
+    cell = o.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    mx = cell.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
+    my = cell.groupBy("y").agg(F.sum("c").cast("long").alias("cy"))
+    tot = cell.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        cell.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "c",
+            F.round(
+                (F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    (F.col("c") * F.col("n")).cast("double")
+                    / (F.col("cx") * F.col("cy")).cast("double")
+                ),
+                9,
+            ).alias("mi_contrib"),
+        )
+    )
+
+
+@EXT.add(
+    "qa_benford_digits",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(LEFT(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM obs),
+    spine AS (SELECT CAST(g AS BIGINT) AS digit FROM generate_series(1, 9) s(g))
+    SELECT spine.digit,
+           CAST(COALESCE(obs.cnt, 0) AS BIGINT) AS cnt,
+           ROUND(LN(1.0 + 1.0 / CAST(spine.digit AS DOUBLE)) / LN(10.0), 9)
+             AS expected_p,
+           ROUND(POW(CAST(COALESCE(obs.cnt, 0) AS DOUBLE)
+                     - CAST(n AS DOUBLE)
+                       * (LN(1.0 + 1.0 / CAST(spine.digit AS DOUBLE)) / LN(10.0)),
+                     2)
+                 / (CAST(n AS DOUBLE)
+                    * (LN(1.0 + 1.0 / CAST(spine.digit AS DOUBLE)) / LN(10.0))),
+                 9) AS chi_contrib
+    FROM spine LEFT JOIN obs USING (digit), tot
+    """,
+    doc=(
+        "Benford's-law first-digit audit of the order-value column: "
+        "observed first-significant-digit counts vs the log10(1+1/d) "
+        "expectation, with per-digit chi-square contributions — a "
+        "standard forensic/data-quality screen for fabricated or "
+        "truncated numeric columns. The first digit is extracted by "
+        "STRING head of the exact integer cents (log10/pow-based "
+        "extraction is float-unsafe exactly at powers of ten); the "
+        "9-row digit spine left-join keeps absent digits visible as "
+        "zero rows. ln()-derived expectations rounded to 9 decimals "
+        "(same contract as qa_psi_drift). Scale: one narrow map + one "
+        "9-key map-side-combined agg; the spine and totals are "
+        "broadcast literals."
+    ),
+    tags=("qa",),
+)
+def qa_benford_digits(spark, sf_dir):
+    v = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    obs = v.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = obs.agg(F.sum("cnt").cast("long").alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    exp_p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    cnt = F.coalesce(F.col("cnt"), F.lit(0)).cast("long")
+    expected = F.col("n").cast("double") * exp_p
+    return (
+        spine.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            cnt.alias("cnt"),
+            F.round(exp_p, 9).alias("expected_p"),
+            F.round(
+                F.pow(cnt.cast("double") - expected, F.lit(2.0)) / expected, 9
+            ).alias("chi_contrib"),
+        )
+    )
+
+
+@EXT.add(
+    "samp_balanced_classes",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             (vec_id * 2654435761 + label * 97) % 1000003 AS h
+      FROM embeddings
+    ),
+    k AS (
+      SELECT CAST(MIN(c) AS BIGINT) AS kmin
+      FROM (SELECT COUNT(*) AS c FROM e GROUP BY label)
+    ),
+    r AS (
+      SELECT vec_id, label, CAST(h AS BIGINT) AS h,
+             row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rk
+      FROM e
+    )
+    SELECT vec_id, label, h, CAST(rk AS BIGINT) AS rk
+    FROM r, k WHERE rk <= kmin
+    """,
+    doc=(
+        "Class-balanced downsampling for training-set construction: "
+        "every label class is cut to the size of the SMALLEST class, "
+        "rows chosen by a portable integer hash of (vec_id, label) — "
+        "deterministic across engines, runs, and partitionings, unlike "
+        "rand()-based class rebalancing, and reproducible row-for-row "
+        "when the pipeline re-runs. Shape: one count-per-class agg "
+        "collapses to a 1-row broadcast min; the per-class hash rank "
+        "is a single window shuffle on label. Scale: with a bounded "
+        "label domain the rank-window partitions are the skew risk — "
+        "at 100 TB swap the exact rank for a per-class hash-threshold "
+        "cut (keep h < kmin/class_count quantile of the hash space), "
+        "which needs no sort at all; the exact-rank fixture pins the "
+        "row-level contract that variant must reproduce."
+    ),
+    tags=("samp", "ml"),
+)
+def samp_balanced_classes(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        ((F.col("vec_id") * F.lit(2654435761) + F.col("label") * F.lit(97)) % F.lit(
+            1000003
+        )).alias("h"),
+    )
+    k = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").cast("long").alias("kmin"))
+    )
+    w = Window.partitionBy("label").orderBy("h", "vec_id")
+    r = e.withColumn("rk", F.row_number().over(w))
+    return (
+        r.crossJoin(F.broadcast(k))
+        .filter(F.col("rk") <= F.col("kmin"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("h").cast("long").alias("h"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
