@@ -222,3 +222,92 @@ def asof_backward_cogrouped(
         .cogroup(rb.groupBy("__b"))
         .applyInPandas(merge, schema)
     )
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    right_id: str,
+) -> DataFrame:
+    """Nearest-in-time as-of join: attach the right row whose ``ts`` is
+    CLOSEST to each left row's (either direction), ties going to the
+    backward (earlier) side — pandas ``merge_asof(direction='nearest')``
+    semantics, which Spark has no native operator for.
+
+    Single-pass plan: union-tag both sides once, then evaluate TWO
+    RANGE-framed windows over the same (key, ts) exchange+sort — a
+    backward ``max(struct(ts, id, value))`` over (-inf, 0] and a
+    forward ``min(struct(...))`` over [0, +inf). RANGE frames on the
+    integer microsecond timestamp make equal-ts rows members of both
+    frames regardless of union order (inclusive <= / >=), and the
+    struct max/min gives a DETERMINISTIC tie-break on the right id
+    when several right rows share a timestamp — ``last(ignorenulls)``
+    over a tie would be partition-order-dependent and could never be
+    value-hash-oracled. Cost: one shuffle on the key, same as a
+    window aggregate; never a range join.
+
+    Output: all left columns + ``near_ts``, ``near_value``,
+    ``direction`` ('backward' | 'forward' | 'none').
+    """
+    l_cols = list(left.columns)
+    tagged_left = left.select(
+        *l_cols,
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("__r_v"),
+        F.lit(None).cast("long").alias("__r_id"),
+    )
+    tagged_right = right.select(
+        *[
+            F.col(c)
+            if c in (key, ts)
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_cols
+        ],
+        F.lit(0).alias("__is_left"),
+        F.col(value_col).alias("__r_v"),
+        F.col(right_id).cast("long").alias("__r_id"),
+    )
+    u = tagged_left.unionByName(tagged_right).withColumn(
+        "__ts_us", F.unix_micros(F.col(ts))
+    )
+    pick = F.when(
+        F.col("__is_left") == 0,
+        F.struct(
+            F.col("__ts_us").alias("t"),
+            F.col("__r_id").alias("i"),
+            F.col("__r_v").alias("v"),
+        ),
+    )
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy("__ts_us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy("__ts_us")
+        .rangeBetween(0, Window.unboundedFollowing)
+    )
+    picked = u.select(
+        *l_cols,
+        "__is_left",
+        "__ts_us",
+        F.max(pick).over(w_back).alias("__b"),
+        F.min(pick).over(w_fwd).alias("__f"),
+    ).filter(F.col("__is_left") == 1)
+    db = F.col("__ts_us") - F.col("__b.t")
+    df_ = F.col("__f.t") - F.col("__ts_us")
+    use_back = F.col("__f").isNull() | (F.col("__b").isNotNull() & (db <= df_))
+    chosen = F.when(use_back, F.col("__b")).otherwise(F.col("__f"))
+    return picked.select(
+        *l_cols,
+        F.timestamp_micros(chosen["t"]).alias("near_ts"),
+        chosen["v"].alias("near_value"),
+        F.when(F.col("__b").isNull() & F.col("__f").isNull(), F.lit("none"))
+        .when(use_back, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

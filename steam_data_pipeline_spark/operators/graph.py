@@ -341,3 +341,111 @@ def kcore_oracle_sql(edge_sql: str, k: int = 3, rounds: int = 12) -> str:
         + f"""
     SELECT v AS node, core_deg FROM kd{rounds - 1} WHERE core_deg >= {k}"""
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA), the
+    deterministic variant: ``rounds`` full rounds where every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken toward the SMALLEST label. Classic async LPA is
+    run-order-dependent and unreproducible; the synchronous min-tie
+    form is a pure dataflow recurrence — bit-identical on any engine
+    and partitioning, so it value-hash-oracles (the DuckDB oracle in
+    :func:`label_propagation_oracle_sql` unrolls the same rounds).
+
+    Per round: one join of the cached symmetric edge table against the
+    label frontier (shuffle on the edge source), a map-side-combined
+    ``groupBy(node, lab)`` count, and an argmax-by-``(count, -label)``
+    struct aggregate — never a row_number over a global sort. The edge
+    table is built once, persisted, and reused every round;
+    ``localCheckpoint`` on the label frontier bounds lineage growth
+    exactly as in :func:`pagerank`.
+
+    Returns ``(node, lab)``, both BIGINT; ``lab`` is the community
+    representative after ``rounds`` rounds.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").cast("long").alias("a"),
+            F.greatest("src", "dst").cast("long").alias("b"),
+        )
+        .distinct()
+    )
+    sym = und.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    sym = sym.persist()
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for i in range(rounds):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), "lab")
+        cnt = nbr.groupBy("node", "lab").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"), (-F.col("lab")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("lab"))
+        )
+        if (i + 1) % 2 == 0:
+            labels = labels.localCheckpoint(eager=False)
+    out = labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("lab").cast("long").alias("lab"),
+    )
+    sym.unpersist()
+    return out
+
+
+def label_propagation_oracle_sql(edge_sql: str, rounds: int = 4) -> str:
+    """DuckDB oracle for :func:`label_propagation`: the synchronous
+    recurrence unrolled as MATERIALIZED CTEs (same reasoning as
+    :func:`kcore_oracle_sql` — each round references the previous
+    multiple times, so inlined CTEs would explode exponentially)."""
+    pre = f"""
+    WITH lp_und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ({edge_sql}) WHERE src <> dst
+    ),
+    lp_sym AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM lp_und
+      UNION ALL SELECT b, a FROM lp_und
+    ),
+    lp0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, u AS lab FROM lp_sym
+    )"""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+    lpc{i} AS MATERIALIZED (
+      SELECT s.v AS node, l.lab, COUNT(*) AS c
+      FROM lp_sym s JOIN lp{i} l ON l.node = s.u
+      GROUP BY 1, 2
+    ),
+    lp{i + 1} AS MATERIALIZED (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab ASC) AS rk
+        FROM lpc{i}
+      ) WHERE rk = 1
+    )"""
+        )
+    return (
+        pre
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS lab
+    FROM lp{rounds}"""
+    )

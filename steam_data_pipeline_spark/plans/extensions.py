@@ -8402,3 +8402,295 @@ def samp_balanced_classes(spark, sf_dir):
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+@EXT.add(
+    "join_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN b.ts IS NULL AND f.ts IS NULL THEN NULL
+                WHEN f.ts IS NULL THEN b.ts
+                WHEN b.ts IS NULL THEN f.ts
+                WHEN epoch_us(p.ts) - epoch_us(b.ts)
+                     <= epoch_us(f.ts) - epoch_us(p.ts) THEN b.ts
+                ELSE f.ts END AS near_ts,
+           CASE WHEN b.ts IS NULL AND f.ts IS NULL THEN NULL
+                WHEN f.ts IS NULL THEN b.value
+                WHEN b.ts IS NULL THEN f.value
+                WHEN epoch_us(p.ts) - epoch_us(b.ts)
+                     <= epoch_us(f.ts) - epoch_us(p.ts) THEN b.value
+                ELSE f.value END AS near_value,
+           CASE WHEN b.ts IS NULL AND f.ts IS NULL THEN 'none'
+                WHEN f.ts IS NULL THEN 'backward'
+                WHEN b.ts IS NULL THEN 'forward'
+                WHEN epoch_us(p.ts) - epoch_us(b.ts)
+                     <= epoch_us(f.ts) - epoch_us(p.ts) THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM purchases p
+    LEFT JOIN LATERAL (
+      SELECT v.ts, v.value FROM views v
+      WHERE v.user_id = p.user_id AND v.ts <= p.ts
+      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+    ) b ON TRUE
+    LEFT JOIN LATERAL (
+      SELECT v.ts, v.value FROM views v
+      WHERE v.user_id = p.user_id AND v.ts >= p.ts
+      ORDER BY v.ts ASC, v.event_id ASC LIMIT 1
+    ) f ON TRUE
+    """,
+    doc=(
+        "Nearest-in-time as-of join (operators/asof.py asof_nearest; "
+        "pandas merge_asof direction='nearest' semantics, which Spark "
+        "has no native operator for): each purchase gets the view "
+        "CLOSEST in time either direction, ties to the earlier side, "
+        "equal-timestamp ties among right rows broken on the right id "
+        "via struct max/min — fully deterministic where "
+        "last(ignorenulls) would be partition-order-dependent. Plan: "
+        "ONE union-tag pass, two RANGE-framed windows sharing a single "
+        "(key, ts) exchange+sort; never a range join. The DuckDB "
+        "oracle uses two LATERAL top-1 probes with the same "
+        "tie-breaks."
+    ),
+    tags=("join", "asof", "window"),
+)
+def join_asof_nearest(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.asof import asof_nearest
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_nearest(
+        purchases, views, key="user_id", ts="ts",
+        value_col="value", right_id="event_id",
+    )
+
+
+@EXT.add(
+    "win_attribution_last_touch",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.value,
+           a.event_type AS touch_type, a.ts AS touch_ts
+    FROM conv c
+    LEFT JOIN LATERAL (
+      SELECT t.event_type, t.ts FROM touch t
+      WHERE t.user_id = c.user_id
+        AND t.ts <= c.ts
+        AND t.ts >= c.ts - INTERVAL 7 DAY
+      ORDER BY t.ts DESC, t.event_id DESC LIMIT 1
+    ) a ON TRUE
+    """,
+    doc=(
+        "Last-touch marketing attribution: every conversion (purchase) "
+        "is attributed to the most recent view/click by the same user "
+        "within a 7-day lookback window — the standard attribution "
+        "primitive, which is a BOUNDED backward as-of join (plain "
+        "asof_backward has no lookback cutoff). Plan: one union-tag "
+        "pass, one RANGE-framed window ([-7 days, 0] on integer "
+        "microseconds) over a single (user, ts) exchange — never a "
+        "range join; the attributed touch is a struct max so "
+        "equal-timestamp ties resolve deterministically on the touch "
+        "event id. Conversions with no in-window touch surface as "
+        "NULL-attributed rows (the unattributed-spend line every "
+        "attribution report needs). At 100 TB the 7-day bound is the "
+        "scale feature: window state per key is capped by the lookback "
+        "horizon, so the operator streams (it is the batch twin of a "
+        "watermarked stream-stream interval join)."
+    ),
+    tags=("win", "asof", "attribution"),
+)
+def win_attribution_last_touch(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    tagged_conv = conv.select(
+        "event_id", "user_id", "ts", "value",
+        F.lit(1).alias("__is_conv"),
+        F.lit(None).cast("string").alias("__t_type"),
+        F.lit(None).cast("long").alias("__t_id"),
+    )
+    tagged_touch = touch.select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("__is_conv"),
+        F.col("event_type").alias("__t_type"),
+        F.col("event_id").alias("__t_id"),
+    )
+    u = tagged_conv.unionByName(tagged_touch).withColumn(
+        "__ts_us", F.unix_micros("ts")
+    )
+    lookback_us = 7 * 86400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__ts_us")
+        .rangeBetween(-lookback_us, 0)
+    )
+    pick = F.when(
+        F.col("__is_conv") == 0,
+        F.struct(
+            F.col("__ts_us").alias("t"),
+            F.col("__t_id").alias("i"),
+            F.col("__t_type").alias("y"),
+        ),
+    )
+    return (
+        u.select(
+            "event_id", "user_id", "ts", "value", "__is_conv",
+            F.max(pick).over(w).alias("__a"),
+        )
+        .filter(F.col("__is_conv") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.col("__a.y").alias("touch_type"),
+            F.timestamp_micros(F.col("__a.t")).alias("touch_ts"),
+        )
+    )
+
+
+def _communities_oracle():
+    from steam_data_pipeline_spark.operators.graph import (
+        label_propagation_oracle_sql,
+    )
+
+    return label_propagation_oracle_sql(
+        "SELECT o_custkey AS src,"
+        " o_orderkey % (SELECT COUNT(*) FROM customer) AS dst"
+        " FROM orders WHERE o_orderpriority = '1-URGENT'",
+        rounds=4,
+    )
+
+
+@EXT.add(
+    "llm_graph_communities",
+    oracle=_communities_oracle(),
+    doc=(
+        "Label-propagation community detection (operators/graph.py "
+        "label_propagation) over the same customer/orders link graph "
+        "as llm_graph_pagerank — the domain-clustering pass a crawl "
+        "pipeline runs to group related hosts before per-community "
+        "quota sampling. SYNCHRONOUS LPA with most-frequent-neighbor "
+        "adoption and smallest-label tie-break: async LPA is run-order "
+        "dependent and could never be value-hash-oracled; this "
+        "variant is a pure dataflow recurrence, bit-identical on any "
+        "partitioning (DuckDB oracle unrolls the same 4 rounds as "
+        "MATERIALIZED CTEs). Per round: one shuffle join of the "
+        "persisted symmetric edge table against the label frontier + "
+        "a map-side-combined (node, label) count + an argmax struct "
+        "agg — never a global sort; localCheckpoint every 2 rounds "
+        "bounds lineage exactly as pagerank does."
+    ),
+    tags=("llm", "graph", "iterative"),
+)
+def llm_graph_communities(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.graph import label_propagation
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    n_cust = cust.agg(F.count(F.lit(1)).alias("nc"))
+    edges = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .crossJoin(F.broadcast(n_cust))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % F.col("nc")).alias("dst"),
+        )
+    )
+    return label_propagation(edges, rounds=4)
+
+
+@EXT.add(
+    "feat_discretize_quantile",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (SELECT prio, cents, CAST(COUNT(*) AS BIGINT) AS c
+          FROM o GROUP BY 1, 2),
+    cum AS (
+      SELECT prio, cents, c,
+             SUM(c) OVER (PARTITION BY prio ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cm
+      FROM g
+    ),
+    n AS (SELECT prio, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY 1),
+    q AS (SELECT CAST(g AS BIGINT) AS q FROM generate_series(1, 3) s(g))
+    SELECT cum.prio, q.q,
+           CAST(MIN(cum.cents) AS BIGINT) AS edge_cents, n.n
+    FROM cum JOIN n USING (prio) CROSS JOIN q
+    WHERE cum.cm * 4 >= q.q * n.n
+    GROUP BY 1, 2, 4
+    """,
+    doc=(
+        "Distributed exact quantile edges for feature discretization: "
+        "per-category quartile cut points (percentile_disc semantics — "
+        "smallest value whose cumulative count reaches q*n) computed "
+        "WITHOUT sorting the fact table: collapse to a per-(category, "
+        "value) count histogram first, cumulative-sum the histogram "
+        "(distinct values << rows, the window sort is over the "
+        "histogram not the data), and take the integer-threshold min "
+        "per quartile. All-integer comparisons (cum*4 >= q*n) — no "
+        "float quantile interpolation, so the edges value-hash-oracle "
+        "exactly. This is the scale path quantile binning needs at "
+        "100 TB: ntile/percentile over raw rows is a per-group full "
+        "sort; the histogram shape shrinks the sorted relation by the "
+        "value-duplication factor and every other step is a map-side "
+        "combined agg or broadcast."
+    ),
+    tags=("feat", "ml"),
+)
+def feat_discretize_quantile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = o.groupBy("prio", "cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.select("prio", "cents", "c", F.sum("c").over(w).alias("cm"))
+    n = g.groupBy("prio").agg(F.sum("c").cast("long").alias("n"))
+    q = spark.range(1, 4).select(F.col("id").alias("q"))
+    return (
+        cum.join(F.broadcast(n), "prio")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cm") * 4 >= F.col("q") * F.col("n"))
+        .groupBy("prio", "q", "n")
+        .agg(F.min("cents").cast("long").alias("edge_cents"))
+        .select("prio", "q", "edge_cents", "n")
+    )

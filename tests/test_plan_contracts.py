@@ -576,3 +576,39 @@ class TestGlobalPlanAudit:
             if "BatchEvalPython" in plan:
                 bad.append(f"{name}: row-at-a-time BatchEvalPython")
         assert not bad, "\n".join(bad)
+
+
+class TestRound7PlanContracts:
+    def test_asof_nearest_single_shuffle(self, spark):
+        """Both RANGE-framed windows (backward max, forward min) must
+        share one (key, ts) exchange+sort — the whole nearest-join is
+        a single shuffle, never a range join."""
+        plan = _plan(QUERIES["join_asof_nearest"].spark(spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+    def test_attribution_single_shuffle(self, spark):
+        """Bounded-lookback attribution = one union-tag window pass:
+        exactly one exchange, no join operator at all."""
+        plan = _plan(
+            QUERIES["win_attribution_last_touch"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Join" not in plan
+
+    def test_discretize_histogram_not_fact_sort(self, spark):
+        """The cumsum window must sort the (category, value) HISTOGRAM,
+        not the fact table: the fact side contributes only
+        hash-aggregates, and the histogram window is the only sort."""
+        plan = _plan(
+            QUERIES["feat_discretize_quantile"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "HashAggregate" in plan
+        assert plan.count("Sort ") <= 2  # histogram window sort (+AQE variant)
+
+    def test_feat_encodings_broadcast_back(self, spark):
+        """Target/WOE encodings join tiny category stats back onto the
+        fact via broadcast — the fact table must never sort-merge."""
+        for name in ("feat_target_encode_loo", "feat_woe_encode"):
+            plan = _plan(QUERIES[name].spark(spark, SF_SMOKE), "simple")
+            assert "SortMergeJoin" not in plan, name
