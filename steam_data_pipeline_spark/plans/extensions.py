@@ -8694,3 +8694,372 @@ def feat_discretize_quantile(spark, sf_dir):
         .agg(F.min("cents").cast("long").alias("edge_cents"))
         .select("prio", "q", "edge_cents", "n")
     )
+
+
+@EXT.add(
+    "join_point_in_time",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), scd AS (
+      SELECT user_id, event_type AS state, ts AS valid_from
+      FROM c WHERE prev IS NULL OR prev <> event_type
+    ),
+    probes AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           a.state AS state_asof, a.valid_from AS state_since
+    FROM probes p
+    LEFT JOIN LATERAL (
+      SELECT s.state, s.valid_from FROM scd s
+      WHERE s.user_id = p.user_id AND s.valid_from < p.ts
+      ORDER BY s.valid_from DESC, s.state DESC LIMIT 1
+    ) a ON TRUE
+    """,
+    doc=(
+        "Point-in-time (PIT) feature-store join: each label event "
+        "(purchase) is joined to the dimension version that was valid "
+        "STRICTLY BEFORE its timestamp — the leakage-free temporal "
+        "join every feature store (Feast/Tecton-style) is built "
+        "around; an inclusive as-of here would leak the label row's "
+        "own state transition into its features. Composition: "
+        "operators/windows.py scd2_history collapses the event stream "
+        "into state versions (one shuffle), then ONE union-tag RANGE "
+        "window ((-inf, -1] on integer microseconds — the strict "
+        "inequality is the frame bound, not a post-filter) attaches "
+        "the latest prior version; equal-valid_from ties resolve "
+        "deterministically via struct max on (ts, state). Two "
+        "shuffles total, both on the same user key — at scale the "
+        "second reuses the first's partitioning; never a range join. "
+        "Rows with no prior version surface NULL (the cold-start "
+        "case a training pipeline must see, not drop)."
+    ),
+    tags=("join", "asof", "scd2", "ml"),
+)
+def join_point_in_time(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from steam_data_pipeline_spark.operators.windows import scd2_history
+
+    ev = t(spark, sf_dir, "events")
+    dim = scd2_history(
+        ev, key="user_id", state="event_type", order=["ts", "event_id"]
+    ).select("user_id", "state", "valid_from")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tagged_p = probes.select(
+        "event_id", "user_id", "ts", "value",
+        F.lit(1).alias("__is_probe"),
+        F.lit(None).cast("string").alias("__state"),
+    )
+    tagged_d = dim.select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("__is_probe"),
+        F.col("state").alias("__state"),
+    )
+    u = tagged_p.unionByName(tagged_d).withColumn(
+        "__ts_us", F.unix_micros("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    pick = F.when(
+        F.col("__is_probe") == 0,
+        F.struct(F.col("__ts_us").alias("t"), F.col("__state").alias("s")),
+    )
+    return (
+        u.select(
+            "event_id", "user_id", "ts", "value", "__is_probe",
+            F.max(pick).over(w).alias("__a"),
+        )
+        .filter(F.col("__is_probe") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.col("__a.s").alias("state_asof"),
+            F.timestamp_micros(F.col("__a.t")).alias("state_since"),
+        )
+    )
+
+
+@EXT.add(
+    "feat_standard_scale",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority AS prio,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+               AS cents
+      FROM orders
+    ),
+    s AS (
+      SELECT prio, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(cents) AS sm, SUM(cents * cents) AS ss
+      FROM o GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.prio, CAST(o.cents AS BIGINT) AS cents,
+           ROUND(CAST(s.n * o.cents - s.sm AS DOUBLE)
+                 / SQRT(CAST(NULLIF(s.n * s.ss - s.sm * s.sm, 0) AS DOUBLE)),
+                 9) AS zn
+    FROM o JOIN s USING (prio)
+    """,
+    doc=(
+        "Per-category z-score standardization with EXACT moment "
+        "arithmetic: the naive mean/std path computes two "
+        "order-dependent float sums and could never value-hash-"
+        "oracle; here the numerator (n*x - sum) and the radicand "
+        "(n*sumsq - sum^2) are exact wide-integer values (DECIMAL(38) "
+        "on the Spark side, HUGEINT in DuckDB — cents^2 sums overflow "
+        "int64 at sf0.1, which is exactly why engines silently "
+        "float-degrade here), so the only engine-sensitive steps are "
+        "one correctly-rounded IEEE sqrt and one division, rounded to "
+        "9 decimals. zn is the population z-score scaled by n (same "
+        "ranking/threshold semantics, no 1/n float step). Scale: one "
+        "map-side-combined agg over the tiny category domain broadcast "
+        "back onto the fact — single scan, no fact shuffle; constant "
+        "columns surface NULL via the NULLIF(radicand) guard instead "
+        "of an ANSI divide-by-zero."
+    ),
+    tags=("feat", "ml"),
+)
+def feat_standard_scale(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("decimal(18,0)")
+        .alias("cents"),
+    )
+    s = o.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("sm"),
+        F.sum(F.col("cents") * F.col("cents")).cast("decimal(38,0)").alias("ss"),
+    )
+    num = (F.col("n") * F.col("cents") - F.col("sm")).cast("double")
+    rad = F.nullif(
+        (F.col("n") * F.col("ss") - F.col("sm") * F.col("sm")),
+        F.lit(0).cast("decimal(38,0)"),
+    ).cast("double")
+    return o.join(F.broadcast(s), "prio").select(
+        "o_orderkey",
+        "prio",
+        F.col("cents").cast("long").alias("cents"),
+        F.round(num / F.sqrt(rad), 9).alias("zn"),
+    )
+
+
+@EXT.add(
+    "samp_neyman_alloc",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    strata AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(MAX(cents) - MIN(cents) AS BIGINT) AS range_c
+      FROM c GROUP BY 1
+    ),
+    wtot AS (
+      SELECT CAST(SUM(nh * range_c) AS BIGINT) AS w FROM strata
+    ),
+    base AS (
+      SELECT seg, nh, range_c,
+             CAST((1000 * nh * range_c) // w AS BIGINT) AS alloc0,
+             CAST((1000 * nh * range_c) % w AS BIGINT) AS rem
+      FROM strata, wtot
+    ),
+    extras AS (
+      SELECT CAST(1000 - SUM(alloc0) AS BIGINT) AS e FROM base
+    )
+    SELECT seg, nh, range_c,
+           CAST(alloc0 + CASE WHEN rk <= e THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, seg ASC) AS rk
+          FROM base), extras
+    """,
+    doc=(
+        "Neyman-style optimal stratified-sample allocation with "
+        "largest-remainder apportionment, ALL-INTEGER: a 1000-row "
+        "budget is split across customer segments proportional to "
+        "N_h * spread_h (spread = exact account-balance range in "
+        "cents — the float stddev of textbook Neyman would be "
+        "order-dependent and unoracleable), floor-divided exactly, "
+        "and the rounding shortfall is apportioned to the largest "
+        "exact remainders (Hamilton's method, ties to the smaller "
+        "segment name) so the allocations sum to the budget EXACTLY — "
+        "the property proportional rounding always breaks. Scale: one "
+        "map-side-combined agg over the fact, then all arithmetic on "
+        "the 5-row strata table (the rank window is over strata, "
+        "never data rows)."
+    ),
+    tags=("samp", "ml"),
+)
+def samp_neyman_alloc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    strata = c.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        (F.max("cents") - F.min("cents")).cast("long").alias("range_c"),
+    )
+    wtot = strata.agg(
+        F.sum(F.col("nh") * F.col("range_c")).cast("long").alias("w")
+    )
+    base = strata.crossJoin(F.broadcast(wtot)).select(
+        "seg",
+        "nh",
+        "range_c",
+        F.expr("(1000 * nh * range_c) div w").cast("long").alias("alloc0"),
+        ((1000 * F.col("nh") * F.col("range_c")) % F.col("w"))
+        .cast("long")
+        .alias("rem"),
+    )
+    extras = base.agg((1000 - F.sum("alloc0")).cast("long").alias("e"))
+    rk = F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("seg")))
+    return (
+        base.withColumn("rk", rk)
+        .crossJoin(F.broadcast(extras))
+        .select(
+            "seg",
+            "nh",
+            "range_c",
+            (F.col("alloc0") + F.when(F.col("rk") <= F.col("e"), 1).otherwise(0))
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
+@EXT.add(
+    "win_survival_km",
+    oracle="""
+    WITH mx AS (SELECT MAX(l_shipdate) AS mts FROM lineitem),
+    u AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY 1
+    ),
+    lif AS (
+      SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(u.last_ship AS DATE)) AS BIGINT) AS t,
+             CASE WHEN date_diff('day', CAST(u.last_ship AS DATE),
+                                 CAST(mts AS DATE)) < 30
+                  THEN 0 ELSE 1 END AS churned
+      FROM u JOIN orders o ON u.l_orderkey = o.o_orderkey, mx
+    ),
+    byt AS (
+      SELECT t, CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS total
+      FROM lif WHERE t >= 0 GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(SUM(total) OVER (ORDER BY t DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_risk
+      FROM byt
+    ),
+    ev AS (
+      SELECT t, d, n_risk,
+             CAST(ROUND(LN(CAST(n_risk - d AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS lnf
+      FROM risk WHERE d > 0
+    )
+    SELECT t, d, n_risk,
+           ROUND(EXP(CAST(SUM(lnf) OVER (ORDER BY t
+                                         ROWS UNBOUNDED PRECEDING)
+                          AS DOUBLE)), 9) AS surv
+    FROM ev
+    """,
+    doc=(
+        "Kaplan-Meier survival curve over order-fulfillment durations "
+        "(orderdate to last shipment, in days), with orders still "
+        "shipping in the final 30 days of the observation window "
+        "treated as CENSORED — the standard time-to-event estimator "
+        "(churn, fulfillment, failure), which no plain SQL aggregate "
+        "expresses. Numeric discipline: S(t) is a running PRODUCT of "
+        "exact rationals (1 - d/n); float cumprod is association-"
+        "order-dependent, so each factor's ln (one ln of an exact "
+        "rational) is rounded to 9 decimals, fixed into DECIMAL(28,9), "
+        "and the running sum is an EXACT decimal window sum — "
+        "order-independent by construction — with one exp + round at "
+        "the end. Negative synthetic durations (this fixture's ship "
+        "dates are independent of order dates) are excluded as "
+        "ill-formed subjects. Scale: one per-order shipment agg "
+        "(co-partitioned with the orders join on the order key), then "
+        "every window runs over the DISTINCT-duration table (bounded "
+        "by the observation span in DAYS — ~1.8k rows here, invariant "
+        "in the fact count), never over orders; the reverse-cumulative "
+        "n_risk is the same histogram-cumsum trick as "
+        "feat_discretize_quantile."
+    ),
+    tags=("win", "survival", "ml"),
+)
+def win_survival_km(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    mx = li.agg(F.max("l_shipdate").alias("mts"))
+    u = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    lif = (
+        u.join(orders, u.l_orderkey == orders.o_orderkey)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(F.to_date("last_ship"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("t"),
+            F.when(
+                F.datediff(F.to_date("mts"), F.to_date("last_ship")) < 30, 0
+            )
+            .otherwise(1)
+            .alias("churned"),
+        )
+    )
+    byt = lif.filter(F.col("t") >= 0).groupBy("t").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = byt.select(
+        "t", "d", F.sum("total").over(w_desc).cast("long").alias("n_risk")
+    )
+    evr = risk.filter(F.col("d") > 0).withColumn(
+        "lnf",
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            ),
+            9,
+        ).cast("decimal(28,9)"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return evr.select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(F.exp(F.sum("lnf").over(w_asc).cast("double")), 9).alias(
+            "surv"
+        ),
+    )

@@ -612,3 +612,17 @@ class TestRound7PlanContracts:
         for name in ("feat_target_encode_loo", "feat_woe_encode"):
             plan = _plan(QUERIES[name].spark(spark, SF_SMOKE), "simple")
             assert "SortMergeJoin" not in plan, name
+
+    def test_point_in_time_two_shuffles_same_key(self, spark):
+        """SCD2 collapse + union-tag window = exactly two exchanges,
+        both hash-partitioned on the user key; never a range join."""
+        plan = _plan(QUERIES["join_point_in_time"].spark(spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+    def test_standard_scale_broadcasts_moments(self, spark):
+        """Exact-moment z-score joins the 5-row stats back by
+        broadcast; the fact table must never sort-merge or re-shuffle."""
+        plan = _plan(QUERIES["feat_standard_scale"].spark(spark, SF_SMOKE), "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

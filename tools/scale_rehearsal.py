@@ -429,12 +429,24 @@ def build_scaled_dir(spark, sf_dir: str, factor: int, out_dir: str) -> str:
         os.path.join(out_dir, "orders.parquet"),
     )
 
+    # lineitem scales with orders (round 7): per-order line structure
+    # preserved by offsetting l_orderkey with the SAME order offset;
+    # part/supplier keys stay in the base domain (bounded dims).
+    li = read_table(spark, sf_dir, "lineitem")
+    _single_file(
+        spark,
+        li.select(reps, "*").select(
+            (F.col("l_orderkey") + F.col("k") * max_ok).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        ),
+        os.path.join(out_dir, "lineitem.parquet"),
+    )
+
     for tbl in (
         "region",
         "nation",
         "supplier",
         "part",
-        "lineitem",
     ):
         dst = os.path.join(out_dir, f"{tbl}.parquet")
         if not os.path.exists(dst):
@@ -455,7 +467,7 @@ def rehearse_registry_heavy(
     spark = _spark()
     names = names or HEAVY_QUERIES
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_scaled_{factor}x"
+        tempfile.gettempdir(), f"spark_graft_scaled_{factor}x_v3"
     )
     t0 = time.time()
     build_scaled_dir(spark, sf_dir, factor, out_dir)
