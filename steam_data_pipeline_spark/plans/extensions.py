@@ -9063,3 +9063,777 @@ def win_survival_km(spark, sf_dir):
             "surv"
         ),
     )
+
+
+@EXT.add(
+    "qa_ks_drift",
+    oracle="""
+    WITH ref AS (SELECT value AS x FROM events WHERE day(ts) <= 15),
+    cur AS (SELECT value AS x FROM events WHERE day(ts) > 15),
+    bounds AS (
+      SELECT MIN(x) AS vmin, MAX(x) AS vmax
+      FROM (SELECT x FROM ref UNION ALL SELECT x FROM cur)
+    ),
+    br AS (
+      SELECT LEAST(CAST(FLOOR((x - vmin)
+                         / GREATEST((vmax - vmin) / 256.0, 1e-12))
+                        AS BIGINT), 255) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ref, bounds GROUP BY 1
+    ),
+    bc AS (
+      SELECT LEAST(CAST(FLOOR((x - vmin)
+                         / GREATEST((vmax - vmin) / 256.0, 1e-12))
+                        AS BIGINT), 255) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM cur, bounds GROUP BY 1
+    ),
+    spine AS (SELECT CAST(g AS BIGINT) AS bin
+              FROM generate_series(0, 255) s(g)),
+    j AS (
+      SELECT spine.bin,
+             CAST(COALESCE(br.c, 0) AS BIGINT) AS c1,
+             CAST(COALESCE(bc.c, 0) AS BIGINT) AS c2
+      FROM spine LEFT JOIN br USING (bin) LEFT JOIN bc USING (bin)
+    ),
+    cum AS (
+      SELECT bin,
+             SUM(c1) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS m1,
+             SUM(c2) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS m2
+      FROM j
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2 FROM j)
+    SELECT n1, n2,
+           CAST(MAX(ABS(m1 * n2 - m2 * n1)) AS BIGINT) AS d_num,
+           ROUND(CAST(MAX(ABS(m1 * n2 - m2 * n1)) AS DOUBLE)
+                 / CAST(n1 * n2 AS DOUBLE), 9) AS ks
+    FROM cum, tot GROUP BY n1, n2
+    """,
+    doc=(
+        "Two-sample Kolmogorov-Smirnov drift statistic between the "
+        "first and second half-month of events.value, EXACT over a "
+        "256-bin ecdf: the supremum |F1 - F2| is computed as "
+        "max|cum1*n2 - cum2*n1| in pure BIGINT cross-multiplication — "
+        "no float ecdf, so the statistic value-hash-oracles to the "
+        "last bit (the final ks double is one division, rounded 9). "
+        "Bin assignment is the same global-min/max fixed-width IEEE "
+        "float64 path as qa_psi_drift (deterministic under any "
+        "partitioning, unlike rank-based exact KS which needs a "
+        "global sort). Complements PSI: KS is the sup-norm test "
+        "(sensitive to the single worst ecdf gap), PSI the "
+        "expectation test. Scale: two map-side-combined bin aggs + a "
+        "cumsum over the FIXED 256-row spine (never data rows) + one "
+        "max — the fact table is scanned once per population and "
+        "never shuffled."
+    ),
+    tags=("qa", "drift"),
+)
+def qa_ks_drift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15).select(F.col("value").alias("x"))
+    cur = ev.filter(F.dayofmonth("ts") > 15).select(F.col("value").alias("x"))
+    both = ref.unionByName(cur)
+    bounds = both.agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+    n_bins = 256
+
+    def binned(df, label):
+        w = F.greatest(
+            (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins)),
+            F.lit(1e-12),
+        )
+        b = F.least(
+            F.floor((F.col("x") - F.col("vmin")) / w), F.lit(n_bins - 1)
+        ).cast("long")
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"c{label}"))
+        )
+
+    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    j = (
+        spine.join(binned(ref, "1"), "bin", "left")
+        .join(binned(cur, "2"), "bin", "left")
+        .fillna(0, subset=["c1", "c2"])
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = j.select(
+        "bin",
+        F.sum("c1").over(wc).alias("m1"),
+        F.sum("c2").over(wc).alias("m2"),
+    )
+    tot = j.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("m1") * F.col("n2") - F.col("m2") * F.col("n1")))
+            .cast("long")
+            .alias("d_num")
+        )
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                9,
+            ).alias("ks"),
+        )
+    )
+
+
+@EXT.add(
+    "agg_gini_segment",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    mn AS (SELECT seg, CAST(MIN(cents) AS BIGINT) AS vmin
+           FROM c GROUP BY 1),
+    s AS (
+      SELECT c.seg, c.cents - mn.vmin AS v
+      FROM c JOIN mn ON c.seg = mn.seg
+    ),
+    g AS (SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM s GROUP BY 1, 2),
+    cum AS (
+      SELECT seg, v, cnt,
+             SUM(cnt) OVER (PARTITION BY seg ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cm
+      FROM g
+    ),
+    agg AS (
+      SELECT seg,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(v * cnt) AS BIGINT) AS s1,
+             CAST(SUM(v * (2 * (cm - cnt) * cnt + cnt * (cnt + 1)))
+                  AS BIGINT) AS s2x2
+      FROM cum GROUP BY 1
+    )
+    SELECT seg, n, s1,
+           ROUND(CAST(s2x2 - (n + 1) * s1 AS DOUBLE)
+                 / CAST(NULLIF(n * s1, 0) AS DOUBLE), 9) AS gini
+    FROM agg
+    """,
+    doc=(
+        "Per-segment Gini concentration coefficient of (min-shifted) "
+        "account balances, EXACT via the value-histogram rank "
+        "identity: for sorted values with duplicates, "
+        "sum(i*x_i) collapses to sum over distinct v of "
+        "v*(c*C_prev + c(c+1)/2) — every term a BIGINT, so "
+        "G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) is one exact "
+        "integer ratio, rounded 9 at the single final division. The "
+        "shift to min makes the support non-negative (Gini's domain) "
+        "deterministically. Scale: same histogram-cumsum shape as "
+        "feat_discretize_quantile — the rank window sorts DISTINCT "
+        "values per segment, never customer rows; a naive "
+        "sort-and-rank Gini is a per-segment full data sort. "
+        "Degenerate all-equal segments surface NULL via "
+        "NULLIF(n*s1), not a divide error."
+    ),
+    tags=("agg", "stats"),
+)
+def agg_gini_segment(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    mn = c.groupBy("seg").agg(F.min("cents").cast("long").alias("vmin"))
+    s = c.join(F.broadcast(mn), "seg").select(
+        "seg", (F.col("cents") - F.col("vmin")).alias("v")
+    )
+    g = s.groupBy("seg", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wc = (
+        Window.partitionBy("seg")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.select("seg", "v", "cnt", F.sum("cnt").over(wc).alias("cm"))
+    agg = cum.groupBy("seg").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).cast("long").alias("s1"),
+        F.sum(
+            F.col("v")
+            * (
+                2 * (F.col("cm") - F.col("cnt")) * F.col("cnt")
+                + F.col("cnt") * (F.col("cnt") + 1)
+            )
+        )
+        .cast("long")
+        .alias("s2x2"),
+    )
+    return agg.select(
+        "seg",
+        "n",
+        "s1",
+        F.round(
+            (F.col("s2x2") - (F.col("n") + 1) * F.col("s1")).cast("double")
+            / F.nullif(F.col("n") * F.col("s1"), F.lit(0)).cast("double"),
+            9,
+        ).alias("gini"),
+    )
+
+
+@EXT.add(
+    "agg_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('day', ts) AS day, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+      SELECT user_id, day, value,
+             first_value(value) OVER (PARTITION BY user_id, day
+                                      ORDER BY ts, event_id) AS o,
+             first_value(value) OVER (PARTITION BY user_id, day
+                                      ORDER BY ts DESC, event_id DESC) AS c
+      FROM e
+    )
+    SELECT user_id, day,
+           MAX(o) AS open, MAX(value) AS high, MIN(value) AS low,
+           MAX(c) AS close, CAST(COUNT(*) AS BIGINT) AS n_trades
+    FROM w GROUP BY 1, 2
+    """,
+    doc=(
+        "Daily OHLC (open/high/low/close) bars per user over purchase "
+        "values — the canonical time-series downsampling primitive "
+        "(market bars, metric rollups). Open/close are argmin/argmax "
+        "by (ts, event_id) expressed as ONE struct min/max per group — "
+        "no window, no sort: the whole query is a single "
+        "map-side-combined groupBy, because struct ordering makes "
+        "first/last-by-time an ordinary commutative aggregate (the "
+        "tie-break on event_id makes it deterministic where "
+        "first_value over a partial order is not). Values pass "
+        "through untouched (no float arithmetic), so doubles match "
+        "bit-exactly. Scale: one shuffle on (user, day) with near-"
+        "total map-side combine; the oracle's window formulation is "
+        "the shape this op deliberately avoids."
+    ),
+    tags=("agg", "timeseries"),
+)
+def agg_ohlc_bars(spark, sf_dir):
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+    ost = F.min(F.struct("ts", "event_id", "value")).alias("o")
+    cst = F.max(F.struct("ts", "event_id", "value")).alias("c")
+    return (
+        e.groupBy("user_id", "day")
+        .agg(
+            ost,
+            cst,
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+        )
+        .select(
+            "user_id",
+            "day",
+            F.col("o.value").alias("open"),
+            "high",
+            "low",
+            F.col("c.value").alias("close"),
+            "n_trades",
+        )
+    )
+
+
+@EXT.add(
+    "agg_entropy_source",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM d GROUP BY 1),
+    term AS (
+      SELECT d.source, d.c, n.n,
+             CAST(ROUND(LN(CAST(d.c AS DOUBLE) / CAST(n.n AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS lnp
+      FROM d JOIN n USING (source)
+    )
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(-CAST(SUM(CAST(c AS DECIMAL(12,0)) * lnp) AS DOUBLE)
+                 / CAST(MAX(n) AS DOUBLE), 9)
+             AS entropy
+    FROM term GROUP BY 1
+    """,
+    doc=(
+        "Shannon entropy of the language mix per document source — "
+        "the diversity metric a corpus-mixing pipeline monitors per "
+        "domain (a source collapsing to one language is a crawl "
+        "regression). Numeric discipline: H = -(1/n) * sum(c*ln(c/n)) "
+        "with each ln (of an exact count ratio) rounded to 9 decimals "
+        "and fixed into DECIMAL(18,9); the weighted product uses "
+        "DECIMAL(12,0) counts so the result precision (31,9) stays "
+        "under the 38-digit cap — wider operands would make Spark "
+        "silently SHED SCALE to fit, a 1e-8-scale error this query's "
+        "first draft actually hit — and the sum is then an EXACT "
+        "decimal aggregate, order-independent under any partitioning, "
+        "same contract as win_survival_km's log-sum, "
+        "with one division + round at the end. Scale: two map-side-"
+        "combined aggs on the (source, lang) domain; the fact table "
+        "is scanned once."
+    ),
+    tags=("agg", "stats", "llm"),
+)
+def agg_entropy_source(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = d.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    term = d.join(F.broadcast(n), "source").select(
+        "source",
+        "c",
+        "n",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("n").cast("double")), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("lnp"),
+    )
+    return term.groupBy("source").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.round(
+            -F.sum(F.col("c").cast("decimal(12,0)") * F.col("lnp"))
+            .cast("double")
+            / F.max("n").cast("double"),
+            9,
+        ).alias("entropy"),
+    )
+
+
+@EXT.add(
+    "agg_mwu_auc",
+    oracle="""
+    WITH x AS (SELECT value AS v FROM events WHERE event_type = 'purchase'),
+    y AS (SELECT value AS v FROM events WHERE event_type = 'view'),
+    bounds AS (
+      SELECT MIN(v) AS vmin, MAX(v) AS vmax
+      FROM (SELECT v FROM x UNION ALL SELECT v FROM y)
+    ),
+    bx AS (
+      SELECT LEAST(CAST(FLOOR((v - vmin)
+                         / GREATEST((vmax - vmin) / 256.0, 1e-12))
+                        AS BIGINT), 255) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM x, bounds GROUP BY 1
+    ),
+    by_ AS (
+      SELECT LEAST(CAST(FLOOR((v - vmin)
+                         / GREATEST((vmax - vmin) / 256.0, 1e-12))
+                        AS BIGINT), 255) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM y, bounds GROUP BY 1
+    ),
+    spine AS (SELECT CAST(g AS BIGINT) AS bin
+              FROM generate_series(0, 255) s(g)),
+    j AS (
+      SELECT spine.bin,
+             CAST(COALESCE(bx.c, 0) AS BIGINT) AS c1,
+             CAST(COALESCE(by_.c, 0) AS BIGINT) AS c2
+      FROM spine LEFT JOIN bx USING (bin) LEFT JOIN by_ USING (bin)
+    ),
+    cum AS (
+      SELECT bin, c1, c2,
+             SUM(c1 + c2) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               - (c1 + c2) AS cprev
+      FROM j
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cprev + (c1 + c2) + 1)) AS BIGINT) AS r1x2
+      FROM cum
+    )
+    SELECT n1, n2,
+           CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2,
+           ROUND(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+                 / CAST(2 * n1 * n2 AS DOUBLE), 9) AS auc
+    FROM agg
+    """,
+    doc=(
+        "Mann-Whitney rank-sum statistic between two event populations "
+        "(purchase vs view values) over the same 256-bin ecdf grid as "
+        "qa_ks_drift, with midrank tie handling — U/(n1*n2) is exactly "
+        "the AUC (the probability a random purchase value exceeds a "
+        "random view value), making this both the standard "
+        "nonparametric drift test AND the label-free model-score "
+        "separability metric. All-integer: ranks arrive through the "
+        "doubled-midrank identity (2*rank_avg = 2*C_prev + c + 1), so "
+        "R1, U1 are exact BIGINTs and only the final AUC division is "
+        "IEEE, rounded 9. Completes the drift battery: PSI "
+        "(expectation), KS (sup-norm), MWU (rank shift). Scale: two "
+        "map-side-combined bin aggs + a cumsum over the fixed 256-row "
+        "spine; the fact table is never shuffled."
+    ),
+    tags=("agg", "stats", "drift"),
+)
+def agg_mwu_auc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("value").alias("v")
+    )
+    y = ev.filter(F.col("event_type") == "view").select(
+        F.col("value").alias("v")
+    )
+    bounds = x.unionByName(y).agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    n_bins = 256
+
+    def binned(df, label):
+        w = F.greatest(
+            (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins)),
+            F.lit(1e-12),
+        )
+        b = F.least(
+            F.floor((F.col("v") - F.col("vmin")) / w), F.lit(n_bins - 1)
+        ).cast("long")
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"c{label}"))
+        )
+
+    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    j = (
+        spine.join(binned(x, "1"), "bin", "left")
+        .join(binned(y, "2"), "bin", "left")
+        .fillna(0, subset=["c1", "c2"])
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = j.select(
+        "bin",
+        "c1",
+        "c2",
+        (F.sum(F.col("c1") + F.col("c2")).over(wc) - (F.col("c1") + F.col("c2")))
+        .alias("cprev"),
+    )
+    agg = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("cprev") + F.col("c1") + F.col("c2") + 1)
+        )
+        .cast("long")
+        .alias("r1x2"),
+    )
+    u1x2 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("long")
+    return agg.select(
+        "n1",
+        "n2",
+        u1x2.alias("u1x2"),
+        F.round(
+            u1x2.cast("double")
+            / (2 * F.col("n1") * F.col("n2")).cast("double"),
+            9,
+        ).alias("auc"),
+    )
+
+
+@EXT.add(
+    "agg_autocorr_daily",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagd AS (
+      SELECT event_type, x,
+             lead(x) OVER (PARTITION BY event_type ORDER BY day) AS xn
+      FROM d
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s
+      FROM d GROUP BY 1
+    )
+    SELECT l.event_type, m.n,
+           ROUND(CAST(SUM((m.n * l.x - m.s) * (m.n * l.xn - m.s))
+                      FILTER (WHERE l.xn IS NOT NULL) AS DOUBLE)
+                 / CAST(NULLIF(SUM((m.n * l.x - m.s) * (m.n * l.x - m.s)),
+                               0) AS DOUBLE), 9) AS r1
+    FROM lagd l JOIN m USING (event_type)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Lag-1 autocorrelation of the daily event-count series per "
+        "event type — the ingest-health signal that distinguishes "
+        "steady load (r1 near 0 for Poisson arrivals) from trending "
+        "or oscillating volume, feeding the same monitoring layer as "
+        "qa_anomaly_days. EXACT integer moments: every deviation is "
+        "n-scaled ((n*x - S) instead of x - S/n), so numerator and "
+        "denominator are exact BIGINT sums and only the final ratio "
+        "is IEEE, rounded 9 — the float-mean formulation would be "
+        "partition-order-dependent. Scale: the fact collapses to the "
+        "(type, day) domain in one map-side-combined agg; the lead "
+        "window and moment sums run over the BOUNDED daily series "
+        "(days x types), never data rows."
+    ),
+    tags=("agg", "timeseries", "qa"),
+)
+def agg_autocorr_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagd = d.select(
+        "event_type", "x", F.lead("x").over(w).alias("xn")
+    )
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    devn = F.col("n") * F.col("xn") - F.col("s")
+    return (
+        lagd.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("xn").isNotNull(), dev * devn))
+                .cast("double")
+                / F.nullif(F.sum(dev * dev), F.lit(0)).cast("double"),
+                9,
+            ).alias("r1")
+        )
+        .select("event_type", "n", "r1")
+    )
+
+
+@EXT.add(
+    "agg_bootstrap_ci",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS i,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    b AS (SELECT CAST(g AS BIGINT) AS b FROM generate_series(0, 39) s(g)),
+    w AS (
+      SELECT b.b, o.x,
+             (o.i * 2654435761 + b.b * 40503 + 11) % 1000003 AS u
+      FROM o CROSS JOIN b
+    ),
+    pw AS (
+      SELECT b, x,
+             CASE WHEN u < 367880 THEN 0
+                  WHEN u < 735760 THEN 1
+                  WHEN u < 919701 THEN 2
+                  WHEN u < 981014 THEN 3
+                  WHEN u < 996342 THEN 4
+                  WHEN u < 999408 THEN 5
+                  ELSE 6 END AS wt
+      FROM w
+    ),
+    means AS (
+      SELECT b, CAST((SUM(wt * x) * 1000000) // SUM(wt) AS BIGINT)
+               AS mean_micro
+      FROM pw GROUP BY b HAVING SUM(wt) > 0
+    ),
+    ranked AS (
+      SELECT b, mean_micro,
+             row_number() OVER (ORDER BY mean_micro, b) AS rk,
+             COUNT(*) OVER () AS nb
+      FROM means
+    )
+    SELECT CAST(MAX(nb) AS BIGINT) AS n_boot,
+           CAST(MAX(CASE WHEN rk = 2 THEN mean_micro END) AS BIGINT)
+             AS lo_micro,
+           CAST(MAX(CASE WHEN rk = nb - 1 THEN mean_micro END) AS BIGINT)
+             AS hi_micro
+    FROM ranked
+    """,
+    doc=(
+        "Deterministic Poisson-bootstrap confidence interval for the "
+        "mean order value: 40 bootstrap replicates where each row's "
+        "multiplicity in replicate b is Poisson(1)-distributed via an "
+        "integer inverse-CDF over a portable hash of (row, replicate) "
+        "— THE distributed bootstrap (no resample materialization, "
+        "one pass, map-side combinable), made reproducible across "
+        "engines/runs/partitionings where rand()-based bootstrap "
+        "never is. All-integer: weights from fixed hash thresholds, "
+        "replicate means as micro-scaled floor divisions, CI bounds = "
+        "rank-picked order statistics (drop one low/one high of 40 "
+        "= central ~95%), ties broken on replicate id. Scale: the "
+        "40x weight expansion collapses immediately into the per-"
+        "replicate agg (partial rows per partition = 40), so shuffle "
+        "volume is O(replicates), not O(rows); the rank window runs "
+        "over 40 rows."
+    ),
+    tags=("agg", "stats", "udaf"),
+)
+def agg_bootstrap_ci(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("i"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    b = spark.range(0, 40).select(F.col("id").alias("b"))
+    w = o.crossJoin(F.broadcast(b)).select(
+        "b",
+        "x",
+        (
+            (F.col("i") * F.lit(2654435761) + F.col("b") * F.lit(40503) + 11)
+            % F.lit(1000003)
+        ).alias("u"),
+    )
+    wt = (
+        F.when(F.col("u") < 367880, 0)
+        .when(F.col("u") < 735760, 1)
+        .when(F.col("u") < 919701, 2)
+        .when(F.col("u") < 981014, 3)
+        .when(F.col("u") < 996342, 4)
+        .when(F.col("u") < 999408, 5)
+        .otherwise(6)
+    )
+    means = (
+        w.select("b", "x", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("x")).alias("sx"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "b",
+            F.expr("(sx * 1000000) div sw").cast("long").alias("mean_micro"),
+        )
+    )
+    wr = Window.orderBy("mean_micro", "b")
+    ranked = means.select(
+        "b",
+        "mean_micro",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    return ranked.agg(
+        F.max("nb").cast("long").alias("n_boot"),
+        F.max(F.when(F.col("rk") == 2, F.col("mean_micro")))
+        .cast("long")
+        .alias("lo_micro"),
+        F.max(F.when(F.col("rk") == F.col("nb") - 1, F.col("mean_micro")))
+        .cast("long")
+        .alias("hi_micro"),
+    )
+
+
+def _prepare_bucketed_pair(spark, sf_dir):
+    """orders + lineitem persisted Hive-bucketed on the order key
+    (operators/upsert.py write_bucketed) — the pay-the-shuffle-once
+    layout; cached per (sf_dir) as catalog tables."""
+    import hashlib
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    to, tl = f"sdp_bkt_orders_{tag}", f"sdp_bkt_lineitem_{tag}"
+    if not spark.catalog.tableExists(to):
+        # the warehouse DIRECTORY outlives the in-memory catalog: a
+        # fresh process sees tableExists=False but saveAsTable would
+        # refuse the leftover location — clear stale locations first
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for name in (to, tl):
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        from steam_data_pipeline_spark.operators.upsert import write_bucketed
+
+        write_bucketed(
+            spark,
+            t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            to,
+            "o_orderkey",
+            n_buckets=8,
+            sort_by="o_orderkey",
+        )
+        write_bucketed(
+            spark,
+            t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice"
+            ),
+            tl,
+            "l_orderkey",
+            n_buckets=8,
+            sort_by="l_orderkey",
+        )
+    return to, tl
+
+
+@EXT.add(
+    "join_bucket_colocated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Co-located fact-fact join over Hive-bucketed tables "
+        "(operators/upsert.py write_bucketed): orders and lineitem are "
+        "persisted bucketed+sorted on the order key, so the join AND "
+        "the per-order rollup both run with ZERO exchanges — the "
+        "pay-the-shuffle-once-at-write-time layout that is the "
+        "standard answer to a repeated 100 TB fact join (plan-"
+        "contracted: no Exchange in the executed plan). The registry "
+        "entry makes the layout's CORRECTNESS driver-checked too: "
+        "results must equal the plain shuffled join bit-exactly "
+        "(exact cents sums). Bucket count is a layout constant (8 "
+        "here; thousands in production) — AQE cannot help a shuffle "
+        "that never happens."
+    ),
+    tags=("join", "layout", "bucketed"),
+)
+def join_bucket_colocated(spark, sf_dir):
+    to, tl = _prepare_bucketed_pair(spark, sf_dir)
+    # the merge hint pins the bucketed SMJ path (at fixture scale the
+    # small side would otherwise broadcast, which hides the layout
+    # property under test; at 100 TB merge IS the chosen strategy)
+    o = spark.table(to).hint("merge")
+    li = spark.table(tl)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )

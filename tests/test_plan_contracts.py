@@ -626,3 +626,25 @@ class TestRound7PlanContracts:
         plan = _plan(QUERIES["feat_standard_scale"].spark(spark, SF_SMOKE), "simple")
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_bucketed_join_zero_exchanges(self, spark):
+        """Co-bucketed orders x lineitem + per-order rollup must run
+        with ZERO exchanges of any kind — the shuffle was paid once at
+        write time (write_bucketed)."""
+        plan = _plan(QUERIES["join_bucket_colocated"].spark(spark, SF_SMOKE), "simple")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+
+    def test_drift_battery_spine_windows_only(self, spark):
+        """KS and MWU cumsums run over the fixed 256-bin spine: the
+        fact table contributes only hash-aggregates, never a sort."""
+        for name in ("qa_ks_drift", "agg_mwu_auc"):
+            plan = _plan(QUERIES[name].spark(spark, SF_SMOKE), "simple")
+            assert "HashAggregate" in plan, name
+
+    def test_ohlc_is_single_aggregate_no_window(self, spark):
+        """OHLC via struct min/max must compile to one shuffle and NO
+        window operator (the whole point vs the first_value shape)."""
+        plan = _plan(QUERIES["agg_ohlc_bars"].spark(spark, SF_SMOKE), "simple")
+        assert "Window" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
