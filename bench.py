@@ -313,6 +313,7 @@ def main() -> None:
         "jaccard_codegen": 7.4,
         "als": 6.5,
         "fixture:_prepare_day_partitioned": 6.0,
+        "fixture:_prepare_jaccard_truth": 7.0,
         "stream_datasource": 5.5,
         "datasource_workers": 5.0,
         "fixture:_prepare_dpp_dim": 3.9,

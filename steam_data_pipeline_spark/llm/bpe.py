@@ -184,7 +184,8 @@ def detokenize(toks: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """(doc_id, text) — inverse of :func:`tokenize` up to whitespace
     normalization: BPE symbols concatenate back to the original
     characters by construction (merges only ever glue adjacent
-    symbols), and every word ends in the ``</w>`` sentinel, so one
+    symbols), and every word ends in the non-printable ``END`` sentinel
+    (which no corpus character sequence can assemble), so one
     concat + sentinel→space substitution reassembles the document.
     Zero joins: a single projection over the token array."""
     return toks.select(
