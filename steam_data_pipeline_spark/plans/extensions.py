@@ -9855,3 +9855,357 @@ def join_bucket_colocated(spark, sf_dir):
             .alias("rev_cents"),
         )
     )
+
+
+@EXT.add(
+    "win_rolling_corr",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT day, p, v,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+             CAST(SUM(p) OVER fr AS BIGINT) AS sx,
+             CAST(SUM(v) OVER fr AS BIGINT) AS sy,
+             CAST(SUM(p * p) OVER fr AS BIGINT) AS sxx,
+             CAST(SUM(v * v) OVER fr AS BIGINT) AS syy,
+             CAST(SUM(p * v) OVER fr AS BIGINT) AS sxy
+      FROM d
+      WINDOW fr AS (ORDER BY day
+                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n AS n_days,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+                 9) AS corr7
+    FROM w
+    """,
+    doc=(
+        "Trailing 7-day rolling Pearson correlation between the daily "
+        "purchase and view revenue series — the co-movement monitor "
+        "behind 'are views still converting' dashboards (a correlation "
+        "collapse flags a funnel break faster than either series "
+        "alone). EXACT moment discipline: both series are cent-scaled "
+        "BIGINTs, all six windowed moments (n, Sx, Sy, Sxx, Syy, Sxy) "
+        "are exact integer sums over the RANGE frame, and the "
+        "cross-multiplied numerator/variance terms stay < 2^53, so "
+        "casting each to double is exact and the final "
+        "num/(sqrt*sqrt) is the ONLY float arithmetic (rounded 9) — "
+        "the same correctly-rounded-op sequence in both engines, "
+        "bit-exact (a running float corr would be frame-order-"
+        "dependent). Zero-variance frames surface NULL via NULLIF. "
+        "Scale: the fact table collapses to the BOUNDED daily grain "
+        "in one map-side-combined agg; the unpartitioned RANGE window "
+        "runs over days-not-rows (the qa_ks_drift spine argument — at "
+        "100 TB it is still ~365 rows/yr; partition by year if ever "
+        "needed)."
+    ),
+    tags=("window", "timeseries", "stats"),
+)
+def win_rolling_corr(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("p"),
+            F.sum(
+                F.when(F.col("event_type") == "view", cents).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    fr = Window.orderBy(F.unix_date(F.col("day").cast("date"))).rangeBetween(
+        -6, 0
+    )
+    w = d.select(
+        "day",
+        F.count(F.lit(1)).over(fr).cast("long").alias("n"),
+        F.sum("p").over(fr).cast("long").alias("sx"),
+        F.sum("v").over(fr).cast("long").alias("sy"),
+        F.sum(F.col("p") * F.col("p")).over(fr).cast("long").alias("sxx"),
+        F.sum(F.col("v") * F.col("v")).over(fr).cast("long").alias("syy"),
+        F.sum(F.col("p") * F.col("v")).over(fr).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.nullif(
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        ),
+        F.lit(0.0),
+    )
+    return w.select(
+        "day",
+        F.col("n").alias("n_days"),
+        F.round(num / den, 9).alias("corr7"),
+    )
+
+
+@EXT.add(
+    "proj_unpivot_melt",
+    oracle="""
+    WITH wide AS (
+      SELECT c_nationkey AS nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_custs,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
+             CAST(MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+      FROM customer GROUP BY 1
+    )
+    SELECT nationkey, 'n_custs' AS metric, n_custs AS value FROM wide
+    UNION ALL
+    SELECT nationkey, 'bal_cents', bal_cents FROM wide
+    UNION ALL
+    SELECT nationkey, 'max_cents', max_cents FROM wide
+    """,
+    doc=(
+        "Wide-to-long UNPIVOT/melt (DataFrame.unpivot, SQL stack()) — "
+        "the inverse of agg_pivot_daily and the shape every metrics "
+        "store ingests (one row per (entity, metric, value)). The "
+        "per-nation metric columns are exact cents BIGINTs so the "
+        "melted value column is one type with no float coercion "
+        "(unpivot requires a common value type — casting AFTER the "
+        "melt would be a correctness trap for mixed int/double "
+        "metrics). Plan shape: unpivot compiles to Expand, which "
+        "multiplies ROWS BY K — done here at the 25-row aggregate "
+        "grain where it is free; melting the raw fact table first and "
+        "aggregating after would scan-amplify k-fold at 100 TB (the "
+        "qa_profile melt pays it once deliberately; this op shows the "
+        "agg-then-melt order)."
+    ),
+    tags=("proj", "reshape"),
+)
+def proj_unpivot_melt(spark, sf_dir):
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    wide = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.sum(cents).cast("long").alias("bal_cents"),
+            F.max(cents).cast("long").alias("max_cents"),
+        )
+    )
+    return wide.unpivot(
+        ids=["nationkey"],
+        values=["n_custs", "bal_cents", "max_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@EXT.add(
+    "qa_freshness_lag",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT MAX(ts) AS gmax FROM events)
+    SELECT event_type, n, last_ts,
+           CAST(epoch_us(gmax) - epoch_us(last_ts) AS BIGINT) AS lag_micros,
+           (epoch_us(gmax) - epoch_us(last_ts)) > 3600000000 AS stale
+    FROM m, g
+    """,
+    doc=(
+        "Per-stream freshness audit: each event type's latest arrival "
+        "vs the global high-water mark, exact in epoch MICROSECONDS "
+        "(BIGINT subtraction — a seconds-granularity float lag would "
+        "alias sub-second staleness), with a 1-hour stale flag — the "
+        "ingest-liveness gate every multi-source pipeline runs before "
+        "publishing (one silent-stalled source must fail the batch, "
+        "not dilute into an average). Scale: one map-side-combined "
+        "agg to the 5-row type grain; the 1-row global max broadcasts "
+        "back via BroadcastNestedLoopJoin (the agg_decay_halflife "
+        "ref-row pattern) — the fact table is scanned once."
+    ),
+    tags=("qa", "freshness", "observability"),
+)
+def qa_freshness_lag(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("ts").alias("last_ts"),
+    )
+    g = ev.agg(F.max("ts").alias("gmax"))
+    lag = F.unix_micros("gmax") - F.unix_micros("last_ts")
+    return m.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n",
+        "last_ts",
+        lag.cast("long").alias("lag_micros"),
+        (lag > F.lit(3600000000)).alias("stale"),
+    )
+
+
+@EXT.add(
+    "agg_hll_intersection",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id * 100 + day(ts) AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT DISTINCT user_id * 100 + day(ts) AS k
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b USING (k))
+             AS n_inter,
+           TRUE AS inter_ok
+    """,
+    doc=(
+        "Audience-overlap estimation from MERGEABLE sketches: "
+        "|A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion–exclusion "
+        "over Datasketches HLL (hll_union composes the stored "
+        "sketches; the raw keys are never rescanned) — the two-"
+        "segment overlap question every audience dashboard answers "
+        "from a sketch table because the exact distinct-join is a "
+        "full shuffle of both segments at 100 TB. Segments are "
+        "user-DAYS (purchase-days vs view-days), a genuine partial "
+        "overlap (557 of ~1610/side at sf0.01). Invariant oracle "
+        "(agg_hll_mergeable pattern): exact n_a/n_b/n_inter anchor "
+        "the row; inter_ok asserts the sketch estimate lands within "
+        "0.05·(n_a+n_b) — measured residual ≤ 0.39× that bound at "
+        "sf0.001/0.01/0.1 (inclusion–exclusion compounds three "
+        "sketch errors, hence the union-sized tolerance). The exact "
+        "legs exist only to anchor the oracle; the estimate path "
+        "touches sketches alone."
+    ),
+    tags=("agg", "approx", "sketch", "invariant"),
+)
+def agg_hll_intersection(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    k = (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("k")
+    a = ev.filter(F.col("event_type") == "purchase").select(k).distinct()
+    b = ev.filter(F.col("event_type") == "view").select(k).distinct()
+    n_a = a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    n_b = b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    n_inter = a.join(b, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inter")
+    )
+    est = (
+        a.agg(F.hll_sketch_agg("k").alias("sa"))
+        .crossJoin(b.agg(F.hll_sketch_agg("k").alias("sb")))
+        .select(
+            (
+                F.hll_sketch_estimate("sa")
+                + F.hll_sketch_estimate("sb")
+                - F.hll_sketch_estimate(F.hll_union("sa", "sb"))
+            ).alias("__est")
+        )
+    )
+    return (
+        n_a.crossJoin(n_b)
+        .crossJoin(n_inter)
+        .crossJoin(est)
+        .select(
+            "n_a",
+            "n_b",
+            "n_inter",
+            (
+                F.abs(F.col("__est") - F.col("n_inter"))
+                <= 0.05 * (F.col("n_a") + F.col("n_b"))
+            ).alias("inter_ok"),
+        )
+    )
+
+
+@EXT.add(
+    "join_anti_window",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events v
+        WHERE v.event_type = 'view'
+          AND v.user_id = p.user_id
+          AND v.ts < p.ts
+          AND v.ts > p.ts - INTERVAL 1 HOUR
+      )
+    """,
+    doc=(
+        "Temporal ANTI join: purchases with NO view by the same user "
+        "in the strictly-preceding hour — the absence-of-precursor "
+        "primitive (fraud screens, attribution holdouts, broken-"
+        "tracking audits), which SQL states as a time-range NOT "
+        "EXISTS self-join. The Spark plan avoids the self-join "
+        "entirely: union-tag views and purchases, ONE window per "
+        "user over unix_micros with frame RANGE [t−3599999999, t−1] "
+        "(µs-exact open interval (t−1h, t), matching the oracle's "
+        "strict inequalities) counting view-tagged rows, keep "
+        "purchases where the count is 0 — one shuffle on user_id, "
+        "no join at all, where the range self-join is quadratic per "
+        "hot user. Non-vacuous both ways at every fixture SF (some "
+        "purchases have preceding views, some don't). Scale: the "
+        "single hash-partitioned window is the join_asof_nearest "
+        "shape; per-user event history bounds the sort run."
+    ),
+    tags=("join", "anti", "window", "temporal"),
+)
+def join_anti_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            (F.col("event_type") == "view").cast("long").alias("is_view"),
+        )
+    )
+    hour_us = 3600 * 1000 * 1000
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-(hour_us - 1), -1)
+    )
+    return (
+        ev.withColumn("n_prior_views", F.sum("is_view").over(fr))
+        .filter(
+            (F.col("is_view") == 0)
+            & (
+                F.col("n_prior_views").isNull()
+                | (F.col("n_prior_views") == 0)
+            )
+        )
+        .select("event_id", "user_id", "ts", "value")
+    )
