@@ -10209,3 +10209,436 @@ def join_anti_window(spark, sf_dir):
         )
         .select("event_id", "user_id", "ts", "value")
     )
+
+
+@EXT.add(
+    "win_gap_fill_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM obs GROUP BY 1),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                  AS TIMESTAMP) AS day
+      FROM b
+    ),
+    j AS (
+      SELECT s.user_id, s.day, o.cents
+      FROM spine s LEFT JOIN obs o USING (user_id, day)
+    ),
+    f AS (
+      SELECT user_id, day, cents,
+             last_value(cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN cents IS NOT NULL THEN day END
+                        IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS pd,
+             first_value(cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN cents IS NOT NULL THEN day END
+                         IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, day,
+           ROUND(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                 ELSE CAST(pv AS DOUBLE)
+                      + CAST(nv - pv AS DOUBLE)
+                        * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                           / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                 END, 9) AS filled,
+           cents IS NULL AS is_interp
+    FROM f
+    """,
+    doc=(
+        "Per-key time-series gap fill with LINEAR interpolation — the "
+        "hypertable `interpolate()` companion to win_resample_ffill's "
+        "locf: each user's daily purchase series gets its missing "
+        "days minted from a per-key sequence() spine and filled as "
+        "prev + (next−prev)·frac. Determinism: observed values are "
+        "exact cents BIGINTs; frac is a ratio of small exact day "
+        "counts, so the fill is THREE float ops in a pinned order "
+        "(div, mul, add — identical in both engines, operands exact "
+        "in double), rounded 9. Boundary days are observed by "
+        "construction (spine spans min..max per key), so prev/next "
+        "always exist on interpolated rows. Scale: the spine explode "
+        "is bounded by per-key span (never a global calendar cross "
+        "join); both IGNORE-NULLS walks share ONE (user, day) "
+        "exchange+sort — the join_asof_nearest two-window shape."
+    ),
+    tags=("window", "timeseries", "gapfill"),
+)
+def win_gap_fill_interpolate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    obs = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    j = spine.join(obs, ["user_id", "day"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id",
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("cents", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    frac = F.datediff(F.col("day"), F.col("pd")).cast("double") / F.datediff(
+        F.col("nd"), F.col("pd")
+    ).cast("double")
+    return f.select(
+        "user_id",
+        "day",
+        F.round(
+            F.when(
+                F.col("cents").isNotNull(), F.col("cents").cast("double")
+            ).otherwise(
+                F.col("pv").cast("double")
+                + (F.col("nv") - F.col("pv")).cast("double") * frac
+            ),
+            9,
+        ).alias("filled"),
+        F.col("cents").isNull().alias("is_interp"),
+    )
+
+
+@EXT.add(
+    "win_drawdown",
+    oracle="""
+    WITH flows AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS flow
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    c1 AS (
+      SELECT user_id, ts, event_id,
+             SUM(flow) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS bal
+      FROM flows
+    ),
+    c AS (
+      SELECT user_id, bal,
+             MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM c1
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown_cents
+    FROM c GROUP BY 1
+    """,
+    doc=(
+        "Maximum drawdown per user over the running net-revenue "
+        "balance (purchases credit, error events reverse — the "
+        "refund-shaped series): drawdown_t = running_peak − balance_t, "
+        "reported as its per-user maximum — the risk metric every "
+        "balance/equity monitor computes, and a genuinely ORDER-"
+        "dependent window op (no commutative-aggregate rewrite "
+        "exists: the answer depends on the path, not the multiset). "
+        "All arithmetic is exact BIGINT cents — cumsum, running max, "
+        "and their difference — so the result value-hashes bit-exactly; "
+        "(ts, event_id) ordering makes same-timestamp flows "
+        "deterministic. Scale: ONE hash-partitioned window "
+        "exchange+sort on user_id computes both the cumsum and the "
+        "running max (same frame), then a map-side-combined per-user "
+        "agg; per-user history bounds the sort run — the "
+        "win_ewma_recursive skew story applies."
+    ),
+    tags=("window", "timeseries", "finance"),
+)
+def win_drawdown(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    flows = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", cents)
+            .otherwise(-cents)
+            .alias("flow"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c1 = flows.select(
+        "user_id", "ts", "event_id", F.sum("flow").over(w).alias("bal")
+    )
+    c = c1.select("user_id", "bal", F.max("bal").over(w).alias("peak"))
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_flows"),
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("bal"))
+        .cast("long")
+        .alias("max_drawdown_cents"),
+    )
+
+
+@EXT.add(
+    "qa_outlier_mad",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    r1 AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT event_type, MAX(n) AS n, MAX(c) AS med
+      FROM r1 WHERE rn = (n + 1) // 2 GROUP BY 1
+    ),
+    dev AS (
+      SELECT v.event_type, v.c, ABS(v.c - m.med) AS ad, m.med, m.n
+      FROM v JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, ad, med, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, MAX(med) AS med, MAX(n) AS n, MAX(ad) AS mad
+      FROM r2 WHERE rn = (n + 1) // 2 GROUP BY 1
+    )
+    SELECT d.event_type, CAST(MAX(d.n) AS BIGINT) AS n,
+           CAST(MAX(m.med) AS BIGINT) AS med_cents,
+           CAST(MAX(m.mad) AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN d.ad > 5 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+    doc=(
+        "Robust outlier audit per event type via MEDIAN ABSOLUTE "
+        "DEVIATION: flag values with |x − median| > 5·MAD (≈3.4σ "
+        "under normality) — the screen that survives the heavy tails "
+        "and contamination that wreck mean/stddev z-scores "
+        "(qa_anomaly_days' moment-based sibling; a single 1e9 glitch "
+        "row shifts a mean gate, but not this one). Both medians are "
+        "EXACT lower-median order statistics ((n+1)//2 by "
+        "row_number — the agg_percentiles_exact pattern), every "
+        "comparison exact BIGINT cents: no float enters the query at "
+        "all. Scale: two window sorts partitioned by the 5-value "
+        "type column + one broadcast of the 5-row median/MAD dims "
+        "back onto the fact; the documented 100 TB swap is "
+        "percentile_approx for both medians (agg_percentiles_approx's "
+        "rank-error contract), keeping the gate one scan + sketches."
+    ),
+    tags=("qa", "outlier", "robust"),
+)
+def qa_outlier_mad(spark, sf_dir):
+    from pyspark.sql import Window
+
+    v = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    r1 = v.select(
+        "event_type",
+        "c",
+        F.row_number().over(wt.orderBy("c")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = (
+        r1.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n"), F.max("c").alias("med"))
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "c",
+        F.abs(F.col("c") - F.col("med")).alias("ad"),
+        "med",
+        "n",
+    )
+    r2 = dev.select(
+        "event_type",
+        "ad",
+        "med",
+        "n",
+        F.row_number().over(wt.orderBy("ad")).alias("rn"),
+    )
+    mad = (
+        r2.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .groupBy("event_type")
+        .agg(F.max("med").alias("med"), F.max("n").alias("n"), F.max("ad").alias("mad"))
+    )
+    return (
+        dev.select("event_type", "ad", "n")
+        .join(F.broadcast(mad.select("event_type", "med", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("med").cast("long").alias("med_cents"),
+            F.max("mad").cast("long").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("ad") > 5 * F.col("mad"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@EXT.add(
+    "feat_ols_normal_eq",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS s2,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sy,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+               AS s11,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS s12,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS s22,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS s1y,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS s2y
+      FROM lineitem
+    ),
+    c AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1 AS a11,
+             CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2 AS a12,
+             CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2 AS a22,
+             CAST(n AS DOUBLE) * s1y - CAST(s1 AS DOUBLE) * sy AS b1,
+             CAST(n AS DOUBLE) * s2y - CAST(s2 AS DOUBLE) * sy AS b2,
+             CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+             CAST(sy AS DOUBLE) AS dy
+      FROM m
+    )
+    SELECT n,
+           ROUND((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12), 9)
+             AS beta_qty,
+           ROUND((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12), 9)
+             AS beta_disc,
+           ROUND((dy - ((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12)) * d1
+                     - ((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12)) * d2)
+                 / CAST(n AS DOUBLE), 9) AS intercept
+    FROM c
+    """,
+    doc=(
+        "Two-feature OLS (revenue_cents ~ quantity + discount_pct) "
+        "solved by the NORMAL EQUATIONS over distributed moment sums — "
+        "'ML as aggregation': the entire fit is ONE map-side-combined "
+        "aggregate producing 9 exact BIGINT moments (all < 2^53 at "
+        "every fixture SF, so their double casts are value-exact), "
+        "then a closed-form 2×2 Cramer solve as one pinned-order "
+        "float expression, rounded 9 — bit-identical cross-engine, "
+        "the same discipline as agg_autocorr_daily's n-scaled "
+        "deviations (a float running mean would be partition-order-"
+        "dependent). This is how linear models actually fit at "
+        "100 TB: the data-size-dependent work is embarrassingly "
+        "parallel partial sums, the solve is O(d³) on the driver "
+        "(here, in the expression) — no gradient iterations, no "
+        "per-row Python. Reference analog: the price/discount ROI "
+        "analysis of agg_roi_discount, upgraded to a fitted model."
+    ),
+    tags=("feat", "ml", "regression"),
+)
+def feat_ols_normal_eq(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    x1 = F.round(F.col("l_quantity")).cast("long")
+    x2 = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("s1"),
+        F.sum(x2).cast("long").alias("s2"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x1 * x1).cast("long").alias("s11"),
+        F.sum(x1 * x2).cast("long").alias("s12"),
+        F.sum(x2 * x2).cast("long").alias("s22"),
+        F.sum(x1 * y).cast("long").alias("s1y"),
+        F.sum(x2 * y).cast("long").alias("s2y"),
+    )
+    nd = F.col("n").cast("double")
+    a11 = nd * F.col("s11") - F.col("s1").cast("double") * F.col("s1")
+    a12 = nd * F.col("s12") - F.col("s1").cast("double") * F.col("s2")
+    a22 = nd * F.col("s22") - F.col("s2").cast("double") * F.col("s2")
+    b1 = nd * F.col("s1y") - F.col("s1").cast("double") * F.col("sy")
+    b2 = nd * F.col("s2y") - F.col("s2").cast("double") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (b2 * a11 - b1 * a12) / det
+    return m.select(
+        "n",
+        F.round(beta1, 9).alias("beta_qty"),
+        F.round(beta2, 9).alias("beta_disc"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - beta1 * F.col("s1").cast("double")
+                - beta2 * F.col("s2").cast("double")
+            )
+            / nd,
+            9,
+        ).alias("intercept"),
+    )
