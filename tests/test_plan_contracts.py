@@ -578,7 +578,7 @@ class TestGlobalPlanAudit:
         assert not bad, "\n".join(bad)
 
 
-class TestRound7PlanContracts:
+class TestRound7bPlanContracts:
     def test_asof_nearest_single_shuffle(self, spark):
         """Both RANGE-framed windows (backward max, forward min) must
         share one (key, ts) exchange+sort — the whole nearest-join is
@@ -648,3 +648,56 @@ class TestRound7PlanContracts:
         plan = _plan(QUERIES["agg_ohlc_bars"].spark(spark, SF_SMOKE), "simple")
         assert "Window" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestRound7cPlanContracts:
+    def test_anti_window_has_no_join(self, spark):
+        """The temporal anti 'join' must compile to a window + filter,
+        never any join operator (the NOT EXISTS range self-join is the
+        shape it deliberately avoids)."""
+        plan = _plan(QUERIES["join_anti_window"].spark(spark, SF_SMOKE), "simple")
+        assert "Join" not in plan, plan
+        assert "Window" in plan
+
+    def test_drawdown_single_window_exchange(self, spark):
+        """Cumsum and running max share one (user_id) exchange — the
+        two window selects must not re-shuffle."""
+        plan = _plan(QUERIES["win_drawdown"].spark(spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_gap_fill_windows_share_sort(self, spark):
+        """Backward and forward IGNORE-NULLS walks order by the same
+        (user_id, day): one window exchange, join exchanges aside."""
+        plan = _plan(
+            QUERIES["win_gap_fill_interpolate"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert plan.count("Window") <= 2, plan
+
+    def test_ols_is_single_aggregate(self, spark):
+        """The whole OLS fit is one partial+final aggregate pair over
+        the scan — no keyed shuffle at all."""
+        plan = _plan(QUERIES["feat_ols_normal_eq"].spark(spark, SF_SMOKE), "simple")
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "HashAggregate" in plan
+
+    def test_unpivot_expands_after_aggregate(self, spark):
+        """Expand must sit ABOVE the aggregate (melt the 25-row agg,
+        never the fact scan): exactly one keyed exchange, and the plan
+        contains the Expand operator unpivot compiles to."""
+        plan = _plan(QUERIES["proj_unpivot_melt"].spark(spark, SF_SMOKE), "simple")
+        assert "Expand" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_mad_medians_broadcast_back(self, spark):
+        """Median/MAD dims (5 rows) must broadcast onto the fact —
+        a sort-merge join here would re-shuffle the fact twice."""
+        plan = _plan(QUERIES["qa_outlier_mad"].spark(spark, SF_SMOKE), "simple")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_freshness_global_max_broadcasts(self, spark):
+        """The 1-row global high-water mark joins via broadcast nested
+        loop; the per-type agg is the only keyed exchange."""
+        plan = _plan(QUERIES["qa_freshness_lag"].spark(spark, SF_SMOKE), "simple")
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
