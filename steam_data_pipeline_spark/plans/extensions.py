@@ -9676,8 +9676,10 @@ def agg_autocorr_daily(spark, sf_dir):
       FROM w
     ),
     means AS (
-      SELECT b, CAST((SUM(wt * x) * 1000000) // SUM(wt) AS BIGINT)
-               AS mean_micro
+      SELECT b,
+             CAST((SUM(wt * x) // SUM(wt)) * 1000000
+                  + ((SUM(wt * x) % SUM(wt)) * 1000000) // SUM(wt)
+                  AS BIGINT) AS mean_micro
       FROM pw GROUP BY b HAVING SUM(wt) > 0
     ),
     ranked AS (
@@ -9747,7 +9749,17 @@ def agg_bootstrap_ci(spark, sf_dir):
         .filter(F.col("sw") > 0)
         .select(
             "b",
-            F.expr("(sx * 1000000) div sw").cast("long").alias("mean_micro"),
+            # long-division identity: floor(sx*1e6/sw) computed as
+            # quotient*1e6 + (remainder*1e6) div sw — overflow-free
+            # where the naive sx*1e6 blows past 2^63 once Σwt·x
+            # exceeds ~9e12 cents (the 10x rehearsal corpus did;
+            # sx itself has ~6e5x more headroom — swap the sum to
+            # DECIMAL(38,0) before sx approaches 2^63)
+            F.expr(
+                "(sx div sw) * 1000000 + ((sx % sw) * 1000000) div sw"
+            )
+            .cast("long")
+            .alias("mean_micro"),
         )
     )
     wr = Window.orderBy("mean_micro", "b")
