@@ -10654,3 +10654,231 @@ def feat_ols_normal_eq(spark, sf_dir):
             9,
         ).alias("intercept"),
     )
+
+
+@EXT.add(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS p_id, e.event_id AS e_id,
+           p.ts AS p_ts, e.ts AS e_ts
+    FROM events p LEFT JOIN events e
+      ON p.user_id = e.user_id
+     AND e.event_type = 'error'
+     AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+     AND e.ts < TIMESTAMP '2024-01-04'
+    WHERE p.event_type = 'purchase' AND p.ts < TIMESTAMP '2024-01-04'
+    """,
+    doc=(
+        "Stream-stream LEFT OUTER join with watermark-bounded state — "
+        "the completion of stream_stream_join's inner variant: "
+        "purchases with no error in the following hour must STILL be "
+        "emitted (null-padded) once the watermark passes their join "
+        "window, which is exactly the semantics a production alerting "
+        "join needs (absence of a match is the signal). Mechanics "
+        "under test: the watermark is attached to the RAW ts BEFORE "
+        "the type/date filters, so the no-data batch availableNow "
+        "appends after the final data batch carries the watermark "
+        "past every pending left row and flushes the outer nulls — "
+        "watermarking the filtered slice instead would leave the last "
+        "hour of purchases stuck in state forever (a real production "
+        "footgun this entry pins). availableNow over the finite "
+        "fixture = the batch LEFT JOIN, which is the oracle, "
+        "unmatched rows and all. Scale: symmetric hash join state "
+        "scoped to 1 h of both streams per the watermark; the demo "
+        "runs a 3-day slice for bounded state-store commits."
+    ),
+    tags=("streaming", "join", "outer"),
+)
+def stream_stream_left_join(spark, sf_dir):
+    cutoff = F.lit("2024-01-04").cast("timestamp")
+    # watermark FIRST (on the full-range raw ts), filters after: the
+    # final watermark must clear the cutoff so outer rows flush
+    left = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") < cutoff))
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+    )
+    right = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .filter((F.col("event_type") == "error") & (F.col("ts") < cutoff))
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "user_id = r_user_id AND e_ts > p_ts "
+            "AND e_ts <= p_ts + interval 1 hour"
+        ),
+        "leftOuter",
+    ).select("user_id", "p_id", "e_id", "p_ts", "e_ts")
+    return _run_stream_to_memory(
+        joined, "ss_left_join", spark, output_mode="append"
+    )
+
+
+@EXT.add(
+    "agg_wilson_ci",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM documents GROUP BY 1
+    )
+    SELECT source, n, k,
+           ROUND(((CAST(k AS DOUBLE) / n) + (1.96 * 1.96) / (2 * n)
+                  - 1.96 * SQRT(((CAST(k AS DOUBLE) / n)
+                                 * (1 - CAST(k AS DOUBLE) / n)) / n
+                                + (1.96 * 1.96) / (4.0 * n * n)))
+                 / (1 + (1.96 * 1.96) / n), 9) AS wilson_lo,
+           ROUND(((CAST(k AS DOUBLE) / n) + (1.96 * 1.96) / (2 * n)
+                  + 1.96 * SQRT(((CAST(k AS DOUBLE) / n)
+                                 * (1 - CAST(k AS DOUBLE) / n)) / n
+                                + (1.96 * 1.96) / (4.0 * n * n)))
+                 / (1 + (1.96 * 1.96) / n), 9) AS wilson_hi
+    FROM s
+    """,
+    doc=(
+        "Wilson score interval per source for the long-document rate "
+        "(n_chars ≥ 200) — the CI that stays valid at small n and "
+        "extreme p where the naive normal interval fails, and whose "
+        "LOWER bound is the standard ranking key for rate-sorted "
+        "lists (quality league tables, review scores): a source with "
+        "3/3 must not outrank one with 95/100. Inputs are two exact "
+        "BIGINT counts per source (one map-side-combined agg); the "
+        "interval is ONE pinned-order float expression over them — "
+        "every subterm written identically in both engines (z² as "
+        "the literal product 1.96*1.96, the same parenthesization), "
+        "so the correctly-rounded IEEE ops reproduce bit-exactly, "
+        "rounded 9 (the feat_ols_normal_eq discipline). Scale: the "
+        "fact scan is the whole cost; the interval math runs on the "
+        "5-row source domain."
+    ),
+    tags=("agg", "stats", "ci"),
+)
+def agg_wilson_ci(spark, sf_dir):
+    s = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("n_chars") >= 200, 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    z2 = F.lit(1.96) * F.lit(1.96)
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    half = F.lit(1.96) * F.sqrt(
+        (p * (1 - p)) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    center = p + z2 / (2 * n)
+    denom = 1 + z2 / n
+    return s.select(
+        "source",
+        "n",
+        "k",
+        F.round((center - half) / denom, 9).alias("wilson_lo"),
+        F.round((center + half) / denom, 9).alias("wilson_hi"),
+    )
+
+
+@EXT.add(
+    "qa_chisq_categorical",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, doc_id % 2 AS half, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT half, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    spine AS (
+      SELECT rt.lang, ct.half, rt.rt, ct.ct, n.n FROM rt, ct, n
+    ),
+    term AS (
+      SELECT s.lang, s.half,
+             CAST(COALESCE(c.o, 0) AS BIGINT) AS o, s.rt, s.ct, s.n,
+             CAST(ROUND(
+               CAST((COALESCE(c.o, 0) * s.n - s.rt * s.ct)
+                    * (COALESCE(c.o, 0) * s.n - s.rt * s.ct) AS DOUBLE)
+               / (CAST(s.n AS DOUBLE) * s.rt * s.ct), 9)
+             AS DECIMAL(18,9)) AS contrib
+      FROM spine s LEFT JOIN cells c USING (lang, half)
+    )
+    SELECT lang, half, o, CAST(contrib AS DOUBLE) AS contrib,
+           CAST(SUM(contrib) OVER () AS DOUBLE) AS chi2
+    FROM term
+    """,
+    doc=(
+        "Chi-square homogeneity test of the language mix between the "
+        "two doc_id-parity halves of the corpus — the CATEGORICAL "
+        "drift gate completing the numeric battery (PSI expectation / "
+        "KS sup-norm / MWU rank): a shard whose lang distribution "
+        "diverges from its sibling flags a partitioning or ingest "
+        "bug. Each cell contribution uses the cleared-denominator "
+        "identity (o·n − rt·ct)²/(n·rt·ct): numerator exact BIGINT "
+        "(≤ ~6e14 at sf0.1 — 2^63-safe with 4 orders of headroom), "
+        "ONE float division rounded 9 and pinned to DECIMAL(18,9), "
+        "then chi2 is an EXACT decimal sum over the bounded "
+        "(lang × 2) cell spine — partitioning-invariant, the "
+        "agg_entropy_source contract. Absent cells surface as o=0 "
+        "rows via the spine left join (their contribution is the "
+        "full expected mass, which a naive GROUP BY would silently "
+        "drop). Scale: one map-side-combined cell agg; everything "
+        "after runs on the ~12-row cell domain."
+    ),
+    tags=("qa", "drift", "stats"),
+)
+def qa_chisq_categorical(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cells = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", (F.col("doc_id") % 2).alias("half"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("half").agg(F.sum("o").cast("long").alias("ct"))
+    nn = cells.agg(F.sum("o").cast("long").alias("n"))
+    spine = rt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(nn))
+    o = F.coalesce(F.col("o"), F.lit(0)).cast("long")
+    diff = o * F.col("n") - F.col("rt") * F.col("ct")
+    term = spine.join(cells, ["lang", "half"], "left").select(
+        "lang",
+        "half",
+        o.alias("o_filled"),
+        F.round(
+            (diff * diff).cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("rt").cast("double")
+                * F.col("ct").cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("contrib_dec"),
+    )
+    return term.select(
+        "lang",
+        "half",
+        F.col("o_filled").alias("o"),
+        F.col("contrib_dec").cast("double").alias("contrib"),
+        F.sum("contrib_dec")
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("chi2"),
+    )
