@@ -21,6 +21,7 @@ inclusive semantics, matching DuckDB/kdb ASOF JOIN (the oracle).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 
 def asof_backward(
@@ -252,6 +253,18 @@ def asof_nearest(
     Output: all left columns + ``near_ts``, ``near_value``,
     ``direction`` ('backward' | 'forward' | 'none').
     """
+    # The tie-break struct carries the right id as long; a silent cast
+    # of a non-numeric id would produce NULLs and make the documented
+    # deterministic equal-ts tie-break nondeterministic — fail loudly
+    # instead.
+    _id_type = right.schema[right_id].dataType
+    if not isinstance(
+        _id_type, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise TypeError(
+            f"asof_nearest requires an integral right_id column for the "
+            f"deterministic tie-break; got {right_id}: {_id_type.simpleString()}"
+        )
     l_cols = list(left.columns)
     tagged_left = left.select(
         *l_cols,

@@ -357,7 +357,9 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     label frontier (shuffle on the edge source), a map-side-combined
     ``groupBy(node, lab)`` count, and an argmax-by-``(count, -label)``
     struct aggregate — never a row_number over a global sort. The edge
-    table is built once, persisted, and reused every round;
+    table is built once, eagerly localCheckpoint-ed, and reused every
+    round (a lazy persist would never materialize before the caller's
+    first action and each round would rebuild it);
     ``localCheckpoint`` on the label frontier bounds lineage growth
     exactly as in :func:`pagerank`.
 
@@ -375,7 +377,12 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     sym = und.select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
-    sym = sym.persist()
+    # Eager localCheckpoint (not a lazy persist): the returned DataFrame
+    # is evaluated long after this function exits, so a persist() here
+    # would never materialize before a matching unpersist() and every
+    # round would rebuild the distinct+union — same reasoning as
+    # pagerank's edge table above.
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
@@ -399,12 +406,10 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         )
         if (i + 1) % 2 == 0:
             labels = labels.localCheckpoint(eager=False)
-    out = labels.select(
+    return labels.select(
         F.col("node").cast("long").alias("node"),
         F.col("lab").cast("long").alias("lab"),
     )
-    sym.unpersist()
-    return out
 
 
 def label_propagation_oracle_sql(edge_sql: str, rounds: int = 4) -> str:

@@ -290,7 +290,15 @@ def llm_dedup_simhash(spark, sf_dir):
     )
     # verification truth, session-memoized (already checkpointed): the
     # operator under test is simhash_near_pairs above, never cached.
-    exact = _exact_jaccard_truth(spark, sf_dir).select("a", "b")
+    # dropDuplicates guards the left-join fan-out invariant below:
+    # __n_cand is only a candidate COUNT while exact is unique on
+    # (a, b) — jaccard_pairs already dedups today, but a future
+    # duplicate would silently inflate __n_cand, so pin it here.
+    exact = (
+        _exact_jaccard_truth(spark, sf_dir)
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
     # one pass over cand for BOTH candidate-side stats: a left join with
@@ -9909,9 +9917,14 @@ def join_bucket_colocated(spark, sf_dir):
         "collapse flags a funnel break faster than either series "
         "alone). EXACT moment discipline: both series are cent-scaled "
         "BIGINTs, all six windowed moments (n, Sx, Sy, Sxx, Syy, Sxy) "
-        "are exact integer sums over the RANGE frame, and the "
-        "cross-multiplied numerator/variance terms stay < 2^53, so "
-        "casting each to double is exact and the final "
+        "are exact integer sums over the RANGE frame. At the FIXTURE "
+        "SFs the cross-multiplied numerator/variance terms stay < "
+        "2^53 so the double casts are exact; at larger SFs sx*sy ~ "
+        "(7d of daily cents)^2 exceeds 2^53 first (and eventually "
+        "BIGINT for sxy) — cross-engine equality still holds because "
+        "both engines run the identical exact-BIGINT-then-IEEE-cast "
+        "sequence, and the documented escape hatch is the DECIMAL(38) "
+        "moment swap agg_bootstrap_ci records. The final "
         "num/(sqrt*sqrt) is the ONLY float arithmetic (rounded 9) — "
         "the same correctly-rounded-op sequence in both engines, "
         "bit-exact (a running float corr would be frame-order-"
