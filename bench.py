@@ -430,6 +430,19 @@ def main() -> None:
         }
     )
     print(json.dumps(out))
+    # Committed per-query artifact: the driver archives only a stdout TAIL of
+    # this run, which loses most of the per-query dict — writing the full map
+    # to a repo file each run makes round-over-round per-query diffing
+    # possible (round-7 verdict item 3).
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except Exception as e:  # noqa: BLE001 - the artifact is best-effort
+        print(f"BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
     # Truncation-proof compact recap: one short line AFTER the full dict, so any
     # tail capture contains the headline numbers even if the dict was cut.
     print(

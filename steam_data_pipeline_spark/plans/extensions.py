@@ -253,6 +253,60 @@ def udf_recommender_als(spark, sf_dir):
 
 
 @EXT.add(
+    "udf_recommender_minhash",
+    oracle="""
+    WITH toks AS (
+      SELECT p_partkey, UNNEST(list_distinct(string_split(p_name, ' '))) AS tok,
+             LEN(list_distinct(string_split(p_name, ' '))) AS n_tok
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS a, b.p_partkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             ANY_VALUE(a.n_tok) AS na, ANY_VALUE(b.n_tok) AS nb
+      FROM toks a JOIN toks b
+        ON a.tok = b.tok AND a.p_partkey <= 100 AND a.p_partkey <> b.p_partkey
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT a, b, CAST(n_common AS DOUBLE) / (na + nb - n_common) AS similarity
+      FROM pairs
+      WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
+    )
+    SELECT a, b,
+           CAST(row_number() OVER (
+             PARTITION BY a ORDER BY similarity DESC, b) AS INT) AS rn,
+           similarity
+    FROM sims QUALIFY rn <= 3
+    """,
+    doc=(
+        "Content-based recommender over tag SETS via MinHashLSH "
+        "approxSimilarityJoin (PLAN:69; the §2.9 udf_recommender "
+        "set-similarity variant): tags = distinct p_name words, "
+        "candidates from the LSH bucket join (cost tracks bucket "
+        "occupancy, never items²), then EXACT tag-set Jaccard re-rank "
+        "on candidates only — integer intersect/union counts, one "
+        "double division, (sim DESC, b) tie-break — so the output "
+        "equals the exact top-3 per query item and value-hash-oracles. "
+        "8 hash tables is the measured exactness floor on the fixtures "
+        "(every J >= 0.5 pair surfaces at sf0.001/0.01/0.1, seed 42); "
+        "per-pair miss probability at the 0.5 threshold is (1-J)^8 "
+        "<= 0.4 %. Scale: query side is a bounded key slice, catalog "
+        "side explodes to 8 (table, minhash) keys — the "
+        "llm_dedup_near_ml candidate economics applied to "
+        "recommendation."
+    ),
+    tags=("ml", "recommender", "similarity"),
+)
+def udf_recommender_minhash(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.recommend import (
+        minhash_recommendations,
+    )
+
+    return minhash_recommendations(spark, sf_dir)
+
+
+@EXT.add(
     "llm_dedup_simhash",
     oracle=f"""
     WITH {_jaccard_ctes()}
@@ -10703,6 +10757,19 @@ def feat_ols_normal_eq(spark, sf_dir):
     tags=("streaming", "join", "outer"),
 )
 def stream_stream_left_join(spark, sf_dir):
+    return _run_stream_to_memory(
+        _build_stream_stream_left_join(spark, sf_dir),
+        "ss_left_join",
+        spark,
+        output_mode="append",
+    )
+
+
+def _build_stream_stream_left_join(spark, sf_dir):
+    """Streaming-plan builder split out of the registry entry so the
+    plan-contract test can assert the TWO EventTimeWatermark nodes and
+    the state-eviction range condition on the unstarted streaming
+    DataFrame (``tests/test_plan_contracts.py``)."""
     cutoff = F.lit("2024-01-04").cast("timestamp")
     # watermark FIRST (on the full-range raw ts), filters after: the
     # final watermark must clear the cutoff so outer rows flush
@@ -10726,7 +10793,7 @@ def stream_stream_left_join(spark, sf_dir):
             F.col("event_id").alias("e_id"),
         )
     )
-    joined = left.join(
+    return left.join(
         right,
         F.expr(
             "user_id = r_user_id AND e_ts > p_ts "
@@ -10734,9 +10801,6 @@ def stream_stream_left_join(spark, sf_dir):
         ),
         "leftOuter",
     ).select("user_id", "p_id", "e_id", "p_ts", "e_ts")
-    return _run_stream_to_memory(
-        joined, "ss_left_join", spark, output_mode="append"
-    )
 
 
 @EXT.add(
@@ -10894,4 +10958,518 @@ def qa_chisq_categorical(spark, sf_dir):
         .over(Window.partitionBy())
         .cast("double")
         .alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 8: experimentation battery + robust stats + streaming join family
+# ---------------------------------------------------------------------------
+
+
+@EXT.add(
+    "feat_cuped_adjust",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                       AND ts < TIMESTAMP '2024-01-16'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS pre,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                       AND ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS post
+      FROM events GROUP BY 1
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre) AS HUGEINT) AS sp,
+             CAST(SUM(post) AS HUGEINT) AS so,
+             CAST(SUM(CAST(pre AS HUGEINT) * pre) AS HUGEINT) AS spp,
+             CAST(SUM(CAST(pre AS HUGEINT) * post) AS HUGEINT) AS spo
+      FROM u
+    ),
+    th AS (
+      SELECT n,
+             CAST(n * spo - sp * so AS DOUBLE)
+               / CAST(n * spp - sp * sp AS DOUBLE) AS theta,
+             CAST(sp AS DOUBLE) / n AS mean_pre_pooled
+      FROM pooled
+    ),
+    v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(pre) AS BIGINT) AS sp_v,
+             CAST(SUM(post) AS BIGINT) AS so_v
+      FROM u GROUP BY 1
+    )
+    SELECT v.variant, v.n_users,
+           ROUND(CAST(so_v AS DOUBLE) / n_users, 9) AS mean_post_cents,
+           ROUND(CAST(so_v AS DOUBLE) / n_users
+                 - th.theta * (CAST(sp_v AS DOUBLE) / n_users
+                               - th.mean_pre_pooled), 9) AS mean_cuped_cents,
+           ROUND(th.theta, 9) AS theta
+    FROM v, th
+    """,
+    doc=(
+        "CUPED variance reduction for the A/B post-period revenue "
+        "metric (variant = user_id parity, pre/post split at Jan 16): "
+        "theta = pooled cov(pre, post)/var(pre) via the cleared-"
+        "denominator identity over EXACT integer moments (per-user "
+        "cent sums BIGINT, cross moments HUGEINT/DECIMAL(38) — "
+        "pre*post ~ 1e14-scale at sf1, 24 digits of headroom), then "
+        "the adjusted mean per variant is the standard "
+        "mean_post - theta*(mean_pre - pooled_mean_pre), every float "
+        "op written in the same pinned order in both engines, rounded "
+        "9. This is the pre-period covariate adjustment every "
+        "experimentation platform applies before reading a revenue "
+        "experiment — typically halving CI width at zero extra data "
+        "cost. Scale: one per-user agg (map-side combined), pooled + "
+        "per-variant moments on user rows, theta broadcast back onto "
+        "the 2-row variant domain."
+    ),
+    tags=("feat", "experiment", "stats"),
+)
+def feat_cuped_adjust(spark, sf_dir):
+    cents = F.round(F.col("value") * 100).cast("long")
+    split = F.lit("2024-01-16").cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(is_p & (F.col("ts") < split), cents)), F.lit(0)
+            )
+            .cast("long")
+            .alias("pre"),
+            F.coalesce(
+                F.sum(F.when(is_p & (F.col("ts") >= split), cents)), F.lit(0)
+            )
+            .cast("long")
+            .alias("post"),
+        )
+        .select(
+            "user_id", (F.col("user_id") % 2).alias("variant"), "pre", "post"
+        )
+    )
+    d38 = "decimal(38,0)"
+    pooled = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre").cast(d38).alias("sp"),
+        F.sum("post").cast(d38).alias("so"),
+        F.sum(F.col("pre").cast(d38) * F.col("pre")).cast(d38).alias("spp"),
+        F.sum(F.col("pre").cast(d38) * F.col("post")).cast(d38).alias("spo"),
+    )
+    th = pooled.select(
+        "n",
+        (
+            (F.col("n") * F.col("spo") - F.col("sp") * F.col("so")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")).cast(
+                "double"
+            )
+        ).alias("theta"),
+        (F.col("sp").cast("double") / F.col("n")).alias("mean_pre_pooled"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("pre").cast("long").alias("sp_v"),
+        F.sum("post").cast("long").alias("so_v"),
+    )
+    return v.crossJoin(F.broadcast(th)).select(
+        "variant",
+        "n_users",
+        F.round(F.col("so_v").cast("double") / F.col("n_users"), 9).alias(
+            "mean_post_cents"
+        ),
+        F.round(
+            F.col("so_v").cast("double") / F.col("n_users")
+            - F.col("theta")
+            * (
+                F.col("sp_v").cast("double") / F.col("n_users")
+                - F.col("mean_pre_pooled")
+            ),
+            9,
+        ).alias("mean_cuped_cents"),
+        F.round("theta", 9).alias("theta"),
+    )
+
+
+@EXT.add(
+    "agg_delta_method_ci",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS n_ev
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(n_ev) AS HUGEINT) AS sn,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(n_ev AS HUGEINT) * n_ev) AS HUGEINT) AS snn,
+             CAST(SUM(CAST(x AS HUGEINT) * n_ev) AS HUGEINT) AS sxn
+      FROM u GROUP BY 1
+    ),
+    s AS (
+      SELECT variant, n,
+             CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE) AS r,
+             CAST(sn AS DOUBLE) / n AS mean_n,
+             CAST(n * sxx - sx * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_x,
+             CAST(n * snn - sn * sn AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_n,
+             CAST(n * sxn - sx * sn AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS cov_xn
+      FROM m
+    )
+    SELECT variant, n AS n_users, ROUND(r, 9) AS ratio_cents_per_event,
+           ROUND(SQRT((var_x - 2 * r * cov_xn + r * r * var_n)
+                      / (CAST(n AS DOUBLE) * mean_n * mean_n)), 9) AS se,
+           ROUND(r - 1.96 * SQRT((var_x - 2 * r * cov_xn + r * r * var_n)
+                      / (CAST(n AS DOUBLE) * mean_n * mean_n)), 9) AS lo,
+           ROUND(r + 1.96 * SQRT((var_x - 2 * r * cov_xn + r * r * var_n)
+                      / (CAST(n AS DOUBLE) * mean_n * mean_n)), 9) AS hi
+    FROM s
+    """,
+    doc=(
+        "Delta-method CI for the RATIO metric revenue-per-event by "
+        "variant — the correct interval for ratio-of-sums metrics "
+        "where the naive per-user-mean variance is simply wrong "
+        "(users contribute unequal denominators): Var(X̄/N̄) ≈ "
+        "(var_x - 2R·cov + R²·var_n)/(n·mean_n²), every moment an "
+        "EXACT integer sum (BIGINT per user, HUGEINT/DECIMAL(38) "
+        "cross products — x² ~ 2.5e17 at sf0.1, 20 digits of "
+        "headroom at 10x), cleared-denominator variance identities, "
+        "then one pinned-order float expression per bound, rounded 9 "
+        "(the agg_wilson_ci discipline applied to the two-moment "
+        "case). Scale: one per-user agg, one 2-row variant agg; "
+        "interval math on the variant domain."
+    ),
+    tags=("agg", "experiment", "stats", "ci"),
+)
+def agg_delta_method_ci(spark, sf_dir):
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", cents)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "x", "n_ev")
+    )
+    d38 = "decimal(38,0)"
+    m = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("n_ev").cast(d38).alias("sn"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("n_ev").cast(d38) * F.col("n_ev")).cast(d38).alias("snn"),
+        F.sum(F.col("x").cast(d38) * F.col("n_ev")).cast(d38).alias("sxn"),
+    )
+    nD = F.col("n").cast("double")
+    r = F.col("sx").cast("double") / F.col("sn").cast("double")
+    mean_n = F.col("sn").cast("double") / F.col("n")
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    ) / (nD * (F.col("n") - 1))
+    var_n = (F.col("n") * F.col("snn") - F.col("sn") * F.col("sn")).cast(
+        "double"
+    ) / (nD * (F.col("n") - 1))
+    cov_xn = (F.col("n") * F.col("sxn") - F.col("sx") * F.col("sn")).cast(
+        "double"
+    ) / (nD * (F.col("n") - 1))
+    s = m.select(
+        "variant",
+        "n",
+        r.alias("r"),
+        mean_n.alias("mean_n"),
+        var_x.alias("var_x"),
+        var_n.alias("var_n"),
+        cov_xn.alias("cov_xn"),
+    )
+    var_r = (
+        F.col("var_x")
+        - 2 * F.col("r") * F.col("cov_xn")
+        + F.col("r") * F.col("r") * F.col("var_n")
+    ) / (F.col("n").cast("double") * F.col("mean_n") * F.col("mean_n"))
+    return s.select(
+        "variant",
+        F.col("n").alias("n_users"),
+        F.round("r", 9).alias("ratio_cents_per_event"),
+        F.round(F.sqrt(var_r), 9).alias("se"),
+        F.round(F.col("r") - 1.96 * F.sqrt(var_r), 9).alias("lo"),
+        F.round(F.col("r") + 1.96 * F.sqrt(var_r), 9).alias("hi"),
+    )
+
+
+@EXT.add(
+    "stream_stream_full_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-04'
+    ),
+    e AS (
+      SELECT user_id AS e_user, event_id AS e_id, ts AS e_ts FROM events
+      WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-04'
+    )
+    SELECT COALESCE(p.user_id, e.e_user) AS user_id,
+           p.p_id, e.e_id, p.p_ts, e.e_ts
+    FROM p FULL JOIN e
+      ON p.user_id = e.e_user
+     AND e.e_ts > p.p_ts AND e.e_ts <= p.p_ts + INTERVAL 1 HOUR
+    """,
+    doc=(
+        "Stream-stream FULL OUTER join with watermark-bounded state — "
+        "completes the inner/left family: unmatched PURCHASES null-pad "
+        "on the error side (the left variant's alerting signal) AND "
+        "unmatched ERRORS null-pad on the purchase side (errors with "
+        "no prior purchase in the hour — the orphan-failure feed an "
+        "incident pipeline tails). Same mechanics as "
+        "stream_stream_left_join: both raw streams watermarked 1 h "
+        "BEFORE the type/date filters so availableNow's final no-data "
+        "batch carries the watermark past every pending row on BOTH "
+        "sides; the two-sided range condition bounds join state to "
+        "1 h of each stream. availableNow over the finite fixture = "
+        "the batch FULL JOIN (the oracle), orphans included."
+    ),
+    tags=("streaming", "join", "outer"),
+)
+def stream_stream_full_join(spark, sf_dir):
+    cutoff = F.lit("2024-01-04").cast("timestamp")
+    left = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") < cutoff))
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+    )
+    right = (
+        _read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .filter((F.col("event_type") == "error") & (F.col("ts") < cutoff))
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "user_id = r_user_id AND e_ts > p_ts "
+            "AND e_ts <= p_ts + interval 1 hour"
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce("user_id", "r_user_id").alias("user_id"),
+        "p_id",
+        "e_id",
+        "p_ts",
+        "e_ts",
+    )
+    return _run_stream_to_memory(
+        joined, "ss_full_join", spark, output_mode="append"
+    )
+
+
+@EXT.add(
+    "win_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    slopes AS (
+      SELECT a.day AS d1, b.day AS d2,
+             CAST(b.c - a.c AS DOUBLE)
+               / DATE_DIFF('day', a.day, b.day) AS slope
+      FROM d a JOIN d b ON a.day < b.day
+    ),
+    ranked AS (
+      SELECT slope, row_number() OVER (ORDER BY slope, d1, d2) AS rn,
+             COUNT(*) OVER () AS np
+      FROM slopes
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           ROUND(slope, 9) AS sen_slope_cents_per_day
+    FROM ranked WHERE rn = CAST(FLOOR((np + 1) / 2.0) AS BIGINT)
+    """,
+    doc=(
+        "Theil-Sen robust trend slope of the daily purchase-revenue "
+        "series: the (lower) median of all pairwise day-to-day slopes "
+        "— the estimator that shrugs off the outlier days that wreck "
+        "an OLS fit (feat_ols_normal_eq's robust sibling; up to ~29% "
+        "contamination tolerated). Slopes are exact-cent differences "
+        "over integer day gaps (one double division each, identical "
+        "IEEE in both engines); the median is the deterministic "
+        "rank-statistic row_number = floor((n+1)/2) over "
+        "(slope, d1, d2) ordering — percentile_disc semantics, no "
+        "engine-dependent midpoint averaging. Scale: the fact "
+        "collapses to the bounded daily grain first (map-side "
+        "combined), so the pairwise self-join is spine x spine "
+        "(~435 pairs for a 30-day window, ~66k for a year) — "
+        "never fact x fact; partition the spine by year if the "
+        "window ever grows unbounded."
+    ),
+    tags=("window", "timeseries", "stats", "robust"),
+)
+def win_theil_sen(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    a = d.select(F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = d.select(F.col("day").alias("d2"), F.col("c").alias("c2"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / F.datediff("d2", "d1")
+            ).alias("slope"),
+        )
+    )
+    w = Window.orderBy("slope", "d1", "d2")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    n_days = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        ranked.filter(
+            F.col("rn") == F.floor((F.col("np") + 1) / F.lit(2.0)).cast("int")
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.round("slope", 9).alias("sen_slope_cents_per_day"),
+        )
+    )
+
+
+@EXT.add(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS f
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, cents, f,
+             SUM(f) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(f) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    edges AS (
+      SELECT event_type,
+             MIN(CASE WHEN 20 * cum >= n THEN cents END) AS lo,
+             MIN(CASE WHEN 20 * cum >= 19 * n THEN cents END) AS hi,
+             ANY_VALUE(n) AS n
+      FROM c GROUP BY 1
+    )
+    SELECT h.event_type, CAST(e.n AS BIGINT) AS n,
+           e.lo AS lo_cents, e.hi AS hi_cents,
+           ROUND(CAST(SUM(LEAST(GREATEST(h.cents, e.lo), e.hi) * h.f)
+                      AS DOUBLE) / e.n, 9) AS winsorized_mean_cents
+    FROM h JOIN edges e USING (event_type)
+    GROUP BY 1, 2, 3, 4, e.n
+    """,
+    doc=(
+        "Winsorized mean (5%/95%) of event value per event type — the "
+        "robust center that caps rather than drops tails (the "
+        "complement of qa_outlier_mad's flag-and-audit): percentile "
+        "edges are percentile_disc on the VALUE HISTOGRAM with pure "
+        "INTEGER threshold tests (20*cum >= n, 20*cum >= 19*n — no "
+        "float quantile math at all), clipping and the clipped sum "
+        "run ON the histogram too, so the only float op is the final "
+        "mean division (rounded 9). Scale: one map-side-combined "
+        "(type, cents) histogram agg — the cents domain is bounded "
+        "(~49k values) regardless of row count — then cumsum/edges/"
+        "clipped-mean all on the histogram; the fact table is "
+        "scanned exactly once and never sorted "
+        "(feat_discretize_quantile's argument, extended to the "
+        "estimator itself)."
+    ),
+    tags=("agg", "stats", "robust"),
+)
+def agg_winsorized_mean(spark, sf_dir):
+    from pyspark.sql import Window
+
+    h = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    c = h.select(
+        "event_type",
+        "cents",
+        "f",
+        F.sum("f").over(wc).alias("cum"),
+        F.sum("f").over(wt).alias("n"),
+    )
+    edges = c.groupBy("event_type").agg(
+        F.min(F.when(20 * F.col("cum") >= F.col("n"), F.col("cents"))).alias(
+            "lo"
+        ),
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("cents"))
+        ).alias("hi"),
+        F.any_value("n").alias("n"),
+    )
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        h.join(F.broadcast(edges), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+        )
+        .agg(
+            F.round(
+                F.sum(clipped * F.col("f")).cast("double") / F.any_value("n"),
+                9,
+            ).alias("winsorized_mean_cents")
+        )
     )

@@ -701,3 +701,134 @@ class TestRound7cPlanContracts:
         plan = _plan(QUERIES["qa_freshness_lag"].spark(spark, SF_SMOKE), "simple")
         assert "BroadcastNestedLoopJoin" in plan, plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+class TestRound8PlanContracts:
+    def test_stream_stream_left_join_watermarks_and_range(self, spark):
+        """The outer stream-stream join is only state-bounded if BOTH
+        inputs carry an EventTimeWatermark and the join condition has
+        the two-sided time range Spark derives eviction from — losing
+        either silently turns the state store unbounded."""
+        from steam_data_pipeline_spark.plans.extensions import (
+            _build_stream_stream_left_join,
+        )
+
+        plan = _plan(
+            _build_stream_stream_left_join(spark, SF_SMOKE), "extended"
+        )
+        analyzed = plan.split("== Analyzed Logical Plan ==")[1].split(
+            "== Optimized"
+        )[0]
+        assert analyzed.count("EventTimeWatermark") == 2, analyzed
+        assert "LeftOuter" in analyzed, analyzed
+        # both range bounds present: lower (e_ts > p_ts) and the 1 h
+        # upper bound state eviction is computed from
+        assert "e_ts" in analyzed and "INTERVAL '01' HOUR" in analyzed, analyzed
+
+    def test_wilson_ci_single_aggregate(self, spark):
+        """The whole Wilson interval is one map-side-combined agg on
+        source plus post-agg float math on the 5-row domain: exactly
+        one keyed exchange, no join, no window."""
+        plan = _plan(QUERIES["agg_wilson_ci"].spark(spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "HashAggregate" in plan, plan
+
+    def test_chisq_spine_joins_all_broadcast(self, spark):
+        """Chi-square cell math runs on the bounded (lang x 2) spine:
+        the marginal/total attachments must all broadcast (the 1-row n
+        and 2-row ct via nested-loop, cells via hash) — a sort-merge
+        join anywhere means the spine shape regressed to fact-sized."""
+        plan = _plan(
+            QUERIES["qa_chisq_categorical"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+class TestRound8WavePlanContracts:
+    def test_full_join_watermarks_and_range(self, spark):
+        """Full-outer stream-stream join: both EventTimeWatermarks and
+        the two-sided range condition must survive into the analyzed
+        plan (state is unbounded without either)."""
+        from steam_data_pipeline_spark.plans.extensions import (
+            _read_events_stream,
+        )
+
+        cutoff = F.lit("2024-01-04").cast("timestamp")
+        left = (
+            _read_events_stream(spark, SF_SMOKE)
+            .withWatermark("ts", "1 hour")
+            .filter((F.col("event_type") == "purchase") & (F.col("ts") < cutoff))
+            .select("user_id", F.col("ts").alias("p_ts"),
+                    F.col("event_id").alias("p_id"))
+        )
+        right = (
+            _read_events_stream(spark, SF_SMOKE)
+            .withWatermark("ts", "1 hour")
+            .filter((F.col("event_type") == "error") & (F.col("ts") < cutoff))
+            .select(F.col("user_id").alias("r_user_id"),
+                    F.col("ts").alias("e_ts"),
+                    F.col("event_id").alias("e_id"))
+        )
+        j = left.join(
+            right,
+            F.expr("user_id = r_user_id AND e_ts > p_ts "
+                   "AND e_ts <= p_ts + interval 1 hour"),
+            "fullOuter",
+        )
+        plan = _plan(j, "extended")
+        analyzed = plan.split("== Analyzed Logical Plan ==")[1].split(
+            "== Optimized"
+        )[0]
+        assert analyzed.count("EventTimeWatermark") == 2, analyzed
+        assert "FullOuter" in analyzed, analyzed
+        assert "INTERVAL '01' HOUR" in analyzed, analyzed
+
+    def test_cuped_theta_broadcasts_back(self, spark):
+        """CUPED's pooled theta (1 row) must broadcast onto the 2-row
+        variant table — never a sort-merge join anywhere."""
+        plan = _plan(QUERIES["feat_cuped_adjust"].spark(spark, SF_SMOKE), "simple")
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_delta_method_pure_aggregate(self, spark):
+        """Delta-method CI is two chained aggregates (user, variant)
+        with all interval math post-agg: no join, no window."""
+        plan = _plan(
+            QUERIES["agg_delta_method_ci"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "HashAggregate" in plan, plan
+
+    def test_theil_sen_pairs_on_spine_only(self, spark):
+        """Pairwise slopes must be spine x spine (broadcast nested
+        loop over the aggregated daily grain), never fact x fact, and
+        never a cartesian without broadcast."""
+        plan = _plan(QUERIES["win_theil_sen"].spark(spark, SF_SMOKE), "simple")
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_winsorized_edges_broadcast_onto_histogram(self, spark):
+        """Percentile edges join back to the HISTOGRAM via broadcast
+        hash join; the fact table feeds exactly one aggregate and is
+        never globally sorted."""
+        plan = _plan(
+            QUERIES["agg_winsorized_mean"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_minhash_recommender_no_cartesian(self, spark):
+        """The LSH candidate join must stay a hash join on exploded
+        (table, minhash) keys — approxSimilarityJoin's bucket path,
+        never a cartesian similarity scan."""
+        plan = _plan(
+            QUERIES["udf_recommender_minhash"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "CartesianProduct" not in plan, plan

@@ -594,6 +594,89 @@ def rehearse_substring_skew(sf_dir: str) -> None:
     spark.stop()
 
 
+def rehearse_lpa_skew(factors: list[int]) -> None:
+    """LPA hub-skew rehearsal (round-7 verdict item 6): synchronous
+    label propagation's per-round ``groupBy(node, lab)`` and the
+    edge⋈frontier join both key on nodes, so a power-law degree
+    distribution concentrates work on hubs. Measure ``rounds=4`` LPA
+    wall on a uniform graph vs a Zipf-ish one (dst drawn via inverse
+    log CDF: density ∝ 1/rank, the web-graph shape) at the same edge
+    counts, with node count scaling alongside edges (keys grow with
+    data, as in the fixture). Claims under test: (a) growth stays
+    ~linear (exponent ≲ 1.2) on BOTH shapes, (b) the skewed/uniform
+    wall ratio stays bounded — because the (node, lab) count is
+    map-side combined (hub updates partially aggregate per task) and
+    the argmax struct agg runs on the already-collapsed (node, lab)
+    domain. If (b) ever degrades, the documented mitigation is
+    salting the hub side of the per-round join (split hot ``u`` keys
+    into ``u × salt`` replicas of the frontier row)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from steam_data_pipeline_spark.operators.graph import label_propagation
+
+    spark = _spark()
+    base_edges = 200_000
+    base_nodes = 50_000
+    print(
+        "# lpa-skew rehearsal: rounds=4, edges/nodes scale together; "
+        "exponent = log(t_big/t_base)/log(factor)"
+    )
+    print("shape\tfactor\tedges\tmax_degree\twall_s")
+    walls: dict[tuple[str, int], float] = {}
+    for shape in ("uniform", "powerlaw"):
+        for f in factors:
+            n_edges = base_edges * f
+            n_nodes = base_nodes * f
+            base = spark.range(n_edges).select(
+                (F.abs(F.xxhash64("id", F.lit(1))) % n_nodes).alias("src"),
+                (
+                    (F.abs(F.xxhash64("id", F.lit(2))) % 1_000_000)
+                    / 1_000_000.0
+                ).alias("u01"),
+            )
+            if shape == "uniform":
+                e = base.select(
+                    "src",
+                    (F.abs(F.xxhash64("u01")) % n_nodes).alias("dst"),
+                )
+            else:
+                # inverse log CDF: P(dst <= x) = ln(x)/ln(N) -> degree
+                # density ~ 1/rank (Zipf exponent 1, the hub regime)
+                e = base.select(
+                    "src",
+                    F.floor(
+                        F.exp(F.col("u01") * math.log(n_nodes))
+                    ).cast("long").alias("dst"),
+                )
+            e = e.localCheckpoint(eager=True)
+            hub = (
+                e.select(F.col("dst").alias("v"))
+                .unionByName(e.select(F.col("src").alias("v")))
+                .groupBy("v")
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+            )
+            t0 = time.time()
+            _force(label_propagation(e, rounds=4))
+            wall = time.time() - t0
+            walls[(shape, f)] = wall
+            print(f"{shape}\t{f}\t{n_edges}\t{hub}\t{wall:.2f}")
+    import math as m
+
+    for shape in ("uniform", "powerlaw"):
+        fs = sorted(f for s, f in walls if s == shape)
+        if len(fs) >= 2:
+            lo, hi = fs[0], fs[-1]
+            exp = m.log(walls[(shape, hi)] / walls[(shape, lo)]) / m.log(
+                hi / lo
+            )
+            print(f"# {shape} exponent {lo}x->{hi}x: {exp:.2f}")
+    spark.stop()
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
@@ -604,6 +687,7 @@ def main() -> None:
             "substring-skew",
             "registry-heavy",
             "media",
+            "lpa-skew",
         ],
     )
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -622,6 +706,8 @@ def main() -> None:
         )
     elif args.op == "media":
         rehearse_media(args.sf_dir, args.factors)
+    elif args.op == "lpa-skew":
+        rehearse_lpa_skew(args.factors)
     else:
         rehearse_substring_skew(args.sf_dir)
 
