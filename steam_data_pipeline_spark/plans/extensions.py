@@ -11473,3 +11473,511 @@ def agg_winsorized_mean(spark, sf_dir):
             ).alias("winsorized_mean_cents")
         )
     )
+
+
+@EXT.add(
+    "agg_ttest_welch",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM u GROUP BY 1
+    ),
+    s AS (
+      SELECT variant, n,
+             CAST(sx AS DOUBLE) / n AS mean,
+             CAST(n * sxx - sx * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) / n AS vm
+      FROM m
+    ),
+    w AS (
+      SELECT a.n AS n0, b.n AS n1, a.mean AS mean0, b.mean AS mean1,
+             a.vm AS vm0, b.vm AS vm1
+      FROM s a JOIN s b ON a.variant = 0 AND b.variant = 1
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           ROUND(mean0, 9) AS mean0_cents, ROUND(mean1, 9) AS mean1_cents,
+           ROUND((mean1 - mean0) / SQRT(vm0 + vm1), 9) AS t_stat,
+           ROUND((vm0 + vm1) * (vm0 + vm1)
+                 / (vm0 * vm0 / (n0 - 1) + vm1 * vm1 / (n1 - 1)), 9)
+             AS df_welch
+    FROM w
+    """,
+    doc=(
+        "Welch two-sample t-test of per-user purchase revenue between "
+        "the parity variants — the unequal-variance test every "
+        "experiment readout starts from (the z/t gap in the battery "
+        "next to Wilson / bootstrap / chi-square / MWU / delta-method). "
+        "Per-variant mean and variance-of-mean come from EXACT integer "
+        "moments (BIGINT per-user cents, HUGEINT/DECIMAL(38) squares, "
+        "cleared-denominator sample variance); the t statistic and the "
+        "Welch-Satterthwaite df are one pinned-order float expression "
+        "each, rounded 9 — df is emitted rather than a p-value because "
+        "the t CDF is engine-specific math (the caller thresholds "
+        "|t| >= 1.96 at these df). Scale: one per-user agg, one 2-row "
+        "variant agg, final math on a self-joined 1-row spine."
+    ),
+    tags=("agg", "experiment", "stats"),
+)
+def agg_ttest_welch(spark, sf_dir):
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", cents)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "x")
+    )
+    d38 = "decimal(38,0)"
+    m = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+    )
+    s = m.select(
+        "variant",
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean"),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+            / F.col("n")
+        ).alias("vm"),
+    )
+    a = s.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n0"), F.col("mean").alias("mean0"),
+        F.col("vm").alias("vm0"),
+    )
+    b = s.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n1"), F.col("mean").alias("mean1"),
+        F.col("vm").alias("vm1"),
+    )
+    w = a.crossJoin(F.broadcast(b))
+    pooled = F.col("vm0") + F.col("vm1")
+    return w.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round("mean0", 9).alias("mean0_cents"),
+        F.round("mean1", 9).alias("mean1_cents"),
+        F.round((F.col("mean1") - F.col("mean0")) / F.sqrt(pooled), 9).alias(
+            "t_stat"
+        ),
+        F.round(
+            pooled
+            * pooled
+            / (
+                F.col("vm0") * F.col("vm0") / (F.col("n0") - 1)
+                + F.col("vm1") * F.col("vm1") / (F.col("n1") - 1)
+            ),
+            9,
+        ).alias("df_welch"),
+    )
+
+
+@EXT.add(
+    "agg_mann_kendall",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM d a JOIN d b ON a.day < b.day
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(tf * (tf - 1) * (2 * tf + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tf FROM d GROUP BY c)
+      WHERE tf > 1
+    )
+    SELECT n.n AS n_days, s.s AS s_stat, s.n_pairs,
+           ROUND((CASE WHEN s.s > 0 THEN s.s - 1
+                       WHEN s.s < 0 THEN s.s + 1
+                       ELSE 0 END)
+                 / SQRT((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                         - ties.tie_term) / 18.0), 9) AS z_mk
+    FROM s, n, ties
+    """,
+    doc=(
+        "Mann-Kendall trend test on the daily purchase-revenue series "
+        "— the nonparametric is-there-a-monotone-trend gate that pairs "
+        "with win_theil_sen (MK decides IF a trend exists, Theil-Sen "
+        "says how steep): S = sum of pairwise sign comparisons (pure "
+        "INTEGER arithmetic over the bounded day spine), variance with "
+        "the standard tie correction sum tf(tf-1)(2tf+5) (also exact "
+        "integers), and the continuity-corrected z statistic is the "
+        "single float expression, rounded 9. Scale: the fact collapses "
+        "to the daily grain map-side first; the sign join is "
+        "spine x spine (~435 pairs / 30 days), tie counts come from "
+        "one groupBy on the spine's value domain — the fact table is "
+        "scanned once and never self-joined."
+    ),
+    tags=("agg", "timeseries", "stats", "robust"),
+)
+def agg_mann_kendall(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("c")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = d.select(F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = d.select(F.col("day").alias("d2"), F.col("c").alias("c2"))
+    s = (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(
+                F.when(F.col("c2") > F.col("c1"), 1)
+                .when(F.col("c2") < F.col("c1"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        d.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .filter(F.col("tf") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tf") * (F.col("tf") - 1) * (2 * F.col("tf") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    corrected = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    var = (
+        F.col("n").cast("double")
+        * (F.col("n") - 1)
+        * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            "n_pairs",
+            F.round(corrected / F.sqrt(var), 9).alias("z_mk"),
+        )
+    )
+
+
+@EXT.add(
+    "win_forecast_ar2",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY day) AS rn,
+             lag(c, 1) OVER (ORDER BY day) AS l1,
+             lag(c, 2) OVER (ORDER BY day) AS l2,
+             COUNT(*) OVER () AS n
+      FROM d
+    ),
+    mo AS (
+      SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS p0,
+             CAST(SUM(CASE WHEN l1 IS NOT NULL
+                      THEN CAST(c AS HUGEINT) * l1 END) AS HUGEINT) AS p1,
+             CAST(SUM(CASE WHEN l2 IS NOT NULL
+                      THEN CAST(c AS HUGEINT) * l2 END) AS HUGEINT) AS p2,
+             CAST(SUM(CASE WHEN rn > 1 THEN c END) AS BIGINT) AS tail1,
+             CAST(SUM(CASE WHEN rn > 2 THEN c END) AS BIGINT) AS tail2,
+             CAST(SUM(CASE WHEN rn <= n - 1 THEN c END)
+                  AS BIGINT) AS head1,
+             CAST(SUM(CASE WHEN rn <= n - 2 THEN c END)
+                  AS BIGINT) AS head2,
+             CAST(MAX(CASE WHEN rn = n THEN c END) AS BIGINT)
+               AS x_last,
+             CAST(MAX(CASE WHEN rn = n - 1 THEN c END) AS BIGINT)
+               AS x_prev
+      FROM r
+    ),
+    ac AS (
+      SELECT n, s, x_last, x_prev,
+             CAST(n * n * p0 - 2 * n * s * s + n * s * s AS DOUBLE) AS a0,
+             CAST(n * n * p1 - n * s * (tail1 + head1)
+                  + (n - 1) * s * s AS DOUBLE) AS a1,
+             CAST(n * n * p2 - n * s * (tail2 + head2)
+                  + (n - 2) * s * s AS DOUBLE) AS a2
+      FROM mo
+    ),
+    ph AS (
+      SELECT n, s, x_last, x_prev,
+             (a1 / a0) * (1 - a2 / a0) / (1 - (a1 / a0) * (a1 / a0))
+               AS phi1,
+             (a2 / a0 - (a1 / a0) * (a1 / a0))
+               / (1 - (a1 / a0) * (a1 / a0)) AS phi2,
+             CAST(s AS DOUBLE) / n AS m
+      FROM ac
+    ),
+    f0 AS (SELECT *, x_last - m AS dv0, x_prev - m AS dvm1 FROM ph),
+    f1 AS (SELECT *, phi1 * dv0 + phi2 * dvm1 AS f1 FROM f0),
+    f2 AS (SELECT *, phi1 * f1 + phi2 * dv0 AS f2 FROM f1),
+    f3 AS (SELECT *, phi1 * f2 + phi2 * f1 AS f3 FROM f2),
+    f4 AS (SELECT *, phi1 * f3 + phi2 * f2 AS f4 FROM f3),
+    f5 AS (SELECT *, phi1 * f4 + phi2 * f3 AS f5 FROM f4),
+    f6 AS (SELECT *, phi1 * f5 + phi2 * f4 AS f6 FROM f5),
+    f7 AS (SELECT *, phi1 * f6 + phi2 * f5 AS f7 FROM f6)
+    SELECT h, ROUND(m + dev, 3) AS forecast_cents,
+           ROUND(phi1, 9) AS phi1, ROUND(phi2, 9) AS phi2
+    FROM f7, (VALUES (1), (2), (3), (4), (5), (6), (7)) AS hs(h),
+         LATERAL (SELECT CASE h WHEN 1 THEN f1 WHEN 2 THEN f2
+                                WHEN 3 THEN f3 WHEN 4 THEN f4
+                                WHEN 5 THEN f5 WHEN 6 THEN f6
+                                ELSE f7 END AS dev) dd
+    """,
+    doc=(
+        "AR(2) Yule-Walker forecast of daily purchase revenue, 7 days "
+        "ahead — the second-order autoregression that captures the "
+        "oscillatory/momentum dynamics AR(1) (udtf_forecast) and Holt "
+        "(win_holt_linear) cannot, closing more of the reference's "
+        "VISUALIZATION_PLAN.md:71 model-menu gap with exact-"
+        "arithmetic discipline: demeaned autocovariances come from "
+        "the n²-cleared identity n²·A_k = n²·P_k - n·S·(tail_k + "
+        "head_k) + (n-k)·S² over pure INTEGER lag-product moments "
+        "(HUGEINT/DECIMAL(38); ~6.8e17 at 10x volume, 20 digits of "
+        "headroom), phi1/phi2 are the closed-form Yule-Walker "
+        "solutions in r1 = A1/A0, r2 = A2/A0, and the 7-step "
+        "recursion f_k = phi1·f_{k-1} + phi2·f_{k-2} is UNROLLED as "
+        "the same chained float expressions in both engines (no "
+        "iterative driver loop), rounded 3 — daily totals are ~1e6 "
+        "cents at sf0.1, so 3 decimals keeps the rounded value inside "
+        "double's ~15.95 significant digits (9 would not be "
+        "representable and the engines' rounding paths diverge at "
+        "1 ULP). Scale: the fact collapses "
+        "map-side to the bounded daily grain; lag moments are one "
+        "window pass over the spine; everything after is 1-row math."
+    ),
+    tags=("window", "timeseries", "forecast"),
+)
+def win_forecast_ar2(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    wo = Window.orderBy("day")
+    wall = Window.partitionBy()
+    r = d.select(
+        "c",
+        F.row_number().over(wo).alias("rn"),
+        F.lag("c", 1).over(wo).alias("l1"),
+        F.lag("c", 2).over(wo).alias("l2"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    d38 = "decimal(38,0)"
+    mo = r.agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).cast(d38).alias("p0"),
+        F.sum(F.col("c").cast(d38) * F.col("l1")).cast(d38).alias("p1"),
+        F.sum(F.col("c").cast(d38) * F.col("l2")).cast(d38).alias("p2"),
+        F.sum(F.when(F.col("rn") > 1, F.col("c"))).cast("long").alias("tail1"),
+        F.sum(F.when(F.col("rn") > 2, F.col("c"))).cast("long").alias("tail2"),
+        F.sum(F.when(F.col("rn") <= F.col("n") - 1, F.col("c")))
+        .cast("long")
+        .alias("head1"),
+        F.sum(F.when(F.col("rn") <= F.col("n") - 2, F.col("c")))
+        .cast("long")
+        .alias("head2"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("c")))
+        .cast("long")
+        .alias("x_last"),
+        F.max(F.when(F.col("rn") == F.col("n") - 1, F.col("c")))
+        .cast("long")
+        .alias("x_prev"),
+    )
+    n, s = F.col("n"), F.col("s")
+    ac = mo.select(
+        "n",
+        "s",
+        "x_last",
+        "x_prev",
+        (n * n * F.col("p0") - 2 * n * s * s + n * s * s)
+        .cast("double")
+        .alias("a0"),
+        (
+            n * n * F.col("p1")
+            - n * s * (F.col("tail1") + F.col("head1"))
+            + (n - 1) * s * s
+        )
+        .cast("double")
+        .alias("a1"),
+        (
+            n * n * F.col("p2")
+            - n * s * (F.col("tail2") + F.col("head2"))
+            + (n - 2) * s * s
+        )
+        .cast("double")
+        .alias("a2"),
+    )
+    r1 = F.col("a1") / F.col("a0")
+    r2 = F.col("a2") / F.col("a0")
+    ph = ac.select(
+        "n",
+        "s",
+        "x_last",
+        "x_prev",
+        (r1 * (1 - r2) / (1 - r1 * r1)).alias("phi1"),
+        ((r2 - r1 * r1) / (1 - r1 * r1)).alias("phi2"),
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+    )
+    f = ph.withColumn("dv0", F.col("x_last") - F.col("m")).withColumn(
+        "dvm1", F.col("x_prev") - F.col("m")
+    )
+    f = f.withColumn(
+        "f1", F.col("phi1") * F.col("dv0") + F.col("phi2") * F.col("dvm1")
+    )
+    prev2, prev1 = "dv0", "f1"
+    for k in range(2, 8):
+        f = f.withColumn(
+            f"f{k}",
+            F.col("phi1") * F.col(prev1) + F.col("phi2") * F.col(prev2),
+        )
+        prev2, prev1 = prev1, f"f{k}"
+    stack = F.expr(
+        "stack(7, 1, f1, 2, f2, 3, f3, 4, f4, 5, f5, 6, f6, 7, f7) "
+        "AS (h, dev)"
+    )
+    return f.select("m", "phi1", "phi2", stack).select(
+        F.col("h").cast("int").alias("h"),
+        F.round(F.col("m") + F.col("dev"), 3).alias("forecast_cents"),
+        F.round("phi1", 9).alias("phi1"),
+        F.round("phi2", 9).alias("phi2"),
+    )
+
+
+@EXT.add(
+    "win_bollinger_bands",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    w AS (
+      SELECT day, c,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+             CAST(SUM(c) OVER fr AS BIGINT) AS s,
+             CAST(SUM(CAST(c AS HUGEINT) * c) OVER fr AS HUGEINT) AS ss
+      FROM d
+      WINDOW fr AS (ORDER BY day
+                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n AS n_window, c AS cents,
+           ROUND(CAST(s AS DOUBLE) / n, 3) AS mid,
+           ROUND(CAST(s AS DOUBLE) / n
+                 + 2 * SQRT(CAST(n * ss - s * s AS DOUBLE)) / n, 3) AS upper,
+           ROUND(CAST(s AS DOUBLE) / n
+                 - 2 * SQRT(CAST(n * ss - s * s AS DOUBLE)) / n, 3) AS lower
+    FROM w
+    """,
+    doc=(
+        "Bollinger bands (trailing 7-day mean ± 2 population sd) over "
+        "daily purchase revenue — the volatility envelope that turns "
+        "win_rolling_corr's moment discipline into an anomaly band "
+        "(a day breaching ±2sd is the alert win_cusum_drift confirms): "
+        "windowed n/S/SS are EXACT integer sums over the RANGE frame "
+        "(HUGEINT/DECIMAL(38) squares), sd uses the n-cleared identity "
+        "sqrt(n·SS - S²)/n so the only float ops are one sqrt and two "
+        "divisions per row, written in the same pinned order in both "
+        "engines, rounded 3 (daily totals are ~1e6 cents at sf0.1; "
+        "3 decimals keeps the result representable in a double — "
+        "round 9 at this magnitude exceeds 15.95 significant digits "
+        "and flakes at 1 ULP, measured). Scale: fact collapses map-side to the "
+        "bounded daily grain; the RANGE window runs over days-not-rows "
+        "(partition by year if the spine ever grows unbounded)."
+    ),
+    tags=("window", "timeseries", "stats"),
+)
+def win_bollinger_bands(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    day_s = F.unix_timestamp("day")
+    fr = (
+        Window.orderBy(day_s)
+        .rangeBetween(-6 * 86400, 0)
+    )
+    d38 = "decimal(38,0)"
+    w = d.select(
+        "day",
+        "c",
+        F.count(F.lit(1)).over(fr).cast("long").alias("n"),
+        F.sum("c").over(fr).cast("long").alias("s"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).over(fr).cast(d38).alias("ss"),
+    )
+    mid = F.col("s").cast("double") / F.col("n")
+    spread = (
+        2
+        * F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+        / F.col("n")
+    )
+    return w.select(
+        "day",
+        F.col("n").alias("n_window"),
+        F.col("c").alias("cents"),
+        F.round(mid, 3).alias("mid"),
+        F.round(mid + spread, 3).alias("upper"),
+        F.round(mid - spread, 3).alias("lower"),
+    )

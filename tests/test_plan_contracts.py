@@ -832,3 +832,36 @@ class TestRound8WavePlanContracts:
             QUERIES["udf_recommender_minhash"].spark(spark, SF_SMOKE), "simple"
         )
         assert "CartesianProduct" not in plan, plan
+
+    def test_ttest_welch_broadcast_only(self, spark):
+        """Welch t: per-user + per-variant aggregates, then 1-row
+        spine math — joins must all be broadcast, no window."""
+        plan = _plan(QUERIES["agg_ttest_welch"].spark(spark, SF_SMOKE), "simple")
+        assert "SortMergeJoin" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "HashAggregate" in plan, plan
+
+    def test_mann_kendall_pairs_on_spine_only(self, spark):
+        """MK sign pairs are spine x spine via broadcast nested loop;
+        tie counts come from a groupBy on the spine value domain —
+        the fact table is never self-joined."""
+        plan = _plan(QUERIES["agg_mann_kendall"].spark(spark, SF_SMOKE), "simple")
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_forecast_ar2_single_keyed_exchange(self, spark):
+        """AR(2): the daily collapse is the only keyed shuffle; lag
+        moments and the unrolled recursion run on the 1-row spine."""
+        plan = _plan(QUERIES["win_forecast_ar2"].spark(spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_bollinger_no_join_single_keyed_exchange(self, spark):
+        """Bollinger bands: one map-side-combined daily agg, one RANGE
+        window over the spine — no join anywhere."""
+        plan = _plan(
+            QUERIES["win_bollinger_bands"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
