@@ -11736,14 +11736,21 @@ def agg_mann_kendall(spark, sf_dir):
                AS x_prev
       FROM r
     ),
+    hm AS (
+      SELECT n, s, x_last, x_prev, p0, p1, p2,
+             CAST(n AS HUGEINT) AS nh, CAST(s AS HUGEINT) AS sh,
+             CAST(tail1 AS HUGEINT) AS t1, CAST(tail2 AS HUGEINT) AS t2,
+             CAST(head1 AS HUGEINT) AS h1, CAST(head2 AS HUGEINT) AS h2
+      FROM mo
+    ),
     ac AS (
       SELECT n, s, x_last, x_prev,
-             CAST(n * n * p0 - 2 * n * s * s + n * s * s AS DOUBLE) AS a0,
-             CAST(n * n * p1 - n * s * (tail1 + head1)
-                  + (n - 1) * s * s AS DOUBLE) AS a1,
-             CAST(n * n * p2 - n * s * (tail2 + head2)
-                  + (n - 2) * s * s AS DOUBLE) AS a2
-      FROM mo
+             CAST(nh * nh * p0 - nh * sh * sh AS DOUBLE) AS a0,
+             CAST(nh * nh * p1 - nh * sh * (t1 + h1)
+                  + (nh - 1) * sh * sh AS DOUBLE) AS a1,
+             CAST(nh * nh * p2 - nh * sh * (t2 + h2)
+                  + (nh - 2) * sh * sh AS DOUBLE) AS a2
+      FROM hm
     ),
     ph AS (
       SELECT n, s, x_last, x_prev,
@@ -11838,25 +11845,29 @@ def win_forecast_ar2(spark, sf_dir):
         .cast("long")
         .alias("x_prev"),
     )
-    n, s = F.col("n"), F.col("s")
+    # DECIMAL(38,0) operands BEFORE any product: the cleared-identity
+    # terms n*S*(tail+head) and n*S^2 overflow BIGINT at 10x volume
+    # (caught by the round-8 scale rehearsal, like agg_bootstrap_ci's
+    # micro-mean in round 7); 38 digits leaves ~13 digits of headroom
+    # at 100x.
+    n = F.col("n").cast(d38)
+    s = F.col("s").cast(d38)
     ac = mo.select(
         "n",
         "s",
         "x_last",
         "x_prev",
-        (n * n * F.col("p0") - 2 * n * s * s + n * s * s)
-        .cast("double")
-        .alias("a0"),
+        (n * n * F.col("p0") - n * s * s).cast("double").alias("a0"),
         (
             n * n * F.col("p1")
-            - n * s * (F.col("tail1") + F.col("head1"))
+            - n * s * (F.col("tail1").cast(d38) + F.col("head1"))
             + (n - 1) * s * s
         )
         .cast("double")
         .alias("a1"),
         (
             n * n * F.col("p2")
-            - n * s * (F.col("tail2") + F.col("head2"))
+            - n * s * (F.col("tail2").cast(d38) + F.col("head2"))
             + (n - 2) * s * s
         )
         .cast("double")

@@ -40,3 +40,48 @@ class TestLshParity:
         hand = sorted(r.doc_id for r in minhash_dedup(docs, threshold=0.6).collect())
         ml = sorted(r.doc_id for r in minhash_dedup_ml(docs, max_distance=0.4).collect())
         assert hand == ml == [0, 3]
+
+
+class TestMinhashRecommender:
+    def test_invariants_and_exactness_vs_bruteforce(self, spark):
+        """The LSH-gated recommender must return exactly the brute
+        force exact-Jaccard top-k on the smoke fixture (LSH only gates
+        WHICH pairs get scored; re-ranking is exact), with the
+        documented output invariants."""
+        from pyspark.sql import Window, functions as F
+
+        from steam_data_pipeline_spark.operators.recommend import (
+            minhash_recommendations,
+        )
+        from steam_data_pipeline_spark.sources.tables import read_table
+        from tests.conftest import SF_SMOKE
+
+        got = minhash_recommendations(spark, SF_SMOKE).collect()
+        assert got, "smoke fixture should produce recommendations"
+        for r in got:
+            assert r.a <= 100 and r.a != r.b
+            assert 1 <= r.rn <= 3
+            assert 0.5 <= r.similarity <= 1.0
+        # brute force truth: exact Jaccard over all (a<=100, b) pairs
+        p = read_table(spark, SF_SMOKE, "part").select(
+            "p_partkey", F.array_distinct(F.split("p_name", " ")).alias("tags")
+        )
+        a = p.filter(F.col("p_partkey") <= 100).select(
+            F.col("p_partkey").alias("a"), F.col("tags").alias("ta")
+        )
+        b = p.select(F.col("p_partkey").alias("b"), F.col("tags").alias("tb"))
+        nc = F.size(F.array_intersect("ta", "tb"))
+        sim = nc.cast("double") / (F.size("ta") + F.size("tb") - nc)
+        w = Window.partitionBy("a").orderBy(F.col("similarity").desc(), "b")
+        truth = (
+            a.join(F.broadcast(b), F.col("a") != F.col("b"))
+            .withColumn("similarity", sim)
+            .filter(F.col("similarity") >= 0.5)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("a", "b", "rn", "similarity")
+            .collect()
+        )
+        assert sorted(((r.a, r.b, r.rn) for r in got)) == sorted(
+            (r.a, r.b, r.rn) for r in truth
+        )
