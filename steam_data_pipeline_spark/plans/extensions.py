@@ -11992,3 +11992,207 @@ def win_bollinger_bands(spark, sf_dir):
         F.round(mid + spread, 3).alias("upper"),
         F.round(mid - spread, 3).alias("lower"),
     )
+
+
+@EXT.add(
+    "feat_isotonic_calibrate",
+    oracle="""
+    WITH bins AS (
+      SELECT LEAST(19, CAST(FLOOR(n_chars / 50) AS BIGINT)) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS w,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS s
+      FROM documents GROUP BY 1
+    ),
+    pre AS (
+      SELECT bin, w, s,
+             SUM(w) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(s) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cs
+      FROM bins
+    ),
+    pairs AS (
+      SELECT j.bin AS j, k.bin AS k,
+             CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+               / (k.cw - (j.cw - j.w)) AS m
+      FROM pre j JOIN pre k ON j.bin <= k.bin
+    ),
+    tri AS (
+      SELECT i.bin AS i, p.j, p.k, p.m
+      FROM pre i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+    ),
+    inner_min AS (
+      SELECT i, j, MIN(m) AS mn FROM tri GROUP BY 1, 2
+    ),
+    iso AS (
+      SELECT i AS bin, MAX(mn) AS iso FROM inner_min GROUP BY 1
+    )
+    SELECT b.bin, b.w AS n_docs,
+           ROUND(CAST(b.s AS DOUBLE) / b.w, 9) AS raw_rate,
+           ROUND(iso.iso, 9) AS iso_rate
+    FROM bins b JOIN iso ON iso.bin = b.bin
+    """,
+    doc=(
+        "Isotonic (PAVA-equivalent) probability calibration of a "
+        "binary outcome against a score — the calibration layer every "
+        "ranking/quality model needs before its raw scores can be "
+        "read as probabilities (fixture: en-rate vs 50-char length "
+        "bins). Instead of the sequential pool-adjacent-violators "
+        "loop, this uses the CLOSED-FORM minimax identity "
+        "iso_i = max_{j<=i} min_{k>=i} mean(y_j..y_k) — a pure "
+        "dataflow over the BOUNDED bin spine (B=20: ~210 interval "
+        "means, ~1.5k (i,j,k) triples), so it needs no recursion, no "
+        "driver loop, and value-hash-oracles exactly: interval means "
+        "are double divisions of exact BIGINT prefix sums, identical "
+        "IEEE in both engines, and min/max over doubles is a total "
+        "order. Output is per bin: weight, raw rate, calibrated "
+        "monotone rate (rounded 9; rates are O(1) magnitudes). "
+        "Scale: ONE map-side-combined histogram agg touches the fact "
+        "table; the minimax runs entirely on the B-row spine "
+        "(B³ work only in the bounded bin count — at B=100 still "
+        "~1.7e5 spine rows). The sequential-PAVA-in-applyInPandas "
+        "alternative is only needed when B itself is unbounded."
+    ),
+    tags=("feat", "ml", "calibration", "stats"),
+)
+def feat_isotonic_calibrate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    bins = (
+        t(spark, sf_dir, "documents")
+        .groupBy(
+            F.least(F.lit(19), F.floor(F.col("n_chars") / 50))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    wo = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "w",
+        "s",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("s").over(wo).alias("cs"),
+    ).localCheckpoint(eager=True)
+    j = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("cs") - F.col("s")).alias("cs_jm1"),
+        (F.col("cw") - F.col("w")).alias("cw_jm1"),
+    )
+    k = pre.select(
+        F.col("bin").alias("k"), F.col("cs").alias("cs_k"),
+        F.col("cw").alias("cw_k"),
+    )
+    pairs = j.join(F.broadcast(k), F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cs_k") - F.col("cs_jm1")).cast("double")
+            / (F.col("cw_k") - F.col("cw_jm1"))
+        ).alias("m"),
+    )
+    i = pre.select(F.col("bin").alias("i"))
+    tri = i.join(
+        F.broadcast(pairs),
+        (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+    )
+    inner_min = tri.groupBy("i", "j").agg(F.min("m").alias("mn"))
+    iso = inner_min.groupBy("i").agg(F.max("mn").alias("iso"))
+    return (
+        bins.join(F.broadcast(iso), bins.bin == iso.i)
+        .select(
+            "bin",
+            F.col("w").alias("n_docs"),
+            F.round(F.col("s").cast("double") / F.col("w"), 9).alias(
+                "raw_rate"
+            ),
+            F.round("iso", 9).alias("iso_rate"),
+        )
+    )
+
+
+@EXT.add(
+    "agg_power_mde",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM u
+    )
+    SELECT n AS n_users, CAST(FLOOR(n / 2) AS BIGINT) AS n_per_arm,
+           ROUND(CAST(sx AS DOUBLE) / n, 9) AS mean_cents,
+           ROUND(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (n - 1))), 9) AS sd_cents,
+           ROUND((1.96 + 0.8416) * SQRT(2 * (CAST(n * sxx - sx * sx AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (n - 1)))
+                      / CAST(FLOOR(n / 2) AS BIGINT)), 9)
+             AS mde_cents,
+           ROUND((1.96 + 0.8416) * SQRT(2 * (CAST(n * sxx - sx * sx AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (n - 1)))
+                      / CAST(FLOOR(n / 2) AS BIGINT))
+                 / (CAST(sx AS DOUBLE) / n), 9) AS mde_rel
+    FROM m
+    """,
+    doc=(
+        "A/B power analysis: the minimum detectable effect at 80% "
+        "power / 5% two-sided alpha for a 50/50 split of the current "
+        "user base on per-user purchase revenue — the experiment-"
+        "DESIGN readout that precedes every agg_ttest_welch readout "
+        "(an experiment whose expected lift is below its MDE is not "
+        "worth launching). MDE = (z_{0.975} + z_{0.8})·sqrt(2s²/n_arm) "
+        "with the z constants as pinned literals (1.96, 0.8416) and "
+        "s² the cleared-denominator sample variance over EXACT integer "
+        "moments (BIGINT per-user cents, HUGEINT/DECIMAL(38) squares); "
+        "n_arm = n/2 in integer division, both engines. Scale: one "
+        "per-user agg (map-side combined), one 1-row moment agg, all "
+        "design math post-agg."
+    ),
+    tags=("agg", "experiment", "stats"),
+)
+def agg_power_mde(spark, sf_dir):
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", cents)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    d38 = "decimal(38,0)"
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+    )
+    var = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    n_arm = F.floor(F.col("n") / 2).cast("long")
+    mde = (F.lit(1.96) + F.lit(0.8416)) * F.sqrt(2 * var / n_arm)
+    mean = F.col("sx").cast("double") / F.col("n")
+    return m.select(
+        F.col("n").alias("n_users"),
+        n_arm.alias("n_per_arm"),
+        F.round(mean, 9).alias("mean_cents"),
+        F.round(F.sqrt(var), 9).alias("sd_cents"),
+        F.round(mde, 9).alias("mde_cents"),
+        F.round(mde / mean, 9).alias("mde_rel"),
+    )

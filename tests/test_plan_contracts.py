@@ -865,3 +865,22 @@ class TestRound8WavePlanContracts:
         )
         assert "Join" not in plan, plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_isotonic_minimax_on_bin_spine_only(self, spark):
+        """Isotonic calibration: one histogram agg touches the fact;
+        the minimax triples join broadcast on the bounded bin spine —
+        no sort-merge join, no cartesian."""
+        plan = _plan(
+            QUERIES["feat_isotonic_calibrate"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_power_mde_pure_aggregate(self, spark):
+        """Power/MDE: per-user agg + 1-row moment agg, design math
+        post-agg — no join, no window."""
+        plan = _plan(QUERIES["agg_power_mde"].spark(spark, SF_SMOKE), "simple")
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "HashAggregate" in plan, plan
