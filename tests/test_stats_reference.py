@@ -1,0 +1,235 @@
+"""Independent NumPy/pandas reference checks for the round-8 stats
+queries. The DuckDB oracles prove ENGINE equivalence; these prove the
+FORMULAS — each query recomputed from the raw fixture with a different
+algorithm/library (sequential PAVA vs the minimax identity, pandas
+rolling vs RANGE windows, ...), so a bug present in both the Spark and
+the SQL expression of the same identity still fails here."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from steam_data_pipeline_spark.plans.registry import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    df = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    df["cents"] = np.round(df["value"] * 100).astype("int64")
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _daily(events_pdf):
+    p = events_pdf[events_pdf.event_type == "purchase"]
+    return (
+        p.groupby(p.ts.values.astype("datetime64[D]"))["cents"]
+        .sum()
+        .sort_index()
+    )
+
+
+def _per_user(events_pdf):
+    g = events_pdf.groupby("user_id")
+    x = (
+        events_pdf[events_pdf.event_type == "purchase"]
+        .groupby("user_id")["cents"]
+        .sum()
+    )
+    out = pd.DataFrame({"n_ev": g.size()})
+    out["x"] = x.reindex(out.index).fillna(0).astype("int64")
+    return out
+
+
+class TestStatsAgainstNumpy:
+    def test_theil_sen_vs_numpy(self, spark, events_pdf):
+        d = _daily(events_pdf)
+        days = (d.index - d.index[0]).days.values
+        vals = d.values.astype(float)
+        slopes = [
+            (vals[j] - vals[i]) / (days[j] - days[i])
+            for i in range(len(vals))
+            for j in range(i + 1, len(vals))
+        ]
+        slopes.sort()
+        lower_median = slopes[(len(slopes) + 1) // 2 - 1]
+        row = QUERIES["win_theil_sen"].spark(spark, SF_SMOKE).collect()[0]
+        assert row.n_pairs == len(slopes)
+        assert row.sen_slope_cents_per_day == pytest.approx(
+            lower_median, abs=1e-6
+        )
+
+    def test_mann_kendall_vs_numpy(self, spark, events_pdf):
+        v = _daily(events_pdf).values
+        n = len(v)
+        s = sum(
+            np.sign(v[j] - v[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        _, tf = np.unique(v, return_counts=True)
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in tf if t > 1)
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        corrected = s - np.sign(s) if s != 0 else 0
+        row = QUERIES["agg_mann_kendall"].spark(spark, SF_SMOKE).collect()[0]
+        assert row.s_stat == s
+        assert row.z_mk == pytest.approx(corrected / np.sqrt(var), abs=1e-6)
+
+    def test_welch_t_vs_numpy(self, spark, events_pdf):
+        u = _per_user(events_pdf)
+        a = u.x[u.index % 2 == 0].values.astype(float)
+        b = u.x[u.index % 2 == 1].values.astype(float)
+        vm0 = a.var(ddof=1) / len(a)
+        vm1 = b.var(ddof=1) / len(b)
+        t_ref = (b.mean() - a.mean()) / np.sqrt(vm0 + vm1)
+        df_ref = (vm0 + vm1) ** 2 / (
+            vm0**2 / (len(a) - 1) + vm1**2 / (len(b) - 1)
+        )
+        row = QUERIES["agg_ttest_welch"].spark(spark, SF_SMOKE).collect()[0]
+        assert row.t_stat == pytest.approx(t_ref, abs=1e-6)
+        assert row.df_welch == pytest.approx(df_ref, rel=1e-9)
+
+    def test_cuped_vs_numpy(self, spark, events_pdf):
+        p = events_pdf[events_pdf.event_type == "purchase"]
+        split = np.datetime64("2024-01-16")
+        pre = p[p.ts.values < split].groupby("user_id")["cents"].sum()
+        post = p[p.ts.values >= split].groupby("user_id")["cents"].sum()
+        users = events_pdf.user_id.unique()
+        pre = pre.reindex(users).fillna(0).values.astype(float)
+        post = post.reindex(users).fillna(0).values.astype(float)
+        theta = np.cov(pre, post, ddof=0)[0, 1] / pre.var(ddof=0)
+        rows = {
+            r.variant: r
+            for r in QUERIES["feat_cuped_adjust"].spark(spark, SF_SMOKE).collect()
+        }
+        for var in (0, 1):
+            mask = users % 2 == var
+            adj = post[mask].mean() - theta * (
+                pre[mask].mean() - pre.mean()
+            )
+            assert rows[var].theta == pytest.approx(theta, abs=1e-6)
+            assert rows[var].mean_cuped_cents == pytest.approx(adj, abs=1e-4)
+
+    def test_delta_method_vs_numpy(self, spark, events_pdf):
+        u = _per_user(events_pdf)
+        rows = {
+            r.variant: r
+            for r in QUERIES["agg_delta_method_ci"].spark(spark, SF_SMOKE).collect()
+        }
+        for var in (0, 1):
+            sub = u[u.index % 2 == var]
+            x = sub.x.values.astype(float)
+            nv = sub.n_ev.values.astype(float)
+            n = len(sub)
+            r = x.sum() / nv.sum()
+            var_r = (
+                x.var(ddof=1)
+                - 2 * r * np.cov(x, nv, ddof=1)[0, 1]
+                + r * r * nv.var(ddof=1)
+            ) / (n * nv.mean() ** 2)
+            assert rows[var].ratio_cents_per_event == pytest.approx(r, abs=1e-6)
+            assert rows[var].se == pytest.approx(np.sqrt(var_r), abs=1e-6)
+
+    def test_power_mde_vs_numpy(self, spark, events_pdf):
+        u = _per_user(events_pdf)
+        x = u.x.values.astype(float)
+        sd = x.std(ddof=1)
+        mde = (1.96 + 0.8416) * np.sqrt(2 * sd * sd / (len(x) // 2))
+        row = QUERIES["agg_power_mde"].spark(spark, SF_SMOKE).collect()[0]
+        assert row.sd_cents == pytest.approx(sd, abs=1e-4)
+        assert row.mde_cents == pytest.approx(mde, abs=1e-4)
+
+    def test_winsorized_mean_vs_numpy(self, spark, events_pdf):
+        got = {
+            r.event_type: r
+            for r in QUERIES["agg_winsorized_mean"].spark(spark, SF_SMOKE).collect()
+        }
+        for et, sub in events_pdf.groupby("event_type"):
+            c = np.sort(sub.cents.values)
+            n = len(c)
+            # percentile_disc: smallest value with cum >= q*n
+            lo = c[int(np.ceil(0.05 * n)) - 1]
+            hi = c[int(np.ceil(0.95 * n)) - 1]
+            ref = np.clip(c, lo, hi).mean()
+            assert got[et].lo_cents == lo
+            assert got[et].hi_cents == hi
+            assert got[et].winsorized_mean_cents == pytest.approx(ref, abs=1e-6)
+
+    def test_bollinger_vs_pandas(self, spark, events_pdf):
+        d = _daily(events_pdf)
+        s = pd.Series(d.values.astype(float), index=pd.DatetimeIndex(d.index))
+        roll = s.rolling("7D")
+        mid = roll.mean()
+        sd = roll.std(ddof=0)
+        rows = sorted(
+            QUERIES["win_bollinger_bands"].spark(spark, SF_SMOKE).collect(),
+            key=lambda r: r.day,
+        )
+        assert len(rows) == len(s)
+        for row, m, sdev in zip(rows, mid.values, sd.values):
+            assert row.mid == pytest.approx(m, abs=1e-3)
+            assert row.upper == pytest.approx(m + 2 * sdev, abs=1e-3)
+
+    def test_forecast_ar2_vs_numpy(self, spark, events_pdf):
+        v = _daily(events_pdf).values.astype(float)
+        n = len(v)
+        m = v.mean()
+        dv = v - m
+        a0 = (dv * dv).sum()
+        a1 = (dv[1:] * dv[:-1]).sum()
+        a2 = (dv[2:] * dv[:-2]).sum()
+        r1, r2 = a1 / a0, a2 / a0
+        phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+        phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+        f = [dv[-2], dv[-1]]
+        for _ in range(7):
+            f.append(phi1 * f[-1] + phi2 * f[-2])
+        rows = sorted(
+            QUERIES["win_forecast_ar2"].spark(spark, SF_SMOKE).collect(),
+            key=lambda r: r.h,
+        )
+        assert rows[0].phi1 == pytest.approx(phi1, abs=1e-6)
+        assert rows[0].phi2 == pytest.approx(phi2, abs=1e-6)
+        for h, row in enumerate(rows, start=1):
+            assert row.forecast_cents == pytest.approx(m + f[1 + h], abs=1e-2)
+
+    def test_isotonic_vs_sequential_pava(self, spark, docs_pdf):
+        """The minimax identity must equal the classical sequential
+        pool-adjacent-violators algorithm — two different algorithms,
+        same projection."""
+        b = np.minimum(19, docs_pdf.n_chars.values // 50)
+        y = (docs_pdf.lang == "en").values.astype(float)
+        bins = sorted(set(b))
+        w = np.array([float((b == k).sum()) for k in bins])
+        s = np.array([float(y[b == k].sum()) for k in bins])
+        # sequential PAVA with weights
+        blocks = [[s[i] / w[i], w[i], [i]] for i in range(len(bins))]
+        out, i = [], 0
+        for blk in blocks:
+            out.append(blk)
+            while len(out) >= 2 and out[-2][0] >= out[-1][0]:
+                m2, w2, idx2 = out.pop()
+                m1, w1, idx1 = out.pop()
+                wt = w1 + w2
+                out.append([(m1 * w1 + m2 * w2) / wt, wt, idx1 + idx2])
+        iso = np.empty(len(bins))
+        for mval, _, idxs in out:
+            for i in idxs:
+                iso[i] = mval
+        got = {
+            r.bin: r
+            for r in QUERIES["feat_isotonic_calibrate"].spark(spark, SF_SMOKE).collect()
+        }
+        assert sorted(got) == bins
+        for k, ref in zip(bins, iso):
+            assert got[k].iso_rate == pytest.approx(ref, abs=1e-6), k
+        # and the output is monotone non-decreasing
+        vals = [got[k].iso_rate for k in bins]
+        assert all(x <= y_ for x, y_ in zip(vals, vals[1:]))
