@@ -12196,3 +12196,138 @@ def agg_power_mde(spark, sf_dir):
         F.round(mde, 9).alias("mde_cents"),
         F.round(mde / mean, 9).alias("mde_rel"),
     )
+
+
+@EXT.add(
+    "win_backtest_ar1",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, x, CAST(x AS HUGEINT) * lag(x) OVER (ORDER BY day) AS lp
+      FROM d
+    ),
+    r AS (
+      SELECT day, x,
+             row_number() OVER w AS t,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(x) OVER cum AS HUGEINT) AS s,
+             CAST(SUM(CAST(x AS HUGEINT) * x) OVER cum AS HUGEINT) AS p0,
+             CAST(COALESCE(SUM(lp) OVER cum, 0) AS HUGEINT) AS p1,
+             CAST(first_value(x) OVER cum AS HUGEINT) AS x1,
+             lead(x) OVER w AS x_next,
+             lead(day) OVER w AS next_day
+      FROM lagged
+      WINDOW w AS (ORDER BY day),
+             cum AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    fit AS (
+      SELECT day, next_day, x, x_next, t, n,
+             CAST(s AS DOUBLE) / t AS m,
+             CAST(CAST(t AS HUGEINT) * t * p1
+                  - t * s * (2 * s - x1 - CAST(x AS HUGEINT))
+                  + (t - 1) * s * s AS DOUBLE)
+               / CAST(CAST(t AS HUGEINT) * t * p0 - t * s * s AS DOUBLE)
+               AS phi
+      FROM r
+      WHERE t >= 8 AND t <= n - 1 AND t >= n - 10
+    )
+    SELECT next_day AS origin_day,
+           ROUND(m + phi * (x - m), 3) AS forecast_cents,
+           CAST(x_next AS BIGINT) AS actual_cents,
+           ROUND(ABS(ROUND(m + phi * (x - m), 3) - x_next), 3) AS abs_err,
+           ROUND(AVG(ROUND(ABS(ROUND(m + phi * (x - m), 3) - x_next), 3))
+                   OVER (), 4) AS mae
+    FROM fit
+    """,
+    doc=(
+        "Rolling-origin backtest of a one-step AR(1) forecast over the "
+        "last 10 days — the model-EVALUATION loop (fit on data < t, "
+        "predict t, score) expressed as pure window math with ZERO "
+        "driver-side refits: every origin's AR(1) fit comes from "
+        "PREFIX moments (cumulative S_t, sum-of-squares P0_t, lag "
+        "products P1_t over one (day) window pass), the demeaned "
+        "autocovariances use the t²-cleared identities "
+        "t²A1 = t²P1 - t·S·(2S - x_1 - x_t) + (t-1)·S² over exact "
+        "HUGEINT/DECIMAL(38) integers (the win_forecast_ar2 overflow "
+        "lesson applied from the start), and phi_t/forecast are one "
+        "pinned float expression per origin. Forecasts round to 3 "
+        "decimals BEFORE the error so each abs_err is an exact "
+        "multiple of 0.001 and the MAE sum is order-independent in "
+        "double (no float-accumulation nondeterminism). Scale: one "
+        "map-side-combined daily collapse; ALL backtest math is one "
+        "window pass over the bounded day spine — at 100 TB this "
+        "evaluates a year of origins without ever refitting."
+    ),
+    tags=("window", "timeseries", "forecast", "eval"),
+)
+def win_backtest_ar1(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    d38 = "decimal(38,0)"
+    w = Window.orderBy("day")
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    lagged = d.select(
+        "day",
+        "x",
+        (F.col("x").cast(d38) * F.lag("x").over(w)).alias("lp"),
+    )
+    r = lagged.select(
+        "day",
+        "x",
+        F.row_number().over(w).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(cum).cast(d38).alias("s"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).over(cum).cast(d38).alias("p0"),
+        F.coalesce(F.sum("lp").over(cum), F.lit(0)).cast(d38).alias("p1"),
+        F.first("x").over(cum).cast(d38).alias("x1"),
+        F.lead("x").over(w).alias("x_next"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    tt = F.col("t").cast(d38)
+    s, p0, p1 = F.col("s"), F.col("p0"), F.col("p1")
+    phi = (
+        (
+            tt * F.col("t") * p1
+            - F.col("t") * s * (2 * s - F.col("x1") - F.col("x").cast(d38))
+            + (F.col("t") - 1) * s * s
+        ).cast("double")
+        / (tt * F.col("t") * p0 - F.col("t") * s * s).cast("double")
+    )
+    fit = (
+        r.filter(
+            (F.col("t") >= 8)
+            & (F.col("t") <= F.col("n") - 1)
+            & (F.col("t") >= F.col("n") - 10)
+        )
+        .select(
+            "next_day",
+            "x",
+            "x_next",
+            (s.cast("double") / F.col("t")).alias("m"),
+            phi.alias("phi"),
+        )
+    )
+    fc = F.round(F.col("m") + F.col("phi") * (F.col("x") - F.col("m")), 3)
+    abs_err = F.round(F.abs(fc - F.col("x_next")), 3)
+    return fit.select(
+        F.col("next_day").alias("origin_day"),
+        fc.alias("forecast_cents"),
+        F.col("x_next").cast("long").alias("actual_cents"),
+        abs_err.alias("abs_err"),
+        F.round(F.avg(abs_err).over(wall), 4).alias("mae"),
+    )

@@ -884,3 +884,11 @@ class TestRound8WavePlanContracts:
         assert "Join" not in plan, plan
         assert "Window" not in plan, plan
         assert "HashAggregate" in plan, plan
+
+    def test_backtest_ar1_windows_on_spine_no_join(self, spark):
+        """Rolling-origin backtest: daily collapse is the only keyed
+        exchange; every per-origin fit is window math — no join, no
+        per-origin recomputation stage."""
+        plan = _plan(QUERIES["win_backtest_ar1"].spark(spark, SF_SMOKE), "simple")
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -233,3 +233,29 @@ class TestStatsAgainstNumpy:
         # and the output is monotone non-decreasing
         vals = [got[k].iso_rate for k in bins]
         assert all(x <= y_ for x, y_ in zip(vals, vals[1:]))
+
+    def test_backtest_ar1_vs_loop_refit(self, spark, events_pdf):
+        """Each origin's window-prefix AR(1) fit must equal an actual
+        per-origin numpy refit on the prefix — the loop the query
+        eliminates."""
+        v = _daily(events_pdf).values.astype(float)
+        n = len(v)
+        refs = {}
+        for t in range(max(8, n - 10), n):
+            x = v[:t]
+            m = x.mean()
+            dv = x - m
+            phi = (dv[1:] * dv[:-1]).sum() / (dv * dv).sum()
+            refs[t] = round(m + phi * (x[-1] - m), 3)
+        rows = sorted(
+            QUERIES["win_backtest_ar1"].spark(spark, SF_SMOKE).collect(),
+            key=lambda r: r.origin_day,
+        )
+        assert len(rows) == len(refs)
+        errs = []
+        for (t, ref), row in zip(sorted(refs.items()), rows):
+            assert row.forecast_cents == pytest.approx(ref, abs=1e-2), t
+            assert row.actual_cents == v[t]
+            errs.append(abs(row.forecast_cents - row.actual_cents))
+        mae_ref = np.mean(np.round(errs, 3))
+        assert rows[0].mae == pytest.approx(mae_ref, abs=1e-3)
