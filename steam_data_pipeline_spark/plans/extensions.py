@@ -12331,3 +12331,107 @@ def win_backtest_ar1(spark, sf_dir):
         abs_err.alias("abs_err"),
         F.round(F.avg(abs_err).over(wall), 4).alias("mae"),
     )
+
+
+@EXT.add(
+    "agg_hill_tail_index",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS f
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT cents, f,
+             SUM(f) OVER (ORDER BY cents DESC ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             SUM(f) OVER () AS n
+      FROM h
+    ),
+    topk AS (
+      SELECT cents, LEAST(f, 200 - (cum - f)) AS m, cum, n
+      FROM c WHERE cum - f < 200
+    ),
+    xk AS (SELECT MIN(cents) AS x_k FROM topk),
+    lns AS (
+      SELECT t.cents, t.m, t.n, xk.x_k,
+             CAST(ROUND(LN(CAST(t.cents AS DOUBLE)), 9)
+                  AS DECIMAL(20,9)) AS ln_x,
+             CAST(ROUND(LN(CAST(xk.x_k AS DOUBLE)), 9)
+                  AS DECIMAL(20,9)) AS ln_xk
+      FROM topk t CROSS JOIN xk
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_orders,
+           CAST(200 AS BIGINT) AS k,
+           CAST(ANY_VALUE(x_k) AS BIGINT) AS x_k_cents,
+           ROUND(CAST(SUM(CAST(m AS DECIMAL(10,0))
+                          * (ln_x - ln_xk)) AS DOUBLE) / 200, 9) AS hill,
+           ROUND(200 / CAST(SUM(CAST(m AS DECIMAL(10,0))
+                          * (ln_x - ln_xk)) AS DOUBLE), 9) AS alpha
+    FROM lns
+    """,
+    doc=(
+        "Hill tail-index estimator over the top-200 order totals — "
+        "the heavy-tail diagnosis behind whale-spend risk models "
+        "(alpha < 2 means infinite variance: means/CIs from "
+        "agg_ttest_welch become untrustworthy and the winsorized/"
+        "trimmed battery takes over; this query is the gate that "
+        "decides). Hill = (1/k) Σ ln(x_(i)/x_(k)) over the k largest "
+        "values, computed from the VALUE HISTOGRAM with multiplicity "
+        "m at the boundary value (cum-from-top window, integer "
+        "threshold tests), ln per DISTINCT value rounded 9 and pinned "
+        "to DECIMAL(20,9) — the lm_score discipline for the one "
+        "engine-sensitive libm call — then exact decimal sums and two "
+        "final float divisions, rounded 9. Scale: one map-side-"
+        "combined histogram agg; the desc cumsum runs over the "
+        "bounded value domain, and only rows with cum < k survive to "
+        "the ln stage (top-k values, not top-k rows)."
+    ),
+    tags=("agg", "stats", "tail", "sketch"),
+)
+def agg_hill_tail_index(spark, sf_dir):
+    from pyspark.sql import Window
+
+    h = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    k = 200
+    wdesc = Window.orderBy(F.col("cents").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    c = h.select(
+        "cents",
+        "f",
+        F.sum("f").over(wdesc).alias("cum"),
+        F.sum("f").over(wall).alias("n"),
+    )
+    topk = c.filter(F.col("cum") - F.col("f") < k).select(
+        "cents",
+        F.least(F.col("f"), k - (F.col("cum") - F.col("f"))).alias("m"),
+        "n",
+    )
+    xk = topk.agg(F.min("cents").alias("x_k"))
+    ln9 = lambda col: F.round(F.log(col.cast("double")), 9).cast(
+        "decimal(20,9)"
+    )
+    lns = topk.crossJoin(F.broadcast(xk)).select(
+        "n",
+        "x_k",
+        (
+            F.col("m").cast("decimal(10,0)")
+            * (ln9(F.col("cents")) - ln9(F.col("x_k")))
+        ).alias("term"),
+    )
+    ssum = F.sum("term").cast("double")
+    return lns.agg(
+        F.any_value("n").cast("long").alias("n_orders"),
+        F.lit(k).cast("long").alias("k"),
+        F.any_value("x_k").cast("long").alias("x_k_cents"),
+        F.round(ssum / k, 9).alias("hill"),
+        F.round(k / ssum, 9).alias("alpha"),
+    )

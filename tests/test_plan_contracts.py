@@ -892,3 +892,13 @@ class TestRound8WavePlanContracts:
         plan = _plan(QUERIES["win_backtest_ar1"].spark(spark, SF_SMOKE), "simple")
         assert "Join" not in plan, plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_hill_topk_on_value_domain(self, spark):
+        """Hill estimator: one histogram agg on the fact; cum-from-top
+        and the ln stage run on the value domain with the x_k row
+        broadcast back — no sort-merge join, no fact-table sort."""
+        plan = _plan(
+            QUERIES["agg_hill_tail_index"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan

@@ -259,3 +259,16 @@ class TestStatsAgainstNumpy:
             errs.append(abs(row.forecast_cents - row.actual_cents))
         mae_ref = np.mean(np.round(errs, 3))
         assert rows[0].mae == pytest.approx(mae_ref, abs=1e-3)
+
+    def test_hill_tail_index_vs_numpy(self, spark):
+        o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+        cents = np.round(o.o_totalprice.values * 100).astype("int64")
+        k = 200
+        top = np.sort(cents)[-k:]
+        x_k = top[0]
+        # match the query's rounding discipline: ln rounded to 9 first
+        hill = (np.round(np.log(top), 9) - np.round(np.log(x_k), 9)).sum() / k
+        row = QUERIES["agg_hill_tail_index"].spark(spark, SF_SMOKE).collect()[0]
+        assert row.k == k and row.x_k_cents == x_k
+        assert row.hill == pytest.approx(hill, abs=1e-6)
+        assert row.alpha == pytest.approx(k / (hill * k), rel=1e-6)
