@@ -6169,7 +6169,15 @@ def llm_semdedup(spark, sf_dir):
     idx = S.build_ivf_index(
         red.select("vec_id", F.col("pc").alias("embedding")), n_centroids=k
     )
-    asg = idx.assignments.select("vec_id", "centroid_id")
+    # materialize the cluster assignments once: build_ivf_index returns
+    # a LAZY assignment plan (corpus x broadcast-centroids scoring +
+    # per-key argmax) and both legs of the within-cluster self-join
+    # reference it (measured ~10% on the candidate stage at sf0.1 —
+    # AQE already reuses part of the exchange; the checkpoint also
+    # keeps the verify leg's lineage bounded)
+    asg = idx.assignments.select("vec_id", "centroid_id").localCheckpoint(
+        eager=True
+    )
     cand = (
         asg.alias("x")
         .join(
