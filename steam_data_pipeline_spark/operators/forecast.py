@@ -148,3 +148,71 @@ def linear_forecast_per_key(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(_fit_group, schema=FORECAST_SCHEMA)
     )
+
+
+HW_SCHEMA = (
+    "event_type string, h int, forecast_cents double, "
+    "level double, trend double"
+)
+
+# pinned literals — the same constants appear VERBATIM in the DuckDB
+# oracle; (1-alpha) etc. are written as their literal values (0.7, 0.9,
+# 0.8) in both engines so the float expression trees are identical
+_HW_ALPHA, _HW_1MA = 0.3, 0.7
+_HW_BETA, _HW_1MB = 0.1, 0.9
+_HW_GAMMA, _HW_1MG = 0.2, 0.8
+_HW_M = 7
+
+
+def _fit_hw_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Additive Holt-Winters over one key's observed-day series.
+
+    Classic init: level = mean of week 1, trend = (mean week 2 - mean
+    week 1)/7, seasonals = week-1 deviations; recursion consumes
+    observations 8..n (week 2 is reused by both the trend init and
+    smoothing — the standard textbook variant). Inputs are exact
+    integer cents; every float op is written in the same order as the
+    oracle's recursive CTE, so the state trajectory is bit-identical.
+    """
+    pdf = pdf.sort_values("day")
+    x = [int(v) for v in pdf["cents"].tolist()]
+    n = len(x)
+    m = _HW_M
+    if n < 2 * m + 1:
+        return pd.DataFrame(
+            columns=["event_type", "h", "forecast_cents", "level", "trend"]
+        )
+    sum1, sum2 = sum(x[:m]), sum(x[m : 2 * m])
+    lv = sum1 / 7.0
+    tr = (sum2 / 7.0 - sum1 / 7.0) / 7.0
+    s = [x[i] - lv for i in range(m)]
+    for t in range(m, n):
+        lp, tp = lv, tr
+        lv = _HW_ALPHA * (x[t] - s[0]) + _HW_1MA * (lp + tp)
+        tr = _HW_BETA * (lv - lp) + _HW_1MB * tp
+        s = s[1:] + [_HW_GAMMA * (x[t] - lv) + _HW_1MG * s[0]]
+    et = pdf["event_type"].iloc[0]
+    return pd.DataFrame(
+        [
+            (
+                et,
+                h,
+                round(lv + h * tr + s[h - 1], 3),
+                round(lv, 3),
+                round(tr, 3),
+            )
+            for h in range(1, m + 1)
+        ],
+        columns=["event_type", "h", "forecast_cents", "level", "trend"],
+    )
+
+
+def holt_winters_per_key(daily: DataFrame) -> DataFrame:
+    """7-day additive Holt-Winters forecast per key over a daily
+    series ``(event_type, day, cents)`` — grouped-map ``applyInPandas``
+    (one shuffle on the key, each group a sequential O(n) smoothing
+    pass; the win_ewma_recursive skew note applies: one pathological
+    key serializes only ITS history)."""
+    return daily.groupBy("event_type").applyInPandas(
+        _fit_hw_group, schema=HW_SCHEMA
+    )

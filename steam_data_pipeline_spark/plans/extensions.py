@@ -12443,3 +12443,109 @@ def agg_hill_tail_index(spark, sf_dir):
         F.round(ssum / k, 9).alias("hill"),
         F.round(k / ssum, 9).alias("alpha"),
     )
+
+
+@EXT.add(
+    "udtf_forecast_hw",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    init AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN rn <= 7 THEN x END) AS BIGINT) AS sum1,
+             CAST(SUM(CASE WHEN rn BETWEEN 8 AND 14 THEN x END) AS BIGINT)
+               AS sum2,
+             MAX(CASE WHEN rn = 1 THEN x END) AS x1,
+             MAX(CASE WHEN rn = 2 THEN x END) AS x2,
+             MAX(CASE WHEN rn = 3 THEN x END) AS x3,
+             MAX(CASE WHEN rn = 4 THEN x END) AS x4,
+             MAX(CASE WHEN rn = 5 THEN x END) AS x5,
+             MAX(CASE WHEN rn = 6 THEN x END) AS x6,
+             MAX(CASE WHEN rn = 7 THEN x END) AS x7
+      FROM r WHERE n >= 15 GROUP BY 1
+    ),
+    base AS (
+      SELECT event_type, CAST(7 AS BIGINT) AS t,
+             CAST(sum1 AS DOUBLE) / 7.0 AS L,
+             (CAST(sum2 AS DOUBLE) / 7.0 - CAST(sum1 AS DOUBLE) / 7.0)
+               / 7.0 AS B,
+             x1 - CAST(sum1 AS DOUBLE) / 7.0 AS s1,
+             x2 - CAST(sum1 AS DOUBLE) / 7.0 AS s2,
+             x3 - CAST(sum1 AS DOUBLE) / 7.0 AS s3,
+             x4 - CAST(sum1 AS DOUBLE) / 7.0 AS s4,
+             x5 - CAST(sum1 AS DOUBLE) / 7.0 AS s5,
+             x6 - CAST(sum1 AS DOUBLE) / 7.0 AS s6,
+             x7 - CAST(sum1 AS DOUBLE) / 7.0 AS s7
+      FROM init
+    ),
+    hw AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT hw.event_type, r.rn,
+             0.3 * (r.x - hw.s1) + 0.7 * (hw.L + hw.B),
+             0.1 * ((0.3 * (r.x - hw.s1) + 0.7 * (hw.L + hw.B)) - hw.L)
+               + 0.9 * hw.B,
+             hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.s7,
+             0.2 * (r.x - (0.3 * (r.x - hw.s1) + 0.7 * (hw.L + hw.B)))
+               + 0.8 * hw.s1
+      FROM hw JOIN r ON r.event_type = hw.event_type AND r.rn = hw.t + 1
+    ),
+    fin AS (
+      SELECT hw.* FROM hw
+      JOIN (SELECT event_type, MAX(rn) AS n FROM r GROUP BY 1) nn
+        ON nn.event_type = hw.event_type AND hw.t = nn.n
+    )
+    SELECT event_type, CAST(h AS INT) AS h,
+           ROUND(L + h * B
+                 + CASE h WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+                          WHEN 4 THEN s4 WHEN 5 THEN s5 WHEN 6 THEN s6
+                          ELSE s7 END, 3) AS forecast_cents,
+           ROUND(L, 3) AS level, ROUND(B, 3) AS trend
+    FROM fin, (VALUES (1), (2), (3), (4), (5), (6), (7)) AS hs(h)
+    """,
+    doc=(
+        "Additive Holt-Winters (triple exponential smoothing, m=7 "
+        "weekly season, alpha/beta/gamma = 0.3/0.1/0.2) 7-day "
+        "forecast of daily revenue per event type — the last classic "
+        "missing from the forecast menu (linear fit, AR(1), seasonal "
+        "AR, Holt linear, AR(2) Yule-Walker, and now level+trend+"
+        "season smoothing; reference VISUALIZATION_PLAN.md:71). "
+        "Spark side is the canonical grouped-map applyInPandas shape "
+        "(one shuffle on the key, sequential O(n) smoothing per "
+        "group — the win_ewma_recursive recursion pattern with a "
+        "3-component state); the oracle replays the IDENTICAL "
+        "recurrence as a recursive CTE carrying (L, B, s1..s7) with "
+        "every float expression written in the same order and the "
+        "smoothing constants as verbatim literals, so the state "
+        "trajectory is bit-identical and the query value-hashes. "
+        "Textbook init (level = week-1 mean, trend = week-over-week "
+        "mean diff / 7, seasonals = week-1 deviations); keys with "
+        "< 15 observed days are skipped in both engines. Rounded 3 "
+        "(daily-cent magnitude discipline)."
+    ),
+    tags=("udtf", "timeseries", "forecast", "streaming-state"),
+)
+def udtf_forecast_hw(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.forecast import (
+        holt_winters_per_key,
+    )
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return holt_winters_per_key(daily)

@@ -272,3 +272,32 @@ class TestStatsAgainstNumpy:
         assert row.k == k and row.x_k_cents == x_k
         assert row.hill == pytest.approx(hill, abs=1e-6)
         assert row.alpha == pytest.approx(k / (hill * k), rel=1e-6)
+
+    def test_holt_winters_vs_reference_loop(self, spark, events_pdf):
+        """HW forecasts re-derived from the raw fixture by an
+        independent loop (pandas groupby, textbook formulas)."""
+        g = events_pdf.groupby(
+            ["event_type", events_pdf.ts.values.astype("datetime64[D]")]
+        )["cents"].sum()
+        rows = QUERIES["udtf_forecast_hw"].spark(spark, SF_SMOKE).collect()
+        got = {(r.event_type, r.h): r.forecast_cents for r in rows}
+        n_types = 0
+        for et in events_pdf.event_type.unique():
+            x = g.loc[et].sort_index().values.astype("int64")
+            if len(x) < 15:
+                assert not any(k[0] == et for k in got)
+                continue
+            n_types += 1
+            lv = x[:7].sum() / 7.0
+            tr = (x[7:14].sum() / 7.0 - x[:7].sum() / 7.0) / 7.0
+            s = [x[i] - lv for i in range(7)]
+            for t in range(7, len(x)):
+                lp, tp = lv, tr
+                lv = 0.3 * (x[t] - s[0]) + 0.7 * (lp + tp)
+                tr = 0.1 * (lv - lp) + 0.9 * tp
+                s = s[1:] + [0.2 * (x[t] - lv) + 0.8 * s[0]]
+            for h in range(1, 8):
+                assert got[(et, h)] == pytest.approx(
+                    lv + h * tr + s[h - 1], abs=1e-2
+                ), (et, h)
+        assert n_types == len({k[0] for k in got})
