@@ -288,8 +288,8 @@ def udf_recommender_als(spark, sf_dir):
         "on candidates only — integer intersect/union counts, one "
         "double division, (sim DESC, b) tie-break — so the output "
         "equals the exact top-3 per query item and value-hash-oracles. "
-        "8 hash tables is the measured exactness floor on the fixtures "
-        "(every J >= 0.5 pair surfaces at sf0.001/0.01/0.1, seed 42); "
+        "8 hash tables measured oracle-exact on the fixtures (every "
+        "J >= 0.5 pair surfaces at sf0.001/0.01/0.1, seed 42); "
         "per-pair miss probability at the 0.5 threshold is (1-J)^8 "
         "<= 0.4 %. Scale: query side is a bounded key slice, catalog "
         "side explodes to 8 (table, minhash) keys — the "

@@ -902,3 +902,10 @@ class TestRound8WavePlanContracts:
         )
         assert "BroadcastNestedLoopJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+    def test_holt_winters_grouped_map_single_shuffle(self, spark):
+        """HW is the canonical grouped-map shape: daily collapse +
+        one key shuffle into FlatMapGroupsInPandas — no join."""
+        plan = _plan(QUERIES["udtf_forecast_hw"].spark(spark, SF_SMOKE), "simple")
+        assert "FlatMapGroupsInPandas" in plan, plan
+        assert "Join" not in plan, plan
