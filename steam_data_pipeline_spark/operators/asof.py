@@ -31,9 +31,19 @@ def asof_backward(
     ts: str,
     value_cols: list[str],
     tiebreak: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Attach ``value_cols`` (renamed ``asof_<col>``) plus ``asof_ts``
-    from the latest right row at-or-before each left row's ``ts``."""
+    from the latest right row at-or-before each left row's ``ts``.
+
+    ``tolerance`` (an SQL interval string, e.g. ``"1 hour"``) bounds
+    match staleness exactly as pandas ``merge_asof(tolerance=...)``:
+    a left row whose nearest prior right row is older than the bound
+    gets NULLs instead. Implemented as a post-fill null-out — correct
+    because the as-of pick IS the nearest prior row, so if it misses
+    the bound every earlier row misses it too. This is the
+    feature-store point-in-time staleness gate (a feature older than
+    its freshness SLA must not silently join)."""
     l_cols = [c for c in left.columns]
     tagged_left = left.select(
         *l_cols,
@@ -68,7 +78,20 @@ def asof_backward(
         ],
         F.last("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    out = filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    if tolerance is not None:
+        fresh = F.col("asof_ts") >= F.col(ts) - F.expr(
+            f"interval {tolerance}"
+        )
+        out = out.select(
+            *l_cols,
+            *[
+                F.when(fresh, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+            F.when(fresh, F.col("asof_ts")).alias("asof_ts"),
+        )
+    return out
 
 
 def asof_forward(

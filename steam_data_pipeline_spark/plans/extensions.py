@@ -12549,3 +12549,58 @@ def udtf_forecast_hw(spark, sf_dir):
         )
     )
     return holt_winters_per_key(daily)
+
+
+@EXT.add(
+    "join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN v.ts >= p.ts - INTERVAL 1 HOUR THEN v.value END
+             AS asof_value,
+           CASE WHEN v.ts >= p.ts - INTERVAL 1 HOUR THEN v.ts END
+             AS asof_ts
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    doc=(
+        "Backward as-of join with a 1 h staleness tolerance (pandas "
+        "merge_asof(tolerance=...) parity; the missing knob of the "
+        "asof family): each purchase gets the latest prior view ONLY "
+        "if it is at most an hour old — the feature-store freshness "
+        "SLA gate (a stale feature silently joining is a "
+        "training-serving skew bug). Same single union-tag window as "
+        "join_asof_backward plus a post-fill null-out, which is EXACT "
+        "because the as-of pick is the nearest prior row: if it "
+        "misses the bound, every earlier row misses it too. Oracle = "
+        "DuckDB native ASOF JOIN with the same CASE gate. Scale: "
+        "identical to join_asof_backward (one (key, ts) exchange, no "
+        "range join)."
+    ),
+    tags=("join", "asof", "window", "feature-store"),
+)
+def join_asof_tolerance(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.asof import asof_backward
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return asof_backward(
+        purchases,
+        views,
+        key="user_id",
+        ts="ts",
+        value_cols=["value"],
+        tolerance="1 hour",
+    )
