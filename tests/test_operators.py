@@ -385,3 +385,55 @@ class TestAsofCogrouped:
         assert got[2] == (_ts(0), 50.0)
         assert got[3] == (None, None)     # only later clicks
         assert got[4] == (None, None)     # key with empty right cogroup
+
+
+class TestAsofToleranceAndValidation:
+    def test_backward_tolerance_nulls_stale_matches(self, spark):
+        from steam_data_pipeline_spark.operators.asof import asof_backward
+
+        left = spark.createDataFrame(
+            [("a", _ts(1), 10), ("a", _ts(10), 20), ("b", _ts(2), 30)],
+            "k string, ts timestamp, lv int",
+        )
+        right = spark.createDataFrame(
+            [("a", _ts(0), 100), ("a", _ts(9), 900)],
+            "k string, ts timestamp, rv int",
+        )
+        got = {
+            (r.k, r.ts): (r.asof_rv, r.asof_ts)
+            for r in asof_backward(
+                left, right, key="k", ts="ts", value_cols=["rv"],
+                tolerance="2 hours",
+            ).collect()
+        }
+        # within tolerance: 1h-old and exactly-1h-old matches survive
+        assert got[("a", _ts(1))] == (100, _ts(0))
+        assert got[("a", _ts(10))] == (900, _ts(9))
+        # no prior right row at all -> null either way
+        assert got[("b", _ts(2))] == (None, None)
+        tight = {
+            (r.k, r.ts): r.asof_rv
+            for r in asof_backward(
+                left, right, key="k", ts="ts", value_cols=["rv"],
+                tolerance="30 minutes",
+            ).collect()
+        }
+        # nearest prior exists but is stale -> nulled, not dropped
+        assert tight[("a", _ts(1))] is None
+        assert tight[("a", _ts(10))] is None
+        assert len(tight) == 3
+
+    def test_nearest_rejects_non_integral_id(self, spark):
+        from steam_data_pipeline_spark.operators.asof import asof_nearest
+
+        left = spark.createDataFrame(
+            [("a", _ts(1), 1.0)], "k string, ts timestamp, lv double"
+        )
+        right = spark.createDataFrame(
+            [("a", _ts(1), 2.0, "r1")],
+            "k string, ts timestamp, rv double, rid string",
+        )
+        with pytest.raises(TypeError, match="integral right_id"):
+            asof_nearest(
+                left, right, key="k", ts="ts", value_col="rv", right_id="rid"
+            )
