@@ -12604,3 +12604,160 @@ def join_asof_tolerance(spark, sf_dir):
         value_cols=["value"],
         tolerance="1 hour",
     )
+
+
+def _prepare_hw_stream_fixture(spark, sf_dir: str) -> str:
+    """Day-ordered 3-file replay of the per-type daily revenue series
+    for ``stream_forecast_hw_stateful`` (same arrival-layout rationale
+    as ``_prepare_islands_stream_fixture``)."""
+    import os as _os
+
+    def _write(out_dir: str) -> None:
+        pdf = (
+            t(spark, sf_dir, "events")
+            .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+            .agg(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("cents")
+            )
+            .toPandas()
+            .sort_values(["day", "event_type"])
+        )
+        days = sorted(pdf["day"].unique())
+        b0, b1 = days[len(days) // 3], days[2 * len(days) // 3]
+        parts = [
+            pdf[pdf["day"] < b0],
+            pdf[(pdf["day"] >= b0) & (pdf["day"] < b1)],
+            pdf[pdf["day"] >= b1],
+        ]
+        for i, p in enumerate(parts):
+            path = _os.path.join(out_dir, f"part-{i}.parquet")
+            p.to_parquet(
+                path,
+                index=False,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+            _os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    return _cached_layout("hw_stream", sf_dir, _write)
+
+
+BENCH_FIXTURES.append(_prepare_hw_stream_fixture)
+
+
+@EXT.add(
+    "stream_forecast_hw_stateful",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    init AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN rn <= 7 THEN x END) AS BIGINT) AS sum1,
+             CAST(SUM(CASE WHEN rn BETWEEN 8 AND 14 THEN x END) AS BIGINT)
+               AS sum2,
+             MAX(CASE WHEN rn = 1 THEN x END) AS x1,
+             MAX(CASE WHEN rn = 2 THEN x END) AS x2,
+             MAX(CASE WHEN rn = 3 THEN x END) AS x3,
+             MAX(CASE WHEN rn = 4 THEN x END) AS x4,
+             MAX(CASE WHEN rn = 5 THEN x END) AS x5,
+             MAX(CASE WHEN rn = 6 THEN x END) AS x6,
+             MAX(CASE WHEN rn = 7 THEN x END) AS x7
+      FROM r WHERE n >= 15 GROUP BY 1
+    ),
+    base AS (
+      SELECT event_type, CAST(7 AS BIGINT) AS t,
+             CAST(sum1 AS DOUBLE) / 7.0 AS L,
+             (CAST(sum2 AS DOUBLE) / 7.0 - CAST(sum1 AS DOUBLE) / 7.0)
+               / 7.0 AS B,
+             x1 - CAST(sum1 AS DOUBLE) / 7.0 AS s1,
+             x2 - CAST(sum1 AS DOUBLE) / 7.0 AS s2,
+             x3 - CAST(sum1 AS DOUBLE) / 7.0 AS s3,
+             x4 - CAST(sum1 AS DOUBLE) / 7.0 AS s4,
+             x5 - CAST(sum1 AS DOUBLE) / 7.0 AS s5,
+             x6 - CAST(sum1 AS DOUBLE) / 7.0 AS s6,
+             x7 - CAST(sum1 AS DOUBLE) / 7.0 AS s7
+      FROM init
+    ),
+    hw AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT hw.event_type, r.rn,
+             0.3 * (r.x - hw.s1) + 0.7 * (hw.L + hw.B),
+             0.1 * ((0.3 * (r.x - hw.s1) + 0.7 * (hw.L + hw.B)) - hw.L)
+               + 0.9 * hw.B,
+             hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.s7,
+             0.2 * (r.x - (0.3 * (r.x - hw.s1) + 0.7 * (hw.L + hw.B)))
+               + 0.8 * hw.s1
+      FROM hw JOIN r ON r.event_type = hw.event_type AND r.rn = hw.t + 1
+    ),
+    fin AS (
+      SELECT hw.* FROM hw
+      JOIN (SELECT event_type, MAX(rn) AS n FROM r GROUP BY 1) nn
+        ON nn.event_type = hw.event_type AND hw.t = nn.n
+    )
+    SELECT event_type, CAST(t AS BIGINT) AS n_days, CAST(h AS INT) AS h,
+           ROUND(L + h * B
+                 + CASE h WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+                          WHEN 4 THEN s4 WHEN 5 THEN s5 WHEN 6 THEN s6
+                          ELSE s7 END, 3) AS forecast_cents
+    FROM fin, (VALUES (1), (2), (3), (4), (5), (6), (7)) AS hs(h)
+    """,
+    doc=(
+        "Streaming stateful Holt-Winters: the udtf_forecast_hw model "
+        "maintained as CUSTOM STREAM STATE (applyInPandasWithState, "
+        "the stream_islands_stateful pattern upgraded from bookkeeping "
+        "to a real forecasting model). The per-type daily series "
+        "arrives as 3 day-ordered micro-batches; per-key state is the "
+        "O(1) smoothing triple (level, trend, 7 seasonals) plus a "
+        "14-day warmup buffer, every float expression VERBATIM the "
+        "batch operator's, and week 2 is replayed through the "
+        "recursion at init exactly as the batch init does — so the "
+        "streaming state trajectory is bit-identical to the batch "
+        "recurrence under ANY day-ordered batch decomposition. Each "
+        "batch emits the live 7-day forecast tagged n_days (what a "
+        "dashboard reads mid-stream); the query returns the final "
+        "batch's rows, which the batch-recurrence oracle reproduces "
+        "exactly — the streaming-equals-batch contract, value-hashed. "
+        "Scale: state is ~25 scalars per key; batches shuffle once on "
+        "the key."
+    ),
+    tags=("streaming", "stateful", "forecast"),
+)
+def stream_forecast_hw_stateful(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from steam_data_pipeline_spark.streaming.stateful import (
+        streaming_holt_winters,
+    )
+
+    out_dir = _prepare_hw_stream_fixture(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("event_type string, day timestamp, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(out_dir)
+    )
+    out = _run_stream_to_memory(
+        streaming_holt_winters(stream),
+        "hw_stateful",
+        spark,
+        output_mode="append",
+    )
+    w = Window.partitionBy("event_type", "h").orderBy(
+        F.col("n_days").desc()
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "n_days", "h", "forecast_cents")
+    )

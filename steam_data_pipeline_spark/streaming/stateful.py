@@ -93,3 +93,101 @@ def streaming_islands(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming Holt-Winters: a real forecasting model as custom stream state
+# ---------------------------------------------------------------------------
+
+HW_OUTPUT_SCHEMA = (
+    "event_type string, n_days long, h int, forecast_cents double"
+)
+# warmup buffer (first 14 observations, -1 = empty) + smoothing state;
+# flat longs/doubles keep the state struct trivially Arrow-serializable
+HW_STATE_SCHEMA = (
+    "n long, lv double, tr double, "
+    + ", ".join(f"s{i} double" for i in range(1, 8))
+    + ", "
+    + ", ".join(f"b{i} long" for i in range(1, 15))
+)
+
+_HW_A, _HW_1A = 0.3, 0.7
+_HW_B, _HW_1B = 0.1, 0.9
+_HW_G, _HW_1G = 0.2, 0.8
+
+
+def _hw_fold(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key additive Holt-Winters fold. The float expressions are
+    VERBATIM the batch operator's (operators/forecast.py
+    ``_fit_hw_group``), and the week-2 observations are replayed
+    through the recursion at init time exactly as the batch init does
+    — so after any day-ordered batch decomposition the state equals
+    the batch trajectory bit-for-bit."""
+    if state.exists:
+        st = list(state.get)
+    else:
+        st = [0, 0.0, 0.0] + [0.0] * 7 + [-1] * 14
+    n = st[0]
+    lv, tr = st[1], st[2]
+    s = st[3:10]
+    buf = st[10:24]
+
+    def step(v: int) -> None:
+        nonlocal lv, tr, s
+        lp, tp = lv, tr
+        lv = _HW_A * (v - s[0]) + _HW_1A * (lp + tp)
+        tr = _HW_B * (lv - lp) + _HW_1B * tp
+        s = s[1:] + [_HW_G * (v - lv) + _HW_1G * s[0]]
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values("day")
+        for v in [int(x) for x in pdf["cents"].tolist()]:
+            n += 1
+            if n <= 14:
+                buf[n - 1] = v
+                if n == 14:
+                    sum1, sum2 = sum(buf[:7]), sum(buf[7:14])
+                    lv = sum1 / 7.0
+                    tr = (sum2 / 7.0 - sum1 / 7.0) / 7.0
+                    s = [buf[i] - lv for i in range(7)]
+                    for t in range(7, 14):
+                        step(buf[t])
+            else:
+                step(v)
+
+    state.update(tuple([n, lv, tr] + list(s) + list(buf)))
+    if n >= 15:
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * 7,
+                "n_days": [n] * 7,
+                "h": list(range(1, 8)),
+                "forecast_cents": [
+                    round(lv + h * tr + s[h - 1], 3) for h in range(1, 8)
+                ],
+            }
+        )
+
+
+def streaming_holt_winters(daily: DataFrame) -> DataFrame:
+    """Append-mode per-batch Holt-Winters forecasts over a streaming
+    daily series ``(event_type, day, cents)``; batches must arrive
+    day-ordered per key (time-ordered file landing). Each batch emits
+    the CURRENT 7-day forecast tagged with ``n_days`` — the live
+    forecast a dashboard reads mid-stream; the final batch's rows
+    equal the batch operator's output exactly."""
+    return (
+        daily.select("event_type", "day", "cents")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _hw_fold,
+            outputStructType=HW_OUTPUT_SCHEMA,
+            stateStructType=HW_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

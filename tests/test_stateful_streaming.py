@@ -99,3 +99,73 @@ def test_memory_sink_queries_leak_no_temp_views(spark):
         if v.isTemporary and v.name.startswith("tumbling_daily_")
     ]
     assert leftover == []
+
+
+class TestStreamingHoltWinters:
+    def test_mid_stream_emissions_and_batch_equality(self, spark, tmp_path):
+        """The stateful HW stream must (a) emit a live forecast per
+        micro-batch once warmed (n_days strictly increasing), and
+        (b) end bit-identical to the batch operator over the same
+        series — the streaming-equals-batch contract under a batch
+        decomposition that splits mid-recursion."""
+        import os
+        from datetime import datetime, timedelta
+
+        import pandas as pd
+
+        from steam_data_pipeline_spark.operators.forecast import (
+            holt_winters_per_key,
+        )
+        from steam_data_pipeline_spark.streaming.stateful import (
+            streaming_holt_winters,
+        )
+
+        d = str(tmp_path / "hw")
+        os.makedirs(d)
+        base = datetime(2024, 3, 1)
+        series = [(i + 1) * 100 + (i % 7) * 37 for i in range(24)]
+        rows = [
+            ("purchase", base + timedelta(days=i), series[i])
+            for i in range(24)
+        ]
+        # 3 files: warmup spans files 1-2, recursion continues in 3
+        for fi, sl in enumerate((rows[:10], rows[10:18], rows[18:])):
+            p = f"{d}/b{fi}.parquet"
+            pd.DataFrame(
+                sl, columns=["event_type", "day", "cents"]
+            ).to_parquet(p, index=False, coerce_timestamps="us",
+                         allow_truncated_timestamps=True)
+            os.utime(p, (1_000_000_000 + fi, 1_000_000_000 + fi))
+        stream = (
+            spark.readStream.schema(
+                "event_type string, day timestamp, cents long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        q = (
+            streaming_holt_winters(stream)
+            .writeStream.format("memory")
+            .queryName("hw_unit")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("hw_unit").collect()
+        # (a) batches 2 (n=18) and 3 (n=24) both emitted; batch 1
+        # (n=10 < 15) did not
+        assert sorted({r.n_days for r in got}) == [18, 24]
+        # (b) final emission equals the batch operator bit-for-bit
+        daily = spark.createDataFrame(
+            rows, "event_type string, day timestamp, cents long"
+        )
+        batch = {
+            r.h: r.forecast_cents
+            for r in holt_winters_per_key(daily).collect()
+        }
+        final = {
+            r.h: r.forecast_cents for r in got if r.n_days == 24
+        }
+        assert final == batch
