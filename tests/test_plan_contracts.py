@@ -909,3 +909,47 @@ class TestRound8WavePlanContracts:
         plan = _plan(QUERIES["udtf_forecast_hw"].spark(spark, SF_SMOKE), "simple")
         assert "FlatMapGroupsInPandas" in plan, plan
         assert "Join" not in plan, plan
+
+    def test_asof_tolerance_single_shuffle(self, spark):
+        """The tolerance knob must stay a post-fill null-out on the
+        SAME single union-tag window as join_asof_backward — one
+        (key, ts) exchange, no join operator, no range-join
+        cartesian sneaking in via the interval arithmetic."""
+        plan = _plan(
+            QUERIES["join_asof_tolerance"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Join" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_hw_stateful_stream_state_plan(self, spark):
+        """Streaming Holt-Winters must be the real custom-state
+        operator: FlatMapGroupsInPandasWithState keyed on event_type
+        in Append mode, with the full O(1) state struct (n, level,
+        trend, 7 seasonals, 14-slot warmup buffer = 24 fields) — a
+        schema drift here silently corrupts resumed checkpoints."""
+        from steam_data_pipeline_spark.plans.extensions import (
+            _prepare_hw_stream_fixture,
+        )
+        from steam_data_pipeline_spark.streaming.stateful import (
+            streaming_holt_winters,
+        )
+
+        out_dir = _prepare_hw_stream_fixture(spark, SF_SMOKE)
+        stream = (
+            spark.readStream.schema(
+                "event_type string, day timestamp, cents long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(out_dir)
+        )
+        analyzed = str(
+            streaming_holt_winters(stream)._jdf.queryExecution().analyzed()
+        )
+        assert "FlatMapGroupsInPandasWithState" in analyzed, analyzed
+        assert "[event_type#" in analyzed, analyzed  # keyed on event_type
+        assert "Append, NoTimeout" in analyzed, analyzed
+        # count state fields on the operator line only (the source
+        # relation line repeats StructField for its 3 input columns)
+        op_line = analyzed.splitlines()[0]
+        assert op_line.count("StructField") == 24, op_line
