@@ -169,3 +169,85 @@ class TestStreamingHoltWinters:
             r.h: r.forecast_cents for r in got if r.n_days == 24
         }
         assert final == batch
+
+    def test_state_survives_checkpoint_restart(self, spark, tmp_path):
+        """Kill the query mid-stream and restart from the SAME
+        checkpoint with new files landed: the HW state (level, trend,
+        seasonals, warmup buffer) must round-trip through the state
+        store so the resumed run ends bit-identical to the batch
+        operator — the recovery contract a production forecaster
+        actually relies on (state-schema drift or a lossy
+        Arrow round-trip breaks exactly here)."""
+        import os
+        from datetime import datetime, timedelta
+
+        import pandas as pd
+
+        from steam_data_pipeline_spark.operators.forecast import (
+            holt_winters_per_key,
+        )
+        from steam_data_pipeline_spark.streaming.stateful import (
+            streaming_holt_winters,
+        )
+
+        d = str(tmp_path / "hw_ckpt")
+        os.makedirs(d)
+        ck = str(tmp_path / "ck")
+        base = datetime(2024, 3, 1)
+        series = [(i + 1) * 100 + (i % 7) * 37 for i in range(24)]
+        rows = [
+            ("purchase", base + timedelta(days=i), series[i])
+            for i in range(24)
+        ]
+
+        def _land(fi: int, sl) -> None:
+            p = f"{d}/b{fi}.parquet"
+            pd.DataFrame(
+                sl, columns=["event_type", "day", "cents"]
+            ).to_parquet(p, index=False, coerce_timestamps="us",
+                         allow_truncated_timestamps=True)
+            os.utime(p, (1_000_000_000 + fi, 1_000_000_000 + fi))
+
+        sink = str(tmp_path / "out")
+
+        def _run() -> None:
+            stream = (
+                spark.readStream.schema(
+                    "event_type string, day timestamp, cents long"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d)
+            )
+            # file sink, not memory: only a fault-tolerant sink
+            # exercises real checkpoint recovery (memory refuses it)
+            q = (
+                streaming_holt_winters(stream)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("path", sink)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            q.awaitTermination()
+
+        # run 1: files 0-1 only (state mid-recursion at n=18), stop
+        _land(0, rows[:10])
+        _land(1, rows[10:18])
+        _run()
+        got1 = spark.read.parquet(sink).collect()
+        assert sorted({r.n_days for r in got1}) == [18]
+        # run 2: file 2 lands, restart from the same checkpoint
+        _land(2, rows[18:])
+        _run()
+        all2 = spark.read.parquet(sink).collect()
+        assert sorted({r.n_days for r in all2}) == [18, 24]
+        got2 = [r for r in all2 if r.n_days == 24]
+        daily = spark.createDataFrame(
+            rows, "event_type string, day timestamp, cents long"
+        )
+        batch = {
+            r.h: r.forecast_cents
+            for r in holt_winters_per_key(daily).collect()
+        }
+        assert {r.h: r.forecast_cents for r in got2} == batch
