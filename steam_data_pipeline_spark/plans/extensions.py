@@ -12761,3 +12761,409 @@ def stream_forecast_hw_stateful(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .select("event_type", "n_days", "h", "forecast_cents")
     )
+
+
+@EXT.add(
+    "agg_assoc_rules",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT bid) AS BIGINT) AS n_baskets FROM b),
+    ic AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+    ),
+    bf AS (
+      SELECT b.* FROM b
+      WHERE item IN (SELECT item FROM ic WHERE cnt >= 25)
+    ),
+    p AS (
+      SELECT x.item AS ia, y.item AS ib, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bf x JOIN bf y ON x.bid = y.bid AND x.item < y.item
+      GROUP BY 1, 2
+    )
+    SELECT p.ia AS item_a, p.ib AS item_b, p.cnt AS pair_count,
+           a.cnt AS count_a, c.cnt AS count_b,
+           ROUND(CAST(p.cnt AS DOUBLE) / n.n_baskets, 9) AS support,
+           ROUND(CAST(p.cnt AS DOUBLE) / a.cnt, 9) AS conf_a_to_b,
+           ROUND(CAST(p.cnt AS DOUBLE) / c.cnt, 9) AS conf_b_to_a,
+           ROUND(CAST(n.n_baskets * p.cnt AS DOUBLE)
+                 / CAST(a.cnt * c.cnt AS DOUBLE), 9) AS lift
+    FROM p
+    JOIN ic a ON a.item = p.ia
+    JOIN ic c ON c.item = p.ib
+    CROSS JOIN n
+    WHERE p.cnt >= 2
+    """,
+    doc=(
+        "Market-basket association rules over order baskets "
+        "(lineitem as the basket-item fact): frequent item PAIRS with "
+        "support, both-direction confidence, and lift — the "
+        "bought-together engine behind bundle suggestions and the "
+        "co-play/co-purchase surfaces the reference's catalog "
+        "enrichment feeds (models.py:24 appid catalog as the item "
+        "dimension). The scale story is apriori antimonotonicity made "
+        "physical: a pair can only be frequent if BOTH items are, so "
+        "baskets are pruned to frequent singletons with a BROADCAST "
+        "semi-join BEFORE any pair is generated — at 100 TB the "
+        "quadratic step runs on the pruned per-basket arrays "
+        "(sort_array(collect_set) then a codegen'd slice/transform "
+        "pair expansion, never a basket self-join shuffle), and the "
+        "singleton counts re-attach by broadcast. All counts are "
+        "exact BIGINTs; support/confidence/lift are single divisions "
+        "of exact integers rounded 9 — bit-identical cross-engine. "
+        "min_item_support=25 baskets, min_pair_count=2."
+    ),
+    tags=("agg", "recommender", "stats"),
+)
+def agg_assoc_rules(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
+    ).dropDuplicates(["bid", "item"])
+    ic = b.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    freq = ic.filter(F.col("cnt") >= 25).select("item")
+    bf = b.join(F.broadcast(freq), "item", "left_semi")
+    arr = (
+        bf.groupBy("bid")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        .filter(F.size("items") >= 2)
+    )
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), "
+                "y -> struct(x AS ia, y AS ib))))"
+            )
+        ).alias("pr")
+    ).select("pr.ia", "pr.ib")
+    pc = (
+        pairs.groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    n = b.select(
+        F.countDistinct("bid").cast("long").alias("n_baskets")
+    )
+    a_cnt = ic.select(
+        F.col("item").alias("ia"), F.col("cnt").alias("count_a")
+    )
+    b_cnt = ic.select(
+        F.col("item").alias("ib"), F.col("cnt").alias("count_b")
+    )
+    out = (
+        pc.join(F.broadcast(a_cnt), "ia")
+        .join(F.broadcast(b_cnt), "ib")
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        F.col("ia").alias("item_a"),
+        F.col("ib").alias("item_b"),
+        F.col("cnt").alias("pair_count"),
+        "count_a",
+        "count_b",
+        F.round(F.col("cnt").cast("double") / F.col("n_baskets"), 9).alias(
+            "support"
+        ),
+        F.round(F.col("cnt").cast("double") / F.col("count_a"), 9).alias(
+            "conf_a_to_b"
+        ),
+        F.round(F.col("cnt").cast("double") / F.col("count_b"), 9).alias(
+            "conf_b_to_a"
+        ),
+        F.round(
+            (F.col("n_baskets") * F.col("cnt")).cast("double")
+            / (F.col("count_a") * F.col("count_b")).cast("double"),
+            9,
+        ).alias("lift"),
+    )
+
+
+@EXT.add(
+    "agg_fdr_bh",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             date_diff('day', TIMESTAMP '2024-01-01',
+                       date_trunc('day', ts)) % 7 AS dow,
+             user_id % 2 AS variant,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, dow,
+             CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n0,
+             CAST(COUNT(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN variant = 0 THEN x END) AS BIGINT) AS sx0,
+             CAST(SUM(CASE WHEN variant = 1 THEN x END) AS BIGINT) AS sx1,
+             CAST(SUM(CASE WHEN variant = 0
+                       THEN CAST(x AS HUGEINT) * x END) AS HUGEINT) AS sxx0,
+             CAST(SUM(CASE WHEN variant = 1
+                       THEN CAST(x AS HUGEINT) * x END) AS HUGEINT) AS sxx1
+      FROM cells GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, dow, n0, n1,
+             CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0 AS diff,
+             CAST(n0 * sxx0 - sx0 * sx0 AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) * (n0 - 1)) / n0
+             + CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1 AS vsum
+      FROM m WHERE n0 >= 2 AND n1 >= 2
+    ),
+    z AS (
+      SELECT event_type, dow, n0, n1,
+             ROUND(diff / SQRT(vsum), 9) AS z_stat
+      FROM s WHERE vsum > 0
+    ),
+    p AS (
+      SELECT *,
+             ROUND((1.0 / (1.0 + 0.3275911 * (ABS(z_stat) / 1.4142135623730951)))
+                   * (0.254829592
+                      + (1.0 / (1.0 + 0.3275911 * (ABS(z_stat) / 1.4142135623730951)))
+                      * (-0.284496736
+                         + (1.0 / (1.0 + 0.3275911 * (ABS(z_stat) / 1.4142135623730951)))
+                         * (1.421413741
+                            + (1.0 / (1.0 + 0.3275911 * (ABS(z_stat) / 1.4142135623730951)))
+                            * (-1.453152027
+                               + (1.0 / (1.0 + 0.3275911 * (ABS(z_stat) / 1.4142135623730951)))
+                               * 1.061405429))))
+                   * EXP(-(ABS(z_stat) / 1.4142135623730951)
+                         * (ABS(z_stat) / 1.4142135623730951)), 9) AS p_value
+      FROM z
+    ),
+    r AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER
+               (ORDER BY p_value, event_type, dow) AS BIGINT) AS p_rank,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m_tests
+      FROM p
+    ),
+    k AS (
+      SELECT *,
+             MAX(CASE WHEN p_value <= CAST(p_rank AS DOUBLE) * 0.10 / m_tests
+                      THEN p_rank END) OVER () AS kstar
+      FROM r
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, n0, n1, z_stat, p_value,
+           p_rank, m_tests,
+           CAST(CASE WHEN p_rank <= COALESCE(kstar, 0)
+                     THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM k
+    """,
+    doc=(
+        "Benjamini-Hochberg FDR control over a 35-cell multiple-testing "
+        "battery: per (event_type, day-of-week) cell, a two-sample z "
+        "test of per-event cents between the parity variants, then the "
+        "BH step-up at q=0.10 — the guardrail that keeps a 35-metric "
+        "experiment dashboard from 'discovering' 2 fake wins by chance "
+        "(the missing piece next to agg_ttest_welch / agg_wilson_ci / "
+        "qa_chisq_categorical, which each test ONE hypothesis). "
+        "Numeric discipline: per-cell moments are exact ints (BIGINT "
+        "cents, DECIMAL(38) squares, cleared-denominator variance); z "
+        "is one pinned float expression rounded 9; the normal tail is "
+        "the Abramowitz-Stegun 7.1.26 rational erfc (|err| < 1.5e-7, "
+        "SAME closed form both engines, fed the quantized z, rounded 9 "
+        "— the agg_decay_halflife transcendental discipline; like "
+        "agg_hill_tail_index's ln, the single exp carries a 1-ULP "
+        "cross-libm caveat absorbed by the rounding). The step-up "
+        "(rank p ascending, reject through the largest rank with "
+        "p <= rank*q/m) runs as windows over the 35-row spine with a "
+        "deterministic (p, key) tie-break. Scale: ONE map-side-"
+        "combined conditional agg collapses the fact to 35 cells; "
+        "everything after is spine math (the qa_ks_drift argument)."
+    ),
+    tags=("agg", "experiment", "stats"),
+)
+def agg_fdr_bh(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    cells = t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.datediff(
+                F.date_trunc("day", "ts"),
+                F.lit("2024-01-01").cast("timestamp"),
+            )
+            % 7
+        ).alias("dow"),
+        (F.col("user_id") % 2).alias("variant"),
+        cents.alias("x"),
+    )
+    v0 = F.col("variant") == 0
+    v1 = F.col("variant") == 1
+    m = cells.groupBy("event_type", "dow").agg(
+        F.count(F.when(v0, 1)).cast("long").alias("n0"),
+        F.count(F.when(v1, 1)).cast("long").alias("n1"),
+        F.sum(F.when(v0, F.col("x"))).cast("long").alias("sx0"),
+        F.sum(F.when(v1, F.col("x"))).cast("long").alias("sx1"),
+        F.sum(F.when(v0, F.col("x").cast(d38) * F.col("x")))
+        .cast(d38)
+        .alias("sxx0"),
+        F.sum(F.when(v1, F.col("x").cast(d38) * F.col("x")))
+        .cast(d38)
+        .alias("sxx1"),
+    )
+
+    def _vm(n, sx, sxx):
+        return (
+            (F.col(n) * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+            / (F.col(n).cast("double") * (F.col(n) - 1))
+            / F.col(n)
+        )
+
+    s = m.filter((F.col("n0") >= 2) & (F.col("n1") >= 2)).select(
+        "event_type",
+        "dow",
+        "n0",
+        "n1",
+        (
+            F.col("sx1").cast("double") / F.col("n1")
+            - F.col("sx0").cast("double") / F.col("n0")
+        ).alias("diff"),
+        (_vm("n0", "sx0", "sxx0") + _vm("n1", "sx1", "sxx1")).alias("vsum"),
+    )
+    z = s.filter(F.col("vsum") > 0).select(
+        "event_type",
+        "dow",
+        "n0",
+        "n1",
+        F.round(F.col("diff") / F.sqrt("vsum"), 9).alias("z_stat"),
+    )
+    # Abramowitz-Stegun 7.1.26 erfc at |z|/sqrt(2) == two-sided normal p
+    x = F.abs(F.col("z_stat")) / F.lit(1.4142135623730951)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = tt * (
+        F.lit(0.254829592)
+        + tt
+        * (
+            F.lit(-0.284496736)
+            + tt
+            * (
+                F.lit(1.421413741)
+                + tt * (F.lit(-1.453152027) + tt * F.lit(1.061405429))
+            )
+        )
+    )
+    p = z.withColumn("p_value", F.round(poly * F.exp(-x * x), 9))
+    w_rank = Window.orderBy("p_value", "event_type", "dow")
+    w_all = Window.partitionBy()
+    r = p.select(
+        "*",
+        F.row_number().over(w_rank).cast("long").alias("p_rank"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("m_tests"),
+    )
+    k = r.withColumn(
+        "kstar",
+        F.max(
+            F.when(
+                F.col("p_value")
+                <= F.col("p_rank").cast("double")
+                * F.lit(0.10)
+                / F.col("m_tests"),
+                F.col("p_rank"),
+            )
+        ).over(w_all),
+    )
+    return k.select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        "n0",
+        "n1",
+        "z_stat",
+        "p_value",
+        "p_rank",
+        "m_tests",
+        F.when(F.col("p_rank") <= F.coalesce(F.col("kstar"), F.lit(0)), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rejected"),
+    )
+
+
+@EXT.add(
+    "feat_split_time_purged",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events
+    ),
+    folds AS (
+      SELECT k, mn + k * ((mx - mn) // 4) AS b_us, (mx - mn) // 4 AS q
+      FROM bounds, (VALUES (1), (2), (3)) AS f(k)
+    ),
+    tagged AS (
+      SELECT f.k,
+             CASE WHEN e.e_us <= f.b_us - 86400000000 THEN 'train'
+                  WHEN e.e_us <= f.b_us THEN 'purged'
+                  WHEN e.e_us <= f.b_us + f.q THEN 'test' END AS split,
+             e.user_id, e.e_us
+      FROM (SELECT epoch_us(ts) AS e_us, user_id FROM events) e
+      CROSS JOIN folds f
+    )
+    SELECT CAST(k AS INT) AS fold, split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           make_timestamp(MIN(e_us)) AS min_ts,
+           make_timestamp(MAX(e_us)) AS max_ts
+    FROM tagged WHERE split IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Purged walk-forward split with embargo: 3 expanding-window "
+        "folds over the event timeline, each fold's train set ending a "
+        "full 24 h EMBARGO before its test window opens and the rows "
+        "in between PURGED — the leakage-safe evaluation protocol for "
+        "time-series models (a random or group split silently leaks "
+        "label-adjacent rows across the boundary; the embargo also "
+        "kills lookahead through lagged/rolling features that span the "
+        "cut — the companion to feat_split_groupwise, which guards "
+        "entity leakage, not time leakage). Fold boundaries are pure "
+        "integer epoch-microsecond arithmetic (min + k*(span div 4), "
+        "engine-independent; no date rounding), so the emitted per-"
+        "(fold, split) min/max timestamps PROVE the gap: every fold's "
+        "train max_ts <= boundary - 24 h < test min_ts. Scale: the "
+        "2-value bounds agg broadcasts, the 3-row fold spine cross-"
+        "joins via broadcast nested loop (3x fact pass-through, no "
+        "shuffle), and the final (fold, split) agg is map-side "
+        "combined into 9 cells."
+    ),
+    tags=("feat", "split", "timeseries"),
+)
+def feat_split_time_purged(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("e_us"), "user_id"
+    )
+    bounds = ev.agg(
+        F.min("e_us").alias("mn"), F.max("e_us").alias("mx")
+    )
+    folds = bounds.select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        "mn",
+        "mx",
+    ).select(
+        "k",
+        (F.col("mn") + F.col("k") * F.expr("(mx - mn) div 4")).alias("b_us"),
+        F.expr("(mx - mn) div 4").alias("q"),
+    )
+    tagged = ev.crossJoin(F.broadcast(folds)).select(
+        "k",
+        F.when(F.col("e_us") <= F.col("b_us") - 86_400_000_000, "train")
+        .when(F.col("e_us") <= F.col("b_us"), "purged")
+        .when(F.col("e_us") <= F.col("b_us") + F.col("q"), "test")
+        .alias("split"),
+        "user_id",
+        "e_us",
+    )
+    return (
+        tagged.filter(F.col("split").isNotNull())
+        .groupBy(F.col("k").cast("int").alias("fold"), "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.timestamp_micros(F.min("e_us")).alias("min_ts"),
+            F.timestamp_micros(F.max("e_us")).alias("max_ts"),
+        )
+    )

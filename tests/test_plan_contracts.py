@@ -953,3 +953,34 @@ class TestRound8WavePlanContracts:
         # relation line repeats StructField for its 3 input columns)
         op_line = analyzed.splitlines()[0]
         assert op_line.count("StructField") == 24, op_line
+
+    def test_assoc_rules_pairs_never_self_join(self, spark):
+        """Apriori made physical: the quadratic pair step must expand
+        pruned per-basket ARRAYS (codegen explode), never a basket
+        self-join, and every count re-attachment must broadcast —
+        a SortMergeJoin or cartesian here is the n^2 shuffle this
+        operator exists to avoid."""
+        plan = _plan(QUERIES["agg_assoc_rules"].spark(spark, SF_SMOKE), "simple")
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        assert "Generate explode" in plan, plan
+
+    def test_fdr_battery_single_fact_agg(self, spark):
+        """The 35-cell test battery is ONE map-side-combined
+        conditional agg on the fact; ranking/step-up run on the
+        single-partition spine — no join anywhere."""
+        plan = _plan(QUERIES["agg_fdr_bh"].spark(spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Join" not in plan, plan
+        assert "HashAggregate" in plan, plan
+
+    def test_purged_split_spine_broadcast(self, spark):
+        """The 3-row fold spine must reach the fact via broadcast
+        nested loop (one pass, no shuffle before the 9-cell agg)."""
+        plan = _plan(
+            QUERIES["feat_split_time_purged"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan

@@ -301,3 +301,117 @@ class TestStatsAgainstNumpy:
                     lv + h * tr + s[h - 1], abs=1e-2
                 ), (et, h)
         assert n_types == len({k[0] for k in got})
+
+
+class TestAssocRulesReference:
+    def test_known_baskets_lift(self, spark, tmp_path):
+        """Hand-built baskets with known co-occurrence: verify
+        support / confidence / lift against arithmetic done by hand
+        (pruning thresholds lowered by shrinking the fixture is not
+        possible, so items are replicated past min_support=25)."""
+        import pandas as pd
+
+        # 30 baskets contain {1, 2}; 10 contain {1, 3}; 25 contain {3}
+        rows = []
+        for bid in range(30):
+            rows += [(bid, 1), (bid, 2)]
+        for bid in range(30, 40):
+            rows += [(bid, 1), (bid, 3)]
+        for bid in range(40, 65):
+            rows += [(bid, 3)]
+        pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+        d = str(tmp_path / "li")
+        import os
+
+        os.makedirs(d)
+        pdf.to_parquet(f"{d}/lineitem.parquet", index=False)
+        from steam_data_pipeline_spark.plans.registry import QUERIES as Q
+
+        out = {
+            (r.item_a, r.item_b): r
+            for r in Q["agg_assoc_rules"].spark(spark, d).collect()
+        }
+        # item counts: 1 -> 40, 2 -> 30, 3 -> 35; n_baskets = 65
+        r12 = out[(1, 2)]
+        assert r12.pair_count == 30
+        assert r12.support == round(30 / 65, 9)
+        assert r12.conf_a_to_b == round(30 / 40, 9)
+        assert r12.conf_b_to_a == 1.0
+        assert r12.lift == round(65 * 30 / (40 * 30), 9)
+        r13 = out[(1, 3)]
+        assert r13.pair_count == 10
+        assert r13.lift == round(65 * 10 / (40 * 35), 9)
+        assert (2, 3) not in out  # never co-occur
+
+
+class TestFdrBhReference:
+    def test_erfc_approx_vs_math(self):
+        """The A&S 7.1.26 rational erfc used by agg_fdr_bh must stay
+        within its published 1.5e-7 bound of math.erfc across the
+        z range the battery can emit."""
+        import math
+
+        def p_two(z):
+            x = abs(z) / 1.4142135623730951
+            t = 1.0 / (1.0 + 0.3275911 * x)
+            poly = t * (
+                0.254829592
+                + t
+                * (
+                    -0.284496736
+                    + t
+                    * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+                )
+            )
+            return poly * math.exp(-x * x)
+
+        for z in np.linspace(0.0, 6.0, 601):
+            assert abs(p_two(z) - math.erfc(z / math.sqrt(2))) < 1.5e-7
+
+    def test_bh_stepup_vs_statsmodels_style(self, spark):
+        """Recompute the BH decision from the query's own p-values
+        with the canonical step-up written independently in NumPy:
+        the rejected set must match exactly; p-values must be valid
+        and m_tests consistent."""
+        from steam_data_pipeline_spark.plans.registry import QUERIES as Q
+
+        rows = Q["agg_fdr_bh"].spark(spark, SF_SMOKE).collect()
+        m = len(rows)
+        assert all(r.m_tests == m for r in rows)
+        p = np.array([r.p_value for r in rows])
+        order = np.lexsort(
+            ([r.dow for r in rows], [r.event_type for r in rows], p)
+        )
+        ranked = p[order]
+        hits = np.nonzero(ranked <= (np.arange(1, m + 1) * 0.10 / m))[0]
+        kstar = hits.max() + 1 if hits.size else 0
+        expect = np.zeros(m, dtype=int)
+        expect[order[:kstar]] = 1
+        got = np.array([r.rejected for r in rows])
+        assert (got == expect).all()
+        assert ((p >= 0) & (p <= 1)).all()
+
+
+class TestPurgedSplitReference:
+    def test_embargo_gap_holds(self, spark):
+        """For every fold: train max_ts + 24 h <= test min_ts, purged
+        rows sit strictly inside the gap, and the three splits
+        partition each fold's covered range without overlap."""
+        from datetime import timedelta
+
+        from steam_data_pipeline_spark.plans.registry import QUERIES as Q
+
+        rows = Q["feat_split_time_purged"].spark(spark, SF_SMOKE).collect()
+        by = {(r.fold, r.split): r for r in rows}
+        for fold in (1, 2, 3):
+            tr, te = by[(fold, "train")], by[(fold, "test")]
+            assert tr.max_ts + timedelta(hours=24) <= te.min_ts
+            if (fold, "purged") in by:
+                pu = by[(fold, "purged")]
+                assert tr.max_ts < pu.min_ts <= pu.max_ts < te.min_ts
+        # expanding window: each later fold trains on strictly more
+        assert (
+            by[(1, "train")].n_rows
+            < by[(2, "train")].n_rows
+            < by[(3, "train")].n_rows
+        )
