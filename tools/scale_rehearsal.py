@@ -502,6 +502,75 @@ def rehearse_registry_heavy(
     spark.stop()
 
 
+def rehearse_basket_skew(sf_dir: str, repeats: int = 2) -> None:
+    """Hot-item worst case for ``agg_assoc_rules``: append one item to
+    EVERY basket (100% support — corpus-wide boilerplate, the analogue
+    of the substring-skew rehearsal) and compare wall + rule count vs
+    the clean baskets. Claims under test: (a) the hot item adds at most
+    |basket| pairs per basket — pair EXPANSION stays linear because
+    pairs come from per-basket arrays, never a basket self-join whose
+    hot key would explode quadratically; (b) the hot item's pair
+    counts partial-aggregate map-side (groupBy(ia, ib) combine), so no
+    single reducer sees all |baskets| occurrences of a (hot, x) pair
+    at once as rows — only as pre-combined partials; (c) singleton
+    counts re-attach by BROADCAST, so the 100%-support key never
+    routes through a shuffle join. A superlinear wall here is the
+    n^2 blowup the apriori prune exists to prevent."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from steam_data_pipeline_spark.plans.registry import QUERIES
+    from steam_data_pipeline_spark.sources.tables import read_table
+
+    spark = _spark()
+    out_dir = os.path.join(tempfile.gettempdir(), "sdp_basket_skew")
+    ok = os.path.join(out_dir, "_SKEW_OK")
+    if not os.path.exists(ok):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir)
+        li = read_table(spark, sf_dir, "lineitem")
+        hot = (
+            li.select("l_orderkey")
+            .distinct()
+            .select(
+                "l_orderkey",
+                F.lit(999_999).cast("long").alias("l_partkey"),
+                *[
+                    F.lit(None).cast(li.schema[c].dataType).alias(c)
+                    for c in li.columns
+                    if c not in ("l_orderkey", "l_partkey")
+                ],
+            )
+            .select(*li.columns)
+        )
+        li.unionByName(hot).coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "lineitem.parquet")
+        )
+        open(ok, "w").write("ok")
+    q = QUERIES["agg_assoc_rules"]
+    print(
+        "# basket-skew rehearsal: one item appended to EVERY basket "
+        f"(100% support) vs clean, best of {repeats}"
+    )
+    print("shape\twall_s\tn_rules\tn_hot_rules")
+    for label, d in (("clean", sf_dir), ("hot-item", out_dir)):
+        runs, rows, hot_rows = [], 0, 0
+        for _i in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            out = q.spark(spark, d)
+            rows = out.count()
+            runs.append(time.time() - t0)
+        hot_rows = (
+            q.spark(spark, d)
+            .filter((F.col("item_a") == 999_999) | (F.col("item_b") == 999_999))
+            .count()
+        )
+        print(f"{label}\t{min(runs):.2f}\t{rows}\t{hot_rows}")
+    spark.stop()
+
+
 def rehearse_media(sf_dir: str, factors: list[int], n0: int = 2000) -> None:
     """Decode-throughput scaling for the media path: n synthetic 16x12
     RGB PNGs generated ON EXECUTORS (mapInPandas over spark.range — no
@@ -688,6 +757,7 @@ def main() -> None:
             "registry-heavy",
             "media",
             "lpa-skew",
+            "basket-skew",
         ],
     )
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -708,6 +778,8 @@ def main() -> None:
         rehearse_media(args.sf_dir, args.factors)
     elif args.op == "lpa-skew":
         rehearse_lpa_skew(args.factors)
+    elif args.op == "basket-skew":
+        rehearse_basket_skew(args.sf_dir, args.repeats)
     else:
         rehearse_substring_skew(args.sf_dir)
 
