@@ -251,3 +251,69 @@ class TestStreamingHoltWinters:
             for r in holt_winters_per_key(daily).collect()
         }
         assert {r.h: r.forecast_cents for r in got2} == batch
+
+
+class _FakeState:
+    """Minimal GroupState stub: exists/get/update — enough to drive
+    _hw_fold outside Spark for fast decomposition property tests."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def test_hw_fold_invariant_under_any_day_ordered_decomposition():
+    """Property: for 25 seeded-random day-ordered batch decompositions
+    of a 30-day series (splits landing mid-warmup, exactly at n=14,
+    and mid-recursion), folding batch-by-batch through _hw_fold ends
+    in the IDENTICAL state tuple and final forecast as one single
+    batch — the streaming-equals-batch contract at the state level,
+    cheap enough to run many decompositions (no Spark query)."""
+    import random
+
+    import pandas as pd
+
+    from steam_data_pipeline_spark.streaming.stateful import _hw_fold
+
+    series = [(i + 1) * 100 + (i % 7) * 37 + (i % 3) * 11 for i in range(30)]
+    days = pd.date_range("2024-03-01", periods=30, freq="D")
+
+    def run(split_points):
+        state = _FakeState()
+        bounds = [0] + sorted(split_points) + [30]
+        last = None
+        for a, b in zip(bounds, bounds[1:]):
+            if a == b:
+                continue
+            pdf = pd.DataFrame(
+                {"day": days[a:b], "cents": series[a:b]}
+            )
+            out = list(_hw_fold(("purchase",), iter([pdf]), state))
+            if out:
+                last = out[-1]
+        return state._v, last
+
+    ref_state, ref_out = run([])
+    assert ref_out is not None and list(ref_out["h"]) == list(range(1, 8))
+    rng = random.Random(42)
+    cases = [[14], [13], [15], [7, 14, 21]] + [
+        sorted(rng.sample(range(1, 30), rng.randint(1, 6)))
+        for _ in range(21)
+    ]
+    for split in cases:
+        st, out = run(split)
+        assert st == ref_state, split
+        assert out is not None
+        assert list(out["forecast_cents"]) == list(
+            ref_out["forecast_cents"]
+        ), split
