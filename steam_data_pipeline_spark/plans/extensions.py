@@ -13167,3 +13167,201 @@ def feat_split_time_purged(spark, sf_dir):
             F.timestamp_micros(F.max("e_us")).alias("max_ts"),
         )
     )
+
+
+@EXT.add(
+    "win_sprt_always_valid",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT)
+               AS n0,
+             CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n1,
+             CAST(COALESCE(SUM(CASE WHEN user_id % 2 = 0
+                   THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS s0,
+             CAST(COALESCE(SUM(CASE WHEN user_id % 2 = 1
+                   THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(CASE WHEN user_id % 2 = 0
+                   THEN CAST(ROUND(value * 100) AS BIGINT)
+                        * CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS HUGEINT) AS q0,
+             CAST(COALESCE(SUM(CASE WHEN user_id % 2 = 1
+                   THEN CAST(ROUND(value * 100) AS BIGINT)
+                        * CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS HUGEINT) AS q1
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    cum AS (
+      SELECT day,
+             CAST(SUM(n0) OVER w AS BIGINT) AS cn0,
+             CAST(SUM(n1) OVER w AS BIGINT) AS cn1,
+             CAST(SUM(s0) OVER w AS BIGINT) AS cs0,
+             CAST(SUM(s1) OVER w AS BIGINT) AS cs1,
+             CAST(SUM(q0) OVER w AS HUGEINT) AS cq0,
+             CAST(SUM(q1) OVER w AS HUGEINT) AS cq1
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    f AS (
+      SELECT day, cn0, cn1,
+             CAST(cs1 AS DOUBLE) / cn1 - CAST(cs0 AS DOUBLE) / cn0
+               AS delta,
+             (CAST(cn0 * cq0 - cs0 * cs0 AS DOUBLE) / cn0
+              + CAST(cn1 * cq1 - cs1 * cs1 AS DOUBLE) / cn1)
+             / (cn0 + cn1 - 2) AS sig2
+      FROM cum WHERE cn0 >= 2 AND cn1 >= 2
+    ),
+    v AS (
+      SELECT day, cn0, cn1, delta,
+             sig2 * CAST(cn0 + cn1 AS DOUBLE)
+                  / CAST(cn0 * cn1 AS DOUBLE) AS vv
+      FROM f WHERE sig2 > 0
+    ),
+    lam AS (
+      SELECT day, cn0, cn1, delta,
+             0.5 * LN(vv / (vv + 250000.0))
+             + delta * delta * 250000.0 / (2.0 * vv * (vv + 250000.0))
+               AS log_lambda
+      FROM v
+    ),
+    run AS (
+      SELECT day, cn0, cn1, delta, log_lambda,
+             MAX(log_lambda) OVER (ORDER BY day ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM lam
+    )
+    SELECT day, cn0 AS n0, cn1 AS n1,
+           ROUND(delta, 9) AS delta_cents,
+           ROUND(log_lambda, 9) AS log_lambda,
+           ROUND(LEAST(1.0, EXP(-peak)), 9) AS p_always_valid,
+           CAST(CASE WHEN LEAST(1.0, EXP(-peak)) <= 0.05
+                     THEN 1 ELSE 0 END AS INT) AS significant
+    FROM run
+    """,
+    doc=(
+        "Always-valid sequential test (mixture SPRT, normal mixture "
+        "prior tau = 500 cents): the running per-day monitor of the "
+        "variant revenue difference whose p-value is valid UNDER "
+        "CONTINUOUS PEEKING — the guard the fixed-horizon battery "
+        "(agg_ttest_welch / agg_wilson_ci / agg_fdr_bh) cannot give, "
+        "because checking a fixed-horizon test daily inflates false "
+        "positives ~5x (the 'peeking problem'). Per day: cumulative "
+        "EXACT integer moments (BIGINT cents, DECIMAL(38) squares) "
+        "via a running-sum window over the bounded day spine; pooled "
+        "variance, delta, and the mixture likelihood ratio are pinned "
+        "float sequences; Lambda lives in LOG SPACE (no overflow at "
+        "any horizon) and the always-valid p is exp(-running max), "
+        "clamped to 1 and rounded 9 (LN/EXP carry the documented "
+        "1-ULP cross-libm caveat, absorbed by rounding as in "
+        "agg_hill_tail_index / agg_fdr_bh). Scale: ONE map-side-"
+        "combined daily agg collapses the fact; every window runs on "
+        "the ~30-row day spine (the qa_ks_drift argument), never the "
+        "fact table."
+    ),
+    tags=("window", "experiment", "stats", "streaming-state"),
+)
+def win_sprt_always_valid(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    v0 = F.col("user_id") % 2 == 0
+    v1 = F.col("user_id") % 2 == 1
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.when(v0, 1)).cast("long").alias("n0"),
+            F.count(F.when(v1, 1)).cast("long").alias("n1"),
+            F.coalesce(F.sum(F.when(v0, cents)), F.lit(0))
+            .cast("long")
+            .alias("s0"),
+            F.coalesce(F.sum(F.when(v1, cents)), F.lit(0))
+            .cast("long")
+            .alias("s1"),
+            F.coalesce(
+                F.sum(F.when(v0, cents.cast(d38) * cents)), F.lit(0)
+            )
+            .cast(d38)
+            .alias("q0"),
+            F.coalesce(
+                F.sum(F.when(v1, cents.cast(d38) * cents)), F.lit(0)
+            )
+            .cast(d38)
+            .alias("q1"),
+        )
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "day",
+        F.sum("n0").over(w).cast("long").alias("cn0"),
+        F.sum("n1").over(w).cast("long").alias("cn1"),
+        F.sum("s0").over(w).cast("long").alias("cs0"),
+        F.sum("s1").over(w).cast("long").alias("cs1"),
+        F.sum("q0").over(w).cast(d38).alias("cq0"),
+        F.sum("q1").over(w).cast(d38).alias("cq1"),
+    )
+    f = cum.filter((F.col("cn0") >= 2) & (F.col("cn1") >= 2)).select(
+        "day",
+        "cn0",
+        "cn1",
+        (
+            F.col("cs1").cast("double") / F.col("cn1")
+            - F.col("cs0").cast("double") / F.col("cn0")
+        ).alias("delta"),
+        (
+            (
+                (F.col("cn0") * F.col("cq0") - F.col("cs0") * F.col("cs0"))
+                .cast("double")
+                / F.col("cn0")
+                + (F.col("cn1") * F.col("cq1") - F.col("cs1") * F.col("cs1"))
+                .cast("double")
+                / F.col("cn1")
+            )
+            / (F.col("cn0") + F.col("cn1") - 2)
+        ).alias("sig2"),
+    )
+    v = f.filter(F.col("sig2") > 0).select(
+        "day",
+        "cn0",
+        "cn1",
+        "delta",
+        (
+            F.col("sig2")
+            * (F.col("cn0") + F.col("cn1")).cast("double")
+            / (F.col("cn0") * F.col("cn1")).cast("double")
+        ).alias("vv"),
+    )
+    tau2 = F.lit(250000.0)
+    lam = v.select(
+        "day",
+        "cn0",
+        "cn1",
+        "delta",
+        (
+            F.lit(0.5) * F.log(F.col("vv") / (F.col("vv") + tau2))
+            + F.col("delta")
+            * F.col("delta")
+            * tau2
+            / (F.lit(2.0) * F.col("vv") * (F.col("vv") + tau2))
+        ).alias("log_lambda"),
+    )
+    run = lam.withColumn("peak", F.max("log_lambda").over(w))
+    p = F.least(F.lit(1.0), F.exp(-F.col("peak")))
+    return run.select(
+        "day",
+        F.col("cn0").alias("n0"),
+        F.col("cn1").alias("n1"),
+        F.round("delta", 9).alias("delta_cents"),
+        F.round("log_lambda", 9).alias("log_lambda"),
+        F.round(p, 9).alias("p_always_valid"),
+        F.when(p <= 0.05, 1).otherwise(0).cast("int").alias("significant"),
+    )

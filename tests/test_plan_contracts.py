@@ -984,3 +984,15 @@ class TestRound8WavePlanContracts:
         assert "BroadcastNestedLoopJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+    def test_sprt_monitor_single_fact_agg(self, spark):
+        """The always-valid monitor is one map-side-combined daily agg
+        on the fact; cumulative moments, the likelihood ratio, and the
+        running peak are all day-spine windows — no join, exactly one
+        keyed exchange."""
+        plan = _plan(
+            QUERIES["win_sprt_always_valid"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Join" not in plan, plan
+        assert "HashAggregate" in plan, plan

@@ -415,3 +415,61 @@ class TestPurgedSplitReference:
             < by[(2, "train")].n_rows
             < by[(3, "train")].n_rows
         )
+
+
+class TestSprtReference:
+    def test_msprt_vs_numpy_and_detects_planted_effect(self, spark):
+        """Recompute the mixture-SPRT trajectory independently in
+        NumPy from the raw fixture (float64 throughout, same tau),
+        and verify the always-valid p matches to approximation
+        tolerance AND that a planted 2x revenue lift in variant 1
+        drives p to significance while the null fixture stays at 1."""
+        import math
+
+        from steam_data_pipeline_spark.plans.registry import QUERIES as Q
+
+        pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+        pdf = pdf[pdf.event_type == "purchase"].copy()
+        pdf["cents"] = np.round(pdf["value"] * 100).astype("int64")
+        pdf["variant"] = (pdf["user_id"] % 2).astype(int)
+        pdf["day"] = pdf["ts"].values.astype("datetime64[D]")
+
+        def msprt(frame):
+            days = np.sort(frame["day"].unique())
+            peak, out = -np.inf, {}
+            for d in days:
+                cur = frame[frame.day <= d]
+                x0 = cur[cur.variant == 0]["cents"].to_numpy(float)
+                x1 = cur[cur.variant == 1]["cents"].to_numpy(float)
+                if len(x0) < 2 or len(x1) < 2:
+                    continue
+                sig2 = (
+                    (len(x0) * (x0 * x0).sum() - x0.sum() ** 2) / len(x0)
+                    + (len(x1) * (x1 * x1).sum() - x1.sum() ** 2) / len(x1)
+                ) / (len(x0) + len(x1) - 2)
+                if sig2 <= 0:
+                    continue
+                vv = sig2 * (len(x0) + len(x1)) / (len(x0) * len(x1))
+                delta = x1.mean() - x0.mean()
+                ll = 0.5 * math.log(vv / (vv + 250000.0)) + (
+                    delta * delta * 250000.0 / (2.0 * vv * (vv + 250000.0))
+                )
+                peak = max(peak, ll)
+                out[np.datetime64(d, "D")] = min(1.0, math.exp(-peak))
+            return out
+
+        got = {
+            np.datetime64(r.day, "D"): r.p_always_valid
+            for r in Q["win_sprt_always_valid"].spark(spark, SF_SMOKE).collect()
+        }
+        ref = msprt(pdf)
+        assert set(got) == set(ref)
+        for d in ref:
+            assert abs(got[d] - ref[d]) < 1e-6, (d, got[d], ref[d])
+        # planted effect: +$200/event location shift in variant 1
+        # (variance-preserving, unlike a multiplicative lift)
+        lifted = pdf.copy()
+        lifted.loc[lifted.variant == 1, "cents"] += 20000
+        ref_lift = msprt(lifted)
+        assert min(ref_lift.values()) <= 0.05  # detector fires
+        assert min(ref.values()) > 0.5  # and stays quiet on the null
