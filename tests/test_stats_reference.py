@@ -473,3 +473,51 @@ class TestSprtReference:
         ref_lift = msprt(lifted)
         assert min(ref_lift.values()) <= 0.05  # detector fires
         assert min(ref.values()) > 0.5  # and stays quiet on the null
+
+
+class TestFdrBhDetection:
+    def test_planted_cell_effect_rejected_alone(self, spark, tmp_path):
+        """Detection power + specificity on a constructed corpus:
+        values depend only on (user_id // 2, day) so the parity
+        variants are IDENTICAL in every null cell (delta exactly 0,
+        p = 1), and one planted cell — purchase events on dow 3 get
+        +$300 for variant-1 users — must be the ONLY rejection the
+        BH step-up returns."""
+        import os
+        from datetime import datetime, timedelta
+
+        import pandas as pd
+
+        rows = []
+        base = datetime(2024, 1, 1)  # == the dow anchor -> day 0 is dow 0
+        eid = 0
+        for day in range(14):
+            dow = day % 7
+            for etype in ("purchase", "view"):
+                for user in range(200):
+                    val = float(((user // 2) * 37 + day * 13) % 100 + 1)
+                    if etype == "purchase" and dow == 3 and user % 2 == 1:
+                        val += 300.0
+                    rows.append(
+                        (eid, base + timedelta(days=day, hours=12),
+                         user, etype, val)
+                    )
+                    eid += 1
+        d = str(tmp_path / "fdr")
+        os.makedirs(d)
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        ).to_parquet(f"{d}/events.parquet", index=False,
+                     coerce_timestamps="us", allow_truncated_timestamps=True)
+        from steam_data_pipeline_spark.plans.registry import QUERIES as Q
+
+        got = Q["agg_fdr_bh"].spark(spark, d).collect()
+        assert all(r.m_tests == 14 for r in got)
+        rejected = {(r.event_type, r.dow) for r in got if r.rejected}
+        assert rejected == {("purchase", 3)}
+        by = {(r.event_type, r.dow): r for r in got}
+        assert by[("purchase", 3)].p_value <= 0.05 / 14  # survives rank 1
+        nulls = [r.p_value for r in got if (r.event_type, r.dow) != ("purchase", 3)]
+        # deltas exactly zero -> z = 0 -> the A&S erfc gives
+        # 0.999999999 (its |err| < 1.5e-7 at the origin), round 9
+        assert all(p >= 0.999999 for p in nulls)
