@@ -319,6 +319,11 @@ class TestAssocRulesReference:
             rows += [(bid, 1), (bid, 3)]
         for bid in range(40, 65):
             rows += [(bid, 3)]
+        # item 4: 10 baskets, ALWAYS with item 1 — heavy co-occurrence
+        # but below min_item_support=25, so apriori pruning must drop
+        # it before any pair forms
+        for bid in range(30, 40):
+            rows += [(bid, 4)]
         pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
         d = str(tmp_path / "li")
         import os
@@ -342,6 +347,7 @@ class TestAssocRulesReference:
         assert r13.pair_count == 10
         assert r13.lift == round(65 * 10 / (40 * 35), 9)
         assert (2, 3) not in out  # never co-occur
+        assert not any(4 in k for k in out)  # infrequent item pruned
 
 
 class TestFdrBhReference:
