@@ -13365,3 +13365,89 @@ def win_sprt_always_valid(spark, sf_dir):
         F.round(p, 9).alias("p_always_valid"),
         F.when(p <= 0.05, 1).otherwise(0).cast("int").alias("significant"),
     )
+
+
+@EXT.add(
+    "feat_target_encode_expanding",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+      SELECT event_id, user_id, ts, cents,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS prior_n,
+             CAST(COALESCE(SUM(cents) OVER fr, 0) AS BIGINT)
+               AS prior_sum_cents
+      FROM p
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, cents, prior_n, prior_sum_cents,
+           CASE WHEN prior_n > 0
+                THEN (prior_sum_cents * 10000) // prior_n END AS enc_micro
+    FROM w
+    """,
+    doc=(
+        "TIME-SAFE expanding target encoding: each purchase event is "
+        "encoded with the mean of that user's STRICTLY PRIOR purchases "
+        "(exclusive expanding frame, ROWS UNBOUNDED PRECEDING .. 1 "
+        "PRECEDING) — the production-correct variant of "
+        "feat_target_encode_loo, whose leave-one-out mean still mixes "
+        "FUTURE rows into a training feature and so train-serving-"
+        "skews any time-ordered deployment (at serving time only the "
+        "past exists; this encoding is exactly reproducible there, "
+        "and composes with feat_split_time_purged's embargoed splits). "
+        "First event per user encodes NULL (no history) rather than a "
+        "leaked global mean. Exact integer arithmetic end to end "
+        "(cents, micro-scaled truncating division, Spark `div` == "
+        "DuckDB `//` for non-negative operands); the deterministic "
+        "(ts, event_id) order key makes the running sums unique per "
+        "row. Scale: ONE (user) exchange + sort feeds both window "
+        "moments — the fact table is never joined or re-shuffled; "
+        "key cardinality grows with users, so parallelism scales "
+        "with data."
+    ),
+    tags=("feat", "ml", "window", "timeseries"),
+)
+def feat_target_encode_expanding(spark, sf_dir):
+    from pyspark.sql import Window
+
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = p.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "cents",
+        F.count(F.lit(1)).over(fr).cast("long").alias("prior_n"),
+        F.coalesce(F.sum("cents").over(fr), F.lit(0))
+        .cast("long")
+        .alias("prior_sum_cents"),
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "cents",
+        "prior_n",
+        "prior_sum_cents",
+        F.when(
+            F.col("prior_n") > 0,
+            F.expr("(prior_sum_cents * 10000) div prior_n"),
+        ).alias("enc_micro"),
+    )

@@ -996,3 +996,14 @@ class TestRound8WavePlanContracts:
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "Join" not in plan, plan
         assert "HashAggregate" in plan, plan
+
+    def test_expanding_encode_single_shuffle_no_join(self, spark):
+        """Both expanding moments share one (user) exchange+sort;
+        there is no join and no second shuffle anywhere."""
+        plan = _plan(
+            QUERIES["feat_target_encode_expanding"].spark(spark, SF_SMOKE),
+            "simple",
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Join" not in plan, plan
+        assert "Window" in plan, plan

@@ -527,3 +527,34 @@ class TestFdrBhDetection:
         # deltas exactly zero -> z = 0 -> the A&S erfc gives
         # 0.999999999 (its |err| < 1.5e-7 at the origin), round 9
         assert all(p >= 0.999999 for p in nulls)
+
+
+class TestExpandingEncodeReference:
+    def test_prior_only_vs_pandas_expanding(self, spark):
+        """Recompute the encoding with pandas groupby-expanding
+        (shifted by one — strictly prior) and verify equality,
+        including the NULL first-event-per-user rule and that no
+        row's encoding uses its own or any later value."""
+        from steam_data_pipeline_spark.plans.registry import QUERIES as Q
+
+        got = {
+            r.event_id: (r.prior_n, r.prior_sum_cents, r.enc_micro)
+            for r in Q["feat_target_encode_expanding"]
+            .spark(spark, SF_SMOKE)
+            .collect()
+        }
+        pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+        pdf = pdf[pdf.event_type == "purchase"].copy()
+        pdf["cents"] = np.round(pdf["value"] * 100).astype("int64")
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        g = pdf.groupby("user_id")["cents"]
+        pdf["prior_n"] = g.cumcount()
+        pdf["prior_sum"] = (g.cumsum() - pdf["cents"]).astype("int64")
+        assert len(got) == len(pdf)
+        for r in pdf.itertuples():
+            n, s, enc = got[r.event_id]
+            assert n == r.prior_n and s == r.prior_sum
+            if r.prior_n == 0:
+                assert enc is None
+            else:
+                assert enc == (r.prior_sum * 10000) // r.prior_n
