@@ -12906,9 +12906,9 @@ def agg_assoc_rules(spark, sf_dir):
     s AS (
       SELECT event_type, dow, n0, n1,
              CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0 AS diff,
-             CAST(n0 * sxx0 - sx0 * sx0 AS DOUBLE)
+             CAST(n0 * sxx0 - CAST(sx0 AS HUGEINT) * sx0 AS DOUBLE)
                / (CAST(n0 AS DOUBLE) * (n0 - 1)) / n0
-             + CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+             + CAST(n1 * sxx1 - CAST(sx1 AS HUGEINT) * sx1 AS DOUBLE)
                / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1 AS vsum
       FROM m WHERE n0 >= 2 AND n1 >= 2
     ),
@@ -13009,8 +13009,12 @@ def agg_fdr_bh(spark, sf_dir):
     )
 
     def _vm(n, sx, sxx):
+        # sx**2 can pass 2^63 long before sxx's DECIMAL(38) does —
+        # square in decimal too (exact, same doubles where both fit)
         return (
-            (F.col(n) * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+            (F.col(n) * F.col(sxx) - F.col(sx).cast(d38) * F.col(sx)).cast(
+                "double"
+            )
             / (F.col(n).cast("double") * (F.col(n) - 1))
             / F.col(n)
         )
@@ -13210,8 +13214,8 @@ def feat_split_time_purged(spark, sf_dir):
       SELECT day, cn0, cn1,
              CAST(cs1 AS DOUBLE) / cn1 - CAST(cs0 AS DOUBLE) / cn0
                AS delta,
-             (CAST(cn0 * cq0 - cs0 * cs0 AS DOUBLE) / cn0
-              + CAST(cn1 * cq1 - cs1 * cs1 AS DOUBLE) / cn1)
+             (CAST(cn0 * cq0 - CAST(cs0 AS HUGEINT) * cs0 AS DOUBLE) / cn0
+              + CAST(cn1 * cq1 - CAST(cs1 AS HUGEINT) * cs1 AS DOUBLE) / cn1)
              / (cn0 + cn1 - 2) AS sig2
       FROM cum WHERE cn0 >= 2 AND cn1 >= 2
     ),
@@ -13319,11 +13323,17 @@ def win_sprt_always_valid(spark, sf_dir):
         ).alias("delta"),
         (
             (
-                (F.col("cn0") * F.col("cq0") - F.col("cs0") * F.col("cs0"))
-                .cast("double")
+                # cumulative sums square past 2^63 at lifetime-revenue
+                # horizons — square in DECIMAL(38), cast to double once
+                (
+                    F.col("cn0") * F.col("cq0")
+                    - F.col("cs0").cast(d38) * F.col("cs0")
+                ).cast("double")
                 / F.col("cn0")
-                + (F.col("cn1") * F.col("cq1") - F.col("cs1") * F.col("cs1"))
-                .cast("double")
+                + (
+                    F.col("cn1") * F.col("cq1")
+                    - F.col("cs1").cast(d38) * F.col("cs1")
+                ).cast("double")
                 / F.col("cn1")
             )
             / (F.col("cn0") + F.col("cn1") - 2)

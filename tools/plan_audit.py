@@ -21,7 +21,10 @@ Counters per query (substring counts over explain("simple")):
   arrow_py  ArrowEvalPython            (vectorized scalar UDF)
   pandas_gm FlatMapGroupsInPandas/MapInPandas/CoGrouped (grouped maps)
   rowwise_py BatchEvalPython           (banned row-at-a-time path)
-  window/agg Window + HashAggregate operators
+  window/agg Window + HashAggregate operators (exact: ObjectHashAggregate
+             and WindowGroupLimit are counted separately as obj_agg/wgl,
+             not folded in — an agg flipping hash->object is a memory-
+             behavior change worth seeing in the diff)
 """
 
 from __future__ import annotations
@@ -46,8 +49,8 @@ COUNTERS = {
     "cartesian": "CartesianProduct",
     "arrow_py": "ArrowEvalPython",
     "rowwise_py": "BatchEvalPython",
-    "window": "Window",
-    "agg": "HashAggregate",
+    "obj_agg": "ObjectHashAggregate",
+    "wgl": "WindowGroupLimit",
 }
 PANDAS_OPS = (
     "FlatMapGroupsInPandas",
@@ -73,6 +76,11 @@ def audit(sf_dir: str) -> dict:
             errors[name] = f"{type(e).__name__}: {str(e)[:160]}"
             continue
         row = {k: plan.count(v) for k, v in COUNTERS.items()}
+        # disambiguate substring collisions: "HashAggregate" is a
+        # suffix of "ObjectHashAggregate", "Window" a prefix of
+        # "WindowGroupLimit"
+        row["agg"] = plan.count("HashAggregate") - row["obj_agg"]
+        row["window"] = plan.count("Window") - row["wgl"]
         row["pandas_gm"] = sum(plan.count(p) for p in PANDAS_OPS)
         out[name] = {k: v for k, v in row.items() if v}
     spark.stop()

@@ -523,8 +523,16 @@ def rehearse_basket_skew(sf_dir: str, repeats: int = 2) -> None:
     from steam_data_pipeline_spark.plans.registry import QUERIES
     from steam_data_pipeline_spark.sources.tables import read_table
 
+    import hashlib
+
     spark = _spark()
-    out_dir = os.path.join(tempfile.gettempdir(), "sdp_basket_skew")
+    # key the cached fixture by the SOURCE dir: rerunning with a
+    # different --sf-dir must rebuild, not silently reuse another SF's
+    # baskets (which would invalidate the clean-vs-hot comparison)
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"sdp_basket_skew_{tag}"
+    )
     ok = os.path.join(out_dir, "_SKEW_OK")
     if not os.path.exists(ok):
         shutil.rmtree(out_dir, ignore_errors=True)
