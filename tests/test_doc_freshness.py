@@ -55,3 +55,27 @@ def test_oracle_registry_is_subset():
 
     mod = importlib.import_module("__spark_entry__")
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_plan_audit_artifact_covers_registry():
+    """PLAN_AUDIT.json (the committed plan-shape inventory) must cover
+    exactly the live registry — a new query without a regenerated
+    audit, or a renamed query leaving a stale row, fails here until
+    ``python tools/plan_audit.py`` is rerun. Also re-pins the two
+    banned patterns on the committed artifact itself."""
+    import json
+
+    audit = json.loads((REPO / "PLAN_AUDIT.json").read_text())
+    audited = set(audit["queries"])
+    live = set(QUERIES)
+    assert audited == live, (
+        f"missing={sorted(live - audited)} stale={sorted(audited - live)}; "
+        "regenerate with `python tools/plan_audit.py`"
+    )
+    assert audit["errors"] == {}
+    banned = {
+        k: v
+        for k, v in audit["queries"].items()
+        if v.get("cartesian") or v.get("rowwise_py")
+    }
+    assert banned == {}
