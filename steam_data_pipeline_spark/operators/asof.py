@@ -43,13 +43,25 @@ def asof_backward(
     because the as-of pick IS the nearest prior row, so if it misses
     the bound every earlier row misses it too. This is the
     feature-store point-in-time staleness gate (a feature older than
-    its freshness SLA must not silently join)."""
+    its freshness SLA must not silently join).
+
+    ``tiebreak`` names a RIGHT column: among right rows sharing a
+    timestamp, the one with the greatest tiebreak value wins (pandas
+    ``merge_asof`` backward picks the last right row in sort order).
+    It is carried through the union as ``__r_tb`` — ordering by a
+    left-named column here would be a no-op, because right rows carry
+    NULL in every left column."""
     l_cols = [c for c in left.columns]
     tagged_left = left.select(
         *l_cols,
         F.lit(1).alias("__is_left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
         F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
+        *(
+            [F.lit(None).cast(right.schema[tiebreak].dataType).alias("__r_tb")]
+            if tiebreak
+            else []
+        ),
     )
     tagged_right = right.select(
         *[
@@ -59,10 +71,11 @@ def asof_backward(
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
         F.col(ts).alias("__r_ts"),
+        *([F.col(tiebreak).alias("__r_tb")] if tiebreak else []),
     )
     unioned = tagged_left.unionByName(tagged_right)
     order = [F.col(ts), F.col("__is_left")] + (
-        [F.col(tiebreak)] if tiebreak else []
+        [F.col("__r_tb")] if tiebreak else []
     )
     w = (
         Window.partitionBy(key)
@@ -107,13 +120,21 @@ def asof_forward(
 
     Mirror of :func:`asof_backward`: ascending ts order with left rows
     sorted *before* right rows at equal ts (inclusive ``>=``), frame
-    [current row, unbounded following], ``first(…, ignorenulls)``."""
+    [current row, unbounded following], ``first(…, ignorenulls)``.
+    ``tiebreak`` names a RIGHT column; among right rows sharing a
+    timestamp the SMALLEST tiebreak wins (the first in sort order —
+    the forward mirror of backward's last-wins)."""
     l_cols = [c for c in left.columns]
     tagged_left = left.select(
         *l_cols,
         F.lit(1).alias("__is_left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
         F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
+        *(
+            [F.lit(None).cast(right.schema[tiebreak].dataType).alias("__r_tb")]
+            if tiebreak
+            else []
+        ),
     )
     tagged_right = right.select(
         *[
@@ -123,10 +144,11 @@ def asof_forward(
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
         F.col(ts).alias("__r_ts"),
+        *([F.col(tiebreak).alias("__r_tb")] if tiebreak else []),
     )
     unioned = tagged_left.unionByName(tagged_right)
     order = [F.col(ts), F.col("__is_left").desc()] + (
-        [F.col(tiebreak)] if tiebreak else []
+        [F.col("__r_tb")] if tiebreak else []
     )
     w = (
         Window.partitionBy(key)
@@ -204,13 +226,28 @@ def asof_backward_cogrouped(
         )
         if lpdf.empty:
             return pd.DataFrame(columns=[f.name for f in schema.fields])
+        # NULL left timestamps can never match (the expression twin
+        # fills them NULL via ignorenulls) — but pd.merge_asof raises
+        # on null merge keys, so split them out and re-append unmatched
+        # instead of killing the task.
+        null_ts = lpdf[lpdf[left_ts].isna()]
+        lpdf = lpdf[lpdf[left_ts].notna()]
+
+        def _unmatched(frame: pd.DataFrame) -> pd.DataFrame:
+            out = frame.copy()
+            for c in right_cols:
+                out[f"asof_{c}"] = None
+            return out
+
+        if lpdf.empty:
+            return _unmatched(null_ts)
         # merge_asof sorts on the `on` key globally; `by` handles the
         # per-key exact match inside the single vectorized merge
         lpdf = lpdf.sort_values([left_ts, key], kind="mergesort")
         if rpdf.empty:
-            out = lpdf.copy()
-            for c in right_cols:
-                out[f"asof_{c}"] = None
+            out = _unmatched(lpdf)
+            if not null_ts.empty:
+                out = pd.concat([out, _unmatched(null_ts)])
             return out
         rpdf = rpdf.sort_values([right_ts, tiebreak], kind="mergesort")
         # copy (not rename) so right_ts stays available as the merge
@@ -228,7 +265,10 @@ def asof_backward_cogrouped(
             suffixes=("", "__r"),
         )
         keep = lcols + [f"asof_{c}" for c in right_cols]
-        return merged[keep]
+        merged = merged[keep]
+        if not null_ts.empty:
+            merged = pd.concat([merged, _unmatched(null_ts)[keep]])
+        return merged
 
     lb = left.withColumn("__b", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
     # Alias EVERY right column to a fresh name before the cogroup:

@@ -53,7 +53,14 @@ def pagerank(
     are kept (standard PageRank semantics). Returns
     ``(node, rank_micro)`` with Σ rank_micro ≤ SCALE (floor leakage).
     """
-    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    # materialize the dedup'd edge table once: every iteration joins it
+    # against the frontier, and without this the dropDuplicates shuffle
+    # re-runs per materialization (the same fix LPA/k-core carry)
+    e = (
+        edges.select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     spine = nodes.select(F.col("node").cast("long").alias("node"))
     n = spine.count()  # node count is a scalar the formula needs
@@ -217,9 +224,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     stats = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
-        .cast("long")
-        .alias("n_wedges"),
+        # integer div, not `/`: the float path loses exactness past
+        # 2^53 wedges (sum(d*(d-1)) is always even, so div is exact)
+        F.expr("sum(deg * (deg - 1)) div 2").cast("long").alias("n_wedges"),
     )
     n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (

@@ -129,9 +129,19 @@ def range_join_binned(
     [bin(start), bin(end)] can never miss a contained point's bin.
     """
     bin_of = lambda c: F.floor(F.unix_timestamp(F.col(c)) / bin_seconds)  # noqa: E731
-    exploded = intervals.withColumn(
-        "__bin", F.explode(F.sequence(bin_of(start), bin_of(end)))
-    ).withColumnRenamed(key, "__ikey")
+    # Drop malformed intervals (end < start) BEFORE exploding: sequence
+    # with start > stop yields a DESCENDING sequence, so one reversed
+    # interval spanning years would explode into millions of junk bins
+    # whose pairs all fail the residual BETWEEN anyway — the plain
+    # range join (the oracle) matches nothing for them either, so
+    # filtering keeps semantics identical while failing cheap.
+    exploded = (
+        intervals.filter(F.col(start) <= F.col(end))
+        .withColumn(
+            "__bin", F.explode(F.sequence(bin_of(start), bin_of(end)))
+        )
+        .withColumnRenamed(key, "__ikey")
+    )
     binned_points = points.withColumn("__bin", bin_of(ts))
     cond = (
         (F.col("__ikey") == F.col(key))

@@ -40,7 +40,17 @@ def grid_scale(col: Column, lo: Column, hi: Column, bits: int = DEFAULT_BITS) ->
     scaled = F.floor(
         (col.cast("double") - lo.cast("double")) / F.greatest(span, F.lit(1e-12)) * n_cells
     ).cast("long")
-    return F.greatest(F.lit(0).cast("long"), F.least(scaled, F.lit((1 << bits) - 1).cast("long")))
+    # NULL values route to cell 0 EXPLICITLY, branching on the INPUT:
+    # least(NULL, k) skips the NULL (so a coalesce after the clamp is
+    # too late) and would silently park every NULL row in the TOP
+    # cell, stretching the max-corner files' min/max ranges and
+    # degrading the pruning this layout exists for (profile.py
+    # documents the same least()-vs-NULL trap for histogram binning).
+    clamped = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(scaled, F.lit((1 << bits) - 1).cast("long")),
+    )
+    return F.when(col.isNull(), F.lit(0).cast("long")).otherwise(clamped)
 
 
 def zorder_value(x: Column, y: Column, bits: int = DEFAULT_BITS) -> Column:

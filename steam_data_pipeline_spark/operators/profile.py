@@ -131,6 +131,10 @@ def check(df: DataFrame, expects: Sequence[Expect]) -> DataFrame:
     grouped like GROUP BY). 'ref' is a broadcast left-anti join; the
     referenced side must be dimension-sized.
     """
+    if not expects:
+        # fail loudly: rows[0] below would raise a bare IndexError, and
+        # an empty report reading as "all checks passed" is worse
+        raise ValueError("check() requires at least one expectation")
     local = [e for e in expects if e.kind in ("complete", "predicate")]
     rows: list[DataFrame] = []
     if local:

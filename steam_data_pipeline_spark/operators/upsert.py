@@ -26,7 +26,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from steam_data_pipeline_spark.operators.relational import dedup_last_writer
 
@@ -60,7 +60,24 @@ def merge_upsert(
             new.withColumn("__src", F.lit(1))
         )
         return dedup_last_writer(tagged, key, [*version_cols, "__src"]).drop("__src")
-    new = new.dropDuplicates([key])
+    # Deterministic within-batch dedup: dropDuplicates keeps an
+    # ARBITRARY row when one batch carries a key twice, so a re-run
+    # could keep a different one and break the idempotence invariant
+    # above. Pick the max over the remaining columns instead (same
+    # single shuffle; relational.py documents the same rule for
+    # dedup_last_writer).
+    other = [c for c in new.columns if c != key]
+    if other:
+        w = W.partitionBy(key).orderBy(
+            *[F.col(c).desc_nulls_last() for c in other]
+        )
+        new = (
+            new.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        new = new.dropDuplicates([key])
     if old is None:
         return new
     keep_old = old.join(new.select(key), on=key, how="left_anti")

@@ -195,10 +195,19 @@ def scd2_history(
     """
     order_cols = [F.col(c) for c in order]
     w = Window.partitionBy(key).orderBy(*order_cols)
+    # Null-safe change test: `__prev != state` is NULL (dropped) for a
+    # non-NULL -> NULL transition, and `__prev IS NULL` cannot tell the
+    # first row from a predecessor whose STATE is NULL — so NULL states
+    # would both lose transitions and mint spurious versions. Row 1 is
+    # detected explicitly; every other row compares null-safely.
     changes = (
         df.withColumn("__prev", F.lag(state).over(w))
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(state)))
-        .drop("__prev")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") == 1)
+            | ~F.col("__prev").eqNullSafe(F.col(state))
+        )
+        .drop("__prev", "__rn")
     )
     w2 = Window.partitionBy(key).orderBy(*order_cols)
     ts0 = order[0]

@@ -437,3 +437,158 @@ class TestAsofToleranceAndValidation:
             asof_nearest(
                 left, right, key="k", ts="ts", value_col="rv", right_id="rid"
             )
+
+
+class TestOperatorHardeningRound8:
+    """Regression tests for the round-8 operator review findings."""
+
+    def test_asof_backward_tiebreak_deterministic(self, spark):
+        """Equal-timestamp right rows must resolve by the RIGHT
+        tiebreak column (max wins, merge_asof last-sorted semantics) —
+        not partition order."""
+        from steam_data_pipeline_spark.operators.asof import (
+            asof_backward,
+            asof_forward,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 100)], "k int, ts int"
+        ).select("k", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [(1, 50, 1, 10.0), (1, 50, 2, 20.0), (1, 50, 3, 30.0)],
+            "k int, ts int, seq int, v double",
+        ).select("k", F.col("ts").cast("timestamp"), "seq", "v")
+        # repartition adversarially so arrival order varies
+        for n in (1, 7):
+            got = asof_backward(
+                left, right.repartition(n), "k", "ts",
+                value_cols=["v"], tiebreak="seq",
+            ).collect()
+            assert [r.asof_v for r in got] == [30.0], n  # max seq wins
+        left_f = spark.createDataFrame(
+            [(1, 10)], "k int, ts int"
+        ).select("k", F.col("ts").cast("timestamp"))
+        for n in (1, 7):
+            got = asof_forward(
+                left_f, right.repartition(n), "k", "ts",
+                value_cols=["v"], tiebreak="seq",
+            ).collect()
+            assert [r.asof_v for r in got] == [10.0], n  # min seq wins
+
+    def test_merge_upsert_idempotent_with_dup_key_batch(self, spark):
+        """A batch carrying the same key twice must keep a
+        DETERMINISTIC row, so merge(merge(T,B),B) == merge(T,B)."""
+        from steam_data_pipeline_spark.operators.upsert import merge_upsert
+
+        old = spark.createDataFrame([(1, "old")], "k int, v string")
+        batch = spark.createDataFrame(
+            [(1, "a"), (1, "z"), (2, "b")], "k int, v string"
+        )
+        once = merge_upsert(old, batch.repartition(5), "k")
+        twice = merge_upsert(once, batch.repartition(3), "k")
+        a = sorted(map(tuple, once.collect()))
+        b = sorted(map(tuple, twice.collect()))
+        assert a == b == [(1, "z"), (2, "b")]  # max-tuple pick, stable
+
+    def test_scd2_null_state_transitions(self, spark):
+        """non-NULL -> NULL must open a version; a NULL run must not
+        mint one version per row."""
+        from steam_data_pipeline_spark.operators.windows import scd2_history
+
+        df = spark.createDataFrame(
+            [(1, 1, "A"), (1, 2, None), (1, 3, None), (1, 4, "A"),
+             (2, 1, None), (2, 2, None)],
+            "k int, t int, state string",
+        )
+        got = sorted(
+            (r.k, r.valid_from, r.state)
+            for r in scd2_history(df, "k", "state", ["t"]).collect()
+        )
+        assert got == [
+            (1, 1, "A"), (1, 2, None), (1, 4, "A"), (2, 1, None)
+        ]
+
+    def test_cogrouped_asof_tolerates_null_left_ts(self, spark):
+        """A NULL left timestamp must yield NULL asof values (the
+        expression twin's behavior), not a task-killing
+        merge_asof ValueError."""
+        from steam_data_pipeline_spark.operators.asof import (
+            asof_backward_cogrouped,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 100, 10), (1, None, 11)], "k int, lt int, lid int"
+        ).select("k", F.col("lt").cast("timestamp"), "lid")
+        right = spark.createDataFrame(
+            [(1, 50, 1, 5.0)], "k int, rt int, seq int, v double"
+        ).select("k", F.col("rt").cast("timestamp"), "seq", "v")
+        got = {
+            r.lid: r.asof_v
+            for r in asof_backward_cogrouped(
+                left, right, key="k", left_ts="lt", right_ts="rt",
+                right_cols=["v"], tiebreak="seq", n_buckets=4,
+            ).collect()
+        }
+        assert got == {10: 5.0, 11: None}
+
+    def test_triangle_wedges_integer_exact(self, spark):
+        """n_wedges must come from integer division (the float path
+        loses exactness past 2^53); small-graph value unchanged."""
+        from steam_data_pipeline_spark.operators.graph import triangle_stats
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+        )
+        row = triangle_stats(edges).collect()[0]
+        # degrees: 1->2, 2->2, 3->3, 4->1; sum d(d-1) = 2+2+6+0 = 10
+        assert row.n_wedges == 5 and row.n_triangles == 1
+
+    def test_grid_scale_null_routes_to_cell_zero(self, spark):
+        """NULL values must land in cell 0 explicitly — least(NULL, k)
+        would silently park them in the TOP cell."""
+        from steam_data_pipeline_spark.operators.layout import grid_scale
+
+        df = spark.createDataFrame(
+            [(0.0,), (100.0,), (None,)], "x double"
+        )
+        got = [
+            r.c
+            for r in df.select(
+                grid_scale(
+                    F.col("x"), F.lit(0.0), F.lit(100.0), bits=4
+                ).alias("c")
+            ).collect()
+        ]
+        assert got == [0, 15, 0]
+
+    def test_check_empty_expectations_raises(self, spark):
+        from steam_data_pipeline_spark.operators.profile import check
+
+        df = spark.createDataFrame([(1,)], "x int")
+        with pytest.raises(ValueError, match="at least one expectation"):
+            check(df, [])
+
+    def test_range_join_binned_drops_reversed_intervals(self, spark):
+        """A reversed interval (end < start) must match nothing and
+        must NOT explode into a descending bin sequence."""
+        from steam_data_pipeline_spark.operators.joins import (
+            range_join_binned,
+        )
+
+        points = spark.createDataFrame(
+            [(1, 100)], "k int, ts int"
+        ).select("k", F.col("ts").cast("timestamp"))
+        intervals = spark.createDataFrame(
+            [(1, 90, 110, "good"), (1, 500, 50, "reversed")],
+            "k int, s int, e int, tag string",
+        ).select(
+            "k", F.col("s").cast("timestamp"), F.col("e").cast("timestamp"),
+            "tag",
+        )
+        got = [
+            r.tag
+            for r in range_join_binned(
+                points, intervals, "k", "ts", "s", "e", bin_seconds=60
+            ).collect()
+        ]
+        assert got == ["good"]
