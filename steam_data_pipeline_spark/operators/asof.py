@@ -114,6 +114,7 @@ def asof_forward(
     ts: str,
     value_cols: list[str],
     tiebreak: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Attach ``value_cols`` (renamed ``asof_<col>``) plus ``asof_ts``
     from the earliest right row at-or-after each left row's ``ts``.
@@ -123,7 +124,11 @@ def asof_forward(
     [current row, unbounded following], ``first(…, ignorenulls)``.
     ``tiebreak`` names a RIGHT column; among right rows sharing a
     timestamp the SMALLEST tiebreak wins (the first in sort order —
-    the forward mirror of backward's last-wins)."""
+    the forward mirror of backward's last-wins). ``tolerance`` bounds
+    lookAHEAD the way backward's bounds staleness: a match further than
+    the interval into the future nulls out (pandas
+    ``merge_asof(direction='forward', tolerance=...)``); the post-fill
+    null-out is exact because the pick is the NEAREST following row."""
     l_cols = [c for c in left.columns]
     tagged_left = left.select(
         *l_cols,
@@ -164,7 +169,20 @@ def asof_forward(
         ],
         F.first("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    out = filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    if tolerance is not None:
+        near = F.col("asof_ts") <= F.col(ts) + F.expr(
+            f"interval {tolerance}"
+        )
+        out = out.select(
+            *l_cols,
+            *[
+                F.when(near, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+            F.when(near, F.col("asof_ts")).alias("asof_ts"),
+        )
+    return out
 
 
 def asof_backward_cogrouped(

@@ -592,3 +592,23 @@ class TestOperatorHardeningRound8:
             ).collect()
         ]
         assert got == ["good"]
+
+    def test_asof_forward_tolerance_nulls_far_matches(self, spark):
+        """Forward tolerance mirrors backward staleness: a following
+        match beyond the bound nulls out, within it survives."""
+        from steam_data_pipeline_spark.operators.asof import asof_forward
+
+        left = spark.createDataFrame(
+            [(1, 0, 10), (2, 0, 11)], "k int, ts int, lid int"
+        ).select("k", F.col("ts").cast("timestamp"), "lid")
+        right = spark.createDataFrame(
+            [(1, 1800, 1.0), (2, 7200, 2.0)], "k int, ts int, v double"
+        ).select("k", F.col("ts").cast("timestamp"), "v")
+        got = {
+            r.lid: (r.asof_v, r.asof_ts is not None)
+            for r in asof_forward(
+                left, right, "k", "ts", value_cols=["v"],
+                tolerance="1 hour",
+            ).collect()
+        }
+        assert got == {10: (1.0, True), 11: (None, False)}
