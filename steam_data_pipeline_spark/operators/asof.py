@@ -24,6 +24,90 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 
+def _asof_union_tag(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    tiebreak: str | None,
+    tolerance: str | None,
+    direction: str,
+) -> DataFrame:
+    """Shared union-tag scaffolding for both as-of directions — one
+    parameterized body so a fix lands in both at once (the two copies
+    had already drifted once: forward lacked ``tolerance``).
+
+    direction='backward': right rows sort BEFORE left at equal ts
+    (inclusive <=), frame (-inf, 0], ``last(ignorenulls)`` — so among
+    equal-ts right rows the GREATEST tiebreak wins (merge_asof picks
+    the last right row in sort order). direction='forward' mirrors
+    every choice: left before right at equal ts (inclusive >=), frame
+    [0, +inf), ``first(ignorenulls)``, SMALLEST tiebreak wins.
+    ``tiebreak`` must name a RIGHT column; it is carried through the
+    union as ``__r_tb`` (ordering by a left-named column would be a
+    no-op — right rows carry NULL in every left column)."""
+    backward = direction == "backward"
+    l_cols = [c for c in left.columns]
+    tagged_left = left.select(
+        *l_cols,
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
+        *(
+            [F.lit(None).cast(right.schema[tiebreak].dataType).alias("__r_tb")]
+            if tiebreak
+            else []
+        ),
+    )
+    tagged_right = right.select(
+        *[
+            F.col(c) if c in (key, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_cols
+        ],
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(ts).alias("__r_ts"),
+        *([F.col(tiebreak).alias("__r_tb")] if tiebreak else []),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    side = F.col("__is_left") if backward else F.col("__is_left").desc()
+    order = [F.col(ts), side] + ([F.col("__r_tb")] if tiebreak else [])
+    frame = (
+        (Window.unboundedPreceding, 0)
+        if backward
+        else (0, Window.unboundedFollowing)
+    )
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(*frame)
+    pick = F.last if backward else F.first
+    filled = unioned.select(
+        *l_cols,
+        "__is_left",
+        *[
+            pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+        pick("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+    )
+    out = filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    if tolerance is not None:
+        bound = F.expr(f"interval {tolerance}")
+        within = (
+            F.col("asof_ts") >= F.col(ts) - bound
+            if backward
+            else F.col("asof_ts") <= F.col(ts) + bound
+        )
+        out = out.select(
+            *l_cols,
+            *[
+                F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+            F.when(within, F.col("asof_ts")).alias("asof_ts"),
+        )
+    return out
+
+
 def asof_backward(
     left: DataFrame,
     right: DataFrame,
@@ -39,72 +123,15 @@ def asof_backward(
     ``tolerance`` (an SQL interval string, e.g. ``"1 hour"``) bounds
     match staleness exactly as pandas ``merge_asof(tolerance=...)``:
     a left row whose nearest prior right row is older than the bound
-    gets NULLs instead. Implemented as a post-fill null-out — correct
-    because the as-of pick IS the nearest prior row, so if it misses
-    the bound every earlier row misses it too. This is the
-    feature-store point-in-time staleness gate (a feature older than
-    its freshness SLA must not silently join).
-
-    ``tiebreak`` names a RIGHT column: among right rows sharing a
-    timestamp, the one with the greatest tiebreak value wins (pandas
-    ``merge_asof`` backward picks the last right row in sort order).
-    It is carried through the union as ``__r_tb`` — ordering by a
-    left-named column here would be a no-op, because right rows carry
-    NULL in every left column."""
-    l_cols = [c for c in left.columns]
-    tagged_left = left.select(
-        *l_cols,
-        F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
-        *(
-            [F.lit(None).cast(right.schema[tiebreak].dataType).alias("__r_tb")]
-            if tiebreak
-            else []
-        ),
+    gets NULLs instead — a post-fill null-out, exact because the
+    as-of pick IS the nearest prior row (if it misses the bound every
+    earlier row misses it too). This is the feature-store
+    point-in-time staleness gate. ``tiebreak`` names a RIGHT column:
+    the greatest value wins among equal-ts right rows. See
+    :func:`_asof_union_tag` for the shared plan shape."""
+    return _asof_union_tag(
+        left, right, key, ts, value_cols, tiebreak, tolerance, "backward"
     )
-    tagged_right = right.select(
-        *[
-            F.col(c) if c in (key, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in l_cols
-        ],
-        F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(ts).alias("__r_ts"),
-        *([F.col(tiebreak).alias("__r_tb")] if tiebreak else []),
-    )
-    unioned = tagged_left.unionByName(tagged_right)
-    order = [F.col(ts), F.col("__is_left")] + (
-        [F.col("__r_tb")] if tiebreak else []
-    )
-    w = (
-        Window.partitionBy(key)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = unioned.select(
-        *l_cols,
-        "__is_left",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
-    )
-    out = filled.filter(F.col("__is_left") == 1).drop("__is_left")
-    if tolerance is not None:
-        fresh = F.col("asof_ts") >= F.col(ts) - F.expr(
-            f"interval {tolerance}"
-        )
-        out = out.select(
-            *l_cols,
-            *[
-                F.when(fresh, F.col(f"asof_{c}")).alias(f"asof_{c}")
-                for c in value_cols
-            ],
-            F.when(fresh, F.col("asof_ts")).alias("asof_ts"),
-        )
-    return out
 
 
 def asof_forward(
@@ -119,70 +146,14 @@ def asof_forward(
     """Attach ``value_cols`` (renamed ``asof_<col>``) plus ``asof_ts``
     from the earliest right row at-or-after each left row's ``ts``.
 
-    Mirror of :func:`asof_backward`: ascending ts order with left rows
-    sorted *before* right rows at equal ts (inclusive ``>=``), frame
-    [current row, unbounded following], ``first(…, ignorenulls)``.
-    ``tiebreak`` names a RIGHT column; among right rows sharing a
-    timestamp the SMALLEST tiebreak wins (the first in sort order —
-    the forward mirror of backward's last-wins). ``tolerance`` bounds
-    lookAHEAD the way backward's bounds staleness: a match further than
-    the interval into the future nulls out (pandas
-    ``merge_asof(direction='forward', tolerance=...)``); the post-fill
-    null-out is exact because the pick is the NEAREST following row."""
-    l_cols = [c for c in left.columns]
-    tagged_left = left.select(
-        *l_cols,
-        F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
-        *(
-            [F.lit(None).cast(right.schema[tiebreak].dataType).alias("__r_tb")]
-            if tiebreak
-            else []
-        ),
+    Mirror of :func:`asof_backward` in every choice (see
+    :func:`_asof_union_tag`): the SMALLEST tiebreak wins among
+    equal-ts right rows, and ``tolerance`` bounds lookAHEAD (a match
+    further than the interval into the future nulls out — pandas
+    ``merge_asof(direction='forward', tolerance=...)``)."""
+    return _asof_union_tag(
+        left, right, key, ts, value_cols, tiebreak, tolerance, "forward"
     )
-    tagged_right = right.select(
-        *[
-            F.col(c) if c in (key, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in l_cols
-        ],
-        F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(ts).alias("__r_ts"),
-        *([F.col(tiebreak).alias("__r_tb")] if tiebreak else []),
-    )
-    unioned = tagged_left.unionByName(tagged_right)
-    order = [F.col(ts), F.col("__is_left").desc()] + (
-        [F.col("__r_tb")] if tiebreak else []
-    )
-    w = (
-        Window.partitionBy(key)
-        .orderBy(*order)
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    filled = unioned.select(
-        *l_cols,
-        "__is_left",
-        *[
-            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
-        F.first("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
-    )
-    out = filled.filter(F.col("__is_left") == 1).drop("__is_left")
-    if tolerance is not None:
-        near = F.col("asof_ts") <= F.col(ts) + F.expr(
-            f"interval {tolerance}"
-        )
-        out = out.select(
-            *l_cols,
-            *[
-                F.when(near, F.col(f"asof_{c}")).alias(f"asof_{c}")
-                for c in value_cols
-            ],
-            F.when(near, F.col("asof_ts")).alias("asof_ts"),
-        )
-    return out
 
 
 def asof_backward_cogrouped(
