@@ -332,6 +332,31 @@ def main() -> None:
             f.result()
     startup = time.time() - t_start
 
+    # Host-drift canary: a FIXED pure-JVM job (whole-stage-codegen
+    # range sum + a 32-partition hash shuffle, no Python workers, no
+    # disk) timed as median-of-3 both before and after the query sweep.
+    # Its wall tracks ambient host speed only, so a uniform slow-host
+    # window (this VM oscillates ±13% across the day) shows up as a
+    # proportionally inflated canary — letting a round-over-round bench
+    # drift be adjudicated from the artifact alone instead of manual
+    # cross-run archaeology (round-8 verdict item 3).
+    def _canary_once() -> float:
+        t0 = time.time()
+        force(
+            spark.range(0, 100_000_000, 1, 32)
+            .selectExpr("id % 1024 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+        )
+        return time.time() - t0
+
+    def _canary_median() -> float:
+        import statistics as _st
+
+        return round(_st.median(_canary_once() for _ in range(3)), 3)
+
+    canary_pre = _canary_median()
+
     # Host-stall variance guard: this (shared) VM randomly stalls
     # 20-40 s, which lands as an additive spike on whichever query is
     # running. A timing that exceeds 3x the trailing median (and an
@@ -392,6 +417,8 @@ def main() -> None:
             failures[f"operator_only:{name}"] = f"{type(e).__name__}: {e}"
         spark.catalog.clearCache()
 
+    canary_post = _canary_median()
+
     total = round(sum(timings.values()), 3)
     try:  # map a BENCH file back to the exact code it measured
         import subprocess
@@ -426,6 +453,11 @@ def main() -> None:
             "n_queries": len(timings),
             "startup_sec": round(startup, 3),
             "session_sec": session_sec,
+            # fixed pure-JVM micro-canary (median-of-3, pre/post sweep):
+            # compare across BENCH_DETAIL revisions to separate ambient
+            # host drift (canary moves proportionally) from code
+            # regressions (canary flat, queries move)
+            "canary_sec": {"pre": canary_pre, "post": canary_post},
             "warmed": warmed,
         }
     )

@@ -7951,7 +7951,7 @@ def qa_pseudonymize(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # feat_* — feature-engineering operators for model-training pipelines.
-# The reference stops at ingest + SQL analytics (main.py:1-655); these are
+# The reference stops at ingest + SQL analytics (main.py:1-548, runner.py:1-107); these are
 # the downstream steps a training pipeline bolts onto the same tables.
 # --------------------------------------------------------------------------
 
@@ -12801,7 +12801,7 @@ def stream_forecast_hw_stateful(spark, sf_dir):
         "support, both-direction confidence, and lift — the "
         "bought-together engine behind bundle suggestions and the "
         "co-play/co-purchase surfaces the reference's catalog "
-        "enrichment feeds (models.py:24 appid catalog as the item "
+        "enrichment feeds (main.py:252-254 appid catalog as the item "
         "dimension). The scale story is apriori antimonotonicity made "
         "physical: a pair can only be frequent if BOTH items are, so "
         "baskets are pruned to frequent singletons with a BROADCAST "

@@ -57,6 +57,34 @@ def test_oracle_registry_is_subset():
     assert set(mod.oracle_sql()) <= set(mod.queries())
 
 
+def test_reference_citations_name_real_files():
+    """Every ``<file>.py:<line>``-style reference citation in package
+    docstrings must name one of the reference snapshot's two actual code
+    files (SURVEY.md census: ``main.py`` 549 LoC, ``runner.py`` 108 LoC)
+    and cite a line range inside that file. Round-8 verdict caught one
+    phantom ``models.py:24`` cite; this lints all of them forever."""
+    ref_bounds = {"main.py": 549, "runner.py": 108}
+    ref_dir = Path("/root/reference")
+    if ref_dir.is_dir():  # prefer live bounds when the snapshot is present
+        for name in ref_bounds:
+            p = ref_dir / name
+            if p.is_file():
+                ref_bounds[name] = len(p.read_text().splitlines())
+    pat = re.compile(r"([A-Za-z_][A-Za-z0-9_./]*\.py):(\d+)(?:-(\d+))?")
+    bad: list[str] = []
+    pkg = REPO / "steam_data_pipeline_spark"
+    for src in pkg.rglob("*.py"):
+        for m in pat.finditer(src.read_text()):
+            fname, lo, hi = m.group(1), int(m.group(2)), m.group(3)
+            if fname not in ref_bounds:
+                bad.append(f"{src.relative_to(REPO)}: phantom file {m.group(0)}")
+                continue
+            top = int(hi) if hi else lo
+            if lo < 1 or top > ref_bounds[fname] or (hi and int(hi) < lo):
+                bad.append(f"{src.relative_to(REPO)}: out-of-range {m.group(0)}")
+    assert not bad, "\n".join(bad[:20])
+
+
 def test_plan_audit_artifact_covers_registry():
     """PLAN_AUDIT.json (the committed plan-shape inventory) must cover
     exactly the live registry — a new query without a regenerated
