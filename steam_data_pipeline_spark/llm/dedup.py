@@ -203,6 +203,62 @@ def banded_signatures(
     ).select(key, "minhash", "band.band_idx", "band.band_hash")
 
 
+#: partition count for the persisted signature index. 4096 keeps each
+#: partition a handful of parquet files at sf<=1; a 100 TB corpus would
+#: raise it (partitions should stay ~100-500 MB) — probe pruning below
+#: only needs it to match between writer and reader.
+INDEX_BUCKETS = 4096
+
+
+def _index_bucket(n_buckets: int = INDEX_BUCKETS):
+    # bucket on BOTH band coordinates: collisions require equality of
+    # (band_idx, band_hash), so equal-hash rows always land in the same
+    # bucket and pruning is exact, never lossy
+    return F.pmod(F.xxhash64("band_idx", "band_hash"), F.lit(n_buckets))
+
+
+def persist_signature_index(
+    sigs: DataFrame, path: str, n_buckets: int = INDEX_BUCKETS
+) -> None:
+    """Write a :func:`banded_signatures` table as the standing-corpus
+    LSH index: parquet partitioned by a bounded bucket of the band
+    coordinates. Incoming batches then read ONLY the partitions their
+    own band hashes touch (:func:`probe_signature_index`) — per-batch
+    probe cost is the touched-bucket volume, independent of corpus
+    size. Same touched-partition convention as the upsert sink's
+    pruning predicate (operators/upsert.py)."""
+    # cluster rows by bucket BEFORE the partitioned write: otherwise
+    # every write task opens (up to) n_buckets partition writers and the
+    # dynamic-partition sort dominates; clustered, each task streams a
+    # few whole buckets (measured 65 s -> ~8 s at sf0.1, 4096 buckets)
+    sigs.withColumn("bucket", _index_bucket(n_buckets)).repartition(
+        F.col("bucket")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def probe_signature_index(
+    spark, path: str, new_sigs: DataFrame, n_buckets: int = INDEX_BUCKETS
+) -> DataFrame:
+    """Read the partitions of a persisted signature index that an
+    incoming batch's band hashes touch. The touched-bucket list is
+    bounded (<= min(batch_rows x bands, n_buckets) ints) and IS the
+    partition-pruning predicate — the collect is the same
+    driver-bounded convention as the upsert sink, not a data move.
+    Exact, never lossy: a colliding (band_idx, band_hash) always
+    hashes to a touched bucket."""
+    touched = [
+        r[0]
+        for r in new_sigs.select(_index_bucket(n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(touched))
+        .drop("bucket")
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     key: str = "doc_id",

@@ -546,6 +546,52 @@ class TestIncrementalDedup:
         )
         assert reused == inline == [11]
 
+    def test_persisted_index_probe_is_exact_and_pruned(self, spark, tmp_path):
+        """The parquet-persisted index round-trip: dedup against
+        ``probe_signature_index``'s PRUNED read must equal dedup against
+        the full signature table (pruning is exact — a colliding
+        (band_idx, band_hash) always hashes into a touched bucket), and
+        the probe must actually read a strict subset of buckets."""
+        from steam_data_pipeline_spark.llm.dedup import (
+            banded_signatures,
+            minhash_dedup_incremental,
+            persist_signature_index,
+            probe_signature_index,
+        )
+
+        base = " ".join(f"w{i:02d}" for i in range(40))
+        others = [
+            (100 + i, " ".join(f"c{i}x{j}" for j in range(40))) for i in range(20)
+        ]
+        corpus = spark.createDataFrame(
+            [(1, base)] + others, "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(10, base), (11, "fresh content about adaptive query execution")],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "sig_index")
+        full_sigs = banded_signatures(corpus)
+        persist_signature_index(full_sigs, path)
+        new_sigs = banded_signatures(new)
+        pruned = probe_signature_index(spark, path, new_sigs)
+        # strict subset: 21 docs x 8 mostly-distinct band hashes >> the
+        # 2-doc batch's 16 touched buckets
+        assert pruned.count() < full_sigs.count()
+        got = sorted(
+            r.doc_id
+            for r in minhash_dedup_incremental(
+                corpus, new, threshold=0.6, corpus_signatures=pruned
+            ).collect()
+        )
+        want = sorted(
+            r.doc_id
+            for r in minhash_dedup_incremental(
+                corpus, new, threshold=0.6, corpus_signatures=full_sigs
+            ).collect()
+        )
+        assert got == want == [11]
+
 
 class TestContainment:
     def test_excerpt_detected_where_jaccard_misses(self, spark):

@@ -579,6 +579,137 @@ def rehearse_basket_skew(sf_dir: str, repeats: int = 2) -> None:
     spark.stop()
 
 
+def rehearse_dedup_amortized(
+    sf_dir: str, batches: int = 10, batch_rows: int = 100
+) -> None:
+    """Amortization curve for the incremental-dedup ingestion path
+    (round-8 verdict item 5): the 100 TB standing-corpus scenario is
+    build the band-signature index ONCE, then dedup every incoming
+    batch against the PERSISTED index. Two claims measured:
+
+    1. **wall vs batch count is flat** — batches 1..N probe the same
+       stored index; per-batch wall must not grow with the batch
+       ordinal (no hidden re-clustering, no state accumulating in the
+       probe path);
+    2. **per-batch cost is flat in corpus size** — the same fixed
+       batch probed against a 1x and a 10x index must cost ~the same,
+       because probe_signature_index reads only the parquet partitions
+       the batch's own band hashes touch. The 10x index is the 1x
+       signature table plus 9 re-keyed copies with PERTURBED band
+       hashes (distinct-content corpus growth: new docs occupy new
+       buckets) — the honest model; 10x copies of identical hashes
+       would instead measure the everything-duplicated worst case.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from steam_data_pipeline_spark.llm.dedup import (
+        banded_signatures,
+        minhash_dedup_incremental,
+        persist_signature_index,
+        probe_signature_index,
+    )
+    from steam_data_pipeline_spark.sources.tables import read_table
+
+    spark = _spark()
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = os.path.join(tempfile.gettempdir(), "sdp_dedup_amortized")
+    shutil.rmtree(root, ignore_errors=True)
+    idx1 = os.path.join(root, "index_1x")
+    idx10 = os.path.join(root, "index_10x")
+
+    t0 = time.time()
+    sigs = banded_signatures(docs)
+    persist_signature_index(sigs, idx1)
+    build_s = time.time() - t0
+    n_corpus = docs.count()
+    print(
+        f"# dedup-amortized rehearsal: corpus={n_corpus} docs, index built "
+        f"once in {build_s:.2f}s at {idx1}; batches of {batch_rows} docs "
+        "probe the persisted index only"
+    )
+
+    # 10x index: 9 extra re-keyed copies with band hashes perturbed per
+    # copy (xxhash64(band_hash, j)) — same row volume growth as a 10x
+    # distinct corpus, no new bucket collisions with the batch.
+    sigs1 = spark.read.parquet(idx1).drop("bucket")
+    copies = [sigs1]
+    for j in range(1, 10):
+        copies.append(
+            sigs1.select(
+                (F.col("doc_id") + F.lit(j * 100_000_000)).alias("doc_id"),
+                "minhash",
+                "band_idx",
+                F.xxhash64("band_hash", F.lit(j)).alias("band_hash"),
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    persist_signature_index(big, idx10)
+
+    # incoming batches: fixed-size slices of the corpus re-keyed to new
+    # ids with text UNCHANGED — the matching-heavy ingest case (every
+    # doc collides with its corpus original, so the probe + verify +
+    # drop path runs end-to-end every batch).
+    def batch_df(i: int):
+        return (
+            docs.filter(F.col("doc_id") % 1000 == i)
+            .limit(batch_rows)
+            .select(
+                (F.col("doc_id") + F.lit((i + 1) * 10_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
+
+    print("claim 1: per-batch wall vs batch ordinal (persisted 1x index)")
+    print("batch\twall_s\tsurvivors")
+    walls = []
+    for i in range(batches):
+        new = batch_df(i)
+        new_sigs = banded_signatures(new)
+        t0 = time.time()
+        corpus_sigs = probe_signature_index(spark, idx1, new_sigs)
+        out = minhash_dedup_incremental(
+            docs, new, threshold=0.6, corpus_signatures=corpus_sigs
+        )
+        n = out.count()
+        w = time.time() - t0
+        walls.append(w)
+        print(f"{i + 1}\t{w:.2f}\t{n}")
+        spark.catalog.clearCache()
+    import statistics
+
+    half = max(2, len(walls) // 2)
+    drift = statistics.median(walls[-half:]) / statistics.median(walls[:half])
+    print(f"late/early median wall ratio: {drift:.2f} (flat iff ~1.0)")
+
+    print("claim 2: same fixed batch vs 1x and 10x persisted index")
+    print("index\trows\twall_s(best of 2)")
+    import math
+
+    probe_walls = {}
+    fixed = batch_df(0)
+    for label, path in (("1x", idx1), ("10x", idx10)):
+        rows = spark.read.parquet(path).count()
+        runs = []
+        for _ in range(2):
+            new_sigs = banded_signatures(fixed)
+            t0 = time.time()
+            corpus_sigs = probe_signature_index(spark, path, new_sigs)
+            minhash_dedup_incremental(
+                docs, fixed, threshold=0.6, corpus_signatures=corpus_sigs
+            ).count()
+            runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+        probe_walls[label] = min(runs)
+        print(f"{label}\t{rows}\t{min(runs):.2f}")
+    exp = math.log(probe_walls["10x"] / probe_walls["1x"]) / math.log(10)
+    print(f"corpus-size exponent: {exp:.2f} (flat iff ~0; 1.0 = linear rescan)")
+    spark.stop()
+
+
 def rehearse_media(sf_dir: str, factors: list[int], n0: int = 2000) -> None:
     """Decode-throughput scaling for the media path: n synthetic 16x12
     RGB PNGs generated ON EXECUTORS (mapInPandas over spark.range — no
@@ -766,6 +897,7 @@ def main() -> None:
             "media",
             "lpa-skew",
             "basket-skew",
+            "dedup-amortized",
         ],
     )
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -788,6 +920,8 @@ def main() -> None:
         rehearse_lpa_skew(args.factors)
     elif args.op == "basket-skew":
         rehearse_basket_skew(args.sf_dir, args.repeats)
+    elif args.op == "dedup-amortized":
+        rehearse_dedup_amortized(args.sf_dir)
     else:
         rehearse_substring_skew(args.sf_dir)
 
