@@ -352,6 +352,7 @@ def minhash_dedup_incremental(
     num_hashes: int = 32,
     bands: int = 8,
     corpus_signatures: DataFrame | None = None,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an INCOMING BATCH against an existing corpus — the
     ingestion-path shape of near-dedup, where re-clustering the whole
@@ -378,8 +379,13 @@ def minhash_dedup_incremental(
     per-batch work is Σ|bucket ∩ new|·|bucket|, independent of
     corpus², and the shuffle carries 8-byte hashes.
     """
-    new_b = banded_signatures(
-        new, key, text_col, shingle_n, num_hashes, bands
+    # ``new_signatures`` lets the caller reuse the batch's signatures
+    # (e.g. after computing the touched-bucket list for
+    # :func:`probe_signature_index`) instead of shingling twice
+    new_b = (
+        new_signatures
+        if new_signatures is not None
+        else banded_signatures(new, key, text_col, shingle_n, num_hashes, bands)
     ).localCheckpoint(eager=True)  # probed twice below; signatures computed once
     if corpus_signatures is None:
         corpus_signatures = banded_signatures(

@@ -2598,9 +2598,9 @@ def llm_dedup_embedding_cluster(spark, sf_dir):
     )
 
 
-@EXT.add(
-    "llm_dedup_incremental",
-    oracle=f"""
+# shared by llm_dedup_incremental and its persisted-index sibling —
+# identical two-stage semantics, different index acquisition path
+_INCR_DEDUP_ORACLE = f"""
     WITH RECURSIVE {_jaccard_ctes()},
     jp AS (
       SELECT a, b FROM pairs
@@ -2635,7 +2635,12 @@ def llm_dedup_embedding_cluster(spark, sf_dir):
     SELECT doc_id, lang, source FROM documents
     WHERE doc_id IN (SELECT doc_id FROM stage1)
       AND doc_id NOT IN (SELECT node FROM nlosers)
-    """,
+    """
+
+
+@EXT.add(
+    "llm_dedup_incremental",
+    oracle=_INCR_DEDUP_ORACLE,
     doc=(
         "INCREMENTAL near-dedup — the ingestion-path shape: the batch "
         "(doc_id % 4 = 0, a quarter of the corpus standing in for an "
@@ -13460,4 +13465,645 @@ def feat_target_encode_expanding(spark, sf_dir):
             F.col("prior_n") > 0,
             F.expr("(prior_sum_cents * 10000) div prior_n"),
         ).alias("enc_micro"),
+    )
+
+
+@EXT.add(
+    "pipeline_daily_run",
+    oracle="""
+    WITH ts_pool AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS app_id
+      FROM (SELECT o_custkey FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 500)
+    ),
+    played AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+      FROM lineitem GROUP BY l_partkey
+    ),
+    mp_pool AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS app_id
+      FROM (SELECT l_partkey FROM played ORDER BY tq DESC, l_partkey LIMIT 100)
+    ),
+    pool AS (SELECT app_id FROM ts_pool UNION SELECT app_id FROM mp_pool),
+    yday_pool AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS app_id
+      FROM (SELECT l_partkey FROM played ORDER BY tq DESC, l_partkey LIMIT 120)
+    ),
+    details AS (
+      SELECT CAST(p_partkey AS VARCHAR) AS app_id, TRIM(p_name) AS name,
+             p_brand AS developer, p_retailprice
+      FROM part
+    ),
+    dim_today AS (
+      SELECT d.app_id, d.name, d.developer,
+             CAST(CAST(d.p_retailprice AS DECIMAL(10,2)) AS DOUBLE) AS price_numeric
+      FROM details d JOIN pool USING (app_id)
+      WHERE d.name IS NOT NULL AND d.name <> ''
+    ),
+    dim_yday AS (
+      SELECT d.app_id, 'stale:' || d.name AS name, d.developer,
+             CAST(CAST(d.p_retailprice + 1 AS DECIMAL(10,2)) AS DOUBLE) AS price_numeric
+      FROM details d JOIN yday_pool USING (app_id)
+      WHERE d.name IS NOT NULL AND d.name <> ''
+    ),
+    merged AS (
+      SELECT COALESCE(td.app_id, yd.app_id) AS app_id,
+             COALESCE(td.name, yd.name) AS name,
+             COALESCE(td.developer, yd.developer) AS developer,
+             COALESCE(td.price_numeric, yd.price_numeric) AS price_numeric,
+             CASE WHEN td.app_id IS NOT NULL THEN TIMESTAMP '2024-01-02'
+                  ELSE TIMESTAMP '2024-01-01' END AS updated_day,
+             CAST((CASE WHEN td.app_id IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN yd.app_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_fact_rows
+      FROM dim_today td FULL JOIN dim_yday yd ON td.app_id = yd.app_id
+    ),
+    player AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS app_id,
+             CAST(tq AS DOUBLE) AS player_qty
+      FROM played
+    ),
+    streams AS (
+      SELECT CAST(user_id AS VARCHAR) AS app_id,
+             CAST(LEAST(COUNT(*), 100) AS BIGINT) AS streamer_count
+      FROM events GROUP BY user_id
+    )
+    SELECT m.app_id, m.name, m.developer, m.price_numeric, m.updated_day,
+           m.n_fact_rows,
+           COALESCE(p.player_qty, 0.0) AS player_qty,
+           COALESCE(s.streamer_count, 0) AS streamer_count
+    FROM merged m
+    LEFT JOIN player p ON p.app_id = m.app_id
+    LEFT JOIN streams s ON s.app_id = m.app_id
+    """,
+    doc=(
+        "The reference's WHOLE main path (EP1, main.py:378-495) as one "
+        "oracle-checked program — the ingest-side sibling of "
+        "llm_corpus_export: candidate gather (two ranked scans, "
+        "main.py:411-416) -> union+distinct+sort (main.py:421) -> "
+        "details enrichment + validity filter (main.py:443-449) -> "
+        "versioned MERGE upsert of the dimension over YESTERDAY's "
+        "state (main.py:451-457; yesterday = the most-played scan "
+        "ranked deeper, rows stale-prefixed and price-perturbed so the "
+        "merge direction is value-visible) -> fact enrichment + append "
+        "accounting (main.py:464-477; n_fact_rows = 2 for keys "
+        "ingested both days, 1 for stale survivors and new arrivals). "
+        "Every stage is individually green elsewhere (src_top_selling, "
+        "src_most_played, set_union_distinct_sort, join_enrich_details, "
+        "sink_upsert_metadata, sink_append_timeseries); this query "
+        "pins their COMPOSITION against a single SQL replica, with "
+        "deterministic day stamps so the upsert's max-version rule is "
+        "hash-checkable. The lock/journal and empty-pool-abort arms "
+        "live in tests/test_pipeline.py (they gate execution, not "
+        "dataflow). Scale: both candidate scans are TakeOrderedAndProject "
+        "heaps; the pool is a few hundred keys, so every enrichment "
+        "join broadcasts the POOL side against the fact/dim scans; the "
+        "merge shuffles once on the key; fact legs are map-side-combined "
+        "aggregates joined back by key — no fact-x-fact join anywhere."
+    ),
+    tags=("pipeline", "flagship", "ingest", "upsert"),
+)
+def pipeline_daily_run(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.aggregates import (
+        capped_count_per_key,
+        dec_sum,
+    )
+    from steam_data_pipeline_spark.operators.relational import topk
+    from steam_data_pipeline_spark.operators.upsert import merge_upsert
+    from steam_data_pipeline_spark.streaming.ingest import (
+        build_metadata,
+        gather_candidates,
+    )
+
+    ts0 = F.lit("2024-01-01").cast("timestamp")
+    ts1 = F.lit("2024-01-02").cast("timestamp")
+    played = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(dec_sum("l_quantity").alias("tq"))
+    )
+    # yesterday's stored state: the most-played scan ranked 20 deeper,
+    # so ranks 101-120 fall out of today's pool and must SURVIVE the
+    # merge as stale rows (the reference upsert never deletes)
+    yday_pool = topk(
+        played, [F.col("tq").desc(), F.col("l_partkey")], 120
+    ).select(F.col("l_partkey").cast("string").alias("app_id"))
+    yday_dim = build_metadata(spark, sf_dir, yday_pool, now=ts0).select(
+        "app_id",
+        F.concat(F.lit("stale:"), F.col("name")).alias("name"),
+        "developer",
+        (F.col("retail_price") + 1)
+        .cast("decimal(10,2)")
+        .cast("double")
+        .alias("price_numeric"),
+        "metadata_last_updated",
+    )
+    today_dim = build_metadata(
+        spark, sf_dir, gather_candidates(spark, sf_dir), now=ts1
+    ).select(
+        "app_id",
+        "name",
+        "developer",
+        F.col("retail_price")
+        .cast("decimal(10,2)")
+        .cast("double")
+        .alias("price_numeric"),
+        "metadata_last_updated",
+    )
+    merged = merge_upsert(
+        yday_dim, today_dim, key="app_id",
+        version_cols=["metadata_last_updated"],
+    )
+    # append accounting: one fact row per (day, dim row) — yesterday's
+    # run appended for yday_dim, today's for today_dim
+    fact_counts = (
+        yday_dim.select("app_id")
+        .unionByName(today_dim.select("app_id"))
+        .groupBy("app_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fact_rows"))
+    )
+    player = played.select(
+        F.col("l_partkey").cast("string").alias("app_id"),
+        F.col("tq").cast("double").alias("player_qty"),
+    )
+    streams = capped_count_per_key(
+        t(spark, sf_dir, "events").withColumn(
+            "app_id", F.col("user_id").cast("string")
+        ),
+        "app_id",
+        100,
+        "streamer_count",
+    ).select("app_id", F.col("streamer_count").cast("long").alias("streamer_count"))
+    return (
+        merged.select(
+            "app_id",
+            "name",
+            "developer",
+            "price_numeric",
+            F.date_trunc("day", F.col("metadata_last_updated")).alias(
+                "updated_day"
+            ),
+        )
+        .join(fact_counts, on="app_id", how="inner")
+        .join(player, on="app_id", how="left")
+        .join(streams, on="app_id", how="left")
+        .select(
+            "app_id",
+            "name",
+            "developer",
+            "price_numeric",
+            "updated_day",
+            "n_fact_rows",
+            F.coalesce("player_qty", F.lit(0.0)).alias("player_qty"),
+            F.coalesce("streamer_count", F.lit(0).cast("long")).alias(
+                "streamer_count"
+            ),
+        )
+    )
+
+
+#: bucket count for the bench-fixture signature index. The helper
+#: default (4096) is the 100 TB posture; at sf<=1 the 40k-row index
+#: would pay 4096-directory listings per probe for no extra pruning
+#: (a quarter-corpus batch touches nearly every bucket either way), so
+#: the fixture sizes buckets to the data like production would.
+_MHIDX_BUCKETS = 256
+
+
+def _prepare_minhash_index(spark, sf_dir: str) -> str:
+    """The persisted band-signature index that
+    ``llm_dedup_incremental_persisted`` probes — the standing-corpus
+    posture rehearsed by ``tools/scale_rehearsal.py dedup-amortized``:
+    the index EXISTS on disk before any batch runs, so its one-time
+    build belongs to bench startup, not to the query timing (same
+    accounting as the IVF/LSH indexes above)."""
+    corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 != 0)
+
+    def _write(d):
+        D.persist_signature_index(
+            D.banded_signatures(corpus), d, n_buckets=_MHIDX_BUCKETS
+        )
+
+    return _cached_layout("mhidx", sf_dir, _write)
+
+
+BENCH_FIXTURES.append(_prepare_minhash_index)
+
+
+@EXT.add(
+    "llm_dedup_incremental_persisted",
+    oracle=_INCR_DEDUP_ORACLE,
+    doc=(
+        "The PRODUCTION incremental-dedup calling convention end-to-"
+        "end, driver-checked: the standing corpus's band-signature "
+        "index is persisted ONCE (parquet partitioned by a bounded "
+        "bucket of the band coordinates, llm/dedup.py "
+        "persist_signature_index), and the incoming batch (doc_id % 4 "
+        "= 0) probes ONLY the partitions its own band hashes touch "
+        "(probe_signature_index — the touched-bucket list is a bounded "
+        "collect that IS the partition-pruning predicate, exact by "
+        "construction since colliding hashes share a bucket). Same "
+        "two-stage semantics and oracle as llm_dedup_incremental, "
+        "which recomputes the corpus signatures in-query; this "
+        "variant's timing is what each ingest batch pays at 100 TB — "
+        "flat in corpus size (SCALE.md round-9 table: exponent -0.01 "
+        "at 10x corpus; reference ingest loop main.py:432-477)."
+    ),
+    tags=("llm", "dedup", "incremental", "persistence"),
+)
+def llm_dedup_incremental_persisted(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    path = _prepare_minhash_index(spark, sf_dir)
+    # checkpoint the batch signatures ONCE: the probe's touched-bucket
+    # collect and both probe sides inside the dedup reuse them
+    new_sigs = D.banded_signatures(new).localCheckpoint(eager=True)
+    pruned = D.probe_signature_index(
+        spark, path, new_sigs, n_buckets=_MHIDX_BUCKETS
+    )
+    return D.minhash_dedup_incremental(
+        corpus,
+        new,
+        threshold=0.6,
+        corpus_signatures=pruned,
+        new_signatures=new_sigs,
+    ).select("doc_id", "lang", "source")
+
+
+@EXT.add(
+    "llm_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS dup_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source
+    ),
+    lc AS (
+      SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+    ),
+    top AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang) AS rn
+        FROM lc
+      ) WHERE rn = 1
+    )
+    SELECT b.source, b.n_docs, b.n_tokens,
+           ROUND(CAST(b.n_tokens AS DOUBLE) / b.n_docs, 9) AS avg_doc_tokens,
+           b.n_langs, t.top_lang, b.dup_docs, b.total_chars
+    FROM base b JOIN top t ON t.source = b.source
+    """,
+    doc=(
+        "The per-source DATASET CARD — the accounting table a training-"
+        "data pipeline publishes with every corpus drop (docs, token "
+        "volume, language spread, dominant language, exact-dup count, "
+        "char volume per source): the governance surface over the same "
+        "corpus llm_domain_mix/llm_quota_per_source sample from. One "
+        "scan feeds both aggregates (per-source and per-source-lang); "
+        "the dominant language is the deterministic rank-1 row of the "
+        "bounded (source x lang) spine (ties break to the min lang), "
+        "re-attached by key on a spine of |sources| rows. Scale: both "
+        "aggs map-side combine; nothing joins at fact grain; token "
+        "counts are the registry's standard whitespace convention."
+    ),
+    tags=("llm", "accounting", "quality"),
+)
+def llm_dataset_card(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("text"))
+        .cast("long")
+        .alias("dup_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    lc = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        lc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("c").desc(), F.col("lang")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return base.join(top, on="source", how="inner").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 9).alias(
+            "avg_doc_tokens"
+        ),
+        "n_langs",
+        "top_lang",
+        "dup_docs",
+        "total_chars",
+    )
+
+
+@EXT.add(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> lower(x)) AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM words WHERE len(w) >= 3
+    ),
+    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 9) AS novelty
+    FROM sh JOIN df ON df.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+    doc=(
+        "Per-document n-gram NOVELTY — the memorization-risk / "
+        "boilerplate signal: the fraction of a doc's distinct word "
+        "3-grams that appear in NO other document. Low novelty = the "
+        "doc is assembled from corpus-common phrasing (template spam, "
+        "near-dup shards the pairwise detectors score individually); "
+        "high novelty = genuinely fresh text worth its training "
+        "tokens. Complements the PAIRWISE dedup family: containment/"
+        "jaccard score doc pairs, this scores each doc against the "
+        "whole corpus in one pass. Plan: explode distinct per-doc "
+        "shingles, one map-side-combined document-frequency agg over "
+        "the shingle domain, re-attach by shingle key, per-doc agg — "
+        "no doc-x-doc join anywhere; at 100 TB the shingle-domain agg "
+        "is the same Zipf-bounded shape as llm_ngram_freq and the "
+        "novelty ratio is one division of exact counts (ROUND 9)."
+    ),
+    tags=("llm", "dedup", "quality", "text"),
+)
+def llm_ngram_novelty(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.lower(x)
+        ).alias("w"),
+    ).filter(F.size("w") >= 3)
+    sh = words.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), "
+                    "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            )
+        ).alias("s"),
+    )
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_counts, on="s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles"), 9
+        ).alias("novelty"),
+    )
+
+
+@EXT.add(
+    "win_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT) * 1000000
+               AS e_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s_us, e_us,
+             MAX(e_us) OVER (PARTITION BY user_id
+                             ORDER BY s_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_max
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(GREATEST(0, e_us - GREATEST(s_us,
+                COALESCE(prev_max, s_us)))) AS BIGINT) AS covered_us,
+           CAST(MAX(e_us) - MIN(s_us) AS BIGINT) AS span_us,
+           ROUND(CAST(SUM(GREATEST(0, e_us - GREATEST(s_us,
+                 COALESCE(prev_max, s_us)))) AS DOUBLE)
+                 / (MAX(e_us) - MIN(s_us)), 9) AS utilization
+    FROM marked GROUP BY user_id
+    """,
+    doc=(
+        "Interval-union COVERAGE per user — total de-overlapped active "
+        "time from possibly-overlapping activity intervals (each event "
+        "opens [ts, ts + value-as-cents seconds]): the playtime-"
+        "accounting twin of win_islands (islands COUNT the merged "
+        "runs; this measures their union LENGTH, plus span and "
+        "utilization). The sweep is the classic sorted running-max: "
+        "one window partitioned by user ordered by (start, event_id), "
+        "each row contributes max(0, end - max(start, prev running "
+        "max end)) — exact integer microseconds via the epoch-micros "
+        "convention, union length provably order-independent under "
+        "ties. Scale: ONE keyed exchange + sort shared by the window "
+        "and the final per-user agg; no self-join (the naive "
+        "interval-merge via range self-join is quadratic in a user's "
+        "overlap depth; this is linear)."
+    ),
+    tags=("window", "timeseries", "islands"),
+)
+def win_interval_coverage(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 100).cast("long") * F.lit(1_000_000)
+        ).alias("e_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.max("e_us").over(w).alias("prev_max"),
+    )
+    inc = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("e_us")
+        - F.greatest(F.col("s_us"), F.coalesce("prev_max", "s_us")),
+    )
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(inc).cast("long").alias("covered_us"),
+        (F.max("e_us") - F.min("s_us")).cast("long").alias("span_us"),
+        F.round(
+            F.sum(inc).cast("double") / (F.max("e_us") - F.min("s_us")), 9
+        ).alias("utilization"),
+    )
+
+
+@EXT.add(
+    "win_debounce",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT DISTINCT user_id, ts FROM events
+    ),
+    acc AS (
+      SELECT user_id, MIN(ts) AS ts FROM ev GROUP BY user_id
+      UNION ALL
+      SELECT a.user_id,
+             (SELECT MIN(e.ts) FROM ev e
+              WHERE e.user_id = a.user_id
+                AND e.ts >= a.ts + INTERVAL 14400 SECOND) AS ts
+      FROM acc a
+      WHERE (SELECT MIN(e.ts) FROM ev e
+             WHERE e.user_id = a.user_id
+               AND e.ts >= a.ts + INTERVAL 14400 SECOND) IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_accepted,
+           MAX(ts) AS last_accepted
+    FROM acc GROUP BY user_id
+    """,
+    doc=(
+        "Per-user event DEBOUNCE — keep an event only if >= 4 h have "
+        "passed since the last KEPT event (visit-counting, alert "
+        "rate-limiting, session-start detection where the reference's "
+        "75-105 s batch pacing generalizes, main.py:480-482). "
+        "Genuinely recursive: whether an event survives depends on "
+        "which earlier events survived, so no fixed-frame window "
+        "expresses it (win_sessionize_gap keys on PREVIOUS-EVENT gaps; "
+        "debounce keys on previous-ACCEPTED gaps — a chain). "
+        "Implementation is the registry's sanctioned recursive shape: "
+        "sorted per-key applyInPandas (Arrow-batched grouped map, one "
+        "keyed exchange, linear scan per user), aggregated to the "
+        "per-user (count, last) spine; the oracle replays the chain "
+        "as a recursive CTE. Scale: state per group is ONE timestamp; "
+        "a year-long user history streams through the comparator in "
+        "arrival order — same cost envelope as win_ewma_recursive."
+    ),
+    tags=("window", "recursive", "pandas_gm", "timeseries"),
+)
+def win_debounce(spark, sf_dir):
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+
+    def _debounce(pdf: pd.DataFrame) -> pd.DataFrame:
+        # dedup + sort + chain-scan + per-user summary all inside the
+        # group: one keyed exchange total (a Spark-side distinct and a
+        # post-agg would each add another)
+        ts_sorted = pdf["ts"].drop_duplicates().sort_values()
+        gap = pd.Timedelta(seconds=14400)
+        n = 0
+        last = None
+        for ts in ts_sorted:
+            if last is None or ts >= last + gap:
+                n += 1
+                last = ts
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"].iloc[:1].values,
+             "n_accepted": [n],
+             "last_accepted": [last]}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        _debounce, "user_id bigint, n_accepted bigint, last_accepted timestamp"
+    )
+
+
+@EXT.add(
+    "feat_target_encode_kfold",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(event_id % 5 AS BIGINT) AS fold,
+             CAST(COUNT(*) AS BIGINT) AS n_in,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+      FROM events GROUP BY event_type, event_id % 5
+    )
+    SELECT event_type, fold, n_in,
+           CAST(SUM(n_in) OVER (PARTITION BY event_type) - n_in AS BIGINT)
+             AS n_out,
+           CAST(((SUM(s) OVER (PARTITION BY event_type) - s) * 10000)
+                // (SUM(n_in) OVER (PARTITION BY event_type) - n_in)
+                AS BIGINT) AS enc_micro
+    FROM cells
+    """,
+    doc=(
+        "K-FOLD (k=5) out-of-fold target encoding on the bounded "
+        "(event_type x fold) spine — the standard leakage-safe "
+        "encoder for cross-validated training, completing the family: "
+        "feat_target_encode_loo excludes one ROW, "
+        "feat_target_encode_expanding excludes the FUTURE, this "
+        "excludes the row's own FOLD (deterministic fold = event_id % "
+        "5). Each cell's encoding is (total - own-fold sum) / (total "
+        "- own-fold count) over exact integer cents, emitted in "
+        "micro-units by integer division — bit-identical cross-engine "
+        "with zero float accumulation. Scale: ONE map-side-combined "
+        "fact agg to the ~|types|x5 spine; the complement totals are "
+        "spine windows; rows would re-attach by broadcast of the "
+        "spine. No fact-grain window, no join."
+    ),
+    tags=("feature", "encoding", "stats"),
+)
+def feat_target_encode_kfold(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("event_id") % 5).cast("long").alias("fold")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+    )
+    wt = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        "fold",
+        "n_in",
+        (F.sum("n_in").over(wt) - F.col("n_in")).cast("long").alias("n_out"),
+        F.expr(
+            "((sum(s) over (partition by event_type) - s) * 10000) "
+            "div (sum(n_in) over (partition by event_type) - n_in)"
+        ).cast("long").alias("enc_micro"),
     )

@@ -50,10 +50,15 @@ def gather_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_distinct_sort(top_selling, most_played, "app_id")
 
 
-def build_metadata(spark: SparkSession, sf_dir: str, candidates: DataFrame) -> DataFrame:
+def build_metadata(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame, now=None
+) -> DataFrame:
     """Details lookup + flatten + validity filter → dimension rows
     (main.py:443-449): candidate keys ⋈ part-as-details, reference
-    column shape (app_id, name, type, developer, …)."""
+    column shape (app_id, name, type, developer, …).
+
+    ``now`` pins the update stamp to a literal Column for deterministic
+    (oracle-checkable) composition; default is ingest wall-clock."""
     part = read_table(spark, sf_dir, "part")
     details = part.select(
         F.col("p_partkey").cast("string").alias("app_id"),
@@ -65,7 +70,10 @@ def build_metadata(spark: SparkSession, sf_dir: str, candidates: DataFrame) -> D
     enriched = details.join(F.broadcast(candidates), on="app_id", how="inner")
     return enriched.filter(
         F.col("name").isNotNull() & (F.col("name") != "")
-    ).withColumn("metadata_last_updated", F.current_timestamp())
+    ).withColumn(
+        "metadata_last_updated",
+        now if now is not None else F.current_timestamp(),
+    )
 
 
 def build_facts(spark: SparkSession, sf_dir: str, dim: DataFrame) -> DataFrame:

@@ -1007,3 +1007,102 @@ class TestRound8WavePlanContracts:
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "Join" not in plan, plan
         assert "Window" in plan, plan
+
+
+class TestRound9PlanContracts:
+    def test_pipeline_daily_run_broadcasts_pool_everywhere(self, spark):
+        """The EP1 composition's scale contract: candidate scans are
+        TakeOrderedAndProject heaps (never full sorts), the few-hundred-
+        key pool/dim side BROADCASTS against every fact/dim scan (no
+        SortMergeJoin anywhere), and there is no cartesian. The only
+        shuffles are the keyed aggregates and the merge window."""
+        plan = _plan(QUERIES["pipeline_daily_run"].spark(spark, SF_SMOKE), "simple")
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 5, plan
+        assert plan.count("TakeOrderedAndProject") >= 3, plan
+        # the merge window's partition-local sort is the only Sort-
+        # adjacent node allowed; a global Exchange rangepartitioning
+        # would mean a candidate scan fell off its heap
+        assert "rangepartitioning" not in plan, plan
+
+    def test_incremental_persisted_prunes_index_partitions(self, spark, tmp_path):
+        """The persisted-index probe must reach the parquet scan as a
+        bucket PartitionFilter (the touched-bucket list), never a full
+        index read — the flat-in-corpus-size property rehearsed in
+        SCALE.md round 9. Contracted on probe_signature_index directly:
+        the registered query consumes the probe through an eager
+        localCheckpoint, so its final plan shows only ExistingRDD."""
+        from steam_data_pipeline_spark.llm.dedup import (
+            banded_signatures,
+            persist_signature_index,
+            probe_signature_index,
+        )
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        corpus = docs.filter(F.col("doc_id") % 4 != 0)
+        new_b = banded_signatures(docs.filter(F.col("doc_id") % 4 == 0))
+        path = str(tmp_path / "mhidx")
+        persist_signature_index(banded_signatures(corpus), path)
+        plan = _plan(probe_signature_index(spark, path, new_b), "formatted")
+        pf = [
+            ln for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "bucket" in ln
+        ]
+        assert pf and any("IN" in ln or "in(" in ln for ln in pf), plan
+        # and the registered composite stays cartesian-free
+        qplan = _plan(
+            QUERIES["llm_dedup_incremental_persisted"].spark(spark, SF_SMOKE),
+            "simple",
+        )
+        assert "CartesianProduct" not in qplan, qplan
+
+    def test_dataset_card_spine_only(self, spark):
+        """Both accounting aggs map-side combine; the dominant-language
+        pick is a window on the bounded (source x lang) spine and
+        re-attaches by broadcast — no fact-grain join or window."""
+        plan = _plan(QUERIES["llm_dataset_card"].spark(spark, SF_SMOKE), "simple")
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+    def test_ngram_novelty_no_doc_self_join(self, spark):
+        """Novelty is explode -> DF agg -> re-attach by shingle key ->
+        per-doc agg: two keyed exchanges, no doc-x-doc join."""
+        plan = _plan(QUERIES["llm_ngram_novelty"].spark(spark, SF_SMOKE), "simple")
+        assert "CartesianProduct" not in plan, plan
+        assert "Generate explode" in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+    def test_interval_coverage_single_exchange(self, spark):
+        """The sweep's window and the per-user agg share ONE user-keyed
+        exchange; the naive range self-join shape is banned."""
+        plan = _plan(
+            QUERIES["win_interval_coverage"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Window" in plan, plan
+
+    def test_debounce_single_exchange_grouped_map(self, spark):
+        """The recursive accept-chain runs as ONE grouped-map pass per
+        user (dedup + scan + summary inside the group): exactly one
+        keyed exchange, one FlatMapGroupsInPandas, no join, no
+        post-agg."""
+        plan = _plan(QUERIES["win_debounce"].spark(spark, SF_SMOKE), "simple")
+        assert "Join" not in plan, plan
+        assert plan.count("FlatMapGroupsInPandas") == 1, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_kfold_encode_spine_windows_no_join(self, spark):
+        """One map-side-combined fact agg to the ~|types|x5 spine; the
+        complement totals are spine windows — no join, two keyed
+        exchanges (cells, then the per-type window)."""
+        plan = _plan(
+            QUERIES["feat_target_encode_kfold"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "Window" in plan, plan
