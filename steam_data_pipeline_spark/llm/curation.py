@@ -391,8 +391,13 @@ def canonicalize_url(url: str | F.Column) -> F.Column:
     one codegen stage):
 
     * scheme and host lowercased (case-insensitive per RFC 3986);
-    * default-port suffix dropped from authority (parse_url's HOST
-      already excludes the port, which implements the rule);
+    * DEFAULT-port suffix dropped from the authority (``:80`` for
+      http, ``:443`` for https) — any other explicit port is kept,
+      since ``host:8080`` and ``host`` are genuinely different
+      origins (parse_url's HOST excludes the port, so the port is
+      re-derived from AUTHORITY and re-attached when non-default);
+    * userinfo (``user@``) preserved verbatim — identity
+      canonicalization never merges distinct authorities;
     * ALL trailing slashes stripped from the path (stripping just one
       is not idempotent — ``/x//`` would canonicalize differently on a
       second pass, which the fixpoint property test catches);
@@ -417,6 +422,22 @@ def canonicalize_url(url: str | F.Column) -> F.Column:
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
     host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    # non-default ports are part of the identity: re-derive the port
+    # from AUTHORITY (HOST strips it) and keep it unless it is the
+    # scheme default; userinfo likewise survives verbatim
+    authority = F.coalesce(F.try_parse_url(u, F.lit("AUTHORITY")), F.lit(""))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = F.when(scheme == "http", F.lit("80")).when(
+        scheme == "https", F.lit("443")
+    )
+    port_sfx = F.when(
+        (port != "") & ~port.eqNullSafe(default_port),
+        F.concat(F.lit(":"), port),
+    ).otherwise(F.lit(""))
+    userinfo = F.coalesce(F.try_parse_url(u, F.lit("USERINFO")), F.lit(""))
+    user_pfx = F.when(userinfo != "", F.concat(userinfo, F.lit("@"))).otherwise(
+        F.lit("")
+    )
     path = F.regexp_replace(
         F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")), r"/+$", ""
     )
@@ -434,7 +455,9 @@ def canonicalize_url(url: str | F.Column) -> F.Column:
     query = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))
     ).otherwise(F.lit(""))
-    built = F.concat(scheme, F.lit("://"), host, path, query)
+    built = F.concat(
+        scheme, F.lit("://"), user_pfx, host, port_sfx, path, query
+    )
     well_formed = scheme.isNotNull() & host.isNotNull()
     return F.when(well_formed, built).otherwise(F.trim(u))
 

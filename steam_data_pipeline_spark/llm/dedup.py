@@ -28,14 +28,23 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", key: str = "doc_id") ->
     A final equality check within hash groups is unnecessary for
     sha2-256 collision odds; the groupBy(hash) + min(key) plan is one
     shuffle with map-side partial aggregation.
+
+    NULL-text rows have no content identity and ALL survive:
+    ``sha2(NULL)`` is NULL, so without the guard every metadata-only
+    row would collapse into one NULL-hash group with a single min-key
+    keeper — the same no-identity-no-merge policy as
+    ``curation.url_dedup``.
     """
-    h = F.sha2(F.col(text_col), 256)
+    text = F.col(text_col)
+    h = F.sha2(text, 256)
     keep = (
-        docs.groupBy(h.alias("__h"))
+        docs.filter(text.isNotNull())
+        .groupBy(h.alias("__h"))
         .agg(F.min(key).alias(key))
         .select(key)
     )
-    return docs.join(keep, on=key, how="left_semi")
+    survivors = docs.join(keep, on=key, how="left_semi")
+    return survivors.unionByName(docs.filter(text.isNull()))
 
 
 # ---------------------------------------------------------------------------
@@ -381,12 +390,16 @@ def minhash_dedup_incremental(
     """
     # ``new_signatures`` lets the caller reuse the batch's signatures
     # (e.g. after computing the touched-bucket list for
-    # :func:`probe_signature_index`) instead of shingling twice
-    new_b = (
-        new_signatures
-        if new_signatures is not None
-        else banded_signatures(new, key, text_col, shingle_n, num_hashes, bands)
-    ).localCheckpoint(eager=True)  # probed twice below; signatures computed once
+    # :func:`probe_signature_index`) instead of shingling twice. A
+    # caller-supplied table is used AS-IS — callers that computed it
+    # for a probe already checkpointed it, and re-checkpointing here
+    # would re-materialize the whole signature table every batch.
+    if new_signatures is not None:
+        new_b = new_signatures
+    else:
+        new_b = banded_signatures(
+            new, key, text_col, shingle_n, num_hashes, bands
+        ).localCheckpoint(eager=True)  # probed twice; computed once
     if corpus_signatures is None:
         corpus_signatures = banded_signatures(
             corpus, key, text_col, shingle_n, num_hashes, bands
@@ -622,15 +635,28 @@ def _containment_candidates_from(
         .select("a", "b")
     )
     # hot empty ⇒ cold == shingles ⇒ n_cold = n_sh ≥ p always: skip the
-    # fallback-count job entirely on unskewed corpora
-    n_fallback = (
-        shc.filter(F.col("n_cold") < p).count() if has_hot else 0
-    )  # cheap: shc reads a checkpoint
+    # fallback-count job entirely on unskewed corpora. The broadcast
+    # guard must bound the EXPLODED prefix row count (Σ p over fallback
+    # docs — p is unbounded in document length), not the doc count:
+    # 10k boilerplate docs of 50k shingles each would broadcast ~100M
+    # rows under a doc-count gate.
+    if has_hot:
+        fb_stats = (
+            shc.filter(F.col("n_cold") < p)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum(p), F.lit(0)).alias("n_rows"),
+            )
+            .first()
+        )  # cheap: shc reads a checkpoint
+        n_fallback, n_fb_rows = fb_stats["n_docs"], int(fb_stats["n_rows"])
+    else:
+        n_fallback, n_fb_rows = 0, 0
     if n_fallback:
         prefix_fb = shc.filter(F.col("n_cold") < p).select(
             F.col(key).alias("a"), F.explode(F.slice("shingles", 1, p)).alias("s")
         )
-        if n_fallback <= 10_000:
+        if n_fb_rows <= 2_000_000:
             prefix_fb = F.broadcast(prefix_fb)
         full_all = shc.select(F.col(key).alias("b"), F.explode("shingles").alias("s"))
         cand_fb = (
@@ -1261,7 +1287,11 @@ def remove_duplicated_spans(
 
     Returns (key, n_tokens, n_removed, cleaned) — ``cleaned`` is the
     surviving text; docs with no duplicated windows pass through
-    unchanged.
+    unchanged. EVERY input doc gets exactly one output row: a doc
+    whose every token is covered by removed windows (a fully-
+    duplicated non-keeper) reports (n_tokens, n_tokens, '') instead
+    of silently vanishing — downstream corpus accounting joins on
+    row-per-doc.
     """
     grams = _window_hash_table(docs, text_col, key, k)
     # the reassembly leg needs the token arrays themselves, not just
@@ -1293,19 +1323,26 @@ def remove_duplicated_spans(
         F.posexplode("__w").alias("tpos", "tok"),
     ).withColumn("tpos", F.col("tpos").cast("long"))
     kept = tokens.join(covered, on=[key, "tpos"], how="left_anti")
-    return (
-        kept.groupBy(key)
-        .agg(
-            F.max("__n_toks").cast("long").alias("n_tokens"),
-            (F.max("__n_toks") - F.count(F.lit(1))).cast("long").alias("n_removed"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("tpos", "tok"))),
-                    lambda s: s.tok,
-                ),
-            ).alias("cleaned"),
-        )
+    survived = kept.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("cleaned"),
+    )
+    # doc spine re-attach: fully-covered docs have no kept tokens and
+    # would otherwise fall out of the groupBy entirely
+    spine = toks.select(key, F.size("__w").cast("long").alias("n_tokens"))
+    return spine.join(survived, on=key, how="left").select(
+        key,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
     )
 
 
@@ -1380,7 +1417,16 @@ def editdist_pairs(
         ).alias("g"),
     )
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    ranked = grams.join(F.broadcast(freq), on="g").withColumn(
+    # broadcast only while the gram table is genuinely alphabet-bound:
+    # |charset|^q caps distinct q-grams for small q, but at the q
+    # values suggest_editdist_q returns for long strings (up to 9) the
+    # distinct-gram count grows with the corpus text — force-
+    # broadcasting there is a driver/executor OOM at exactly the scale
+    # this module documents. Above the cap, let AQE pick the strategy
+    # from the measured size.
+    if q <= 4:
+        freq = F.broadcast(freq)
+    ranked = grams.join(freq, on="g").withColumn(
         "rk", F.row_number().over(W.partitionBy("id").orderBy("df", "g"))
     )
     pref = ranked.filter(F.col("rk") <= n_pref).select("id", "len", "g")

@@ -110,7 +110,11 @@ def _decode(content: bytes, modality: str) -> tuple[bool, list[float]]:
     Everything else falls back to the byte histogram.
     """
     if content is None:
-        raise NotImplementedError("media decode requires content bytes")
+        # MEDIA_SCHEMA declares content nullable and the sibling
+        # columns (n_bytes -> 0, content_hash -> None) already handle
+        # it; one NULL row must yield a fallback row, not fail the
+        # whole mapInPandas task
+        return False, [0.0] * 8
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         try:
             rate, n_ch, samples = decode_wav(content)

@@ -88,7 +88,17 @@ def moment_sums(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     import pandas as pd
 
     q = quantized(emb, vec_col)
-    d_probe = len(q.first()["qv"])  # bounded: one row
+    first = q.first()  # bounded: one row
+    if first is None:
+        # the probe row pinned d but was itself dropped (e.g. it had a
+        # NULL component) and nothing else matched — surface the
+        # messy-embeddings policy error, not a TypeError on None
+        raise ValueError(
+            f"pca: no usable rows in {vec_col!r} "
+            "(every row NULL, ragged vs the probed dimension, or "
+            "containing NULL components)"
+        )
+    d_probe = len(first["qv"])
 
     def partials(batches):
         import numpy as np
@@ -120,6 +130,39 @@ def moment_sums(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return out.withColumn("d", F.lit(d_probe))
 
 
+def _moment_model(emb: DataFrame, vec_col: str):
+    """Shared moment-collect → exact covariance assembly for
+    :func:`pca_invariants` and :func:`pca_project` (previously
+    duplicated verbatim in both, each paying its own distributed
+    moment pass). Returns ``(n, d, C, mean, trace_num)``: row count,
+    dimension, float covariance (one rounding per entry from exact
+    integer moments), float mean vector, and the exact integer
+    population-trace numerator (python ints, arbitrary precision)."""
+    import numpy as np
+
+    rows = moment_sums(emb, vec_col).collect()
+    d = rows[0]["d"]
+    n = None
+    G = np.zeros((d, d), dtype=object)
+    s = [0] * d
+    for r in rows:
+        i, j, v = r["i"], r["j"], int(r["v"])
+        if i == -1:
+            n = v
+        elif j == -1:
+            s[i] = v
+        else:
+            G[i][j] = v
+            G[j][i] = v
+    trace_num = n * sum(int(G[i][i]) for i in range(d)) - sum(
+        si * si for si in s
+    )
+    Gf = np.array([[float(int(G[i][j])) for j in range(d)] for i in range(d)])
+    sf = np.array([float(si) for si in s])
+    C = (Gf / n - np.outer(sf / n, sf / n)) / float(SCALE) ** 2
+    return n, d, C, sf / n / SCALE, trace_num
+
+
 def pca_invariants(
     emb: DataFrame, vec_col: str = "embedding", top_k: int = 8
 ) -> DataFrame:
@@ -139,29 +182,7 @@ def pca_invariants(
     import numpy as np
 
     spark = emb.sparkSession
-    rows = moment_sums(emb, vec_col).collect()
-    d = rows[0]["d"]
-    n = None
-    G = np.zeros((d, d), dtype=object)
-    s = [0] * d
-    for r in rows:
-        i, j, v = r["i"], r["j"], int(r["v"])
-        if i == -1:
-            n = v
-        elif j == -1:
-            s[i] = v
-        else:
-            G[i][j] = v
-            G[j][i] = v
-    # exact trace numerator (python ints, arbitrary precision)
-    trace_num = n * sum(int(G[i][i]) for i in range(d)) - sum(
-        si * si for si in s
-    )
-    # covariance in float (one rounding per entry from exact integers)
-    Gf = np.array([[float(int(G[i][j])) for j in range(d)] for i in range(d)])
-    sf = np.array([float(si) for si in s])
-    C = Gf / n - np.outer(sf / n, sf / n)
-    C /= float(SCALE) ** 2
+    n, d, C, _mean, trace_num = _moment_model(emb, vec_col)
     evals, evecs = np.linalg.eigh(C)
     order = np.argsort(evals)[::-1]
     evals, evecs = evals[order], evecs[:, order]
@@ -216,27 +237,10 @@ def pca_project(
     """
     import numpy as np
 
-    rows = moment_sums(emb, vec_col).collect()
-    d = rows[0]["d"]
-    n = None
-    G = np.zeros((d, d), dtype=object)
-    s = [0] * d
-    for r in rows:
-        i, j, v = r["i"], r["j"], int(r["v"])
-        if i == -1:
-            n = v
-        elif j == -1:
-            s[i] = v
-        else:
-            G[i][j] = v
-            G[j][i] = v
-    Gf = np.array([[float(int(G[i][j])) for j in range(d)] for i in range(d)])
-    sf = np.array([float(si) for si in s])
-    C = (Gf / n - np.outer(sf / n, sf / n)) / float(SCALE) ** 2
+    n, d, C, mean, _trace_num = _moment_model(emb, vec_col)
     evals, evecs = np.linalg.eigh(C)
     order = np.argsort(evals)[::-1][:top_k]
     V = evecs[:, order]  # d × k
-    mean = sf / n / SCALE
     v_lit = F.array(
         *[
             F.array(*[F.lit(float(V[i, k])) for i in range(d)])

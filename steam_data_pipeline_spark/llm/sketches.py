@@ -273,12 +273,15 @@ def bloom_probe(
 ) -> DataFrame:
     """Append ``might_contain`` to `probes`: true iff ALL n_hashes bit
     positions are set. The bloom word table is broadcast; the probe
-    side streams through without a shuffle (the groupBy re-keys on the
-    probe's own row id, satisfied by the same hash partitioning Spark
-    picks for the small explode)."""
-    exploded = probes.withColumn(
+    side streams through without a shuffle. Row cardinality is
+    PRESERVED: the explode→regroup runs on a per-row surrogate id, so
+    two identical probe rows come back as two rows (a payload-column
+    groupBy would collapse them and corrupt downstream counts)."""
+    with_id = probes.withColumn("__rid", F.monotonically_increasing_id())
+    exploded = with_id.withColumn(
         "__p", F.explode(_bloom_positions(F.col(col), n_bits, n_hashes, seed))
     ).select(
+        "__rid",
         *probes.columns,
         F.shiftright("__p", 6).alias("word_idx"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__p, 64) AS INT))").alias(
@@ -290,6 +293,12 @@ def bloom_probe(
         F.coalesce(F.col("bits").bitwiseAND(F.col("mask")) != 0, F.lit(False)),
     )
     return (
-        hit.groupBy(*probes.columns)
-        .agg((F.count(F.lit(1)) == F.sum(F.col("__hit").cast("int"))).alias("might_contain"))
+        hit.groupBy("__rid")
+        .agg(
+            *[F.first(c).alias(c) for c in probes.columns],
+            (F.count(F.lit(1)) == F.sum(F.col("__hit").cast("int"))).alias(
+                "might_contain"
+            ),
+        )
+        .drop("__rid")
     )

@@ -59,7 +59,7 @@ _COS_SQL = """
     "llm_dedup_exact",
     oracle="""
     SELECT doc_id, lang, source, n_chars FROM documents
-    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+    WHERE text IS NULL OR doc_id IN (SELECT MIN(doc_id) FROM documents WHERE text IS NOT NULL GROUP BY text)
     """,
     doc="Exact dedup: content-hash groupBy, min-id survivor (SURVEY §2.10).",
     tags=("llm", "dedup"),
@@ -1289,7 +1289,7 @@ def llm_media_decode_audio(spark, sf_dir):
     oracle=f"""
     WITH deduped AS (
       SELECT * FROM documents
-      WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+      WHERE text IS NULL OR doc_id IN (SELECT MIN(doc_id) FROM documents WHERE text IS NOT NULL GROUP BY text)
     ),
     scored AS (
       SELECT doc_id, lang, source, n_chars,
@@ -2665,7 +2665,7 @@ def llm_dedup_incremental(spark, sf_dir):
 
 
 _EXACT_DEDUP_WHERE = (
-    "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"
+    "WHERE text IS NULL OR doc_id IN (SELECT MIN(doc_id) FROM documents WHERE text IS NOT NULL GROUP BY text)"
 )
 
 
@@ -3916,10 +3916,15 @@ def udtf_text_chunks(spark, sf_dir):
         ON t.doc_id = c.doc_id AND t.tpos = c.tpos
       WHERE c.doc_id IS NULL
     )
-    SELECT doc_id, MAX(n_tokens) AS n_tokens,
-           CAST(MAX(n_tokens) - COUNT(*) AS BIGINT) AS n_removed,
-           string_agg(tok, ' ' ORDER BY tpos) AS cleaned
-    FROM kept GROUP BY doc_id
+    , surv AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY tpos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(len(t.w) - COALESCE(s.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(s.cleaned, '') AS cleaned
+    FROM toks t LEFT JOIN surv s USING (doc_id)
     """,
     doc=(
         "Substring dedup's REMOVAL step (Lee et al. 2107.06499): every "
@@ -3928,7 +3933,9 @@ def udtf_text_chunks(spark, sf_dir):
         "tokens are reassembled in order — the op that actually "
         "produces the deduplicated training corpus from the spans "
         "llm_dedup_substring detects. Exact string oracle on the "
-        "cleaned text; fully-duplicated non-keeper docs drop entirely. "
+        "cleaned text; every input doc gets exactly ONE output row — a "
+        "fully-duplicated non-keeper reports (n, n, '') instead of "
+        "vanishing (round-9 module-review fix). "
         "One checkpointed window-hash scan, min_by keeper election "
         "with map-side partial agg, covered-position expansion bounded "
         "by k, ordered per-doc reassembly."

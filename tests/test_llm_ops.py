@@ -715,7 +715,7 @@ class TestRemoveDuplicatedSpans:
         assert out[1].n_removed == 10
         assert out[1].cleaned == " ".join(f"b{i}" for i in range(6))
 
-    def test_exact_duplicate_doc_drops_entirely(self, spark):
+    def test_exact_duplicate_doc_fully_emptied(self, spark):
         from steam_data_pipeline_spark.llm.dedup import remove_duplicated_spans
 
         text = " ".join(f"w{i:02d}" for i in range(12))
@@ -724,7 +724,9 @@ class TestRemoveDuplicatedSpans:
         )
         out = {r.doc_id: r for r in remove_duplicated_spans(docs, k=8).collect()}
         assert out[0].n_removed == 0 and out[0].cleaned == text
-        assert 1 not in out  # non-keeper copy fully cut
+        # non-keeper copy fully cut — reported as an emptied row, not
+        # silently vanished (row-per-doc accounting, round-9 review)
+        assert out[1].cleaned == "" and out[1].n_removed == out[1].n_tokens == 12
 
     def test_short_docs_pass_through(self, spark):
         from steam_data_pipeline_spark.llm.dedup import remove_duplicated_spans
@@ -926,3 +928,76 @@ class TestSuggestEditdistQ:
             "doc_id long, text string",
         )
         assert suggest_editdist_q(df, max_d=2) == 3
+
+
+class TestRound9ModuleReviewFixes:
+    def test_exact_dedup_keeps_all_null_text_rows(self, spark):
+        """NULL text has no content identity: all such rows survive
+        instead of collapsing into one NULL-hash group (round-9 module
+        review; same policy as url_dedup's NULL-url exclusion)."""
+        from steam_data_pipeline_spark.llm.dedup import exact_dedup
+
+        docs = spark.createDataFrame(
+            [(0, "same text"), (1, "same text"), (2, None), (3, None), (4, None)],
+            "doc_id long, text string",
+        )
+        kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+        assert kept == [0, 2, 3, 4]
+
+    def test_remove_spans_emits_row_for_fully_covered_doc(self, spark):
+        """A fully-duplicated non-keeper doc must report
+        (n_tokens, n_tokens, '') — one output row per input doc —
+        instead of vanishing from the per-doc accounting."""
+        from steam_data_pipeline_spark.llm.dedup import remove_duplicated_spans
+
+        dup = " ".join(f"w{i}" for i in range(8))  # exactly one k=8 window
+        docs = spark.createDataFrame(
+            [(0, dup), (1, dup), (2, "completely different tokens here now ok yes")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in remove_duplicated_spans(docs, k=8).collect()}
+        assert set(out) == {0, 1, 2}
+        assert out[0].cleaned == dup and out[0].n_removed == 0  # keeper
+        assert out[1].cleaned == "" and out[1].n_removed == 8 == out[1].n_tokens
+        assert out[2].n_removed == 0
+
+    def test_canonicalize_url_port_and_userinfo(self, spark):
+        """Non-default ports and userinfo are part of the identity;
+        default ports are dropped per scheme (round-9 module review:
+        the old HOST-only rebuild collapsed host:8080 into host)."""
+        from steam_data_pipeline_spark.llm.curation import canonicalize_url
+
+        cases = [
+            ("http://example.com:8080/page", "http://example.com:8080/page"),
+            ("http://example.com:80/page", "http://example.com/page"),
+            ("https://example.com:443/page", "https://example.com/page"),
+            ("https://example.com:8443/page", "https://example.com:8443/page"),
+            ("https://alice@example.com/page", "https://alice@example.com/page"),
+            # distinct identities stay distinct
+            ("http://example.com/page", "http://example.com/page"),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+        )
+        got = {
+            r.i: r.c
+            for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+        }
+        for i, (u, want) in enumerate(cases):
+            assert got[i] == want, f"{u!r} -> {got[i]!r}, want {want!r}"
+
+    def test_extract_features_null_content_fallback_row(self, spark):
+        """One NULL-content media row yields a fallback row (decoded
+        False, zero feature, n_bytes 0, hash NULL) instead of failing
+        the whole mapInPandas task."""
+        from steam_data_pipeline_spark.llm.multimodal import extract_features
+
+        media = spark.createDataFrame(
+            [(1, "image", None), (2, "image", bytearray(b"notapng"))],
+            "media_id long, modality string, content binary",
+        )
+        feats = {r.media_id: r for r in extract_features(media).collect()}
+        assert set(feats) == {1, 2}
+        assert feats[1].decoded is False
+        assert feats[1].n_bytes == 0 and feats[1].content_hash is None
+        assert list(feats[1].feature) == [0.0] * 8

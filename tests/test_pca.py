@@ -121,3 +121,15 @@ class TestBadInputs:
         )
         with pytest.raises(ValueError, match="no non-null rows"):
             P.pca_invariants(df)
+
+    def test_probe_row_filtered_out_raises_cleanly(self, spark):
+        """The dimension probe pins d from the FIRST non-null row; if
+        that row is itself dropped (NULL component) and nothing else
+        matches d, the module must surface its messy-embeddings
+        ValueError, not a TypeError on None (round-9 module review)."""
+        df = spark.createDataFrame(
+            [(1, [None, 1.0, 2.0]), (2, [1.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="no usable rows"):
+            P.pca_invariants(df)

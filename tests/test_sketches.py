@@ -182,3 +182,21 @@ class TestDecontamBloom:
             for r in decontam_bloom(docs, bench, n=5).collect()
         }
         assert exact == gated
+
+
+class TestBloomProbeCardinality:
+    def test_duplicate_probe_rows_preserved(self, spark):
+        """bloom_probe appends a column — two identical probe rows must
+        come back as TWO rows (the old payload-column groupBy collapsed
+        them, corrupting downstream counts; round-9 module review)."""
+        import steam_data_pipeline_spark.llm.sketches as SK
+
+        inserted = spark.createDataFrame([("x",), ("y",)], "item string")
+        bloom = SK.bloom_build(inserted, "item", 1 << 12, 3)
+        probes = spark.createDataFrame(
+            [("x",), ("x",), ("zz",)], "item string"
+        )
+        out = SK.bloom_probe(bloom, probes, "item", 1 << 12, 3).collect()
+        assert len(out) == 3
+        hits = sorted((r["item"], r["might_contain"]) for r in out)
+        assert hits == [("x", True), ("x", True), ("zz", hits[2][1])]
