@@ -14114,3 +14114,258 @@ def feat_target_encode_kfold(spark, sf_dir):
             "div (sum(n_in) over (partition by event_type) - n_in)"
         ).cast("long").alias("enc_micro"),
     )
+
+
+@EXT.add(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+    doc=(
+        "STREAM-STATIC enrichment join — the one Structured Streaming "
+        "join primitive the registry didn't yet pin: the event stream "
+        "joined per micro-batch against a STATIC dimension (customer, "
+        "keyed user_id = c_custkey) with a complete-mode rollup per "
+        "(segment, event_type). This is the streaming form of the "
+        "reference's per-batch detail enrichment (main.py:443-449 — "
+        "each batch's rows look up the catalog as-of that batch): no "
+        "watermark, no join state — the static side is broadcast into "
+        "every micro-batch, so state is only the 25-cell aggregate. "
+        "availableNow over the finite fixture = the batch join "
+        "(the oracle). Cents are exact integers; at 100 TB the static "
+        "side is a snapshot-pinned dim table and re-broadcast per "
+        "restart, never per row."
+    ),
+    tags=("streaming", "join", "enrich"),
+)
+def stream_static_enrich(spark, sf_dir):
+    return _run_stream_to_memory(
+        _build_stream_static_enrich(spark, sf_dir), "ss_static_enrich", spark
+    )
+
+
+def _build_stream_static_enrich(spark, sf_dir):
+    """Pre-sink streaming plan, shared with the plan-contract test."""
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ev = _read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    joined = ev.join(F.broadcast(dim), on="user_id", how="inner")
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+@EXT.add(
+    "agg_lorenz_deciles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, user_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM per_user
+    ),
+    dec AS (
+      SELECT CAST(((rk - 1) * 10) // n AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_users, cents,
+           ROUND(CAST(SUM(cents) OVER (ORDER BY decile) AS DOUBLE)
+                 / SUM(cents) OVER (), 9) AS cum_share
+    FROM dec
+    """,
+    doc=(
+        "Lorenz-curve DECILES of per-user purchase revenue — the "
+        "concentration table behind agg_gini_segment's scalar: users "
+        "ranked by exact lifetime cents (ties broken by user_id, fully "
+        "deterministic), integer-partitioned into 10 equal-population "
+        "deciles, each reporting population, exact cents, and the "
+        "cumulative revenue share (one division of exact BIGINTs, "
+        "ROUND 9). Scale: the fact collapses to the user spine first "
+        "(map-side combined); the global rank is a range-partitioned "
+        "sort of the SPINE (users, not events), and everything after "
+        "runs on the 10-row decile spine. The whale-concentration "
+        "accounting every monetization dashboard ships."
+    ),
+    tags=("agg", "stats", "distribution"),
+)
+def agg_lorenz_deciles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    per_user = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    ranked = per_user.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "user_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    dec = ranked.groupBy(
+        F.expr("((rk - 1) * 10) div n").cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return dec.select(
+        "decile",
+        "n_users",
+        "cents",
+        F.round(
+            F.sum("cents").over(wcum).cast("double")
+            / F.sum("cents").over(wall),
+            9,
+        ).alias("cum_share"),
+    )
+
+
+@EXT.add(
+    "qa_event_id_gaps",
+    oracle="""
+    WITH ids AS (
+      SELECT event_type, event_id,
+             lag(event_id) OVER (PARTITION BY event_type
+                                 ORDER BY event_id) AS prev_id
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(SUM(CASE WHEN event_id - prev_id > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN event_id - prev_id > 1
+                         THEN event_id - prev_id - 1 ELSE 0 END)
+                AS BIGINT) AS missing_ids,
+           CAST(MAX(event_id - prev_id - 1) AS BIGINT) AS max_gap
+    FROM ids GROUP BY event_type
+    """,
+    doc=(
+        "Sequence-gap AUDIT per event type — the data-loss detector an "
+        "ingest pipeline runs after every load (the reference's "
+        "per-batch row-count logs, main.py:458/477, upgraded to "
+        "positional accounting): within each type's event_id sequence, "
+        "count the gaps, the total missing ids, and the largest hole. "
+        "The fixture's ids are globally contiguous, so each type's "
+        "subsequence has real, deterministic gaps to report. One "
+        "keyed exchange + sort feeds the lag window and the final agg "
+        "(the same shared-sort shape as win_islands); at 100 TB the "
+        "audit runs per ingest partition (type x day) so no single "
+        "sort exceeds a partition."
+    ),
+    tags=("qa", "audit", "window"),
+)
+def qa_event_id_gaps(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ids = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+    )
+    gap = F.col("event_id") - F.col("prev_id") - 1
+    return ids.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+        F.sum((gap > 0).cast("long")).cast("long").alias("n_gaps"),
+        F.sum(F.when(gap > 0, gap).otherwise(0)).cast("long").alias("missing_ids"),
+        F.max(gap).cast("long").alias("max_gap"),
+    )
+
+
+@EXT.add(
+    "feat_rare_category_collapse",
+    oracle="""
+    WITH cat AS (
+      SELECT CAST(FLOOR(SQRT(CAST(json_extract(props, '$.k') AS BIGINT)))
+                  AS BIGINT) AS cat,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    counts AS (
+      SELECT cat, COUNT(*) AS n, SUM(cents) AS cents FROM cat GROUP BY cat
+    ),
+    tagged AS (
+      SELECT CASE WHEN CAST(n AS DOUBLE) / SUM(n) OVER () < 0.05
+                  THEN '__other__' ELSE CAST(cat AS VARCHAR) END AS category,
+             n, cents
+      FROM counts
+    )
+    SELECT category,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           ROUND(CAST(SUM(n) AS DOUBLE)
+                 / SUM(SUM(n)) OVER (), 9) AS share
+    FROM tagged GROUP BY category
+    """,
+    doc=(
+        "Rare-category COLLAPSE — the standard cardinality-control "
+        "step before one-hot/target encoding (categories below 5% "
+        "support fold into '__other__' so downstream encoders never "
+        "meet a category the training fold lacked). The category is a "
+        "deterministically SKEWED derivation from the event props JSON "
+        "(floor(sqrt(k)): category c holds (2c+1)% of rows, so cats "
+        "0-1 sit under the 5% threshold at every SF — the collapse is "
+        "scale-invariant, not a fixture accident). Also pins JSON "
+        "extraction parity (get_json_object vs json_extract). Scale: "
+        "one map-side-combined agg to the bounded category spine; the "
+        "share threshold and the re-collapse are spine windows + a "
+        "spine re-agg — the fact is scanned once, nothing joins."
+    ),
+    tags=("feature", "encoding", "json"),
+)
+def feat_rare_category_collapse(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cat = t(spark, sf_dir, "events").select(
+        F.floor(
+            F.sqrt(F.get_json_object("props", "$.k").cast("long"))
+        ).cast("long").alias("cat"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    counts = cat.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    )
+    wall = Window.partitionBy()
+    tagged = counts.select(
+        F.when(
+            F.col("n").cast("double") / F.sum("n").over(wall) < 0.05,
+            F.lit("__other__"),
+        )
+        .otherwise(F.col("cat").cast("string"))
+        .alias("category"),
+        "n",
+        "cents",
+    )
+    return tagged.groupBy("category").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.round(
+            F.sum("n").cast("double")
+            / F.sum(F.sum("n")).over(Window.partitionBy()),
+            9,
+        ).alias("share"),
+    )

@@ -1106,3 +1106,48 @@ class TestRound9PlanContracts:
         assert "Join" not in plan, plan
         assert plan.count("Exchange hashpartitioning") == 2, plan
         assert "Window" in plan, plan
+
+    def test_lorenz_deciles_spine_only(self, spark):
+        """Fact collapses to the user spine in one keyed exchange;
+        ranking/deciles run on the spine's single partition — no
+        join, no fact-grain window."""
+        plan = _plan(QUERIES["agg_lorenz_deciles"].spark(spark, SF_SMOKE), "simple")
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_event_id_gaps_shared_sort(self, spark):
+        """The lag window and the per-type agg share ONE keyed
+        exchange+sort (the win_islands shape); no join."""
+        plan = _plan(QUERIES["qa_event_id_gaps"].spark(spark, SF_SMOKE), "simple")
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Window" in plan, plan
+
+    def test_rare_collapse_single_fact_scan_no_python(self, spark):
+        """JSON extraction + category derivation stay JVM-side; one
+        map-side-combined agg to the bounded category spine, spine
+        windows after — no join, no Python eval."""
+        plan = _plan(
+            QUERIES["feat_rare_category_collapse"].spark(spark, SF_SMOKE),
+            "simple",
+        )
+        assert "Join" not in plan, plan
+        assert "Python" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_stream_static_enrich_broadcasts_dim(self, spark):
+        """The static dim must broadcast into every micro-batch (no
+        stream-side shuffle join, no watermarked join state) and the
+        stream leg must be a streaming relation."""
+        from steam_data_pipeline_spark.plans.extensions import (
+            _build_stream_static_enrich,
+        )
+
+        plan = _plan(_build_stream_static_enrich(spark, SF_SMOKE), "extended")
+        analyzed = plan.split("== Analyzed Logical Plan ==")[1].split(
+            "== Optimized"
+        )[0]
+        assert "StreamingRelation" in analyzed, analyzed
+        optimized = plan.split("== Optimized Logical Plan ==")[1]
+        assert "broadcast" in optimized or "BroadcastHint" in optimized, plan
+        assert "EventTimeWatermark" not in analyzed, analyzed
