@@ -47,8 +47,12 @@ def _islands_fold(
     closed: list[tuple[int, int, int, int]] = []
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # datetime64[us] first: Arrow→pandas yields ns-resolution today,
+        # but pandas 2 frames can carry us-resolution timestamps, where a
+        # bare astype("int64")//1000 would silently be 1000x off
+        ts_us_arr = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         for ts_us, flag in zip(
-            (pdf["ts"].astype("int64") // 1000).tolist(),  # ns → µs
+            ts_us_arr.tolist(),
             (pdf["value"] > 100).tolist(),
         ):
             if flag:

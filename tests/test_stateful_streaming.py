@@ -317,3 +317,42 @@ def test_hw_fold_invariant_under_any_day_ordered_decomposition():
         assert list(out["forecast_cents"]) == list(
             ref_out["forecast_cents"]
         ), split
+
+
+def test_islands_fold_resolution_invariant():
+    """_islands_fold must produce identical islands whether the Arrow
+    batch hands it ns-resolution timestamps (Spark's conversion today)
+    or us-resolution ones (pandas-2 frames) — the conversion goes
+    through datetime64[us] explicitly, so a future resolution change
+    cannot silently scale every timestamp by 1000."""
+    import pandas as pd
+
+    from steam_data_pipeline_spark.streaming.stateful import _islands_fold
+
+    ts = pd.to_datetime(
+        ["2024-03-01 00:00:00", "2024-03-01 00:05:00",
+         "2024-03-01 00:10:00", "2024-03-01 00:15:00"]
+    )
+    base = pd.DataFrame(
+        {
+            "user_id": [7] * 4,
+            "event_id": [1, 2, 3, 4],
+            "ts": ts,
+            "value": [150.0, 160.0, 50.0, 170.0],
+        }
+    )
+
+    def run(pdf):
+        state = _FakeState()
+        out = list(_islands_fold((7,), iter([pdf]), state))
+        return state._v, out[0] if out else None
+
+    ns_state, ns_out = run(base.assign(ts=base["ts"].astype("datetime64[ns]")))
+    us_state, us_out = run(base.assign(ts=base["ts"].astype("datetime64[us]")))
+    assert ns_state == us_state
+    assert ns_out is not None and us_out is not None
+    pd.testing.assert_frame_equal(ns_out, us_out)
+    # one closed island: rows 1-2 (values > 100), closed by row 3
+    assert ns_out["start_ts"].iloc[0] == pd.Timestamp("2024-03-01 00:00:00")
+    assert ns_out["end_ts"].iloc[0] == pd.Timestamp("2024-03-01 00:05:00")
+    assert int(ns_out["n_obs"].iloc[0]) == 2
