@@ -139,9 +139,13 @@ class TestDecodeFeatures:
         decoded, feat = _decode(junk, "image")
         assert decoded is False and len(feat) == 8
 
-    def test_null_content_still_raises(self):
-        with pytest.raises(NotImplementedError):
-            _decode(None, "image")
+    def test_null_content_yields_fallback_row(self):
+        """NULL content must NOT raise: MEDIA_SCHEMA declares content
+        nullable, and one NULL row failing would kill the whole
+        mapInPandas task (round-9 llm review contract)."""
+        decoded, feat = _decode(None, "image")
+        assert decoded is False
+        assert feat == [0.0] * 8
 
 
 class TestApng:
