@@ -9867,18 +9867,29 @@ def _prepare_bucketed_pair(spark, sf_dir):
     (operators/upsert.py write_bucketed) — the pay-the-shuffle-once
     layout; cached per (sf_dir) as catalog tables."""
     import hashlib
+    import os
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    # pid-scoped names: the warehouse DIRECTORY outlives the in-memory
+    # catalog AND is shared by any concurrent process running from the
+    # same cwd — a shared name would make one process rmtree a location
+    # another is mid-read (observed as a sweep-vs-pytest flake). Each
+    # process owns its tables; stale dirs from dead processes are
+    # garbage-collected by age below, never deleted from under a
+    # concurrent reader.
+    tag = f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
     to, tl = f"sdp_bkt_orders_{tag}", f"sdp_bkt_lineitem_{tag}"
     if not spark.catalog.tableExists(to):
-        # the warehouse DIRECTORY outlives the in-memory catalog: a
-        # fresh process sees tableExists=False but saveAsTable would
-        # refuse the leftover location — clear stale locations first
-        import os
         import shutil
+        import time
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        if os.path.isdir(wh):
+            cutoff = time.time() - 6 * 3600
+            for name in os.listdir(wh):
+                p = os.path.join(wh, name)
+                if name.startswith("sdp_bkt_") and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
         for name in (to, tl):
             shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         from steam_data_pipeline_spark.operators.upsert import write_bucketed
@@ -14368,4 +14379,393 @@ def feat_rare_category_collapse(spark, sf_dir):
             / F.sum(F.sum("n")).over(Window.partitionBy()),
             9,
         ).alias("share"),
+    )
+
+
+@EXT.add(
+    "win_peak_concurrency",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS delta
+      FROM events
+    ),
+    net AS (
+      SELECT event_type, t, CAST(SUM(delta) AS BIGINT) AS net
+      FROM pts GROUP BY event_type, t
+    ),
+    run AS (
+      SELECT event_type, t,
+             SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS cur
+      FROM net
+    ),
+    peaked AS (
+      SELECT event_type, t, cur,
+             MAX(cur) OVER (PARTITION BY event_type) AS peak
+      FROM run
+    )
+    SELECT event_type,
+           CAST(MAX(peak) AS BIGINT) AS peak_concurrent,
+           MIN(t) AS peak_ts
+    FROM peaked WHERE cur = peak GROUP BY event_type
+    """,
+    doc=(
+        "Peak CONCURRENCY per event type via the classic sweep line — "
+        "every event opens a half-open 30-minute activity interval "
+        "[ts, ts+30min), and the answer is the maximum number of "
+        "simultaneously open intervals plus the first instant it is "
+        "attained (the 'peak concurrent players' number every live "
+        "dashboard headlines; the reference's player_count is the "
+        "polled version of exactly this). Shape: endpoints carry "
+        "+1/-1 deltas, deltas are SUMMED PER DISTINCT TIMESTAMP first "
+        "(map-side-combined groupBy — this also makes the half-open "
+        "boundary exact: an interval closing at t cancels one opening "
+        "at t), and the running sum over the per-type timestamp spine "
+        "is the step function's exact value on [t, next_t). The max "
+        "over spine rows equals the function's max, and the peak "
+        "instant is deterministic (MIN t attaining it). Scale: the "
+        "window runs on the DISTINCT-timestamp spine, not raw events, "
+        "after one keyed exchange; no self-join, no interval "
+        "materialization."
+    ),
+    tags=("window", "interval", "analytics"),
+)
+def win_peak_concurrency(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("event_type", "ts")
+    pts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    net = pts.groupBy("event_type", "t").agg(
+        F.sum("delta").cast("long").alias("net")
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = net.withColumn("cur", F.sum("net").over(wrun))
+    peaked = run.withColumn(
+        "peak", F.max("cur").over(Window.partitionBy("event_type"))
+    )
+    return (
+        peaked.filter(F.col("cur") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.max("peak").cast("long").alias("peak_concurrent"),
+            F.min("t").alias("peak_ts"),
+        )
+    )
+
+
+@EXT.add(
+    "win_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT cents,
+             CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey)
+                  AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey)
+                  AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY cents DESC, o_custkey)
+                  AS BIGINT) AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "RFM segmentation — the marketing-standard customer grid: per "
+        "customer, Recency (last order date), Frequency (order count) "
+        "and Monetary (exact lifetime cents) are each quintiled with "
+        "ntile(5) (score 1 = best, deterministic (metric, custkey) "
+        "tie-break; ntile's equal-fill-first-buckets division is "
+        "identical in Spark and DuckDB), then customers are counted "
+        "into the <=125 (r,f,m) cells with their exact revenue. "
+        "Scale: the fact table collapses to the customer SPINE first "
+        "(map-side-combined agg); the three global ntile windows run "
+        "over that spine only — the same spine-global-sort posture as "
+        "agg_lorenz_deciles, rank-limited and orders of magnitude "
+        "smaller than the facts — and the final cell agg is bounded "
+        "at 125 rows."
+    ),
+    tags=("window", "segmentation", "analytics"),
+)
+def win_rfm_segments(spark, sf_dir):
+    from pyspark.sql import Window
+
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    scored = per_cust.select(
+        "cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("o_custkey")))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("cents").desc(), F.col("o_custkey")))
+        .cast("long")
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+@EXT.add(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id, date_trunc('week', ts) AS wk,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cohort AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM purch GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM cohort GROUP BY cohort_wk
+    ),
+    cells AS (
+      SELECT c.cohort_wk,
+             CAST((date_part('epoch', p.wk)
+                   - date_part('epoch', c.cohort_wk)) // 604800
+                  AS BIGINT) AS age_wk,
+             CAST(SUM(p.cents) AS BIGINT) AS cents
+      FROM purch p JOIN cohort c ON p.user_id = c.user_id
+      GROUP BY 1, 2
+    )
+    SELECT cells.cohort_wk, age_wk, cohort_users, cents,
+           CAST(SUM(cents) OVER (PARTITION BY cells.cohort_wk
+                                 ORDER BY age_wk
+                                 ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_cents,
+           ROUND(CAST(SUM(cents) OVER (PARTITION BY cells.cohort_wk
+                                       ORDER BY age_wk
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE) / cohort_users, 9) AS ltv_per_user
+    FROM cells JOIN sizes ON cells.cohort_wk = sizes.cohort_wk
+    """,
+    doc=(
+        "Cohort LTV CURVE — the revenue companion of "
+        "agg_retention_cohort: users are cohorted by first-purchase "
+        "week, every purchase lands in a (cohort, age-in-weeks) cell "
+        "with exact cents, and a running sum over each cohort's age "
+        "axis yields the cumulative lifetime value, per cohort and "
+        "per user (one division of exact BIGINTs, ROUND 9; the week "
+        "age is exact integer epoch-seconds arithmetic on "
+        "week-truncated timestamps, never float date math). Scale: "
+        "purchases collapse to the (user, week) grain map-side, the "
+        "cohort join shuffles on user_id, and the window plus final "
+        "join run on the weeks x weeks cell spine — bounded by the "
+        "calendar, not the data."
+    ),
+    tags=("agg", "cohort", "analytics"),
+)
+def agg_cohort_ltv(spark, sf_dir):
+    from pyspark.sql import Window
+
+    purch = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).alias("wk"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    cohort = purch.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    cells = (
+        purch.join(cohort, on="user_id")
+        .groupBy(
+            "cohort_wk",
+            (
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort_wk"))
+                / F.lit(604800)
+            )
+            .cast("long")
+            .alias("age_wk"),
+        )
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("cents").over(wcum).cast("long")
+    return (
+        cells.join(F.broadcast(sizes), on="cohort_wk")
+        .select(
+            "cohort_wk",
+            "age_wk",
+            "cohort_users",
+            "cents",
+            cum.alias("cum_cents"),
+            F.round(
+                cum.cast("double") / F.col("cohort_users"), 9
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+@EXT.add(
+    "llm_mix_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(POWER(CAST(n_docs AS DOUBLE), 0.7)
+                           AS DECIMAL(38,18))) AS DOUBLE) AS z,
+             CAST(SUM(n_docs) AS BIGINT) AS n
+      FROM counts
+    )
+    SELECT source, n_docs,
+           ROUND(POWER(CAST(n_docs AS DOUBLE), 0.7) / z, 9) AS weight,
+           ROUND((POWER(CAST(n_docs AS DOUBLE), 0.7) / z)
+                 / (CAST(n_docs AS DOUBLE) / n), 9) AS boost
+    FROM counts, tot
+    """,
+    doc=(
+        "TEMPERATURE-scaled domain mixing weights (alpha = 0.7) — the "
+        "multilingual-LM sampling scheme (mBERT/XLM-R style): each "
+        "source's sampling weight is n^0.7 normalized over sources, "
+        "which upsamples small domains and downsamples dominant ones; "
+        "``boost`` = weight / natural share is the per-source up/down "
+        "sampling factor a mixer applies (the knob llm_domain_mix's "
+        "fixed proportions come from). Determinism: the normalizer Z "
+        "sums the pow() terms as DECIMAL(38,18) — order-independent "
+        "under any partitioning, unlike a double sum — and the two "
+        "emitted ratios are rounded to 9 decimals (pow(), like ln(), "
+        "is not IEEE-correctly-rounded across engines). Scale: one "
+        "map-side-combined count per source, then arithmetic on the "
+        "source spine; the weights table broadcasts back to the "
+        "sampler."
+    ),
+    tags=("llm", "curation", "mixing"),
+)
+def llm_mix_temperature(spark, sf_dir):
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    pw = F.pow(F.col("n_docs").cast("double"), F.lit(0.7))
+    tot = counts.agg(
+        F.sum(pw.cast("decimal(38,18)")).cast("double").alias("z"),
+        F.sum("n_docs").cast("long").alias("n"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(pw / F.col("z"), 9).alias("weight"),
+        F.round(
+            (pw / F.col("z"))
+            / (F.col("n_docs").cast("double") / F.col("n")),
+            9,
+        ).alias("boost"),
+    )
+
+
+@EXT.add(
+    "agg_conversion_lag",
+    oracle="""
+    WITH first_purchase AS (
+      SELECT user_id, MIN(ts) AS pts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    lags AS (
+      SELECT p.user_id,
+             epoch_us(MIN(e.ts)) - epoch_us(p.pts) AS lag_us
+      FROM first_purchase p
+      JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type = 'play'
+       AND e.ts > p.pts
+      GROUP BY p.user_id, p.pts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+           CAST(MAX(lag_us) AS BIGINT) AS max_lag_us,
+           CAST(MEDIAN(lag_us) AS DOUBLE) AS median_lag_us
+    FROM lags
+    """,
+    doc=(
+        "Conversion-LAG distribution — win_funnel_steps tells how MANY "
+        "purchasers go on to play; this tells how FAST: per user, the "
+        "time from first purchase to the first play after it, "
+        "summarized as count / min / max / exact median in integer "
+        "microseconds (median of BIGINTs interpolates to x.0 or x.5 — "
+        "exact in double on both engines; no float time math "
+        "anywhere). Shape: purchases collapse to the user spine "
+        "map-side; plays join that spine on user_id (shuffle join — "
+        "the spine is user-sized, not broadcastable at 100 TB) with "
+        "the ts > pts predicate applied as the join residual, then a "
+        "per-user MIN and one global 4-scalar agg. No window over raw "
+        "events, no self-join of the full fact table."
+    ),
+    tags=("agg", "funnel", "analytics"),
+)
+def agg_conversion_lag(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    plays = ev.filter(F.col("event_type") == "play").select(
+        "user_id", F.col("ts").alias("play_ts")
+    )
+    lags = (
+        plays.join(first_purchase, on="user_id")
+        .filter(F.col("play_ts") > F.col("pts"))
+        .groupBy("user_id", "pts")
+        .agg(F.min("play_ts").alias("fts"))
+        .select(
+            (F.unix_micros("fts") - F.unix_micros("pts")).alias("lag_us")
+        )
+    )
+    return lags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("lag_us").cast("long").alias("min_lag_us"),
+        F.max("lag_us").cast("long").alias("max_lag_us"),
+        F.median("lag_us").cast("double").alias("median_lag_us"),
     )

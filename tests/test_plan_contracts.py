@@ -1151,3 +1151,61 @@ class TestRound9PlanContracts:
         optimized = plan.split("== Optimized Logical Plan ==")[1]
         assert "broadcast" in optimized or "BroadcastHint" in optimized, plan
         assert "EventTimeWatermark" not in analyzed, analyzed
+
+
+class TestRound9ThirdWaveContracts:
+    def test_peak_concurrency_spine_window_no_join(self, spark):
+        """Sweep-line deltas collapse to the distinct-timestamp spine
+        in a map-side-combined agg BEFORE any window; the running sum
+        and peak windows run per event_type — no join, no interval
+        materialization, two keyed exchanges ((type,t) agg, then the
+        type-keyed window)."""
+        plan = _plan(
+            QUERIES["win_peak_concurrency"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert plan.count("Window") == 2, plan
+        assert "partial_sum" in plan, plan  # map-side combine of deltas
+
+    def test_rfm_segments_spine_only(self, spark):
+        """Orders collapse to the customer spine in ONE keyed exchange;
+        the three ntile windows run on the spine's global sort (the
+        agg_lorenz_deciles posture) and the cell agg is bounded at
+        125 rows — no join anywhere."""
+        plan = _plan(QUERIES["win_rfm_segments"].spark(spark, SF_SMOKE), "simple")
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("ntile(5)") == 3, plan
+
+    def test_cohort_ltv_no_cartesian_no_python(self, spark):
+        """Purchases collapse to (user, week) / user grains map-side;
+        joins stay key-equi (broadcast at smoke scale), the cumulative
+        window runs on the bounded cohort x age cell spine."""
+        plan = _plan(QUERIES["agg_cohort_ltv"].spark(spark, SF_SMOKE), "simple")
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "Window" in plan, plan
+        assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan, plan
+
+    def test_mix_temperature_spine_arithmetic(self, spark):
+        """One map-side-combined count per source; the normalizer is a
+        DECIMAL(38,18) sum (order-independent) broadcast back as a
+        1-row bounds join — no Python, no fact-grain join."""
+        plan = _plan(QUERIES["llm_mix_temperature"].spark(spark, SF_SMOKE), "simple")
+        assert "Python" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "decimal(38,18)" in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+    def test_conversion_lag_no_fact_self_join_blowup(self, spark):
+        """Purchases reduce to the user spine BEFORE the play join (the
+        join's build side is the spine, never raw events x events);
+        ts > pts rides as the join residual and the median is one
+        global exact-percentile agg."""
+        plan = _plan(QUERIES["agg_conversion_lag"].spark(spark, SF_SMOKE), "simple")
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "percentile" in plan, plan

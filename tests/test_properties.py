@@ -433,8 +433,9 @@ def _py_remove_spans(texts: dict[int, str], k: int):
     for d, t in texts.items():
         toks = t.strip().split()
         kept = [w for i, w in enumerate(toks) if i not in covered.get(d, set())]
-        if kept:
-            out[d] = (len(toks), len(toks) - len(kept), " ".join(kept))
+        # fully-covered docs stay in the accounting with cleaned = ''
+        # (round-9 llm review: row-per-doc, never silently vanished)
+        out[d] = (len(toks), len(toks) - len(kept), " ".join(kept))
     return out
 
 
