@@ -235,10 +235,13 @@ def save_lsh_index(index: LshIndex, path: str) -> None:
 
     Everything is written through Spark (object-store safe, no driver-
     local filesystem assumptions). Partitioning each table by
-    ``__bucket`` means a probe join against a RELOADED index prunes at
-    the file-listing level (dynamic partition pruning): each query
-    batch reads only the probed buckets' files — at 100 TB that is the
-    difference between scanning the index and scanning ~14 % of it."""
+    ``__bucket`` means a probe against a RELOADED index prunes at the
+    file-listing level: ``lsh_topk`` collects the bounded probed-bucket
+    set and pushes it as a static IN partition predicate (Spark's
+    dynamic partition pruning does not fire for this broadcast join —
+    measured), so each query batch reads only the probed buckets'
+    files — at 100 TB that is the difference between scanning the
+    index and scanning the probed fraction of it."""
     spark = index.tables[0].sparkSession
     spark.createDataFrame(
         [(index.n_planes, index.seed_base, index.n_tables)],
@@ -340,6 +343,7 @@ def lsh_topk(
 
     from steam_data_pipeline_spark.llm.dedup import _srp_bucket_udf
 
+    built_inline = index is None
     if index is None:
         index = build_lsh_index(
             corpus,
@@ -379,6 +383,7 @@ def lsh_topk(
     vecs = corpus.select(key, vec_col)
     qsel = queries.select(query_key, F.col(vec_col).alias("__qvec"))
     cands = None
+    prebuilt = not built_inline
     for table, tagged in enumerate(index.tables):
         srp = _srp_bucket_udf(n_planes, seed=index.seed_base + table)
         probes = (
@@ -390,8 +395,34 @@ def lsh_topk(
                 ).alias("__bucket"),
             )
         )
+        if prebuilt:
+            # Static touched-bucket pruning (the operators/upsert.py
+            # doctrine): Spark's dynamic partition pruning does NOT
+            # fire for this broadcast join (measured — the probe read
+            # every bucket directory), so the probed bucket set —
+            # bounded by min(|queries|·|masks|, 2^n_planes) — is
+            # collected and pushed as an IN predicate, which a
+            # __bucket-partitioned reloaded table prunes at the file
+            # listing. Costs one tiny job over the bounded query
+            # batch per table; skipped for in-query lineage indexes,
+            # where there is no scan to prune.
+            blist = [
+                r["__bucket"]
+                for r in probes.select("__bucket").distinct().collect()
+            ]
+            if not blist:
+                continue
+            tagged = tagged.filter(F.col("__bucket").isin(blist))
         pairs = tagged.join(F.broadcast(probes), on="__bucket").select(query_key, key)
         cands = pairs if cands is None else cands.union(pairs)
+    if cands is None:
+        # every table's probe set was empty (empty query batch)
+        return (
+            queries.select(query_key)
+            .limit(0)
+            .withColumn(key, F.lit(None).cast(corpus.schema[key].dataType))
+            .withColumn("cosine", F.lit(None).cast("double"))
+        )
     scored = (
         cands.distinct()
         .join(vecs, on=key)
@@ -444,6 +475,7 @@ def ivf_topk(
     converged by ~10 iterations, so the residual gap is the data's
     geometry, not index quality. Clustered real-world embeddings
     deliver far higher recall at smaller touch."""
+    built_inline = index is None
     if index is None:
         index = build_ivf_index(corpus, key, vec_col, n_centroids)
     if isinstance(index, IvfIndex):
@@ -475,6 +507,26 @@ def ivf_topk(
         .filter(F.col("__rn") <= n_probe)
         .select(query_key, "__qvec", "centroid_id")
     )
+    if not built_inline:
+        # Static touched-list pruning, same rationale as lsh_topk:
+        # dynamic partition pruning does not fire for this broadcast
+        # join, so the probed centroid ids — bounded by n_centroids —
+        # are collected and pushed as an IN predicate that a reloaded
+        # centroid_id-partitioned assignments table prunes at the file
+        # listing. One tiny job over the bounded query batch; skipped
+        # when the index was just built in-query (lineage, no scan).
+        plist = [
+            r["centroid_id"]
+            for r in probes.select("centroid_id").distinct().collect()
+        ]
+        if not plist:
+            return (
+                queries.select(query_key)
+                .limit(0)
+                .withColumn(key, F.lit(None).cast(corpus.schema[key].dataType))
+                .withColumn("cosine", F.lit(None).cast("double"))
+            )
+        assign = assign.filter(F.col("centroid_id").isin(plist))
     scored = assign.join(F.broadcast(probes), on="centroid_id").select(
         query_key,
         key,

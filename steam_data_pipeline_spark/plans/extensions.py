@@ -563,10 +563,12 @@ def llm_sim_quantized(spark, sf_dir):
         "The PRODUCTION ANN calling convention end-to-end, driver-"
         "checked: build the IVF index once, persist it (centroid table "
         "+ assignments PARTITIONED BY centroid_id + build params), "
-        "reload, probe. Probing the reloaded index dynamic-partition-"
-        "prunes the assignment scan to the probed inverted lists — at "
-        "100 TB each query batch reads ~n_probe/C of the index, never "
-        "all of it. Same recall contract as llm_sim_ivf (>= 0.70 vs "
+        "reload, probe. Probing the reloaded index partition-prunes "
+        "the assignment scan to the probed inverted lists (a static "
+        "touched-list IN predicate collected from the bounded probe "
+        "set — plan-contracted PartitionFilters) — at 100 TB each "
+        "query batch reads ~n_probe/C of the index, never all of it. "
+        "Same recall contract as llm_sim_ivf (>= 0.70 vs "
         "in-query brute-force truth); the persisted index carries its "
         "build parameters, so probe sizing needs no count() job and "
         "parameter-mismatched reloads are structurally impossible "
@@ -597,9 +599,11 @@ def llm_sim_ivf_persisted(spark, sf_dir):
         "index carries its own (n_planes, seed_base), so the probe "
         "planes match the build by construction — the mismatched/"
         "out-of-order-reload failure ADVICE r4 flagged is structurally "
-        "impossible through this path — and bucket probes dynamic-"
-        "partition-prune the scan to the probed buckets. Same recall "
-        "contract as llm_sim_lsh (>= 0.75 vs in-query brute force)."
+        "impossible through this path — and bucket probes partition-"
+        "prune the scan to the probed buckets via a static touched-"
+        "bucket IN predicate (plan-contracted PartitionFilters; DPP "
+        "does not fire for this join shape). Same recall contract as "
+        "llm_sim_lsh (>= 0.75 vs in-query brute force)."
     ),
     tags=("llm", "similarity", "invariant", "persistence"),
 )

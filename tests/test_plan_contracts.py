@@ -1209,3 +1209,50 @@ class TestRound9ThirdWaveContracts:
         assert "Python" not in plan, plan
         assert plan.count("Exchange hashpartitioning") == 2, plan
         assert "percentile" in plan, plan
+
+
+class TestAnnPersistedPruningContracts:
+    """DPP does NOT fire for the ANN probe joins (measured round 9) —
+    the probed-set IN predicate must therefore be pushed statically
+    and appear as a PartitionFilters INSET on the reloaded scans."""
+
+    def test_lsh_persisted_probe_prunes_partitions(self, spark, tmp_path):
+        from steam_data_pipeline_spark.llm import simsearch as S
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        emb = read_table(spark, SF_SMOKE, "embeddings")
+        d = str(tmp_path / "lshidx")
+        S.save_lsh_index(S.build_lsh_index(emb), d)
+        queries = emb.limit(4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = S.lsh_topk(emb, queries, k=5, index=S.load_lsh_index(spark, d))
+        plan = _plan(out, "simple")
+        pruned = [
+            ln for ln in plan.splitlines()
+            if "FileScan" in ln
+            and "PartitionFilters: [__bucket" in ln and "INSET" in ln
+        ]
+        assert len(pruned) == 2, plan  # both tables' scans pruned
+
+    def test_ivf_persisted_probe_prunes_partitions(self, spark, tmp_path):
+        from steam_data_pipeline_spark.llm import simsearch as S
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        emb = read_table(spark, SF_SMOKE, "embeddings")
+        d = str(tmp_path / "ivfidx")
+        S.save_ivf_index(S.build_ivf_index(emb), d)
+        queries = emb.limit(4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = S.ivf_topk(
+            emb, queries, k=5, index=S.load_ivf_index(spark, d), n_probe=3
+        )
+        plan = _plan(out, "simple")
+        pruned = [
+            ln for ln in plan.splitlines()
+            if "FileScan" in ln
+            and "PartitionFilters: [centroid_id" in ln
+            and ("INSET" in ln or " IN (" in ln)  # Catalyst renders small sets as IN
+        ]
+        assert len(pruned) == 1, plan
