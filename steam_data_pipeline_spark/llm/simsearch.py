@@ -248,9 +248,13 @@ def save_lsh_index(index: LshIndex, path: str) -> None:
         "n_planes int, seed_base int, n_tables int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
     for i, t in enumerate(index.tables):
-        t.write.mode("overwrite").partitionBy("__bucket").parquet(
-            f"{path}/table_{i:03d}"
-        )
+        # cluster rows by bucket BEFORE the partitioned write — without
+        # this every write task opens up to 2^n_planes partition writers
+        # and the dynamic-partition sort dominates (same fix measured
+        # 65s -> 8s on the dedup signature index, llm/dedup.py)
+        t.repartition(F.col("__bucket")).write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(f"{path}/table_{i:03d}")
 
 
 def load_lsh_index(spark, path: str) -> LshIndex:
@@ -278,9 +282,10 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     index.centroids.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
-    index.assignments.write.mode("overwrite").partitionBy(
-        "centroid_id"
-    ).parquet(f"{path}/assignments")
+    # cluster by list before the partitioned write (see save_lsh_index)
+    index.assignments.repartition(F.col("centroid_id")).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(f"{path}/assignments")
 
 
 def load_ivf_index(spark, path: str) -> IvfIndex:
@@ -305,6 +310,7 @@ def lsh_topk(
     n_tables: int | None = None,
     probe_radius: int = 3,
     index: LshIndex | None = None,
+    prune_probed: bool = True,
 ) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH buckets — the
     bucketed sibling of ``ivf_topk`` (the north star names either as
@@ -383,7 +389,11 @@ def lsh_topk(
     vecs = corpus.select(key, vec_col)
     qsel = queries.select(query_key, F.col(vec_col).alias("__qvec"))
     cands = None
-    prebuilt = not built_inline
+    # prune_probed=False skips the probe-set collect — for callers
+    # whose probe set provably covers ~every bucket (the extra job
+    # buys nothing), and for the ann-prune rehearsal's on/off
+    # comparison (tools/scale_rehearsal.py)
+    prebuilt = not built_inline and prune_probed
     for table, tagged in enumerate(index.tables):
         srp = _srp_bucket_udf(n_planes, seed=index.seed_base + table)
         probes = (

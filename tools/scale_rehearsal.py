@@ -885,6 +885,87 @@ def rehearse_lpa_skew(factors: list[int]) -> None:
     spark.stop()
 
 
+def rehearse_ann_prune(sf_dir: str, factor: int = 10, repeats: int = 2) -> None:
+    """Measure what the static touched-bucket IN predicate buys a
+    PERSISTED LSH probe at production-like plane counts. At the demo's
+    8 planes a multi-query batch probes ~every one of 256 buckets, so
+    pruning is a no-op; at 12 planes / radius 2 the probe set covers a
+    small fraction of 4096 buckets and the predicate prunes the file
+    listing itself. Compares the same reloaded index probed with
+    prune_probed=True vs False (identical results — asserted) on a
+    factor-x corpus."""
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from steam_data_pipeline_spark.llm.simsearch import (
+        build_lsh_index,
+        load_lsh_index,
+        lsh_topk,
+        save_lsh_index,
+    )
+    from steam_data_pipeline_spark.sources.tables import read_table
+
+    spark = _spark()
+    base = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n0 = base.count()
+    id_base = base.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(base.select("embedding").first()[0])
+    corpus = base
+    if factor > 1:
+        rng = np.random.default_rng(77)
+        extra = rng.standard_normal(((factor - 1) * n0, dim))
+        extra_df = spark.createDataFrame(
+            [((id_base + i), [float(x) for x in row]) for i, row in enumerate(extra)],
+            "vec_id long, embedding array<double>",
+        ).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        corpus = base.union(extra_df)
+    corpus = corpus.localCheckpoint(eager=True)
+    n = corpus.count()
+    queries = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    n_planes, radius = 12, 2
+    d = tempfile.mkdtemp() + "/lshidx"
+    t0 = time.time()
+    save_lsh_index(
+        build_lsh_index(corpus, n_planes=n_planes, n_tables=2), d
+    )
+    build_s = time.time() - t0
+    idx = load_lsh_index(spark, d)
+
+    def probe(prune: bool) -> tuple[float, list]:
+        walls = []
+        rows = None
+        for _ in range(repeats):
+            t0 = time.time()
+            out = lsh_topk(
+                corpus, queries, k=10, index=idx,
+                probe_radius=radius, prune_probed=prune,
+            )
+            rows = sorted(map(tuple, out.collect()))
+            walls.append(time.time() - t0)
+        return min(walls), rows
+
+    pruned_s, pruned_rows = probe(True)
+    full_s, full_rows = probe(False)
+    assert pruned_rows == full_rows, "pruning changed results"
+    n_masks = 1 + n_planes + n_planes * (n_planes - 1) // 2
+    print(
+        f"# ann-prune rehearsal: corpus {n}, {n_planes} planes "
+        f"(4096 buckets/table), radius {radius} ({n_masks} masks/query), "
+        f"8 queries, build+save {build_s:.1f}s"
+    )
+    print("probe\twall_s")
+    print(f"pruned\t{pruned_s:.2f}")
+    print(f"full-scan\t{full_s:.2f}")
+    print(f"# speedup {full_s / pruned_s:.2f}x; results identical")
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
@@ -898,6 +979,7 @@ def main() -> None:
             "lpa-skew",
             "basket-skew",
             "dedup-amortized",
+            "ann-prune",
         ],
     )
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -922,6 +1004,8 @@ def main() -> None:
         rehearse_basket_skew(args.sf_dir, args.repeats)
     elif args.op == "dedup-amortized":
         rehearse_dedup_amortized(args.sf_dir)
+    elif args.op == "ann-prune":
+        rehearse_ann_prune(args.sf_dir, args.factor, args.repeats)
     else:
         rehearse_substring_skew(args.sf_dir)
 
