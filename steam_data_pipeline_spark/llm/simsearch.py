@@ -389,11 +389,32 @@ def lsh_topk(
     vecs = corpus.select(key, vec_col)
     qsel = queries.select(query_key, F.col(vec_col).alias("__qvec"))
     cands = None
-    # prune_probed=False skips the probe-set collect — for callers
-    # whose probe set provably covers ~every bucket (the extra job
-    # buys nothing), and for the ann-prune rehearsal's on/off
-    # comparison (tools/scale_rehearsal.py)
+    # Static touched-bucket pruning (the operators/upsert.py doctrine):
+    # Spark's dynamic partition pruning does NOT fire for this
+    # broadcast join (measured — the probe read every bucket
+    # directory), so the probed bucket set — bounded by
+    # min(|queries|·|masks|, 2^n_planes) per table — is pushed as an
+    # IN predicate, which a __bucket-partitioned reloaded table prunes
+    # at the file listing. Cost: ONE job collecting every table's base
+    # codes for the bounded query batch (mask expansion is driver-side
+    # integer XOR). Skipped for in-query lineage indexes (no scan to
+    # prune); prune_probed=False also skips it — for callers whose
+    # probe set provably covers ~every bucket, and for the ann-prune
+    # rehearsal's on/off comparison (tools/scale_rehearsal.py).
     prebuilt = not built_inline and prune_probed
+    blists: list[list[int] | None] = [None] * index.n_tables
+    if prebuilt:
+        srps = [
+            _srp_bucket_udf(n_planes, seed=index.seed_base + t)
+            for t in range(index.n_tables)
+        ]
+        base = qsel.select(
+            *[srps[t](F.col("__qvec")).alias(f"__b{t}") for t in range(index.n_tables)]
+        ).collect()
+        blists = [
+            sorted({int(r[f"__b{t}"]) ^ m for r in base for m in masks})
+            for t in range(index.n_tables)
+        ]
     for table, tagged in enumerate(index.tables):
         srp = _srp_bucket_udf(n_planes, seed=index.seed_base + table)
         probes = (
@@ -406,23 +427,9 @@ def lsh_topk(
             )
         )
         if prebuilt:
-            # Static touched-bucket pruning (the operators/upsert.py
-            # doctrine): Spark's dynamic partition pruning does NOT
-            # fire for this broadcast join (measured — the probe read
-            # every bucket directory), so the probed bucket set —
-            # bounded by min(|queries|·|masks|, 2^n_planes) — is
-            # collected and pushed as an IN predicate, which a
-            # __bucket-partitioned reloaded table prunes at the file
-            # listing. Costs one tiny job over the bounded query
-            # batch per table; skipped for in-query lineage indexes,
-            # where there is no scan to prune.
-            blist = [
-                r["__bucket"]
-                for r in probes.select("__bucket").distinct().collect()
-            ]
-            if not blist:
+            if not blists[table]:
                 continue
-            tagged = tagged.filter(F.col("__bucket").isin(blist))
+            tagged = tagged.filter(F.col("__bucket").isin(blists[table]))
         pairs = tagged.join(F.broadcast(probes), on="__bucket").select(query_key, key)
         cands = pairs if cands is None else cands.union(pairs)
     if cands is None:

@@ -1858,7 +1858,7 @@ _LAYOUT_CACHE: dict[tuple, str] = {}
 
 # Bump when any layout/index build logic changes: the on-disk cache key
 # includes it, so old artifacts are never reused across logic changes.
-_LAYOUT_VERSION = 1
+_LAYOUT_VERSION = 2  # v2: bucket-clustered ANN index writes (round 9)
 
 
 def _cached_layout(kind: str, sf_dir: str, write_fn, disk: bool = True) -> str:
