@@ -356,3 +356,88 @@ def test_islands_fold_resolution_invariant():
     assert ns_out["start_ts"].iloc[0] == pd.Timestamp("2024-03-01 00:00:00")
     assert ns_out["end_ts"].iloc[0] == pd.Timestamp("2024-03-01 00:05:00")
     assert int(ns_out["n_obs"].iloc[0]) == 2
+
+
+def test_islands_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill the islands stream mid-open-island and restart from the
+    SAME checkpoint with a new file landed: the open-island state
+    (start/end/count/seq) must round-trip through the state store so
+    the resumed run closes it correctly — mirrored from the HW
+    recovery test; the emitted closed islands must equal the batch
+    operator's intervals on the full series."""
+    import os
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from steam_data_pipeline_spark.operators.windows import island_intervals
+    from steam_data_pipeline_spark.streaming.stateful import streaming_islands
+
+    d = str(tmp_path / "isl")
+    os.makedirs(d)
+    ck = str(tmp_path / "ck")
+    sink = str(tmp_path / "out")
+    base = datetime(2024, 3, 1)
+    vals = [150.0, 160.0, 50.0, 170.0, 180.0, 60.0, 190.0, 200.0, 40.0]
+    rows = [
+        (7, i + 1, base + timedelta(minutes=5 * i), vals[i])
+        for i in range(len(vals))
+    ]
+
+    def _land(fi: int, sl) -> None:
+        p = f"{d}/b{fi}.parquet"
+        pd.DataFrame(
+            sl, columns=["user_id", "event_id", "ts", "value"]
+        ).to_parquet(p, index=False, coerce_timestamps="us",
+                     allow_truncated_timestamps=True)
+        os.utime(p, (1_000_000_000 + fi, 1_000_000_000 + fi))
+
+    def _run() -> None:
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        q = (
+            streaming_islands(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: island 1 closes in file 0; island 2 spans files 0-1 and
+    # closes in file 1; island 3 OPENS at file 1's last row -> its
+    # start/seq live only in the state store when we stop
+    _land(0, rows[:4])
+    _land(1, rows[4:7])
+    _run()
+    got1 = spark.read.parquet(sink).collect()
+    assert sorted((r.start_ts, r.end_ts, r.n_obs) for r in got1) == [
+        (rows[0][2], rows[1][2], 2),
+        (rows[3][2], rows[4][2], 2),
+    ]
+    # run 2: file 2 lands, restart from the same checkpoint — island 3
+    # must close with its file-1 start timestamp (recovered state)
+    _land(2, rows[7:])
+    _run()
+    all2 = spark.read.parquet(sink).collect()
+    assert sorted({r.island_id for r in all2}) == [1, 2, 3]
+    # stream-closed islands == batch operator's intervals (all closed)
+    batch = island_intervals(
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, value double"
+        ),
+        "user_id",
+        ["ts", "event_id"],
+        F.col("value") > 100,
+    ).collect()
+    assert sorted((r.start_ts, r.end_ts, r.n_obs) for r in all2) == sorted(
+        (r.start_ts, r.end_ts, int(r.n_obs)) for r in batch
+    )
