@@ -14773,3 +14773,251 @@ def agg_conversion_lag(spark, sf_dir):
         F.max("lag_us").cast("long").alias("max_lag_us"),
         F.median("lag_us").cast("double").alias("median_lag_us"),
     )
+
+
+@EXT.add(
+    "agg_skyline_pareto",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    w AS (
+      SELECT p_partkey, price_cents, size,
+             MAX(size) OVER (ORDER BY price_cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS smax_lower,
+             MAX(size) OVER (PARTITION BY price_cents) AS smax_equal
+      FROM p
+    )
+    SELECT p_partkey, price_cents, size
+    FROM w
+    WHERE (smax_lower IS NULL OR smax_lower < size)
+      AND smax_equal = size
+    """,
+    doc=(
+        "Pareto SKYLINE (minimize price, maximize size) — the "
+        "dominance query behind every 'best value' product surface: a "
+        "part survives iff no other part is at-most-as-expensive AND "
+        "at-least-as-big with one strict inequality. Expressed as two "
+        "windows over ONE price-ordered sort: a RANGE frame to "
+        "1 PRECEDING gives the max size among STRICTLY cheaper rows "
+        "(range, not rows — price ties must not leak into the frame), "
+        "and a same-price partition max handles the equal-price "
+        "strict-size case; ties on BOTH axes are mutually "
+        "non-dominating and all survive, exactly the dominance "
+        "definition. All-integer comparisons (exact cents/size). "
+        "Scale: no self-join (the naive skyline is O(n^2) pairs) — "
+        "one range-partitioned sort; at 100 TB pre-prune with a "
+        "per-partition local skyline first (the classic "
+        "block-nested-loop refinement), which this plan composes "
+        "with by construction."
+    ),
+    tags=("agg", "window", "analytics"),
+)
+def agg_skyline_pareto(spark, sf_dir):
+    from pyspark.sql import Window
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_lower = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("price_cents")
+    tagged = p.select(
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.max("size").over(w_lower).alias("smax_lower"),
+        F.max("size").over(w_eq).alias("smax_equal"),
+    )
+    return tagged.filter(
+        (F.col("smax_lower").isNull() | (F.col("smax_lower") < F.col("size")))
+        & (F.col("smax_equal") == F.col("size"))
+    ).select("p_partkey", "price_cents", "size")
+
+
+@EXT.add(
+    "feat_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT (CAST(ROUND(value * 100) AS BIGINT) % 1000) / 1000.0 AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE) AS s_sum,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    )
+    SELECT bin, n,
+           ROUND(s_sum / n, 9) AS mean_score,
+           ROUND(CAST(pos AS DOUBLE) / n, 9) AS pos_rate,
+           ROUND(ABS(s_sum / n - CAST(pos AS DOUBLE) / n), 9) AS gap
+    FROM binned
+    """,
+    doc=(
+        "Calibration RELIABILITY table — the evaluation companion of "
+        "feat_isotonic_calibrate: a deterministic model score in "
+        "[0, 1) (exact-cents modulus, a rational with a finite "
+        "denominator, so its DECIMAL(18,4) sums are exact and "
+        "order-independent) is 10-binned against the binary 'purchase' "
+        "label; each bin reports population, exact mean score, "
+        "positive rate, and the |gap| whose weighted sum is the "
+        "expected calibration error (ECE). Three float divisions per "
+        "bin from exact sums, each rounded 9. Scale: one map-side-"
+        "combined agg to a 10-row spine; the fact table is scanned "
+        "once, never sorted."
+    ),
+    tags=("feat", "ml", "evaluation"),
+)
+def feat_calibration_bins(spark, sf_dir):
+    scored = t(spark, sf_dir, "events").select(
+        (
+            (F.round(F.col("value") * 100).cast("long") % 1000) / F.lit(1000.0)
+        ).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    binned = scored.groupBy(
+        F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("score").cast("decimal(18,4)")).cast("double").alias("s_sum"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    mean_score = F.col("s_sum") / F.col("n")
+    pos_rate = F.col("pos").cast("double") / F.col("n")
+    return binned.select(
+        "bin",
+        "n",
+        F.round(mean_score, 9).alias("mean_score"),
+        F.round(pos_rate, 9).alias("pos_rate"),
+        F.round(F.abs(mean_score - pos_rate), 9).alias("gap"),
+    )
+
+
+@EXT.add(
+    "agg_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             (CAST(FLOOR(date_part('epoch', ts) / 86400) AS BIGINT) + 3) % 7
+               + 1 AS dow_iso,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, dow_iso,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM d GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(cents) AS BIGINT) AS total
+      FROM per GROUP BY 1
+    )
+    SELECT per.event_type, dow_iso, n_events, per.cents,
+           ROUND(7.0 * per.cents / total, 9) AS seasonal_index
+    FROM per JOIN tot ON per.event_type = tot.event_type
+    """,
+    doc=(
+        "Day-of-week SEASONALITY index per event type — the weekly "
+        "profile behind qa_seasonal_residual_anomaly's de-seasonalizer "
+        "and the HW forecasts' period-7 assumption, surfaced directly: "
+        "index = revenue share of the weekday x 7 (1.0 = flat week). "
+        "The weekday derives from PURE INTEGER epoch-day arithmetic "
+        "((epoch_day + 3) % 7 + 1, ISO Monday=1) rather than each "
+        "engine's dayofweek() — Spark and DuckDB disagree on weekday "
+        "numbering conventions, integer math cannot. Exact cents "
+        "everywhere; one division per (type, dow) cell, rounded 9. "
+        "Scale: map-side-combined agg to a <=|types|x7 spine, spine "
+        "arithmetic after."
+    ),
+    tags=("agg", "timeseries", "seasonality"),
+)
+def agg_dow_seasonality(spark, sf_dir):
+    d = t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (F.floor(F.unix_timestamp("ts") / 86400).cast("long") + 3) % 7 + 1
+        ).alias("dow_iso"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per = d.groupBy("event_type", "dow_iso").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("total")
+    )
+    return per.join(F.broadcast(tot), on="event_type").select(
+        "event_type",
+        "dow_iso",
+        "n_events",
+        "cents",
+        F.round(F.lit(7.0) * F.col("cents") / F.col("total"), 9).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+@EXT.add(
+    "llm_embedding_centroid",
+    oracle="""
+    WITH e AS (
+      SELECT label, u.d AS dim, u.q AS q
+      FROM embeddings,
+           UNNEST(list_transform(range(1, len(embedding) + 1),
+                  i -> {'d': i - 1,
+                        'q': CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                                        * 1000000)
+                                  AS BIGINT)})) AS t(u)
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(q) AS BIGINT) AS sum_micro,
+           ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0, 9)
+             AS centroid
+    FROM e GROUP BY 1, 2
+    """,
+    doc=(
+        "Per-label embedding CENTROIDS as a distributed vector "
+        "aggregate — the class prototype table behind semantic-drift "
+        "monitors and nearest-centroid classifiers (and the exact "
+        "sibling of the seeded k-means means inside llm_semdedup). "
+        "Determinism: a float sum per dimension would be partition-"
+        "order-dependent, so each component is micro-quantized "
+        "(round(v x 1e6) — the cents discipline applied to unit-norm "
+        "floats) and summed as exact BIGINTs; one division per "
+        "(label, dim) cell at the end, rounded 9. Shape: posexplode "
+        "to (label, dim, q) then ONE map-side-combined agg — the "
+        "shuffle carries |labels| x 64 partial sums, never vectors; "
+        "the centroid table is broadcast-sized at any corpus scale."
+    ),
+    tags=("llm", "embedding", "agg"),
+)
+def llm_embedding_centroid(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        # float32 -> double FIRST (exact), then scale in double: a
+        # float-precision multiply rounds differently per engine
+        F.round(F.col("v").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    return e.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("q").cast("long").alias("sum_micro"),
+        F.round(
+            F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 9
+        ).alias("centroid"),
+    )

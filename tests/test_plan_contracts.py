@@ -1256,3 +1256,48 @@ class TestAnnPersistedPruningContracts:
             and ("INSET" in ln or " IN (" in ln)  # Catalyst renders small sets as IN
         ]
         assert len(pruned) == 1, plan
+
+
+class TestRound9FourthWaveContracts:
+    def test_skyline_no_self_join(self, spark):
+        """The naive skyline is an O(n^2) dominance self-join; the
+        window formulation must have ZERO joins — two windows over one
+        price-ordered sort (range frame + same-price partition)."""
+        plan = _plan(QUERIES["agg_skyline_pareto"].spark(spark, SF_SMOKE), "simple")
+        assert "Join" not in plan, plan
+        assert plan.count("Window") == 2, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+
+    def test_calibration_bins_single_agg(self, spark):
+        """One map-side-combined agg to the 10-row bin spine; no join,
+        no window, no Python."""
+        plan = _plan(
+            QUERIES["feat_calibration_bins"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Join" not in plan, plan
+        assert "Python" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "partial_" in plan, plan
+
+    def test_dow_seasonality_spine_arithmetic(self, spark):
+        """Integer epoch-day weekday derivation stays JVM-side; the
+        fact collapses to the (type x 7) spine map-side and the totals
+        re-attach by broadcast."""
+        plan = _plan(QUERIES["agg_dow_seasonality"].spark(spark, SF_SMOKE), "simple")
+        assert "Python" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "partial_" in plan, plan
+
+    def test_embedding_centroid_partial_agg_only(self, spark):
+        """posexplode -> ONE map-side-combined (label, dim) agg: the
+        shuffle carries partial integer sums, never vectors; no join,
+        no window, no Python."""
+        plan = _plan(
+            QUERIES["llm_embedding_centroid"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Join" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "Generate posexplode" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "partial_" in plan, plan
