@@ -625,3 +625,95 @@ def test_pagerank_mass_and_positivity(spark, edges, n_iter):
     # each of base/dangling/share floor-divides leaks < 1 unit per
     # node per iteration; 3 division sites → conservative 3n/iter
     assert SCALE - 3 * n * n_iter <= total <= SCALE
+
+
+# --- round-9 wave properties: skyline dominance + sweep-line peak ---
+
+
+@SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_skyline_window_matches_bruteforce(spark, pts):
+    """The two-window skyline == the quadratic dominance definition
+    (minimize price, maximize size; ties on both axes all survive) on
+    random small point sets — including duplicate points and ties on
+    either single axis, the cases a single running max gets wrong."""
+    from pyspark.sql import Window
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, price_cents long, size long")
+    w_lower = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("price_cents")
+    got = {
+        r.id
+        for r in df.select(
+            "id",
+            "price_cents",
+            "size",
+            F.max("size").over(w_lower).alias("smax_lower"),
+            F.max("size").over(w_eq).alias("smax_equal"),
+        )
+        .filter(
+            (F.col("smax_lower").isNull() | (F.col("smax_lower") < F.col("size")))
+            & (F.col("smax_equal") == F.col("size"))
+        )
+        .collect()
+    }
+    want = {
+        i
+        for i, (p, s) in enumerate(pts)
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for (p2, s2) in pts
+        )
+    }
+    assert got == want, (pts, got, want)
+
+
+@SETTINGS
+@given(
+    starts=st.lists(st.integers(0, 30), min_size=1, max_size=25),
+    dur=st.integers(1, 10),
+)
+def test_peak_concurrency_matches_bruteforce(spark, starts, dur):
+    """The per-distinct-timestamp sweep line == brute-force concurrency
+    (count of half-open intervals [s, s+dur) covering t, maximized over
+    all candidate instants) — including coincident starts, and ends
+    landing exactly on starts (the half-open boundary)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Window
+
+    base = datetime(2024, 3, 1)
+    rows = [(base + timedelta(minutes=s),) for s in starts]
+    ev = spark.createDataFrame(rows, "ts timestamp")
+    gap = f"INTERVAL {dur} MINUTES"
+    pts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta")).unionByName(
+        ev.select(
+            (F.col("ts") + F.expr(gap)).alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    net = pts.groupBy("t").agg(F.sum("delta").cast("long").alias("net"))
+    wrun = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    run = net.withColumn("cur", F.sum("net").over(wrun))
+    peaked = run.withColumn("peak", F.max("cur").over(Window.partitionBy()))
+    got = peaked.filter(F.col("cur") == F.col("peak")).agg(
+        F.max("peak").alias("p"), F.min("t").alias("t")
+    ).first()
+    # brute force: evaluate concurrency at every start instant (the
+    # step function only increases there)
+    def conc(t):
+        return sum(1 for s in starts if s <= t < s + dur)
+
+    want_peak = max(conc(s) for s in starts)
+    want_ts = base + timedelta(minutes=min(s for s in starts if conc(s) == want_peak))
+    assert int(got["p"]) == want_peak, (starts, dur, got)
+    assert got["t"] == want_ts, (starts, dur, got)
