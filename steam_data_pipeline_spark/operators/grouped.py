@@ -1,0 +1,90 @@
+"""Per-partition grouped-map: applyInPandas semantics without the
+per-group Python cost.
+
+``DataFrame.groupBy(k).applyInPandas(fn)`` invokes Python once per
+GROUP — measured ~4 ms/group of fixed overhead (Arrow slice + pandas
+construction + serde per call): 5.9 s for an IDENTITY function over
+1500 groups at sf0.1. At 100 TB grain (millions of entity keys) that
+fixed cost dominates any per-group math — the classic many-small-
+groups failure mode of the grouped-map path.
+
+:func:`sorted_grouped_map` keeps the same per-group contract (``fn``
+receives one pandas frame per key, rows in a caller-chosen order) but
+executes it as ``repartition(keys) -> sortWithinPartitions(keys +
+order) -> mapInPandas``: Python is invoked once per ARROW BATCH, and
+groups are split off with one vectorized pandas pass. A group whose
+rows straddle consecutive Arrow batches is stitched by carrying the
+partition's trailing group into the next batch — correct because the
+partition sort makes every key's rows contiguous and the hash
+repartition makes every key live in exactly one partition.
+
+Cost model: Python invocations = O(batches) ≈ rows / maxRecordsPerBatch
+per partition, independent of group count; peak pandas memory = one
+Arrow batch + the largest single group (same bound applyInPandas has).
+
+Cited limits: fn must, like applyInPandas, return a frame matching
+``schema``; unlike applyInPandas the GROUPING COLUMNS must be carried
+by fn itself if the output needs them (they are present in the input
+frame it receives).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def sorted_grouped_map(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """applyInPandas-equivalent grouped map, amortized per partition.
+
+    ``fn`` receives each key's rows as one pandas frame, sorted by
+    ``order`` (ascending) within the group, exactly once per key —
+    the applyInPandas contract — but the execution plan is a single
+    ``MapInPandas`` over key-clustered, key-sorted partitions.
+    """
+    clustered = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *keys, *order
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            # vectorized group split: new group where any key differs
+            # from the previous row
+            kcols = pdf[keys]
+            gid = (kcols.ne(kcols.shift())).any(axis=1).cumsum()
+            last_gid = gid.iloc[-1]
+            # the trailing group may continue in the next batch — carry
+            carry = pdf[gid == last_gid]
+            done = pdf[gid != last_gid]
+            if len(done):
+                out = [
+                    fn(g.reset_index(drop=True))
+                    for _, g in done.groupby(
+                        gid[gid != last_gid], sort=False
+                    )
+                ]
+                out = [o for o in out if o is not None and len(o)]
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+        if carry is not None and len(carry):
+            res = fn(carry.reset_index(drop=True))
+            if res is not None and len(res):
+                yield res
+
+    return clustered.mapInPandas(run, schema)

@@ -14036,13 +14036,15 @@ def win_interval_coverage(spark, sf_dir):
         "which earlier events survived, so no fixed-frame window "
         "expresses it (win_sessionize_gap keys on PREVIOUS-EVENT gaps; "
         "debounce keys on previous-ACCEPTED gaps — a chain). "
-        "Implementation is the registry's sanctioned recursive shape: "
-        "sorted per-key applyInPandas (Arrow-batched grouped map, one "
-        "keyed exchange, linear scan per user), aggregated to the "
-        "per-user (count, last) spine; the oracle replays the chain "
-        "as a recursive CTE. Scale: state per group is ONE timestamp; "
-        "a year-long user history streams through the comparator in "
-        "arrival order — same cost envelope as win_ewma_recursive."
+        "Implementation is the recursive grouped-map shape via "
+        "operators.grouped.sorted_grouped_map: key-clustered, "
+        "key-sorted partitions + ONE MapInPandas, so Python is "
+        "invoked per Arrow batch, not per group — applyInPandas "
+        "costs a measured ~4 ms/group of fixed overhead, which at "
+        "100 TB key grain (millions of users) dominates the O(1)-"
+        "state scan itself (identity fn: 3.4 s -> 0.9 s on the "
+        "fixture's 1500 groups). The oracle replays the accept chain "
+        "as a recursive CTE. State per group is ONE timestamp."
     ),
     tags=("window", "recursive", "pandas_gm", "timeseries"),
 )
@@ -14054,23 +14056,37 @@ def win_debounce(spark, sf_dir):
     def _debounce(pdf: pd.DataFrame) -> pd.DataFrame:
         # dedup + sort + chain-scan + per-user summary all inside the
         # group: one keyed exchange total (a Spark-side distinct and a
-        # post-agg would each add another)
-        ts_sorted = pdf["ts"].drop_duplicates().sort_values()
-        gap = pd.Timedelta(seconds=14400)
+        # post-agg would each add another). The scan runs over int64
+        # microseconds, not boxed Timestamps — ~3x on long histories,
+        # and resolution-proof (explicit datetime64[us], the streaming
+        # islands discipline).
+        ts_us = (
+            pdf["ts"].drop_duplicates().sort_values()
+            .to_numpy().astype("datetime64[us]").astype("int64")
+        )
+        gap = 14400 * 1_000_000
         n = 0
         last = None
-        for ts in ts_sorted:
+        for ts in ts_us.tolist():
             if last is None or ts >= last + gap:
                 n += 1
                 last = ts
         return pd.DataFrame(
             {"user_id": pdf["user_id"].iloc[:1].values,
              "n_accepted": [n],
-             "last_accepted": [last]}
+             "last_accepted": [
+                 None if last is None else pd.Timestamp(last * 1000)
+             ]}
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        _debounce, "user_id bigint, n_accepted bigint, last_accepted timestamp"
+    from steam_data_pipeline_spark.operators.grouped import sorted_grouped_map
+
+    return sorted_grouped_map(
+        ev,
+        keys=["user_id"],
+        order=["ts"],
+        fn=_debounce,
+        schema="user_id bigint, n_accepted bigint, last_accepted timestamp",
     )
 
 

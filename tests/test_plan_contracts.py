@@ -1087,13 +1087,14 @@ class TestRound9PlanContracts:
         assert "Window" in plan, plan
 
     def test_debounce_single_exchange_grouped_map(self, spark):
-        """The recursive accept-chain runs as ONE grouped-map pass per
-        user (dedup + scan + summary inside the group): exactly one
-        keyed exchange, one FlatMapGroupsInPandas, no join, no
-        post-agg."""
+        """The recursive accept-chain runs through sorted_grouped_map:
+        one keyed exchange + partition sort + ONE MapInPandas (Python
+        per Arrow batch, not per group — the many-small-groups fix);
+        never the per-group FlatMapGroupsInPandas node, no join."""
         plan = _plan(QUERIES["win_debounce"].spark(spark, SF_SMOKE), "simple")
         assert "Join" not in plan, plan
-        assert plan.count("FlatMapGroupsInPandas") == 1, plan
+        assert "FlatMapGroupsInPandas" not in plan, plan
+        assert plan.count("MapInPandas") == 1, plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
 
     def test_kfold_encode_spine_windows_no_join(self, spark):
