@@ -39,6 +39,12 @@ class LshIndex:
     tables: list[DataFrame]
     n_planes: int = 8
     seed_base: int = 42
+    # True only for indexes reloaded from a persisted __bucket-
+    # partitioned layout (load_lsh_index sets it): static touched-
+    # bucket pruning can only cut FILE reads, so lsh_topk's auto
+    # default prunes exactly when this is set — an in-memory index has
+    # no scan to prune and the probe-code collect would be pure cost.
+    reloaded: bool = False
 
     def __post_init__(self) -> None:
         if not self.tables:
@@ -62,6 +68,9 @@ class IvfIndex:
     centroids: DataFrame
     assignments: DataFrame
     n_centroids: int
+    # see LshIndex.reloaded — set by load_ivf_index, gates ivf_topk's
+    # auto static-prune (file-backed assignments only)
+    reloaded: bool = False
 
     def __iter__(self):
         return iter((self.centroids, self.assignments))
@@ -266,7 +275,9 @@ def load_lsh_index(spark, path: str) -> LshIndex:
     tables = [
         spark.read.parquet(f"{path}/table_{i:03d}") for i in range(p.n_tables)
     ]
-    return LshIndex(tables, n_planes=p.n_planes, seed_base=p.seed_base)
+    return LshIndex(
+        tables, n_planes=p.n_planes, seed_base=p.seed_base, reloaded=True
+    )
 
 
 def save_ivf_index(index: IvfIndex, path: str) -> None:
@@ -296,6 +307,7 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
         spark.read.parquet(f"{path}/centroids"),
         spark.read.parquet(f"{path}/assignments"),
         p.n_centroids,
+        reloaded=True,
     )
 
 
@@ -310,7 +322,7 @@ def lsh_topk(
     n_tables: int | None = None,
     probe_radius: int = 3,
     index: LshIndex | None = None,
-    prune_probed: bool = True,
+    prune_probed: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH buckets — the
     bucketed sibling of ``ivf_topk`` (the north star names either as
@@ -398,9 +410,15 @@ def lsh_topk(
     # at the file listing. Cost: ONE job collecting every table's base
     # codes for the bounded query batch (mask expansion is driver-side
     # integer XOR). Skipped for in-query lineage indexes (no scan to
-    # prune); prune_probed=False also skips it — for callers whose
-    # probe set provably covers ~every bucket, and for the ann-prune
-    # rehearsal's on/off comparison (tools/scale_rehearsal.py).
+    # prune). prune_probed=None (the default) resolves to
+    # ``index.reloaded`` — prune exactly when the index is file-backed;
+    # a prebuilt-but-in-memory index has no scan to cut, so the probe-
+    # code collect would be pure cost (ADVICE r9). True forces the
+    # collect+filter, False disables it — for callers whose probe set
+    # provably covers ~every bucket, and for the ann-prune rehearsal's
+    # on/off comparison (tools/scale_rehearsal.py).
+    if prune_probed is None:
+        prune_probed = index.reloaded
     prebuilt = not built_inline and prune_probed
     blists: list[list[int] | None] = [None] * index.n_tables
     if prebuilt:
@@ -464,6 +482,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int | None = None,
     index: IvfIndex | tuple[DataFrame, DataFrame] | None = None,
+    prune_probed: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``n_probe`` centroids nearest
     each query, exact cosine within the probed lists.
@@ -524,7 +543,14 @@ def ivf_topk(
         .filter(F.col("__rn") <= n_probe)
         .select(query_key, "__qvec", "centroid_id")
     )
-    if not built_inline:
+    if prune_probed is None:
+        # auto: prune only when the assignments table is file-backed
+        # (load_ivf_index sets reloaded) — an in-memory prebuilt index
+        # (or the legacy bare pair, which cannot prove it is file-
+        # backed) has no partitioned scan to cut, so the probe collect
+        # would be pure cost (ADVICE r9); pass True to force.
+        prune_probed = isinstance(index, IvfIndex) and index.reloaded
+    if not built_inline and prune_probed:
         # Static touched-list pruning, same rationale as lsh_topk:
         # dynamic partition pruning does not fire for this broadcast
         # join, so the probed centroid ids — bounded by n_centroids —

@@ -65,9 +65,15 @@ def sorted_grouped_map(
             if n == 0:
                 continue
             # vectorized group split: new group where any key differs
-            # from the previous row
+            # from the previous row. NULL-safe: pandas evaluates
+            # NaN != NaN (and None != None) as True, which would
+            # fragment a NULL-key run into singleton groups —
+            # applyInPandas groups all NULL keys together, so mask
+            # out positions where both sides are missing.
             kcols = pdf[keys]
-            gid = (kcols.ne(kcols.shift())).any(axis=1).cumsum()
+            shifted = kcols.shift()
+            change = kcols.ne(shifted) & ~(kcols.isna() & shifted.isna())
+            gid = change.any(axis=1).cumsum()
             last_gid = gid.iloc[-1]
             # the trailing group may continue in the next batch — carry
             carry = pdf[gid == last_gid]

@@ -9889,11 +9889,35 @@ def _prepare_bucketed_pair(spark, sf_dir):
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         if os.path.isdir(wh):
+            # GC stale pid-scoped dirs, but only when the owning
+            # process is actually DEAD: age alone is a bad liveness
+            # proxy (a >6h-old concurrent process could still be
+            # mid-read). The pid is the trailing name segment; kill(0)
+            # probes liveness without signalling. Everything is
+            # try/except'd — another process may GC the same entry
+            # between listdir and stat/rmtree.
             cutoff = time.time() - 6 * 3600
             for name in os.listdir(wh):
-                p = os.path.join(wh, name)
-                if name.startswith("sdp_bkt_") and os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
+                if not name.startswith("sdp_bkt_"):
+                    continue
+                try:
+                    pid = int(name.rsplit("_", 1)[-1])
+                except ValueError:
+                    pid = None
+                try:
+                    if pid is not None and pid != os.getpid():
+                        os.kill(pid, 0)  # raises if pid is dead
+                        continue  # owner alive — never delete
+                    elif pid == os.getpid():
+                        continue  # our own table (other sf_dir tag)
+                    # unparseable pid: fall back to the age cutoff
+                    if os.path.getmtime(os.path.join(wh, name)) >= cutoff:
+                        continue
+                except ProcessLookupError:
+                    pass  # owner dead — safe to GC regardless of age
+                except OSError:
+                    continue  # EPERM (not ours) / vanished dir: skip
+                shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         for name in (to, tl):
             shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         from steam_data_pipeline_spark.operators.upsert import write_bucketed

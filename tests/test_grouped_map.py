@@ -75,6 +75,44 @@ def test_equivalence_with_apply_in_pandas(spark, batch_size):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+@pytest.mark.parametrize("batch_size", ["3", "10000"])
+def test_null_keys_group_together(spark, batch_size):
+    """applyInPandas puts ALL null-key rows in one group; the naive
+    ne(shift) split fragments them (NaN != NaN is True in pandas).
+    Forced 3-row batches make the null run straddle a batch boundary
+    so the stitching path is exercised with null keys too."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", batch_size)
+    try:
+        rows = [(None, 100 + i, i) for i in range(7)] + [
+            (k, k * 10 + i, i) for k in (1, 2) for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "k bigint, v bigint, i bigint")
+        got = sorted(
+            map(
+                tuple,
+                sorted_grouped_map(df, ["k"], ["i"], _summary, SCHEMA).collect(),
+            ),
+            key=repr,
+        )
+        want = sorted(
+            map(
+                tuple,
+                df.groupBy("k")
+                .applyInPandas(
+                    lambda p: _summary(p.sort_values("i").reset_index(drop=True)),
+                    SCHEMA,
+                )
+                .collect(),
+            ),
+            key=repr,
+        )
+        assert got == want
+        assert any(r[0] is None and r[1] == 7 for r in got), got
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_single_group_and_empty(spark):
     one = spark.createDataFrame([(1, 5, 0), (1, 9, 1)], "k bigint, v bigint, i bigint")
     got = sorted_grouped_map(one, ["k"], ["i"], _summary, SCHEMA).collect()
