@@ -14849,21 +14849,36 @@ def agg_conversion_lag(spark, sf_dir):
         "strict-size case; ties on BOTH axes are mutually "
         "non-dominating and all survive, exactly the dominance "
         "definition. All-integer comparisons (exact cents/size). "
-        "Scale: no self-join (the naive skyline is O(n^2) pairs) — "
-        "one range-partitioned sort; at 100 TB pre-prune with a "
-        "per-partition local skyline first (the classic "
-        "block-nested-loop refinement), which this plan composes "
-        "with by construction."
+        "Scale: no self-join (the naive skyline is O(n^2) pairs), and "
+        "the global single-partition sort never sees the raw input — "
+        "a per-partition LOCAL skyline pre-prune runs first "
+        "(operators/skyline.py: partition-local sort + one vectorized "
+        "mapInPandas running-max scan, zero exchanges, the classic "
+        "block-nested-loop refinement), so only each partition's "
+        "Pareto frontier reaches the global pass. Sound by dominator-"
+        "chaining; the exact two-window filter over the survivors is "
+        "provably the same skyline (plan-contracted: the single-"
+        "partition exchange sits ABOVE the pre-prune)."
     ),
     tags=("agg", "window", "analytics"),
 )
 def agg_skyline_pareto(spark, sf_dir):
     from pyspark.sql import Window
 
-    p = t(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
-        F.col("p_size").cast("long").alias("size"),
+    from steam_data_pipeline_spark.operators.skyline import (
+        local_skyline_preprune,
+    )
+
+    p = local_skyline_preprune(
+        t(spark, sf_dir, "part").select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            F.col("p_size").cast("long").alias("size"),
+        ),
+        minimize="price_cents",
+        maximize="size",
     )
     w_lower = (
         Window.orderBy("price_cents")

@@ -107,3 +107,21 @@ def test_plan_audit_artifact_covers_registry():
         if v.get("cartesian") or v.get("rowwise_py")
     }
     assert banned == {}
+    # BNLJ guard (round 10): every BroadcastNestedLoopJoin must have a
+    # build side count_unbounded_bnlj can prove bounded, EXCEPT the
+    # adjudicated contract-bounded set (rationales in
+    # tools/plan_audit.py::BNLJ_CONTRACT_BOUNDED). A new flag means a
+    # potentially O(n·m) join slipped in — re-plan it or adjudicate.
+    from tools.plan_audit import BNLJ_CONTRACT_BOUNDED
+
+    flagged = {
+        k for k, v in audit["queries"].items() if v.get("bnlj_unbounded")
+    }
+    assert flagged <= BNLJ_CONTRACT_BOUNDED, (
+        f"new unbounded BNLJ: {sorted(flagged - BNLJ_CONTRACT_BOUNDED)}"
+    )
+    # and the whitelist must not rot: entries that no longer flag (or
+    # left the registry) should be removed so the pin stays exact
+    assert flagged == BNLJ_CONTRACT_BOUNDED, (
+        f"stale whitelist entries: {sorted(BNLJ_CONTRACT_BOUNDED - flagged)}"
+    )

@@ -1263,11 +1263,19 @@ class TestRound9FourthWaveContracts:
     def test_skyline_no_self_join(self, spark):
         """The naive skyline is an O(n^2) dominance self-join; the
         window formulation must have ZERO joins — two windows over one
-        price-ordered sort (range frame + same-price partition)."""
+        price-ordered sort (range frame + same-price partition), and
+        (round 10) the single-partition sort must be fed by the LOCAL
+        skyline pre-prune (operators/skyline.py), never the raw scan:
+        the MapInPandas prune sits BELOW the Exchange SinglePartition
+        in the tree (children print after parents in simple explain)."""
         plan = _plan(QUERIES["agg_skyline_pareto"].spark(spark, SF_SMOKE), "simple")
         assert "Join" not in plan, plan
         assert plan.count("Window") == 2, plan
         assert "Exchange hashpartitioning" not in plan, plan
+        assert plan.count("MapInPandas") == 1, plan
+        single = plan.index("Exchange SinglePartition")
+        prune = plan.index("MapInPandas")
+        assert single < prune, plan
 
     def test_calibration_bins_single_agg(self, spark):
         """One map-side-combined agg to the 10-row bin spine; no join,

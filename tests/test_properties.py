@@ -680,6 +680,57 @@ def test_skyline_window_matches_bruteforce(spark, pts):
 
 @SETTINGS
 @given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=20,
+    ),
+    n_parts=st.integers(1, 4),
+)
+def test_local_skyline_preprune_sound(spark, pts, n_parts):
+    """local_skyline_preprune (operators/skyline.py) must keep EVERY
+    true skyline point (soundness — the global pass can recover from
+    over-keeping, never from a dropped frontier point) across any
+    partitioning of the input, including duplicate points and
+    single-axis ties."""
+    from steam_data_pipeline_spark.operators.skyline import (
+        local_skyline_preprune,
+    )
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "id long, price_cents long, size long"
+    ).repartition(n_parts)
+    kept = {
+        r.id
+        for r in local_skyline_preprune(
+            df, minimize="price_cents", maximize="size"
+        ).collect()
+    }
+    skyline = {
+        i
+        for i, (p, s) in enumerate(pts)
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s)) for (p2, s2) in pts
+        )
+    }
+    assert skyline <= kept, (pts, skyline, kept)
+    # and it never keeps a row another SAME-PARTITION row strictly
+    # dominates when everything lands in one partition: with n_parts=1
+    # the prune IS (a superset bounded by per-price frontier of) the
+    # exact skyline — every kept row must at least be undominated by a
+    # kept row with strictly larger size at <= price
+    if n_parts == 1:
+        by_id = {i: (p, s) for i, (p, s) in enumerate(pts)}
+        for i in kept:
+            p, s = by_id[i]
+            assert not any(
+                p2 <= p and s2 > s for j, (p2, s2) in by_id.items() if j in kept
+            ), (pts, kept)
+
+
+@SETTINGS
+@given(
     starts=st.lists(st.integers(0, 30), min_size=1, max_size=25),
     dur=st.integers(1, 10),
 )

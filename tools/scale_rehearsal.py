@@ -966,6 +966,98 @@ def rehearse_ann_prune(sf_dir: str, factor: int = 10, repeats: int = 2) -> None:
     print(f"# speedup {full_s / pruned_s:.2f}x; results identical")
 
 
+def rehearse_skyline(sf_dir: str, factors: list[int], repeats: int = 2) -> None:
+    """Measure what the partition-local skyline pre-prune
+    (operators/skyline.py) buys on a FACT-sized input — the registered
+    query reads dim-sized `part`, so this rehearses the same two plans
+    on scaled lineitem axes (minimize extendedprice cents, maximize
+    quantity): the bare global two-window pass (whose Exchange
+    SinglePartition swallows the raw input) vs pre-prune → same global
+    pass over the survivors. Results asserted identical; survivor
+    count shows the prune ratio."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from steam_data_pipeline_spark.operators.skyline import (
+        local_skyline_preprune,
+    )
+    from steam_data_pipeline_spark.sources.tables import read_table
+
+    spark = _spark()
+    base = read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("size"),
+    )
+    n0 = base.count()
+
+    def exact(df):
+        w_lower = Window.orderBy("price_cents").rangeBetween(
+            Window.unboundedPreceding, -1
+        )
+        w_eq = Window.partitionBy("price_cents")
+        tagged = df.select(
+            "id",
+            "price_cents",
+            "size",
+            F.max("size").over(w_lower).alias("smax_lower"),
+            F.max("size").over(w_eq).alias("smax_equal"),
+        )
+        return tagged.filter(
+            (F.col("smax_lower").isNull() | (F.col("smax_lower") < F.col("size")))
+            & (F.col("smax_equal") == F.col("size"))
+        ).select("id", "price_cents", "size")
+
+    print(f"# skyline rehearsal: lineitem axes, base n {n0}, repeats {repeats}")
+    print("factor\tn\tbare_s\tpruned_s\tsurvivors\tskyline")
+    for f in factors:
+        df = base
+        if f > 1:
+            # deterministic replication with hash-jittered prices so
+            # copies are distinct points, not exact duplicates
+            df = (
+                base.withColumn(
+                    "rep", F.explode(F.sequence(F.lit(0), F.lit(f - 1)))
+                )
+                .select(
+                    (F.col("id") * f + F.col("rep")).alias("id"),
+                    (
+                        F.col("price_cents")
+                        + F.pmod(F.xxhash64("id", "rep"), F.lit(10000))
+                    ).alias("price_cents"),
+                    "size",
+                )
+            )
+        df = df.localCheckpoint(eager=True)
+        n = df.count()
+        survivors = local_skyline_preprune(
+            df, minimize="price_cents", maximize="size"
+        ).count()
+
+        def timed(plan_df):
+            walls, rows = [], None
+            for _ in range(repeats):
+                t0 = time.time()
+                rows = sorted(map(tuple, plan_df.collect()))
+                walls.append(time.time() - t0)
+            return min(walls), rows
+
+        bare_s, bare_rows = timed(exact(df))
+        pruned_s, pruned_rows = timed(
+            exact(
+                local_skyline_preprune(
+                    df, minimize="price_cents", maximize="size"
+                )
+            )
+        )
+        assert bare_rows == pruned_rows, "pre-prune changed the skyline"
+        print(
+            f"{f}x\t{n}\t{bare_s:.2f}\t{pruned_s:.2f}\t{survivors}"
+            f"\t{len(bare_rows)}"
+        )
+    spark.stop()
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
@@ -980,6 +1072,7 @@ def main() -> None:
             "basket-skew",
             "dedup-amortized",
             "ann-prune",
+            "skyline",
         ],
     )
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -1006,6 +1099,8 @@ def main() -> None:
         rehearse_dedup_amortized(args.sf_dir)
     elif args.op == "ann-prune":
         rehearse_ann_prune(args.sf_dir, args.factor, args.repeats)
+    elif args.op == "skyline":
+        rehearse_skyline(args.sf_dir, args.factors, args.repeats)
     else:
         rehearse_substring_skew(args.sf_dir)
 
