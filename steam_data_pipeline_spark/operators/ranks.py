@@ -1,0 +1,179 @@
+"""Exact global rank / ntile without a single-partition sort.
+
+``ntile(q) OVER (ORDER BY metric DESC, key)`` is the textbook
+quantile-scoring idiom, but Spark executes an unpartitioned window as
+``Exchange SinglePartition`` + one-task sort of the ENTIRE input —
+fine on a dim, a scale-killer on a million-to-billion-row entity
+spine (measured: the RFM customer-spine sort was the 0.38 10×
+exponent in SCALE.md round 9).
+
+:func:`exact_rank_desc` computes the identical total-order rank with
+bounded shuffles only — the two-level histogram decomposition:
+
+1. one scalar-spine aggregate gives ``(min, max, n)`` of the metric
+   (broadcast back — the sanctioned 1-row crossJoin);
+2. each row lands in one of ``n_bins`` fixed-width integer bins; a
+   map-side-combined ``groupBy(bin)`` histogram (≤ n_bins rows) plus a
+   BOUNDED single-partition running sum gives, per bin, the count of
+   rows in strictly-higher bins;
+3. a ``partitionBy(bin)`` window (hash-partitioned, ~n/n_bins rows per
+   partition) ranks rows *within* their bin by (metric desc, key asc).
+
+rank = higher-bin count + within-bin row_number — exact, because bins
+partition the metric's order: every row in a higher bin has a strictly
+higher metric, every row ranked earlier within the bin precedes in the
+(metric desc, key asc) total order.
+
+Contracts: ``metric`` and ``key`` are non-null integral columns, the
+(metric, key) pair is unique (key is a tie-break id), and
+``(max - min + 1) * n_bins`` must fit in int64. Skew note: fixed-width
+bins inherit the metric's value distribution — a production variant
+would sample quantile edges first; at n_bins=4096 a pathological
+all-one-value metric degrades to one hash partition per tie group,
+which is exactly the granularity ntile's tie-break needs anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_rank_desc(
+    df: DataFrame,
+    metric: str,
+    key: str,
+    rank_col: str = "__rank",
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Add ``rank_col`` = 1-based rank of each row under
+    (``metric`` DESC, ``key`` ASC) — bit-identical to
+    ``row_number() OVER (ORDER BY metric DESC, key)`` — with no
+    unbounded single-partition sort."""
+    spine = df.agg(
+        F.min(metric).cast("long").alias("__mn"),
+        F.max(metric).cast("long").alias("__mx"),
+    )
+    binned = df.crossJoin(F.broadcast(spine)).withColumn(
+        "__bin",
+        F.expr(
+            f"(({metric} - __mn) * {n_bins}) div (__mx - __mn + 1)"
+        ).cast("long"),
+    )
+    hist = (
+        binned.groupBy("__bin")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__higher",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy(F.col("__bin").desc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__cnt")
+    )
+    w_bin = Window.partitionBy("__bin").orderBy(
+        F.col(metric).desc(), F.col(key).asc()
+    )
+    return (
+        binned.join(F.broadcast(hist), on="__bin")
+        .withColumn(rank_col, F.col("__higher") + F.row_number().over(w_bin))
+        .drop("__bin", "__mn", "__mx", "__higher")
+    )
+
+
+def scalable_ntile_desc_multi(
+    df: DataFrame,
+    n_tiles: int,
+    metrics: list[tuple[str, str]],
+    key: str,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Add, for each ``(metric, out_col)`` pair, ``out_col`` =
+    ``ntile(n_tiles) OVER (ORDER BY metric DESC, key)`` — the exact
+    equal-fill-first-buckets ntile (the first ``n % n_tiles`` buckets
+    get ``ceil(n / n_tiles)`` rows) — with no unbounded one-partition
+    sort anywhere.
+
+    All metrics share ONE scalar-spine aggregate (min/max per metric +
+    the total count) and one broadcast crossJoin; each metric then
+    adds one ≤ n_bins-row histogram broadcast join and one
+    hash-partitioned per-bin ranking window. Windows CHAIN on the same
+    frame (no input duplication), so the plan grows linearly in the
+    metric count — a naive per-metric composition re-derives the
+    upstream spine 4^k times (measured: a 226 KB plan for k=3)."""
+    spine_aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for m, _ in metrics:
+        spine_aggs += [
+            F.min(m).cast("long").alias(f"__mn_{m}"),
+            F.max(m).cast("long").alias(f"__mx_{m}"),
+        ]
+    out = df.crossJoin(F.broadcast(df.agg(*spine_aggs)))
+    for m, _ in metrics:
+        out = out.withColumn(
+            f"__bin_{m}",
+            F.expr(
+                f"(({m} - __mn_{m}) * {n_bins}) div (__mx_{m} - __mn_{m} + 1)"
+            ).cast("long"),
+        )
+    binned = out
+    for m, _ in metrics:
+        hist = (
+            binned.groupBy(f"__bin_{m}")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .withColumn(
+                f"__hi_{m}",
+                F.coalesce(
+                    F.sum("__cnt").over(
+                        Window.orderBy(F.col(f"__bin_{m}").desc()).rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .drop("__cnt")
+        )
+        out = out.join(F.broadcast(hist), on=f"__bin_{m}")
+    for m, out_col in metrics:
+        w = Window.partitionBy(f"__bin_{m}").orderBy(
+            F.col(m).desc(), F.col(key).asc()
+        )
+        rank = F.col(f"__hi_{m}") + F.row_number().over(w)
+        # cumulative size of tiles 1..i: i*(n div q) + least(i, n mod q)
+        # — the tile of rank r is 1 + #{i < q : r > boundary_i}
+        boundary_hits = sum(
+            (
+                rank
+                > (
+                    F.lit(i) * F.expr(f"__n div {n_tiles}")
+                    + F.least(
+                        F.lit(i).cast("long"), F.expr(f"__n % {n_tiles}")
+                    )
+                )
+            ).cast("long")
+            for i in range(1, n_tiles)
+        )
+        out = out.withColumn(out_col, (F.lit(1) + boundary_hits).cast("long"))
+    drops = ["__n"]
+    for m, _ in metrics:
+        drops += [f"__mn_{m}", f"__mx_{m}", f"__bin_{m}", f"__hi_{m}"]
+    return out.drop(*drops)
+
+
+def scalable_ntile_desc(
+    df: DataFrame,
+    n_tiles: int,
+    metric: str,
+    key: str,
+    out_col: str,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Single-metric convenience wrapper over
+    :func:`scalable_ntile_desc_multi`."""
+    return scalable_ntile_desc_multi(
+        df, n_tiles, [(metric, out_col)], key, n_bins=n_bins
+    )

@@ -14545,16 +14545,22 @@ def win_peak_concurrency(spark, sf_dir):
         "identical in Spark and DuckDB), then customers are counted "
         "into the <=125 (r,f,m) cells with their exact revenue. "
         "Scale: the fact table collapses to the customer SPINE first "
-        "(map-side-combined agg); the three global ntile windows run "
-        "over that spine only — the same spine-global-sort posture as "
-        "agg_lorenz_deciles, rank-limited and orders of magnitude "
-        "smaller than the facts — and the final cell agg is bounded "
-        "at 125 rows."
+        "(map-side-combined agg), and the three quintile scores are "
+        "computed by operators/ranks.py::scalable_ntile_desc — the "
+        "two-level histogram rank (scalar-spine min/max broadcast, "
+        "<=4096-row bin histogram with a BOUNDED one-partition "
+        "running sum, then a hash-partitioned per-bin window) — "
+        "bit-identical to ntile but with NO unpartitioned sort of "
+        "the customer spine (the 0.38 10x exponent this query "
+        "carried through round 9); the final cell agg is bounded at "
+        "125 rows."
     ),
     tags=("window", "segmentation", "analytics"),
 )
 def win_rfm_segments(spark, sf_dir):
-    from pyspark.sql import Window
+    from steam_data_pipeline_spark.operators.ranks import (
+        scalable_ntile_desc_multi,
+    )
 
     per_cust = (
         t(spark, sf_dir, "orders")
@@ -14566,21 +14572,19 @@ def win_rfm_segments(spark, sf_dir):
                 "cents"
             ),
         )
+        # integral recency axis: epoch micros order exactly like the
+        # timestamp itself (the ntz->tz cast and unix_micros are both
+        # monotone); (range+1)*4096 stays far inside int64
+        .withColumn(
+            "r_axis",
+            F.unix_micros(F.col("last_order").cast("timestamp")).cast("long"),
+        )
     )
-    scored = per_cust.select(
-        "cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("freq").desc(), F.col("o_custkey")))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("cents").desc(), F.col("o_custkey")))
-        .cast("long")
-        .alias("m_score"),
+    scored = scalable_ntile_desc_multi(
+        per_cust,
+        5,
+        [("r_axis", "r_score"), ("freq", "f_score"), ("cents", "m_score")],
+        key="o_custkey",
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),

@@ -1170,14 +1170,33 @@ class TestRound9ThirdWaveContracts:
         assert "partial_sum" in plan, plan  # map-side combine of deltas
 
     def test_rfm_segments_spine_only(self, spark):
-        """Orders collapse to the customer spine in ONE keyed exchange;
-        the three ntile windows run on the spine's global sort (the
-        agg_lorenz_deciles posture) and the cell agg is bounded at
-        125 rows — no join anywhere."""
+        """Orders collapse to the customer spine map-side; the three
+        quintile scores come from scalable_ntile_desc (round 10) — the
+        customer spine itself is NEVER sorted on one partition: every
+        Exchange SinglePartition in the plan belongs to a <=4096-row
+        bin-histogram running sum (it sits directly above that
+        histogram's hash aggregate), and the per-row ranking windows
+        are hash-partitioned by __bin. No raw ntile anywhere."""
         plan = _plan(QUERIES["win_rfm_segments"].spark(spark, SF_SMOKE), "simple")
-        assert "Join" not in plan, plan
-        assert plan.count("Exchange hashpartitioning") == 1, plan
-        assert plan.count("ntile(5)") == 3, plan
+        assert "ntile" not in plan, plan
+        assert "__bin" in plan, plan  # hash-partitioned ranking windows
+        # the spine collapse + three per-bin window shuffles are keyed
+        assert plan.count("Exchange hashpartitioning") >= 4, plan
+        # every one-partition exchange must feed a BOUNDED subtree:
+        # either the scalar min/max/count spine (keys=[]) or a
+        # <=4096-row bin-histogram running sum (keys=[__bin_*]) —
+        # never the raw customer spine
+        lines = plan.splitlines()
+        singles = [
+            i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln
+        ]
+        assert singles, plan
+        for i in singles:
+            nxt = lines[i + 1]
+            assert (
+                "HashAggregate(keys=[]" in nxt
+                or "HashAggregate(keys=[__bin" in nxt
+            ), nxt
 
     def test_cohort_ltv_no_cartesian_no_python(self, spark):
         """Purchases collapse to (user, week) / user grains map-side;

@@ -731,6 +731,46 @@ def test_local_skyline_preprune_sound(spark, pts, n_parts):
 
 @SETTINGS
 @given(
+    vals=st.lists(st.integers(-5, 5), min_size=1, max_size=30),
+    q=st.integers(2, 7),
+    n_bins=st.sampled_from([1, 2, 16, 4096]),
+)
+def test_scalable_ntile_matches_ntile(spark, vals, q, n_bins):
+    """operators/ranks.py::scalable_ntile_desc_multi must be
+    bit-identical to ntile(q) OVER (ORDER BY metric DESC, key) — the
+    two-level histogram rank replaces the single-partition sort, not
+    the semantics. Heavy ties (domain -5..5), n < q, and degenerate
+    bin counts (n_bins=1 puts EVERYTHING in one bin; 4096 gives every
+    value its own) all covered."""
+    from pyspark.sql import Window
+
+    from steam_data_pipeline_spark.operators.ranks import (
+        scalable_ntile_desc_multi,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, m long").repartition(3)
+    got = {
+        (r.k, r.s)
+        for r in scalable_ntile_desc_multi(
+            df, q, [("m", "s")], key="k", n_bins=n_bins
+        ).collect()
+    }
+    want = {
+        (r.k, r.s)
+        for r in df.select(
+            "k",
+            F.ntile(q)
+            .over(Window.orderBy(F.col("m").desc(), F.col("k").asc()))
+            .cast("long")
+            .alias("s"),
+        ).collect()
+    }
+    assert got == want, (vals, q, n_bins, got, want)
+
+
+@SETTINGS
+@given(
     starts=st.lists(st.integers(0, 30), min_size=1, max_size=25),
     dur=st.integers(1, 10),
 )
