@@ -2642,6 +2642,25 @@ _INCR_DEDUP_ORACLE = f"""
     """
 
 
+def _prepare_corpus_signatures(spark, sf_dir: str) -> str:
+    """The standing corpus's PLAIN banded-signature table, persisted
+    once — the warmed store ``llm_dedup_incremental`` consumes (the
+    build-once/probe-per-batch path the dedup-amortized rehearsal
+    proved flat; SCALE.md round 9). The bucketed/partition-pruned
+    sibling of this fixture is ``_prepare_minhash_index`` below —
+    that one exercises probe-time partition pruning, this one the
+    prebuilt-signatures calling convention alone."""
+    corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 != 0)
+
+    def _write(d):
+        D.banded_signatures(corpus).write.mode("overwrite").parquet(d)
+
+    return _cached_layout("corpsigs", sf_dir, _write)
+
+
+BENCH_FIXTURES.append(_prepare_corpus_signatures)
+
+
 @EXT.add(
     "llm_dedup_incremental",
     oracle=_INCR_DEDUP_ORACLE,
@@ -2653,8 +2672,12 @@ _INCR_DEDUP_ORACLE = f"""
         "dropped; survivors then cluster among themselves (CC over "
         "survivor-survivor pairs, min-id per component). Per-batch "
         "cost probes only LSH buckets containing a new doc — never "
-        "corpus x corpus; the corpus's banded_signatures table is the "
-        "persistable index. Oracle = the same two-stage rule over the "
+        "corpus x corpus; the corpus's banded_signatures table IS a "
+        "persisted store here (warmed bench fixture, the production "
+        "build-once path), so the query's timing is probe-plus-verify "
+        "only — re-shingling the standing corpus per batch was the "
+        "one place the bench shape diverged from the amortization "
+        "rehearsal's. Oracle = the same two-stage rule over the "
         "exact Jaccard pair graph via recursive CTE."
     ),
     tags=("llm", "dedup", "incremental"),
@@ -2663,9 +2686,10 @@ def llm_dedup_incremental(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 4 == 0)
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
-    return D.minhash_dedup_incremental(corpus, new, threshold=0.6).select(
-        "doc_id", "lang", "source"
-    )
+    sigs = spark.read.parquet(_prepare_corpus_signatures(spark, sf_dir))
+    return D.minhash_dedup_incremental(
+        corpus, new, threshold=0.6, corpus_signatures=sigs
+    ).select("doc_id", "lang", "source")
 
 
 _EXACT_DEDUP_WHERE = (
