@@ -7690,7 +7690,7 @@ def win_holt_linear(spark, sf_dir):
     WITH b AS (
       SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bin,
              CAST(COUNT(*) AS BIGINT) AS c
-      FROM events GROUP BY 1
+      FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     cum AS (
       SELECT bin, c,
@@ -7698,7 +7698,8 @@ def win_holt_linear(spark, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
       FROM b
     ),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+            WHERE value IS NOT NULL),
     pcts AS (SELECT CAST(g AS BIGINT) AS pct
              FROM (VALUES (50), (90), (99)) v(g))
     SELECT p.pct, t.n,
@@ -7729,7 +7730,13 @@ def win_holt_linear(spark, sf_dir):
 def agg_quantile_histogram(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events")
+    # NULL values must be excluded BEFORE binning (round-10 module
+    # review): a NULL bin's position in the cumulative window differs
+    # between engines (Spark sorts NULLS FIRST ascending, DuckDB NULLS
+    # LAST), so on real data with NULLs the quantile estimate would
+    # silently diverge — the fixture has none, which is exactly why
+    # the differential harness could never catch it.
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     hist = (
         ev.select(F.floor(F.col("value") / 5.0).cast("long").alias("bin"))
         .groupBy("bin")
