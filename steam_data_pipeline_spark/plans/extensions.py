@@ -15111,3 +15111,496 @@ def llm_embedding_centroid(spark, sf_dir):
             F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 9
         ).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: fact-scale skyline (the new pre-prune operator, driver-checked
+# at fact grain), engagement/robust-timeseries/effect-size/funnel/survival
+# additions
+# ---------------------------------------------------------------------------
+
+
+@EXT.add(
+    "agg_skyline_pareto_fact",
+    oracle="""
+    WITH p AS (
+      SELECT l_orderkey * 10 + l_linenumber AS li_id,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    w AS (
+      SELECT li_id, price_cents, qty,
+             MAX(qty) OVER (ORDER BY price_cents
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS qmax_lower,
+             MAX(qty) OVER (PARTITION BY price_cents) AS qmax_equal
+      FROM p
+    )
+    SELECT li_id, price_cents, qty
+    FROM w
+    WHERE (qmax_lower IS NULL OR qmax_lower < qty)
+      AND qmax_equal = qty
+    """,
+    doc=(
+        "The Pareto skyline at FACT grain — agg_skyline_pareto's "
+        "dominance semantics (minimize price, maximize quantity) run "
+        "over LINEITEM, the table where the bare two-window plan's "
+        "Exchange SinglePartition actually hurts: this entry exists "
+        "so the round-10 local pre-prune operator "
+        "(operators/skyline.py, Börzsönyi block-nested-loop "
+        "refinement) is driver-checked on a fact-sized input, not "
+        "just the dim-sized part table. Partition-local sort + one "
+        "vectorized MapInPandas running-max scan prunes each "
+        "partition to its Pareto frontier (measured 2.0% survivors "
+        "on these axes, SCALE.md round 10: bare 4.12 s vs pruned "
+        "0.11 s at 10x); only the survivors reach the exact global "
+        "two-window pass, which is unchanged and provably yields the "
+        "same skyline (dominator-chaining). All-integer comparisons; "
+        "plan-contracted: MapInPandas BELOW the single-partition "
+        "exchange."
+    ),
+    tags=("agg", "window", "analytics", "pandas_gm"),
+)
+def agg_skyline_pareto_fact(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from steam_data_pipeline_spark.operators.skyline import (
+        local_skyline_preprune,
+    )
+
+    p = local_skyline_preprune(
+        t(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("li_id"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        ),
+        minimize="price_cents",
+        maximize="qty",
+    )
+    w_lower = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("price_cents")
+    tagged = p.select(
+        "li_id",
+        "price_cents",
+        "qty",
+        F.max("qty").over(w_lower).alias("qmax_lower"),
+        F.max("qty").over(w_eq).alias("qmax_equal"),
+    )
+    return tagged.filter(
+        (F.col("qmax_lower").isNull() | (F.col("qmax_lower") < F.col("qty")))
+        & (F.col("qmax_equal") == F.col("qty"))
+    ).select("li_id", "price_cents", "qty")
+
+
+@EXT.add(
+    "agg_stickiness_dau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    mau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - INTERVAL 27 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, mau.mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 9) AS stickiness
+    FROM dau JOIN mau USING (day)
+    """,
+    doc=(
+        "DAU/MAU STICKINESS per day — the engagement headline metric "
+        "(what fraction of the trailing-28-day audience shows up "
+        "today). MAU is a trailing-window DISTINCT, which no window "
+        "frame expresses; the scale shape is agg_rolling_distinct's "
+        "contribution expansion: each (user, day) activity row "
+        "explodes to the <= 28 window-END days it contributes to "
+        "(map-side x28 on the already-deduped user-day grain, not raw "
+        "events), then ONE groupBy(day) count-distinct. Only days "
+        "that exist in the data are emitted (left-semi against the "
+        "day spine), matching the oracle. Stickiness is one division "
+        "of exact counts, rounded 9. At 100 TB the swap is per-day "
+        "HLL sketch union (agg_hll_mergeable), same expansion shape."
+    ),
+    tags=("agg", "engagement", "distinct", "analytics"),
+)
+def agg_stickiness_dau_mau(spark, sf_dir):
+    ud = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    contrib = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 27))
+        ).alias("day"),
+        "user_id",
+    )
+    mau = (
+        contrib.join(days, on="day", how="left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+    )
+    return dau.join(mau, on="day").select(
+        F.col("day").cast("timestamp").alias("day"),
+        "dau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 9).alias(
+            "stickiness"
+        ),
+    )
+
+
+@EXT.add(
+    "win_rolling_median",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    fr AS (
+      SELECT a.day, b.c AS v
+      FROM d a JOIN d b ON b.day BETWEEN a.day - INTERVAL 6 DAY AND a.day
+    ),
+    r AS (
+      SELECT day, v,
+             row_number() OVER (PARTITION BY day ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY day) AS n
+      FROM fr
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(MAX(n) AS BIGINT) AS n_window,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT)
+             AS median_cents
+    FROM r GROUP BY day
+    """,
+    doc=(
+        "Trailing 7-day rolling exact MEDIAN of daily purchase revenue "
+        "— the robust smoother that ignores the single-day spikes a "
+        "rolling mean (win_bollinger_bands' mid) chases: the "
+        "qa_outlier_mad philosophy applied to a moving window. The "
+        "median is the deterministic LOWER order statistic "
+        "((n+1)//2), never an interpolated midpoint (engine-dependent "
+        "averaging), and the values are exact cents BIGINTs — no "
+        "float enters the query. Spark shape: the frame is BOUNDED "
+        "(<= 7 rows) so the per-row sort is a collect_list over the "
+        "RANGE frame + array_sort + element_at — O(k log k) per spine "
+        "row, no self-join; the oracle replays it as a range "
+        "self-join + rank because portable SQL lacks a discrete "
+        "median window. Scale: the fact collapses map-side to the "
+        "bounded day spine first; the window runs over days, never "
+        "rows."
+    ),
+    tags=("window", "timeseries", "robust"),
+)
+def win_rolling_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    fr = Window.orderBy(F.unix_date("day")).rangeBetween(-6, 0)
+    w = d.select(
+        "day",
+        F.sort_array(F.collect_list("c").over(fr)).alias("vs"),
+    )
+    n = F.size("vs")
+    return w.select(
+        F.col("day").cast("timestamp").alias("day"),
+        n.cast("long").alias("n_window"),
+        F.element_at("vs", F.floor((n + 1) / 2).cast("int"))
+        .cast("long")
+        .alias("median_cents"),
+    )
+
+
+@EXT.add(
+    "agg_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, doc_id % 2 AS half, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT half, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    spine AS (SELECT rt.lang, ct.half, rt.rt, ct.ct, n.n FROM rt, ct, n),
+    term AS (
+      SELECT s.n,
+             CAST(ROUND(
+               CAST((COALESCE(c.o, 0) * s.n - s.rt * s.ct)
+                    * (COALESCE(c.o, 0) * s.n - s.rt * s.ct) AS DOUBLE)
+               / (CAST(s.n AS DOUBLE) * s.rt * s.ct), 9)
+             AS DECIMAL(18,9)) AS contrib
+      FROM spine s LEFT JOIN cells c USING (lang, half)
+    ),
+    dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS r_levels,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS c_levels
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n,
+           ANY_VALUE(r_levels) AS r_levels,
+           ANY_VALUE(c_levels) AS c_levels,
+           CAST(SUM(contrib) AS DOUBLE) AS chi2,
+           ROUND(SQRT(CAST(SUM(contrib) AS DOUBLE)
+                      / (ANY_VALUE(n)
+                         * (LEAST(ANY_VALUE(r_levels),
+                                  ANY_VALUE(c_levels)) - 1))), 9) AS v
+    FROM term, dims
+    """,
+    doc=(
+        "Cramér's V EFFECT SIZE for the lang x half contingency — the "
+        "companion qa_chisq_categorical needs to be actionable: chi2 "
+        "grows with n, so at 100 TB everything is 'significant'; V = "
+        "sqrt(chi2 / (n * (min(r,c) - 1))) is the scale-free [0,1] "
+        "association strength a drift gate can threshold. Same "
+        "numeric contract as the chi-square: per-cell contributions "
+        "from the cleared-denominator identity, rounded 9, pinned to "
+        "decimal, summed exactly (order-independent); V adds one "
+        "sqrt over a double/integer ratio, rounded 9. Scale: one "
+        "map-side-combined cell agg; everything after runs on the "
+        "bounded contingency spine."
+    ),
+    tags=("agg", "stats", "drift"),
+)
+def agg_cramers_v(spark, sf_dir):
+    cells = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", (F.col("doc_id") % 2).alias("half"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("half").agg(F.sum("o").cast("long").alias("ct"))
+    nn = cells.agg(F.sum("o").cast("long").alias("n"))
+    dims = rt.agg(F.count(F.lit(1)).cast("long").alias("r_levels")).crossJoin(
+        ct.agg(F.count(F.lit(1)).cast("long").alias("c_levels"))
+    )
+    spine = rt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(nn))
+    o = F.coalesce(F.col("o"), F.lit(0)).cast("long")
+    diff = o * F.col("n") - F.col("rt") * F.col("ct")
+    term = spine.join(cells, ["lang", "half"], "left").select(
+        "n",
+        F.round(
+            (diff * diff).cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("rt").cast("double")
+                * F.col("ct").cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("contrib"),
+    )
+    agg = term.agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.sum("contrib").cast("double").alias("chi2"),
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "n",
+        "r_levels",
+        "c_levels",
+        "chi2",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * (F.least(F.col("r_levels"), F.col("c_levels")) - 1)
+                )
+            ),
+            9,
+        ).alias("v"),
+    )
+
+
+@EXT.add(
+    "win_funnel_3step",
+    oracle="""
+    WITH viewers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ),
+    qp AS (
+      SELECT DISTINCT p.user_id, p.ts
+      FROM events p
+      WHERE p.event_type = 'purchase'
+        AND EXISTS (
+          SELECT 1 FROM events v
+          WHERE v.event_type = 'view' AND v.user_id = p.user_id
+            AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 1 DAY
+        )
+    ),
+    q3 AS (
+      SELECT DISTINCT pl.user_id
+      FROM events pl
+      WHERE pl.event_type = 'play'
+        AND EXISTS (
+          SELECT 1 FROM qp
+          WHERE qp.user_id = pl.user_id
+            AND qp.ts < pl.ts AND qp.ts >= pl.ts - INTERVAL 1 DAY
+        )
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM viewers) AS n_viewers,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM qp)
+             AS n_step2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM q3) AS n_step3
+    """,
+    doc=(
+        "THREE-step ordered funnel (view -> purchase within 24 h -> "
+        "play within 24 h of THAT purchase) — the multi-step "
+        "generalization of win_funnel_steps, where the middle step "
+        "must itself be qualified (a purchase with no preceding view "
+        "does not advance the funnel; naive pairwise funnels "
+        "overcount exactly this). Spark shape: NO self-joins — one "
+        "union of the three event slices, then two CHAINED range "
+        "windows over the SAME (user, ts-micros) exchange+sort "
+        "(Spark reuses the sort for same-spec windows): pass 1 "
+        "counts prior-24 h views at each purchase (qualifying it), "
+        "pass 2 counts prior-24 h QUALIFIED purchases at each play. "
+        "Strict/inclusive bounds are frame endpoints in exact "
+        "microseconds ([-86400e6, -1]), matching the oracle's "
+        "v.ts < p.ts AND v.ts >= p.ts - 24 h. The oracle is the "
+        "EXISTS-chain spec. Scale: one keyed shuffle total; per-user "
+        "history bounds the sort run."
+    ),
+    tags=("window", "funnel", "analytics"),
+)
+def win_funnel_3step(spark, sf_dir):
+    from pyspark.sql import Window
+
+    day_us = 86_400_000_000
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase", "play"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("tsu"),
+        )
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(-day_us, -1)
+    )
+    p1 = ev.withColumn(
+        "n_prior_views",
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).over(fr),
+    ).withColumn(
+        "is_qp",
+        (
+            (F.col("event_type") == "purchase")
+            & (F.coalesce(F.col("n_prior_views"), F.lit(0)) > 0)
+        ).cast("long"),
+    )
+    p2 = p1.withColumn("n_prior_qp", F.sum("is_qp").over(fr))
+    n_viewers = (
+        ev.filter(F.col("event_type") == "view")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_viewers"))
+    )
+    n_step2 = p1.filter(F.col("is_qp") == 1).agg(
+        F.countDistinct("user_id").cast("long").alias("n_step2")
+    )
+    n_step3 = p2.filter(
+        (F.col("event_type") == "play")
+        & (F.coalesce(F.col("n_prior_qp"), F.lit(0)) > 0)
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_step3"))
+    return n_viewers.crossJoin(n_step2).crossJoin(n_step3)
+
+
+@EXT.add(
+    "agg_churn_hazard",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             CAST((date_part('epoch', MAX(date_trunc('week', ts)))
+                   - date_part('epoch', MIN(date_trunc('week', ts))))
+                  // 604800 AS BIGINT) AS last_age
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT last_age, CAST(COUNT(*) AS BIGINT) AS churned
+      FROM spans GROUP BY last_age
+    )
+    SELECT last_age AS age_wk, churned,
+           CAST(SUM(churned) OVER (ORDER BY last_age DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS at_risk,
+           ROUND(CAST(churned AS DOUBLE)
+                 / SUM(churned) OVER (ORDER BY last_age DESC
+                                      ROWS UNBOUNDED PRECEDING), 9)
+             AS hazard
+    FROM d
+    """,
+    doc=(
+        "Discrete-time churn HAZARD curve on the user grain — the "
+        "companion of win_survival_km (which works order-fulfillment "
+        "durations): each user's observed lifetime is the whole weeks "
+        "between first and last activity week; hazard(a) = users "
+        "whose lifetime ENDED at age a / users still at risk at age a "
+        "(the reverse-cumulative count — the same histogram-cumsum "
+        "trick as the KM risk set, here on the bounded age spine). "
+        "Week ages are exact integer epoch arithmetic on "
+        "week-truncated timestamps; hazard is one division of exact "
+        "BIGINTs, rounded 9. Scale: one map-side-combined per-user "
+        "agg, then everything runs on the <= calendar-weeks age "
+        "spine; no window ever touches user rows."
+    ),
+    tags=("agg", "survival", "cohort", "analytics"),
+)
+def agg_churn_hazard(spark, sf_dir):
+    from pyspark.sql import Window
+
+    spans = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                (
+                    F.unix_timestamp(F.max(F.date_trunc("week", "ts")))
+                    - F.unix_timestamp(F.min(F.date_trunc("week", "ts")))
+                )
+                / F.lit(604800)
+            )
+            .cast("long")
+            .alias("last_age")
+        )
+    )
+    d = spans.groupBy("last_age").agg(
+        F.count(F.lit(1)).cast("long").alias("churned")
+    )
+    w = Window.orderBy(F.col("last_age").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = F.sum("churned").over(w)
+    return d.select(
+        F.col("last_age").alias("age_wk"),
+        "churned",
+        at_risk.cast("long").alias("at_risk"),
+        F.round(F.col("churned").cast("double") / at_risk, 9).alias("hazard"),
+    )

@@ -1329,3 +1329,87 @@ class TestRound9FourthWaveContracts:
         assert "Generate posexplode" in plan, plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "partial_" in plan, plan
+
+
+class TestRound10WaveContracts:
+    def test_skyline_fact_preprune_below_global_sort(self, spark):
+        """The fact-grain skyline must run the local pre-prune
+        (MapInPandas) BELOW the single-partition exchange — the raw
+        lineitem scan never reaches the global sort — and keep the
+        two-window zero-join shape."""
+        plan = _plan(
+            QUERIES["agg_skyline_pareto_fact"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Join" not in plan, plan
+        assert plan.count("Window") == 2, plan
+        assert plan.count("MapInPandas") == 1, plan
+        assert plan.index("Exchange SinglePartition") < plan.index(
+            "MapInPandas"
+        ), plan
+
+    def test_stickiness_no_self_join_of_facts(self, spark):
+        """MAU comes from contribution expansion on the deduped
+        user-day grain: the raw fact table is never range-self-joined;
+        the day-spine attach is a broadcast semi join."""
+        plan = _plan(
+            QUERIES["agg_stickiness_dau_mau"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "Generate explode(sequence" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_rolling_median_no_self_join(self, spark):
+        """The bounded-frame rolling median is ONE window over the day
+        spine (collect_list + array_sort), never the oracle's range
+        self-join; one keyed exchange for the daily collapse."""
+        plan = _plan(
+            QUERIES["win_rolling_median"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Join" not in plan, plan
+        assert "Python" not in plan, plan
+        assert plan.count("Window") == 1, plan
+        assert "sort_array" in plan, plan
+
+    def test_cramers_v_spine_math_only(self, spark):
+        """One map-side-combined cell agg; marginals/total broadcast;
+        no fact-grain window or Python."""
+        plan = _plan(QUERIES["agg_cramers_v"].spark(spark, SF_SMOKE), "simple")
+        assert "Python" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "partial_count" in plan, plan
+
+    def test_funnel_3step_single_exchange_no_join(self, spark):
+        """Both funnel windows share ONE (user) exchange+sort — no
+        self-join of events anywhere; the three scalar legs cross-join
+        1-row aggregates (the sanctioned BNLJ spine)."""
+        plan = _plan(
+            QUERIES["win_funnel_3step"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+        # windows partition by user_id only — never a single-partition
+        # window over the fact
+        assert "windowspecdefinition(user_id" in plan, plan
+
+    def test_churn_hazard_spine_windows_only(self, spark):
+        """Users collapse map-side to lifetime spans; the hazard
+        windows run over the bounded age spine (a deliberate bounded
+        one-partition cumsum), never user rows."""
+        plan = _plan(
+            QUERIES["agg_churn_hazard"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Join" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "partial_" in plan, plan
+        # the age-spine cumsum sits above the per-age aggregate, not
+        # the raw per-user rows
+        lines = _plan(
+            QUERIES["agg_churn_hazard"].spark(spark, SF_SMOKE), "simple"
+        ).splitlines()
+        singles = [
+            i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln
+        ]
+        for i in singles:
+            assert "HashAggregate" in lines[i + 1], lines[i + 1]

@@ -81,6 +81,8 @@ BNLJ_CONTRACT_BOUNDED = {
     "llm_sim_search",
     # contingency halves: grouped by half, domain = {0, 1}
     "qa_chisq_categorical",
+    # same contingency spine (lang x half marginals crossJoin)
+    "agg_cramers_v",
     # per-day medians: grouped by date_trunc(day), domain = date range
     "win_theil_sen",
 }
