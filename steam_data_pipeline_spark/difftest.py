@@ -31,6 +31,24 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canonical_repr(v) -> str:
+    """repr with engine-independent canonicalization of sequence values
+    (numpy array vs Python list) and numpy scalars (np.int64(3) vs 3)."""
+    if isinstance(v, str):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return repr(bytes(v))  # Spark bytearray vs DuckDB bytes
+    if isinstance(v, dict):
+        return repr(sorted((repr(k), _canonical_repr(x)) for k, x in v.items()))
+    item = getattr(v, "item", None)
+    if item is not None and getattr(v, "ndim", 1) == 0:
+        return repr(item())  # numpy scalar → Python scalar
+    try:
+        return repr([_canonical_repr(x) for x in v])
+    except TypeError:
+        return repr(v)
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -38,8 +56,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).astype("datetime64[us]")
         elif s.dtype == object:
-            # decimals / lists → canonical string
-            df[c] = s.map(lambda v: repr(v))
+            # decimals / lists → canonical string. Sequence values must
+            # be canonicalized BEFORE repr: Spark's toPandas yields
+            # Python lists for array columns while DuckDB's .df() yields
+            # numpy arrays, and repr(np.array([1])) != repr([1]) — a
+            # value-identical array column would spuriously mismatch.
+            df[c] = s.map(_canonical_repr)
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):

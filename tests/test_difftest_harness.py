@@ -50,3 +50,37 @@ def test_int_dtype_width_is_normalized():
     a = pd.DataFrame({"v": pd.array([1, 2], dtype="int32")})
     b = pd.DataFrame({"v": pd.array([1, 2], dtype="int64")})
     assert compare_frames("t", a, b).ok
+
+
+def test_array_columns_numpy_vs_list_match():
+    # Spark toPandas yields Python lists for array columns; DuckDB .df()
+    # yields numpy arrays (often of numpy scalars). Value-identical
+    # frames must compare equal regardless of container flavor.
+    import numpy as np
+
+    a = pd.DataFrame({"k": [1, 2], "arr": [[1, 2], [3, 4]]})
+    b = pd.DataFrame(
+        {"k": [1, 2], "arr": [np.array([1, 2]), np.array([3, 4])]}
+    )
+    assert compare_frames("t", a, b).ok
+    # and genuinely different arrays must still fail
+    c = pd.DataFrame(
+        {"k": [1, 2], "arr": [np.array([1, 2]), np.array([3, 5])]}
+    )
+    assert not compare_frames("t", a, c).ok
+
+
+def test_binary_columns_bytearray_vs_bytes_match():
+    a = pd.DataFrame({"b": [bytearray(b"\x00\x01"), bytearray(b"\x02")]})
+    b = pd.DataFrame({"b": [b"\x00\x01", b"\x02"]})
+    assert compare_frames("t", a, b).ok
+    c = pd.DataFrame({"b": [b"\x00\x01", b"\x03"]})
+    assert not compare_frames("t", a, c).ok
+
+
+def test_map_columns_dict_key_order_insensitive():
+    a = pd.DataFrame({"m": [{"x": 1, "y": 2}]})
+    b = pd.DataFrame({"m": [{"y": 2, "x": 1}]})
+    assert compare_frames("t", a, b).ok
+    c = pd.DataFrame({"m": [{"x": 1, "y": 3}]})
+    assert not compare_frames("t", a, c).ok

@@ -385,6 +385,7 @@ def build_scaled_dir(spark, sf_dir: str, factor: int, out_dir: str) -> str:
     # footer-precision sniffer in read_table would classify as nanos
     # and then fail to read as int64 — write micros explicitly so the
     # scaled dir round-trips through the same reader as the fixture
+    ts_type_prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set(
         "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
     )
@@ -400,6 +401,10 @@ def build_scaled_dir(spark, sf_dir: str, factor: int, out_dir: str) -> str:
         ),
         os.path.join(out_dir, "events.parquet"),
     )
+    # restore: the micros override must not leak into the session the
+    # rehearsal measures with (orders/lineitem below carry ntz
+    # timestamps whose written type should stay the session default)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", ts_type_prev)
 
     # customer/orders scale too (round 6): the link-graph rehearsal
     # (llm_graph_pagerank) needs node AND edge cardinality to grow.
