@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
 from tools.plan_audit import count_unbounded_bnlj
 
 
@@ -25,8 +26,18 @@ def test_limit_bounded_build_side_passes(spark):
 
 
 def test_unbounded_build_side_is_flagged(spark):
+    # a file scan's cardinality is data-sized — the exact shape the
+    # guard exists to catch (broadcast of a table that grows with SF)
     df = spark.range(100)
-    assert count_unbounded_bnlj(df.crossJoin(F.broadcast(spark.range(50)))) == 1
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id")
+    assert count_unbounded_bnlj(df.crossJoin(F.broadcast(docs))) == 1
+
+
+def test_range_build_side_is_bounded(spark):
+    # Range bounds are literals fixed at plan time (the generated-spine
+    # pattern) — sanctioned, regardless of data scale
+    df = spark.range(100)
+    assert count_unbounded_bnlj(df.crossJoin(F.broadcast(spark.range(50)))) == 0
 
 
 def test_no_bnlj_counts_zero(spark):
@@ -35,9 +46,22 @@ def test_no_bnlj_counts_zero(spark):
     assert count_unbounded_bnlj(a.join(b, "k")) == 0
 
 
-def test_grouped_agg_build_side_is_flagged(spark):
-    # a grouped aggregate's cardinality tracks its key domain — NOT
-    # bounded; only the empty-grouping (1-row) aggregate qualifies
+def test_grouped_agg_over_scan_is_flagged(spark):
+    # a grouped aggregate over a file scan tracks its key domain — a
+    # data contract, not a plan-shape proof: flag it (adjudication is
+    # BNLJ_CONTRACT_BOUNDED's job, by name)
+    df = spark.range(100)
+    grouped = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    assert count_unbounded_bnlj(df.crossJoin(F.broadcast(grouped))) == 1
+
+
+def test_grouped_agg_over_bounded_input_passes(spark):
+    # grouped aggregates emit at most one row per input row, so a
+    # plan-time-bounded input propagates the bound through
     df = spark.range(100)
     grouped = (
         spark.range(50)
@@ -45,4 +69,35 @@ def test_grouped_agg_build_side_is_flagged(spark):
         .groupBy("g")
         .agg(F.sum("id").alias("s"))
     )
-    assert count_unbounded_bnlj(df.crossJoin(F.broadcast(grouped))) == 1
+    assert count_unbounded_bnlj(df.crossJoin(F.broadcast(grouped))) == 0
+
+
+def test_join_with_one_unbounded_side_is_flagged(spark):
+    # the old any-child recursion passed a join of bounded x unbounded;
+    # a bound must require ALL inputs bounded
+    df = spark.range(100)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id")
+    build = docs.crossJoin(spark.range(2))
+    assert count_unbounded_bnlj(df.crossJoin(F.broadcast(build))) == 1
+
+
+def test_data_dependent_explode_is_flagged(spark):
+    # a Generate whose fan-out depends on input values has no
+    # plan-time bound, even over a bounded input
+    df = spark.range(100)
+    build = spark.range(5).select(
+        F.explode(F.array_repeat(F.col("id"), F.col("id").cast("int")))
+    )
+    assert count_unbounded_bnlj(df.crossJoin(F.broadcast(build))) == 1
+
+
+def test_literal_explode_propagates_bound(spark):
+    # explode of a literal array is a plan-time-constant fan-out (the
+    # generated-spine pattern): bounded iff its input is
+    df = spark.range(100)
+    spine = (
+        spark.range(20)
+        .agg(F.sum("id").alias("s"))
+        .select(F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"), "s")
+    )
+    assert count_unbounded_bnlj(df.crossJoin(F.broadcast(spine))) == 0

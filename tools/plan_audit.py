@@ -89,14 +89,28 @@ BNLJ_CONTRACT_BOUNDED = {
 
 
 def _subtree_bounded(node) -> bool:
-    """True iff a physical subtree provably produces a bounded row
-    count: it contains a global aggregate (empty grouping — a 1-row
-    scalar spine), any Limit operator, a Range (literal bounds fixed
-    at plan time — the generated-spine pattern), or an RDDScan
-    (createDataFrame over driver-local literals — already driver-
-    resident, its size is the program text's). This is the shape of
-    every legitimate BNLJ build side in the registry except the
-    contract-bounded set pinned in tests/test_doc_freshness.py."""
+    """True iff a physical subtree provably produces a row count
+    bounded at PLAN time (independent of data scale):
+
+    * a global aggregate (empty grouping — the 1-row scalar spine),
+      regardless of what it aggregates;
+    * any Limit operator;
+    * a Range (literal bounds fixed at plan time — the generated-spine
+      pattern) or an RDDScan (createDataFrame over driver-local
+      literals — already driver-resident, its size is the program
+      text's);
+    * any other operator — joins and grouped aggregates included —
+      iff ALL of its inputs are bounded (a join of two bounded sides
+      is at most their product; a grouped aggregate emits at most one
+      row per input row). Generate (explode) propagates a bound ONLY
+      when its generator expression references no input columns (a
+      literal array — plan-time-constant fan-out, the generated-spine
+      pattern); a data-dependent multiplier never does.
+
+    File scans are leaves with no proof → unbounded. Grouped
+    aggregates over scans therefore flag even when their key DOMAIN is
+    small — that bound is a data contract, not a plan shape, and such
+    builds are adjudicated by name in BNLJ_CONTRACT_BOUNDED."""
     name = node.getClass().getSimpleName()
     if "Limit" in name or name in ("RangeExec", "RDDScanExec"):
         return True
@@ -106,8 +120,16 @@ def _subtree_bounded(node) -> bool:
                 return True
         except Exception:  # noqa: BLE001 - non-standard agg node
             pass
+    if name.startswith("Generate"):
+        try:
+            if not node.generator().references().isEmpty():
+                return False
+        except Exception:  # noqa: BLE001 - conservative on api drift
+            return False
     ch = node.children()
-    return any(_subtree_bounded(ch.apply(i)) for i in range(ch.size()))
+    if ch.size() == 0:
+        return False
+    return all(_subtree_bounded(ch.apply(i)) for i in range(ch.size()))
 
 
 def count_unbounded_bnlj(df) -> int:
