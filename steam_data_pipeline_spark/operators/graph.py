@@ -461,3 +461,117 @@ def label_propagation_oracle_sql(edge_sql: str, rounds: int = 4) -> str:
     SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS lab
     FROM lp{rounds}"""
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop histogram over an undirected simple graph:
+    for every node, the MINIMUM number of edges to any seed (capped at
+    ``max_hops``), then one row per hop with count / id-sum / min / max
+    of the nodes first reached there — the reachability profile a
+    link-graph curation pass uses to answer "how far does trusted-seed
+    influence propagate" (the BFS companion to :func:`pagerank`'s
+    stationary weighting). Nodes never reached within the cap report
+    hop = -1.
+
+    Frontier expansion, one round per hop: the NEW frontier is the
+    neighbors of the previous frontier anti-joined against everything
+    already visited, so each node is claimed exactly once, at its
+    minimum hop — the textbook distributed BFS. Per round: one
+    semi-join of the (static, checkpointed) symmetric edge table
+    against the node-sized frontier + one distinct + one anti-join;
+    the visited set is node-sized and ``localCheckpoint``ed per round
+    (same bounded-plan discipline as :func:`kcore`). Termination is
+    data-dependent (an empty frontier breaks early; ``max_hops`` caps
+    the rounds).
+
+    Returns ``(hop, n_nodes, sum_node_ids, min_node, max_node)``.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    sym = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select("v").distinct().localCheckpoint(eager=True)
+    visited = (
+        nodes.join(seeds, on="v", how="left_semi")
+        .select("v", F.lit(0).alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("v")
+    for h in range(1, max_hops + 1):
+        new = (
+            sym.join(frontier, on="v", how="left_semi")
+            .select(F.col("w").alias("v"))
+            .distinct()
+            .join(visited.select("v"), on="v", how="left_anti")
+            .select("v", F.lit(h).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        visited = visited.unionAll(new).localCheckpoint(eager=True)
+        frontier = new.select("v")
+    tagged = visited.unionAll(
+        nodes.join(visited.select("v"), on="v", how="left_anti").select(
+            "v", F.lit(-1).alias("hop")
+        )
+    )
+    return (
+        tagged.groupBy(F.col("hop").cast("int").alias("hop"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("v").cast("long").alias("sum_node_ids"),
+            F.min("v").cast("long").alias("min_node"),
+            F.max("v").cast("long").alias("max_node"),
+        )
+    )
+
+
+def bfs_hops_oracle_sql(
+    edge_sql: str, seed_sql: str, max_hops: int = 4
+) -> str:
+    """DuckDB oracle for :func:`bfs_hops`: a bounded recursive CTE
+    enumerates every (node, hop ≤ max_hops) walk endpoint (UNION
+    dedups rows, so the working set is ≤ |V|·(max_hops+1)); MIN(hop)
+    per node is exactly the BFS first-reach level. The iterative
+    frontier algorithm and the declarative recursion must agree on
+    every hop's count, id-sum and extrema."""
+    return f"""
+    WITH RECURSIVE e AS ({edge_sql}),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM e WHERE src <> dst),
+    sym AS (SELECT a AS v, b AS w FROM und
+            UNION ALL SELECT b, a FROM und),
+    nodes AS (SELECT DISTINCT v FROM sym),
+    seeds AS ({seed_sql}),
+    walk(node, hop) AS (
+      SELECT n.v, 0 FROM nodes n WHERE n.v IN (SELECT v FROM seeds)
+      UNION
+      SELECT s.w, walk.hop + 1
+      FROM walk JOIN sym s ON s.v = walk.node
+      WHERE walk.hop < {max_hops}
+    ),
+    best AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node),
+    tagged AS (
+      SELECT n.v AS node, COALESCE(b.hop, -1) AS hop
+      FROM nodes n LEFT JOIN best b ON b.node = n.v
+    )
+    SELECT CAST(hop AS INT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS sum_node_ids,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM tagged GROUP BY 1
+    """

@@ -177,3 +177,111 @@ def scalable_ntile_desc(
     return scalable_ntile_desc_multi(
         df, n_tiles, [(metric, out_col)], key, n_bins=n_bins
     )
+
+
+def exact_cume_counts_multi(
+    df: DataFrame,
+    metrics: list[tuple[str, str, str]],
+    n_bins: int = 4096,
+) -> DataFrame:
+    """For each ``(metric, le_col, ge_col)`` triple, add ``le_col`` =
+    count of rows with ``metric`` <= this row's and ``ge_col`` = the
+    >= mirror — the tie-AWARE cumulative counts (``COUNT(*) OVER
+    (ORDER BY metric RANGE UNBOUNDED PRECEDING)`` and its descending
+    twin) — with no unbounded single-partition sort for ANY metric.
+
+    Same two-level histogram decomposition as :func:`exact_rank_desc`:
+    the <=bin / >=bin prefix counts come from the bounded n_bins
+    running sums; within a bin, two RANGE-framed windows (asc / desc
+    over the SAME hash partitioning) count ties inclusively. The ECOD
+    outlier score and any empirical-CDF consumer need exactly these
+    counts; row_number-style ranks are tie-broken and therefore wrong
+    for a CDF. Metrics must be non-null integral columns.
+
+    All metrics share ONE scalar-spine aggregate and one broadcast
+    crossJoin, and the per-metric histogram/window passes chain on the
+    same frame — the same linear-plan-growth discipline as
+    :func:`scalable_ntile_desc_multi` (a naive per-metric composition
+    re-derives the upstream spine exponentially: chaining the
+    single-metric version 3x measured 42 BroadcastNestedLoopJoin
+    nodes in one plan)."""
+    spine_aggs = []
+    for m, _, _ in metrics:
+        spine_aggs += [
+            F.min(m).cast("long").alias(f"__mn_{m}"),
+            F.max(m).cast("long").alias(f"__mx_{m}"),
+        ]
+    binned = df.crossJoin(F.broadcast(df.agg(*spine_aggs)))
+    for m, _, _ in metrics:
+        binned = binned.withColumn(
+            f"__bin_{m}",
+            F.expr(
+                f"(({m} - __mn_{m}) * {n_bins}) div (__mx_{m} - __mn_{m} + 1)"
+            ).cast("long"),
+        )
+    out = binned
+    for m, _, _ in metrics:
+        hist = (
+            binned.groupBy(f"__bin_{m}")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .select(
+                f"__bin_{m}",
+                F.coalesce(
+                    F.sum("__cnt").over(
+                        Window.orderBy(F.col(f"__bin_{m}").asc()).rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ).alias(f"__below_{m}"),
+                F.coalesce(
+                    F.sum("__cnt").over(
+                        Window.orderBy(F.col(f"__bin_{m}").desc()).rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ).alias(f"__above_{m}"),
+            )
+        )
+        out = out.join(F.broadcast(hist), on=f"__bin_{m}")
+    for m, le_col, ge_col in metrics:
+        w_le = (
+            Window.partitionBy(f"__bin_{m}")
+            .orderBy(F.col(m).asc())
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        w_ge = (
+            Window.partitionBy(f"__bin_{m}")
+            .orderBy(F.col(m).desc())
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        out = out.withColumn(
+            le_col, F.col(f"__below_{m}") + F.count(F.lit(1)).over(w_le)
+        ).withColumn(
+            ge_col, F.col(f"__above_{m}") + F.count(F.lit(1)).over(w_ge)
+        )
+    drops = []
+    for m, _, _ in metrics:
+        drops += [
+            f"__mn_{m}",
+            f"__mx_{m}",
+            f"__bin_{m}",
+            f"__below_{m}",
+            f"__above_{m}",
+        ]
+    return out.drop(*drops)
+
+
+def exact_cume_counts(
+    df: DataFrame,
+    metric: str,
+    le_col: str,
+    ge_col: str,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Single-metric convenience wrapper over
+    :func:`exact_cume_counts_multi`."""
+    return exact_cume_counts_multi(
+        df, [(metric, le_col, ge_col)], n_bins=n_bins
+    )

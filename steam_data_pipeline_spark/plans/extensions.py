@@ -15604,3 +15604,604 @@ def agg_churn_hazard(spark, sf_dir):
         at_risk.cast("long").alias("at_risk"),
         F.round(F.col("churned").cast("double") / at_risk, 9).alias("hazard"),
     )
+
+
+@EXT.add(
+    "win_greedy_allocation",
+    oracle="""
+    WITH supply AS (
+      SELECT p_partkey, CAST(p_size AS BIGINT) * 50 AS supply FROM part
+    ),
+    d AS (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+             COALESCE(CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS cum_before
+      FROM lineitem
+    ),
+    a AS (
+      SELECT d.l_partkey AS partkey, qty,
+             LEAST(qty, GREATEST(s.supply - d.cum_before, 0)) AS alloc
+      FROM d JOIN supply s ON s.p_partkey = d.l_partkey
+    )
+    SELECT partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN alloc = qty THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_filled,
+           CAST(SUM(qty) AS BIGINT) AS total_demand,
+           CAST(SUM(alloc) AS BIGINT) AS total_allocated,
+           CAST(SUM(qty - alloc) AS BIGINT) AS total_backorder,
+           ROUND(CAST(SUM(alloc) AS DOUBLE) / SUM(qty), 9) AS fill_rate
+    FROM a GROUP BY 1
+    """,
+    doc=(
+        "Greedy priority-order stock allocation: each part's finite "
+        "supply (p_size x 50 units) is handed out to its order lines "
+        "in ship-date priority until exhausted — the classic "
+        "inventory/quota waterfall that looks inherently sequential "
+        "but is ONE capped running sum: alloc = least(qty, "
+        "greatest(supply - cum_demand_before, 0)); a line is filled "
+        "iff the demand queue ahead of it left stock. (The same shape "
+        "meters LLM-corpus ingest quotas: per-source token budgets "
+        "consumed in arrival order, llm_quota_per_source's windowed "
+        "generalization.) Exact BIGINT throughout — TPC-H quantities "
+        "are integral. Scale: supply joins broadcast on the part dim; "
+        "the window and the final per-part rollup both run on the "
+        "SAME l_partkey hash partitioning, so the whole query is one "
+        "fact shuffle; deterministic total order (ship date, order, "
+        "line) makes the allocation reproducible run-to-run."
+    ),
+    tags=("win", "allocation", "inventory"),
+)
+def win_greedy_allocation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    supply = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        (F.col("p_size").cast("long") * 50).alias("supply"),
+    )
+    w = (
+        Window.partitionBy("partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .join(F.broadcast(supply), "partkey")
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("qty").over(w), F.lit(0)).cast("long"),
+        )
+    )
+    a = d.select(
+        "partkey",
+        "qty",
+        F.least(
+            F.col("qty"),
+            F.greatest(F.col("supply") - F.col("cum_before"), F.lit(0)),
+        ).alias("alloc"),
+    )
+    return a.groupBy("partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("alloc") == F.col("qty"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_filled"),
+        F.sum("qty").cast("long").alias("total_demand"),
+        F.sum("alloc").cast("long").alias("total_allocated"),
+        F.sum(F.col("qty") - F.col("alloc")).cast("long").alias("total_backorder"),
+        F.round(
+            F.sum("alloc").cast("double") / F.sum("qty"), 9
+        ).alias("fill_rate"),
+    )
+
+
+@EXT.add(
+    "win_max_subarray",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS signed
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    p0 AS (
+      SELECT user_id, ts, event_id, signed,
+             CAST(SUM(signed) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS pfx
+      FROM ev
+    ),
+    p AS (
+      SELECT user_id, signed, pfx,
+             CAST(MIN(pfx) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT) AS min_before
+      FROM p0
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(signed) AS BIGINT) AS net_cents,
+           CAST(MAX(pfx - LEAST(COALESCE(min_before, 0), 0)) AS BIGINT)
+             AS best_run_cents
+    FROM p GROUP BY 1
+    """,
+    doc=(
+        "Per-user maximum-sum contiguous run (Kadane's max subarray) "
+        "over the signed event stream — purchases credit revenue "
+        "cents, clicks debit acquisition cost — surfacing each user's "
+        "best uninterrupted net-monetization streak. The O(n^2) "
+        "every-(start,end) definition collapses to prefix sums: the "
+        "best run ending at t is P_t - min(0, min_{s<t} P_s), so TWO "
+        "chained windows over ONE (user, ts, event_id) exchange+sort "
+        "(cumulative sum, then running min of its lag) compute what a "
+        "naive range self-join would shuffle quadratically. All "
+        "arithmetic is exact BIGINT cents; the per-user rollup reuses "
+        "the window's hash partitioning — one fact shuffle total. "
+        "Empty-prefix sentinel: LEAST(COALESCE(min_before,0),0) "
+        "admits runs starting at the first event without admitting "
+        "the empty run."
+    ),
+    tags=("win", "kadane", "sessions"),
+)
+def win_max_subarray(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", cents)
+            .otherwise(-cents)
+            .alias("signed"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_before = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = ev.withColumn("pfx", F.sum("signed").over(w).cast("long")).withColumn(
+        "min_before", F.min("pfx").over(w_before).cast("long")
+    )
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("signed").cast("long").alias("net_cents"),
+        F.max(
+            F.col("pfx")
+            - F.least(F.coalesce(F.col("min_before"), F.lit(0)), F.lit(0))
+        )
+        .cast("long")
+        .alias("best_run_cents"),
+    )
+
+
+@EXT.add(
+    "win_changepoint_sse",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS BIGINT) AS s,
+             CAST(SUM(CAST(rev AS HUGEINT) * rev) AS HUGEINT) AS s2
+      FROM daily
+    ),
+    cum AS (
+      SELECT day,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+             CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS sl
+      FROM daily
+    ),
+    sc AS (
+      SELECT c.day, c.k, c.sl, t.n - c.k AS nr, t.s - c.sl AS sr,
+             t.n, t.s, t.s2,
+             CAST(c.sl AS DOUBLE) * CAST(c.sl AS DOUBLE)
+               / CAST(c.k AS DOUBLE)
+             + CAST(t.s - c.sl AS DOUBLE) * CAST(t.s - c.sl AS DOUBLE)
+               / CAST(t.n - c.k AS DOUBLE) AS gain
+      FROM cum c, tot t WHERE c.k < t.n
+    ),
+    best AS (SELECT * FROM sc ORDER BY gain DESC, k ASC LIMIT 1)
+    SELECT day AS split_day,
+           CAST(k AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           ROUND(CAST(sl AS DOUBLE) / CAST(k AS DOUBLE), 9) AS mean_left,
+           ROUND(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE), 9) AS mean_right,
+           ROUND(CAST(s2 * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(n * n AS DOUBLE), 6) AS var_before,
+           ROUND(CAST(s2 * (k * nr) - CAST(sl AS HUGEINT) * sl * nr
+                      - CAST(sr AS HUGEINT) * sr * k AS DOUBLE)
+                 / CAST(k * nr * n AS DOUBLE), 6) AS var_after,
+           ROUND(1.0 - (CAST(s2 * (k * nr) - CAST(sl AS HUGEINT) * sl * nr
+                             - CAST(sr AS HUGEINT) * sr * k AS DOUBLE)
+                        / CAST(k * nr * n AS DOUBLE))
+                     / (CAST(s2 * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+                        / CAST(n * n AS DOUBLE)), 9) AS var_reduction
+    FROM best
+    """,
+    doc=(
+        "Offline single changepoint in the daily-revenue series by "
+        "exact SSE minimization (binary segmentation's first split — "
+        "the regime-shift detector behind deploy/price-change "
+        "monitoring; the OFFLINE companion to win_cusum_drift's "
+        "online detector). Minimizing SSE_left+SSE_right is "
+        "equivalent to maximizing G(k) = SL^2/k + SR^2/(n-k), where "
+        "SL/SR are prefix/suffix sums — so ONE cumulative window over "
+        "the bounded day spine scores every split; no per-split "
+        "rescan. Numeric contract: SL, n are exact integers (cents), "
+        "double(SL) is exact below 2^53, and G(k) is the SAME "
+        "3-operation IEEE expression in both engines — bit-identical, "
+        "so the argmax (tie-broken on k) is engine-independent; the "
+        "reported variances use cleared-denominator HUGEINT/DECIMAL "
+        "identities with ONE final double division each (the SPRT "
+        "pattern). Scale: daily collapse is map-side-combined; "
+        "everything after runs on the bounded day spine (the "
+        "sanctioned bounded one-partition cumsum); the best split is "
+        "a TakeOrdered(1), not a global sort."
+    ),
+    tags=("win", "changepoint", "stats"),
+)
+def win_changepoint_sse(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(cents).cast("long").alias("rev"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("s"),
+        F.sum(F.col("rev").cast("decimal(19,0)") * F.col("rev"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("k"),
+        F.sum("rev").over(w).cast("long").alias("sl"),
+    )
+    sc = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("n"))
+        .select(
+            "day",
+            "k",
+            "sl",
+            (F.col("n") - F.col("k")).alias("nr"),
+            (F.col("s") - F.col("sl")).alias("sr"),
+            "n",
+            "s",
+            "s2",
+            (
+                F.col("sl").cast("double") * F.col("sl").cast("double")
+                / F.col("k").cast("double")
+                + (F.col("s") - F.col("sl")).cast("double")
+                * (F.col("s") - F.col("sl")).cast("double")
+                / (F.col("n") - F.col("k")).cast("double")
+            ).alias("gain"),
+        )
+    )
+    best = sc.orderBy(F.col("gain").desc(), F.col("k").asc()).limit(1)
+    s2 = F.col("s2")
+    hsl = F.col("sl").cast("decimal(38,0)")
+    hsr = F.col("sr").cast("decimal(38,0)")
+    hs = F.col("s").cast("decimal(38,0)")
+    var_before = (s2 * F.col("n") - hs * F.col("s")).cast("double") / (
+        F.col("n") * F.col("n")
+    ).cast("double")
+    var_after = (
+        s2 * (F.col("k") * F.col("nr"))
+        - hsl * F.col("sl") * F.col("nr")
+        - hsr * F.col("sr") * F.col("k")
+    ).cast("double") / (F.col("k") * F.col("nr") * F.col("n")).cast("double")
+    return best.select(
+        F.col("day").alias("split_day"),
+        F.col("k").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.round(F.col("sl").cast("double") / F.col("k").cast("double"), 9)
+        .alias("mean_left"),
+        F.round(F.col("sr").cast("double") / F.col("nr").cast("double"), 9)
+        .alias("mean_right"),
+        F.round(var_before, 6).alias("var_before"),
+        F.round(var_after, 6).alias("var_after"),
+        F.round(F.lit(1.0) - var_after / var_before, 9).alias("var_reduction"),
+    )
+
+
+@EXT.add(
+    "agg_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT list_sort(LIST(cnt))[CAST((COUNT(*) + 1) // 2 AS INT)] AS m
+      FROM daily
+    ),
+    s AS (
+      SELECT day, CASE WHEN cnt > m THEN 1 ELSE 0 END AS sign
+      FROM daily, med WHERE cnt <> m
+    ),
+    r AS (
+      SELECT sign, LAG(sign) OVER (ORDER BY day) AS prev FROM s
+    ),
+    c AS (
+      SELECT CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                   AND sign <> prev THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS runs,
+             CAST(SUM(sign) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(sign) AS BIGINT) AS n2
+      FROM r
+    )
+    SELECT n1 AS n_above, n2 AS n_below, runs,
+           ROUND(1.0 + 2.0 * CAST(n1 * n2 AS DOUBLE)
+                 / CAST(n1 + n2 AS DOUBLE), 9) AS mu_runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                AND 2 * n1 * n2 > n1 + n2 THEN
+             ROUND((CAST(runs AS DOUBLE)
+                    - (1.0 + 2.0 * CAST(n1 * n2 AS DOUBLE)
+                       / CAST(n1 + n2 AS DOUBLE)))
+                   / SQRT(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                          AS DOUBLE)
+                          / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+                            AS DOUBLE)), 9)
+           END AS z
+    FROM c
+    """,
+    doc=(
+        "Wald-Wolfowitz runs test on the daily event-count series: is "
+        "the sequence of above/below-median days random, or does it "
+        "cluster (trend / regime persistence)? The QA companion to "
+        "agg_mann_kendall: MK detects monotone trend, the runs test "
+        "detects ANY serial dependence symmetric around the median. "
+        "Days equal to the median are excluded (standard). Numeric "
+        "contract: R, n1, n2 are exact integers; mu and sigma^2 are "
+        "rational with numerators/denominators exact below 2^53 at "
+        "any plausible day count, so z is the same pinned IEEE "
+        "expression both engines round at 9. The median is the exact "
+        "lower median via one bounded sorted array (the house "
+        "rolling-median trick); guards NULL the z-score when either "
+        "side is empty or the variance is zero. Scale: one map-side "
+        "daily collapse; everything else is bounded day-spine math."
+    ),
+    tags=("agg", "stats", "qa"),
+)
+def agg_runs_test(spark, sf_dir):
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    med = daily.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("cnt")),
+            F.floor((F.count(F.lit(1)) + 1) / 2).cast("int"),
+        ).alias("m")
+    )
+    s = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cnt") != F.col("m"))
+        .select(
+            "day", F.when(F.col("cnt") > F.col("m"), 1).otherwise(0).alias("sign")
+        )
+    )
+    r = s.select(
+        "sign", F.lag("sign").over(Window.orderBy("day")).alias("prev")
+    )
+    c = r.agg(
+        (
+            F.lit(1)
+            + F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("prev").isNotNull()
+                        & (F.col("sign") != F.col("prev")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+        F.sum("sign").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sign")).cast("long").alias("n2"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    mu = F.lit(1.0) + F.lit(2.0) * (n1 * n2).cast("double") / (n1 + n2).cast(
+        "double"
+    )
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast("double") / (
+        (n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+    ).cast("double")
+    return c.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        "runs",
+        F.round(mu, 9).alias("mu_runs"),
+        F.when(
+            (n1 > 0) & (n2 > 0) & (n1 + n2 > 1) & (2 * n1 * n2 > n1 + n2),
+            F.round((runs.cast("double") - mu) / F.sqrt(var), 9),
+        ).alias("z"),
+    )
+
+
+@EXT.add(
+    "qa_outlier_ecod",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+             CAST(p_size AS BIGINT) AS sz,
+             CAST(LENGTH(p_name) AS BIGINT) AS nl
+      FROM part
+    ),
+    c AS (
+      SELECT p_partkey,
+             LEAST(
+               CAST(COUNT(*) OVER (ORDER BY cents RANGE BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT),
+               CAST(COUNT(*) OVER (ORDER BY cents DESC RANGE BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+               AS tail_price,
+             LEAST(
+               CAST(COUNT(*) OVER (ORDER BY sz RANGE BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT),
+               CAST(COUNT(*) OVER (ORDER BY sz DESC RANGE BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+               AS tail_size,
+             LEAST(
+               CAST(COUNT(*) OVER (ORDER BY nl RANGE BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT),
+               CAST(COUNT(*) OVER (ORDER BY nl DESC RANGE BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+               AS tail_namelen
+      FROM p
+    )
+    SELECT p_partkey, tail_price, tail_size, tail_namelen,
+           CAST(tail_price AS DOUBLE) * CAST(tail_size AS DOUBLE)
+             * CAST(tail_namelen AS DOUBLE) AS score
+    FROM c ORDER BY score ASC, p_partkey ASC LIMIT 20
+    """,
+    doc=(
+        "ECOD multivariate outlier ranking over the part catalog "
+        "(price cents x size x name length): each row's score is the "
+        "product of its per-dimension two-sided empirical tail masses "
+        "min(#<=v, #>=v) — rows extreme in SEVERAL dimensions at once "
+        "float to the top, which one-dimensional gates (qa_outlier_mad) "
+        "miss. Parameter-free and rank-based, so it needs no "
+        "distributional fit — the standard unsupervised data-quality "
+        "screen before corpus stats. The tail masses are tie-AWARE "
+        "cumulative counts (a row_number-style rank is wrong under "
+        "ties), computed scale-safely by operators/ranks.py "
+        "exact_cume_counts: the two-level histogram decomposition — "
+        "bounded 4096-bin prefix sums + RANGE-framed within-bin "
+        "windows on hash partitions — no unbounded single-partition "
+        "sort for ANY dimension. Scores are exact-integer products "
+        "converted once to double (identical below 2^53, "
+        "deterministic above); top-20 is a TakeOrdered with the "
+        "partkey tie-break, never a global sort."
+    ),
+    tags=("qa", "outlier", "stats"),
+)
+def qa_outlier_ecod(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.ranks import (
+        exact_cume_counts_multi,
+    )
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.col("p_size").cast("long").alias("sz"),
+        F.length("p_name").cast("long").alias("nl"),
+    )
+    c = exact_cume_counts_multi(
+        p,
+        [
+            ("cents", "le_p", "ge_p"),
+            ("sz", "le_s", "ge_s"),
+            ("nl", "le_n", "ge_n"),
+        ],
+    )
+    scored = c.select(
+        "p_partkey",
+        F.least("le_p", "ge_p").alias("tail_price"),
+        F.least("le_s", "ge_s").alias("tail_size"),
+        F.least("le_n", "ge_n").alias("tail_namelen"),
+    ).withColumn(
+        "score",
+        F.col("tail_price").cast("double")
+        * F.col("tail_size").cast("double")
+        * F.col("tail_namelen").cast("double"),
+    )
+    return scored.orderBy(F.col("score").asc(), F.col("p_partkey").asc()).limit(
+        20
+    )
+
+
+def _bfs_oracle():
+    from steam_data_pipeline_spark.operators.graph import bfs_hops_oracle_sql
+
+    return bfs_hops_oracle_sql(
+        "SELECT o_custkey AS src,"
+        " o_orderkey % (SELECT COUNT(*) FROM customer) AS dst"
+        " FROM orders WHERE o_orderpriority = '1-URGENT'",
+        "SELECT c_custkey AS v FROM customer WHERE c_custkey % 97 = 0",
+        max_hops=4,
+    )
+
+
+@EXT.add(
+    "llm_graph_bfs_hops",
+    oracle=_bfs_oracle(),
+    doc=(
+        "Multi-source BFS reachability profile of the link graph "
+        "(operators/graph.py bfs_hops): minimum hop distance from a "
+        "trusted seed set (every 97th customer) for every node, "
+        "histogrammed per hop with id-sum/extrema — how far does "
+        "seed-anchored trust propagate before the crawl frontier goes "
+        "dark (nodes at hop -1 are unreachable within 4 hops: "
+        "isolation candidates for the quality gate, the reachability "
+        "companion to llm_graph_pagerank's stationary weighting). "
+        "Iterative frontier expansion with data-dependent termination "
+        "— per round one semi-join of the checkpointed symmetric edge "
+        "table against the node-sized frontier, one distinct, one "
+        "anti-join against visited (each node claimed exactly once at "
+        "its minimum hop), early exit on an empty frontier. The "
+        "DuckDB oracle is a BOUNDED RECURSIVE CTE — min(hop) per node "
+        "over every <=4-hop walk endpoint — a fully independent "
+        "declarative formulation that must agree on every hop's "
+        "count, id-sum and extrema; all-integer, no tolerance."
+    ),
+    tags=("llm", "graph", "iterative"),
+)
+def llm_graph_bfs_hops(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.graph import bfs_hops
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    n_cust = cust.agg(F.count(F.lit(1)).alias("nc"))
+    edges = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .crossJoin(F.broadcast(n_cust))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % F.col("nc")).alias("dst"),
+        )
+    )
+    seeds = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("v")
+    )
+    return bfs_hops(edges, seeds, max_hops=4)

@@ -1413,3 +1413,89 @@ class TestRound10WaveContracts:
         ]
         for i in singles:
             assert "HashAggregate" in lines[i + 1], lines[i + 1]
+
+
+class TestRound10WaveContracts:
+    def test_greedy_allocation_one_fact_shuffle(self, spark):
+        """Supply joins broadcast on the part dim; the priority window
+        and the per-part rollup share ONE l_partkey exchange — the
+        whole allocation is a single fact shuffle, no sort-merge."""
+        plan = _plan(
+            QUERIES["win_greedy_allocation"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "SortMergeJoin" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_max_subarray_one_exchange_two_windows(self, spark):
+        """Both Kadane windows (cumsum, running min of its lag) and
+        the per-user rollup share ONE (user, ts) exchange+sort — the
+        O(n^2) subarray definition with zero self-joins."""
+        plan = _plan(
+            QUERIES["win_max_subarray"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Join" not in plan, plan
+        assert "Python" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "windowspecdefinition(user_id" in plan, plan
+
+    def test_changepoint_spine_math_takeordered(self, spark):
+        """The daily collapse is map-side-combined; split scoring runs
+        on the bounded day spine; the best split is TakeOrdered(1),
+        never a global sort of scored splits."""
+        plan = _plan(
+            QUERIES["win_changepoint_sse"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Python" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "partial_count" in plan or "partial_sum" in plan, plan
+
+    def test_runs_test_spine_only(self, spark):
+        """One map-side daily collapse; the median array, sign lag and
+        final stats all run on the bounded day spine (the sanctioned
+        bounded one-partition window); no fact-grain window, no
+        Python."""
+        plan = _plan(QUERIES["agg_runs_test"].spark(spark, SF_SMOKE), "simple")
+        assert "Python" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        # the exact-median scalar broadcasts as the sanctioned 1-row
+        # crossJoin spine (its array_sort/element_at lives inside the
+        # aggregate's result projection, which simple mode elides)
+        assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+        assert "partial_count" in plan, plan  # map-side daily collapse
+        # exactly two single-partition exchanges, both spine-sized:
+        # the median array collapse and the sign-lag window — never a
+        # third carrying fact-grain rows
+        assert plan.count("Exchange SinglePartition") == 2, plan
+
+    def test_ecod_no_global_sort_of_part(self, spark):
+        """All three empirical-CDF passes share one scalar spine and
+        chain linearly (the exact_cume_counts_multi contract — the
+        naive composition measured 42 BNLJ nodes); within-bin windows
+        are hash-partitioned; top-20 is TakeOrdered, and no
+        single-partition exchange carries the un-aggregated part
+        rows."""
+        plan = _plan(QUERIES["qa_outlier_ecod"].spark(spark, SF_SMOKE), "simple")
+        assert "Python" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln:
+                assert "HashAggregate" in lines[i + 1], lines[i + 1]
+
+    def test_bfs_final_plan_is_checkpoint_scans(self, spark):
+        """The frontier iterations run eagerly at build time (bounded
+        localCheckpoints, kcore discipline); the returned plan must be
+        checkpoint scans + union + one map-side-combined hop rollup —
+        no residual joins replaying the expansion."""
+        plan = _plan(
+            QUERIES["llm_graph_bfs_hops"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "Python" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "Scan ExistingRDD" in plan, plan
+        assert "partial_count" in plan or "partial_sum" in plan, plan

@@ -808,3 +808,116 @@ def test_peak_concurrency_matches_bruteforce(spark, starts, dur):
     want_ts = base + timedelta(minutes=min(s for s in starts if conc(s) == want_peak))
     assert int(got["p"]) == want_peak, (starts, dur, got)
     assert got["t"] == want_ts, (starts, dur, got)
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.integers(-5, 5), min_size=1, max_size=40),
+    n_bins=st.sampled_from([1, 3, 4096]),
+)
+def test_exact_cume_counts_matches_bruteforce(spark, vals, n_bins):
+    """operators/ranks.py::exact_cume_counts must equal the tie-aware
+    empirical CDF counts (#<= v, #>= v) — heavy ties (domain -5..5)
+    and degenerate bin counts (n_bins=1 puts everything in one bin)
+    are exactly where a row_number-style rank would diverge."""
+    from steam_data_pipeline_spark.operators.ranks import exact_cume_counts
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(3)
+    got = {
+        (r.k, r.le, r.ge)
+        for r in exact_cume_counts(df, "v", "le", "ge", n_bins=n_bins).collect()
+    }
+    want = {
+        (i, sum(1 for x in vals if x <= v), sum(1 for x in vals if x >= v))
+        for i, v in enumerate(vals)
+    }
+    assert got == want, (vals, n_bins, got, want)
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ),
+    seeds=st.sets(st.integers(0, 12), min_size=1, max_size=4),
+    max_hops=st.integers(1, 4),
+)
+def test_bfs_hops_matches_python_bfs(spark, edges, seeds, max_hops):
+    """operators/graph.py::bfs_hops == a plain-Python multi-source BFS
+    over the same undirected simple graph: per-hop node sets must
+    match exactly, including hop -1 for nodes unreachable within the
+    cap and seeds that are not graph nodes (silently ignored)."""
+    from collections import deque
+
+    from steam_data_pipeline_spark.operators.graph import bfs_hops
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    if not adj:
+        return  # graph with no non-loop edges: nothing to compare
+    hop = {v: -1 for v in adj}
+    q = deque()
+    for v in sorted(seeds & set(adj)):
+        hop[v] = 0
+        q.append(v)
+    while q:
+        v = q.popleft()
+        if hop[v] == max_hops:
+            continue
+        for w in adj[v]:
+            if hop[w] == -1:
+                hop[w] = hop[v] + 1
+                q.append(w)
+    by_hop: dict[int, set[int]] = {}
+    for v, h in hop.items():
+        by_hop.setdefault(h, set()).add(v)
+    want = {
+        (h, len(vs), sum(vs), min(vs), max(vs)) for h, vs in by_hop.items()
+    }
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "v long")
+    got = {
+        (r.hop, r.n_nodes, r.sum_node_ids, r.min_node, r.max_node)
+        for r in bfs_hops(edf, sdf, max_hops=max_hops).collect()
+    }
+    assert got == want, (edges, seeds, max_hops, got, want)
+
+
+@SETTINGS
+@given(vals=st.lists(st.integers(-9, 9), min_size=1, max_size=25))
+def test_max_subarray_windows_match_bruteforce(spark, vals):
+    """The two-window Kadane identity (best run ending at t =
+    P_t - min(0, min_{s<t} P_s); answer = max over t) must equal the
+    O(n^2) every-(start,end) definition of the non-empty maximum
+    subarray sum — all-negative inputs (best run = the least-bad
+    single element) included."""
+    from pyspark.sql import Window
+
+    want = max(
+        sum(vals[i : j + 1])
+        for i in range(len(vals))
+        for j in range(i, len(vals))
+    )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, signed long"
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    wb = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
+    p = df.withColumn("pfx", F.sum("signed").over(w)).withColumn(
+        "min_before", F.min("pfx").over(wb)
+    )
+    got = p.agg(
+        F.max(
+            F.col("pfx")
+            - F.least(F.coalesce(F.col("min_before"), F.lit(0)), F.lit(0))
+        )
+    ).collect()[0][0]
+    assert got == want, (vals, got, want)

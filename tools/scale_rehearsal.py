@@ -1063,6 +1063,94 @@ def rehearse_skyline(sf_dir: str, factors: list[int], repeats: int = 2) -> None:
     spark.stop()
 
 
+def rehearse_cume_fact(sf_dir: str, factors: list[int], repeats: int = 2) -> None:
+    """Measure operators/ranks.py::exact_cume_counts_multi on a
+    FACT-sized input — the registered qa_outlier_ecod reads dim-sized
+    `part` (not in the synthesis set, so its registry-heavy exponent
+    is flat by construction); this rehearses the same primitive on
+    scaled lineitem axes (jittered price cents / quantity / suppkey)
+    against the naive unpartitioned RANGE-window plan (one
+    Exchange SinglePartition per direction per metric). Equality is
+    asserted via exact integer checksums per metric."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from steam_data_pipeline_spark.operators.ranks import (
+        exact_cume_counts_multi,
+    )
+    from steam_data_pipeline_spark.sources.tables import read_table
+
+    spark = _spark()
+    base = read_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_suppkey").cast("long").alias("sk"),
+    )
+    metrics = [("cents", "le_c", "ge_c"), ("qty", "le_q", "ge_q"),
+               ("sk", "le_s", "ge_s")]
+
+    def naive(df):
+        out = df
+        for m, le, ge in metrics:
+            w_le = Window.orderBy(F.col(m).asc()).rangeBetween(
+                Window.unboundedPreceding, 0
+            )
+            w_ge = Window.orderBy(F.col(m).desc()).rangeBetween(
+                Window.unboundedPreceding, 0
+            )
+            out = out.withColumn(le, F.count(F.lit(1)).over(w_le)).withColumn(
+                ge, F.count(F.lit(1)).over(w_ge)
+            )
+        return out
+
+    def checksum(df):
+        aggs = []
+        for _, le, ge in metrics:
+            aggs += [
+                F.sum(le).cast("decimal(38,0)").alias(f"s_{le}"),
+                F.sum(ge).cast("decimal(38,0)").alias(f"s_{ge}"),
+                F.sum(F.col(le).cast("decimal(19,0)") * F.col(ge))
+                .cast("decimal(38,0)")
+                .alias(f"x_{le}"),
+            ]
+        return tuple(df.agg(*aggs).collect()[0])
+
+    n0 = base.count()
+    print(
+        f"# cume-fact rehearsal: lineitem axes, base n {n0}, repeats {repeats}"
+    )
+    print("factor\tn\tnaive_s\tmulti_s")
+    for f in factors:
+        df = base
+        if f > 1:
+            df = base.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(f - 1)))
+            ).select(
+                (
+                    F.col("cents")
+                    + F.pmod(F.xxhash64("cents", "qty", "sk", "rep"), F.lit(997))
+                ).alias("cents"),
+                "qty",
+                "sk",
+            )
+        df = df.localCheckpoint(eager=True)
+        n = df.count()
+
+        def timed(plan_df):
+            walls, cs = [], None
+            for _ in range(repeats):
+                t0 = time.time()
+                cs = checksum(plan_df)
+                walls.append(time.time() - t0)
+            return min(walls), cs
+
+        naive_s, naive_cs = timed(naive(df))
+        multi_s, multi_cs = timed(exact_cume_counts_multi(df, metrics))
+        assert naive_cs == multi_cs, (naive_cs, multi_cs)
+        print(f"{f}x\t{n}\t{naive_s:.2f}\t{multi_s:.2f}")
+    spark.stop()
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
@@ -1078,6 +1166,7 @@ def main() -> None:
             "dedup-amortized",
             "ann-prune",
             "skyline",
+            "cume-fact",
         ],
     )
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -1106,6 +1195,8 @@ def main() -> None:
         rehearse_ann_prune(args.sf_dir, args.factor, args.repeats)
     elif args.op == "skyline":
         rehearse_skyline(args.sf_dir, args.factors, args.repeats)
+    elif args.op == "cume-fact":
+        rehearse_cume_fact(args.sf_dir, args.factors, args.repeats)
     else:
         rehearse_substring_skew(args.sf_dir)
 
