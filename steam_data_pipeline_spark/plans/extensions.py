@@ -16205,3 +16205,230 @@ def llm_graph_bfs_hops(spark, sf_dir):
         F.col("c_custkey").alias("v")
     )
     return bfs_hops(edges, seeds, max_hops=4)
+
+
+@EXT.add(
+    "sink_delete_propagate",
+    oracle="""
+    WITH tomb AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 29 = 0
+    ),
+    del_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+    ),
+    cust_left AS (
+      SELECT COUNT(*) AS n FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM tomb)
+    ),
+    ord_left AS (
+      SELECT COUNT(*) AS n FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM tomb)
+    ),
+    li_left AS (
+      SELECT COUNT(*) AS n FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders)
+    ),
+    orphans AS (
+      SELECT
+        (SELECT COUNT(*) FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM tomb)
+           AND o_custkey IN (SELECT c_custkey FROM tomb)) AS orphan_orders,
+        (SELECT COUNT(*) FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders)
+           AND l_orderkey IN (
+             SELECT o_orderkey FROM orders
+             WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+           )) AS orphan_lineitems
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM tomb) AS n_tombstones,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+        - (SELECT CAST(n AS BIGINT) FROM cust_left) AS cust_deleted,
+      (SELECT CAST(n AS BIGINT) FROM cust_left) AS cust_left,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        - (SELECT CAST(n AS BIGINT) FROM ord_left) AS orders_deleted,
+      (SELECT CAST(n AS BIGINT) FROM ord_left) AS orders_left,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+        - (SELECT CAST(n AS BIGINT) FROM li_left) AS lineitems_deleted,
+      (SELECT CAST(n AS BIGINT) FROM li_left) AS lineitems_left,
+      (SELECT CAST(orphan_orders AS BIGINT) FROM orphans) AS orphan_orders,
+      (SELECT CAST(orphan_lineitems AS BIGINT) FROM orphans)
+        AS orphan_lineitems
+    """,
+    doc=(
+        "Right-to-be-forgotten deletion propagation with PROOF: a "
+        "customer tombstone set cascades transitively (customer -> "
+        "their orders -> those orders' line items), and the result "
+        "row carries both the per-table deletion accounting AND the "
+        "orphan counts that must be zero — no surviving order "
+        "references a deleted customer, no surviving line item a "
+        "deleted order (the auditable deletion report a GDPR/CCPA "
+        "erasure job has to emit; the deletion-side complement of "
+        "sink_upsert_metadata's MERGE and qa_referential_integrity's "
+        "static check). Spark shape: the cascade is two left_semi "
+        "derivations + three left_anti survivors — hash joins on the "
+        "native keys, no row is ever rewritten to compute the "
+        "accounting; the orphan legs reuse the same tombstone/"
+        "deleted-order sets (semi then anti on the opposite side). "
+        "The 1-row accounting spines crossJoin broadcast (the "
+        "sanctioned scalar pattern). At 100 TB the counts pipeline "
+        "into the same MERGE DELETE the store's versioned upsert "
+        "executes; the tombstone side is always the small side and "
+        "broadcastable."
+    ),
+    tags=("sink", "delete", "governance"),
+)
+def sink_delete_propagate(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    tomb = cust.filter(F.col("c_custkey") % 29 == 0).select("c_custkey")
+    del_orders = orders.join(
+        tomb, orders.o_custkey == tomb.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    cust_left = cust.join(tomb, "c_custkey", "left_anti")
+    ord_left = orders.join(
+        tomb, orders.o_custkey == tomb.c_custkey, "left_anti"
+    )
+    li_left = li.join(
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "left_anti"
+    )
+    orphan_orders = ord_left.join(
+        tomb, ord_left.o_custkey == tomb.c_custkey, "left_semi"
+    )
+    orphan_li = li_left.join(
+        del_orders, li_left.l_orderkey == del_orders.o_orderkey, "left_semi"
+    )
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    out = (
+        cnt(tomb, "n_tombstones")
+        .crossJoin(F.broadcast(cnt(cust, "n_cust")))
+        .crossJoin(F.broadcast(cnt(cust_left, "cust_left")))
+        .crossJoin(F.broadcast(cnt(orders, "n_ord")))
+        .crossJoin(F.broadcast(cnt(ord_left, "orders_left")))
+        .crossJoin(F.broadcast(cnt(li, "n_li")))
+        .crossJoin(F.broadcast(cnt(li_left, "lineitems_left")))
+        .crossJoin(F.broadcast(cnt(orphan_orders, "orphan_orders")))
+        .crossJoin(F.broadcast(cnt(orphan_li, "orphan_lineitems")))
+    )
+    return out.select(
+        "n_tombstones",
+        (F.col("n_cust") - F.col("cust_left")).alias("cust_deleted"),
+        "cust_left",
+        (F.col("n_ord") - F.col("orders_left")).alias("orders_deleted"),
+        "orders_left",
+        (F.col("n_li") - F.col("lineitems_left")).alias("lineitems_deleted"),
+        "lineitems_left",
+        "orphan_orders",
+        "orphan_lineitems",
+    )
+
+
+@EXT.add(
+    "qa_skew_report",
+    oracle="""
+    WITH kc AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM kc
+    ),
+    hist AS (
+      SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_keys FROM kc GROUP BY 1
+    ),
+    cum AS (
+      SELECT cnt,
+             CAST(SUM(n_keys) OVER (ORDER BY cnt ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_keys
+      FROM hist
+    ),
+    p99 AS (
+      SELECT MIN(cnt) AS p99_cnt FROM cum, tot
+      WHERE cum_keys * 100 >= 99 * tot.k
+    ),
+    top1 AS (
+      SELECT l_partkey AS top_key, cnt AS top_cnt FROM kc
+      ORDER BY cnt DESC, l_partkey ASC LIMIT 1
+    )
+    SELECT t.n, t.k, t.max_cnt,
+           CAST(p.p99_cnt AS BIGINT) AS p99_cnt,
+           ROUND(CAST(t.max_cnt AS DOUBLE) * t.k / t.n, 9) AS skew_ratio,
+           CAST(tp.top_key AS BIGINT) AS top_key,
+           CAST(tp.top_cnt AS BIGINT) AS top_cnt
+    FROM tot t, p99 p, top1 tp
+    """,
+    doc=(
+        "Join-key skew diagnostics for l_partkey — the operational "
+        "report you run BEFORE choosing a join strategy at 100 TB: "
+        "total rows, distinct keys, the max and exact-p99 per-key "
+        "cardinalities, the max-to-mean skew ratio (AQE's skew-join "
+        "threshold reasoning made visible), and the heaviest key "
+        "(deterministic tie-break). The p99 is EXACT without sorting "
+        "keys: per-key counts collapse to a count-of-counts histogram "
+        "(bounded by the distinct cardinality values, tiny in "
+        "practice) and one bounded cumulative window finds the "
+        "smallest count covering 99% of keys — the same bounded-spine "
+        "discipline as the quantile machinery. One fact shuffle "
+        "(the key collapse, map-side combined); top-1 is a "
+        "TakeOrdered; the scalar spines crossJoin broadcast."
+    ),
+    tags=("qa", "skew", "operations"),
+)
+def qa_skew_report(spark, sf_dir):
+    from pyspark.sql import Window
+
+    kc = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = kc.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    hist = kc.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    cum = hist.select(
+        "cnt",
+        F.sum("n_keys")
+        .over(
+            Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("cum_keys"),
+    )
+    p99 = (
+        cum.crossJoin(F.broadcast(tot.select("k")))
+        .filter(F.col("cum_keys") * 100 >= 99 * F.col("k"))
+        .agg(F.min("cnt").alias("p99_cnt"))
+    )
+    top1 = (
+        kc.orderBy(F.col("cnt").desc(), F.col("l_partkey").asc())
+        .limit(1)
+        .select(
+            F.col("l_partkey").alias("top_key"), F.col("cnt").alias("top_cnt")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(p99))
+        .crossJoin(F.broadcast(top1))
+        .select(
+            "n",
+            "k",
+            "max_cnt",
+            F.col("p99_cnt").cast("long").alias("p99_cnt"),
+            F.round(
+                F.col("max_cnt").cast("double") * F.col("k") / F.col("n"), 9
+            ).alias("skew_ratio"),
+            "top_key",
+            "top_cnt",
+        )
+    )

@@ -91,6 +91,15 @@ def test_data_dependent_explode_is_flagged(spark):
     assert count_unbounded_bnlj(df.crossJoin(F.broadcast(build))) == 1
 
 
+def test_take_ordered_build_side_is_bounded(spark):
+    # orderBy(...).limit(k) compiles to TakeOrderedAndProject (no
+    # separate Limit node) — it emits <= k rows and must qualify
+    df = spark.range(100)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    top1 = docs.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(1)
+    assert count_unbounded_bnlj(df.crossJoin(F.broadcast(top1))) == 0
+
+
 def test_literal_explode_propagates_bound(spark):
     # explode of a literal array is a plan-time-constant fan-out (the
     # generated-spine pattern): bounded iff its input is

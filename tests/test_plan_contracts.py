@@ -1499,3 +1499,25 @@ class TestRound10WaveContracts:
         assert "SortMergeJoin" not in plan, plan
         assert "Scan ExistingRDD" in plan, plan
         assert "partial_count" in plan or "partial_sum" in plan, plan
+
+    def test_delete_propagate_hash_joins_only(self, spark):
+        """The cascade is semi/anti hash joins on native keys; the
+        nine 1-row accounting spines crossJoin broadcast (sanctioned);
+        never a sort-merge or Python."""
+        plan = _plan(
+            QUERIES["sink_delete_propagate"].spark(spark, SF_SMOKE), "simple"
+        )
+        assert "SortMergeJoin" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_skew_report_bounded_spines(self, spark):
+        """One map-side key collapse; the p99 comes from the bounded
+        count-of-counts histogram, the top key from TakeOrdered —
+        never a global sort of the key table."""
+        plan = _plan(QUERIES["qa_skew_report"].spark(spark, SF_SMOKE), "simple")
+        assert "Python" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "partial_count" in plan, plan

@@ -112,7 +112,11 @@ def _subtree_bounded(node) -> bool:
     small — that bound is a data contract, not a plan shape, and such
     builds are adjudicated by name in BNLJ_CONTRACT_BOUNDED."""
     name = node.getClass().getSimpleName()
-    if "Limit" in name or name in ("RangeExec", "RDDScanExec"):
+    if "Limit" in name or name in (
+        "RangeExec",
+        "RDDScanExec",
+        "TakeOrderedAndProjectExec",  # global top-k: emits <= k rows
+    ):
         return True
     if "Aggregate" in name:
         try:
