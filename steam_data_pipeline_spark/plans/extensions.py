@@ -16432,3 +16432,114 @@ def qa_skew_report(spark, sf_dir):
             "top_cnt",
         )
     )
+
+
+@EXT.add(
+    "llm_dedup_jaccard_weighted",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bags AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               range(1, greatest(len(w) - 1, 2)),
+               i -> array_to_string(w[i:i+2], ' ')
+             )) AS g
+      FROM tok
+    ),
+    counts AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bags GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY 1
+    ),
+    posting AS (
+      SELECT c.doc_id, c.g, c.c, t.tot
+      FROM counts c JOIN totals t USING (doc_id)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             ANY_VALUE(a.tot) AS ta, ANY_VALUE(b.tot) AS tb,
+             CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
+      FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, ta, tb, m,
+           CAST(m AS DOUBLE) / (ta + tb - m) AS wjaccard
+    FROM pairs WHERE CAST(m AS DOUBLE) / (ta + tb - m) >= 0.4
+    """,
+    doc=(
+        "WEIGHTED (multiset) 3-gram Jaccard near-dup pairs: "
+        "sum-of-min over sum-of-max of per-document gram COUNTS — the "
+        "bag-semantics refinement of llm_dedup_jaccard for documents "
+        "with heavy internal repetition, where set-Jaccard saturates "
+        "(a doc that repeats one paragraph 50x has the same gram SET "
+        "as one copy; the multiset ratio sees the difference — the "
+        "repetition-aware dedup signal llm_repetition_filter gates "
+        "on, applied pairwise). Identity Σmax = T_a + T_b − Σmin "
+        "turns the denominator into per-doc totals, so only SHARED "
+        "grams ever join: the inverted-index self-join posts one row "
+        "per DISTINCT (doc, gram) — exactly the set version's posting "
+        "cardinality, counts riding along — never the bag expansion. "
+        "All-integer counts; one IEEE division (no rounding needed — "
+        "single correctly-rounded op, the set version's convention). "
+        "Same trigram tokenization as the whole dedup family "
+        "(lowercase, whitespace split). Scale: the posting join is "
+        "gram-keyed (Zipf skew on hot grams — the containment "
+        "operator's posting-cap treatment applies unchanged at "
+        "100 TB); candidates at threshold come from LSH banding in "
+        "production (llm_dedup_near), this query IS the exact truth."
+    ),
+    tags=("llm", "dedup", "weighted"),
+)
+def llm_dedup_jaccard_weighted(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("__toks")
+        )
+    )
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(2), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    posting = counts.join(totals, "doc_id")
+    a = posting.select(
+        F.col("doc_id").alias("a"),
+        "g",
+        F.col("c").alias("ca"),
+        F.col("tot").alias("ta"),
+    )
+    b = posting.select(
+        F.col("doc_id").alias("b"),
+        "g",
+        F.col("c").alias("cb"),
+        F.col("tot").alias("tb"),
+    )
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.any_value("ta").alias("ta"),
+            F.any_value("tb").alias("tb"),
+            F.sum(F.least("ca", "cb")).cast("long").alias("m"),
+        )
+    )
+    wj = F.col("m").cast("double") / (F.col("ta") + F.col("tb") - F.col("m"))
+    return pairs.select(
+        "a", "b", "ta", "tb", "m", wj.alias("wjaccard")
+    ).filter(wj >= 0.4)

@@ -1521,3 +1521,15 @@ class TestRound10WaveContracts:
         assert "SortMergeJoin" not in plan, plan
         assert "TakeOrderedAndProject" in plan, plan
         assert "partial_count" in plan, plan
+
+    def test_weighted_jaccard_posting_join_no_single_partition(self, spark):
+        """The inverted-index self-join is gram-keyed hash exchanges
+        only — no single-partition collapse, no Python, no Cartesian;
+        totals ride the posting rows (broadcast-joined per doc)."""
+        plan = _plan(
+            QUERIES["llm_dedup_jaccard_weighted"].spark(spark, SF_SMOKE),
+            "simple",
+        )
+        assert "Python" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
