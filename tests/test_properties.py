@@ -921,3 +921,77 @@ def test_max_subarray_windows_match_bruteforce(spark, vals):
         )
     ).collect()[0][0]
     assert got == want, (vals, got, want)
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=8),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_weighted_jaccard_matches_bruteforce(spark, docs):
+    """The registered multiset-Jaccard pipeline (per-(doc,gram) counts,
+    shared-gram join, sum(min) / (T_a + T_b - sum(min))) must equal the
+    textbook bag definition sum(min)/sum(max) computed in plain Python
+    over the same trigrams — heavy repetition (tiny alphabet) is
+    exactly where set- and bag-Jaccard diverge."""
+    from collections import Counter
+
+    def trigrams(toks):
+        n = len(toks)
+        return Counter(
+            " ".join(toks[i : i + 3]) for i in range(max(n - 2, 1))
+        )
+
+    bags = [trigrams(d) for d in docs]
+    want = {}
+    for i in range(len(bags)):
+        for j in range(i + 1, len(bags)):
+            a, b = bags[i], bags[j]
+            mins = sum(min(a[g], b[g]) for g in set(a) & set(b))
+            maxs = sum((a | b).values())  # Counter | = elementwise max
+            want[(i, j)] = mins / maxs
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(2), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    counts = (
+        df.select("doc_id", F.split(F.lower("text"), r"\s+").alias("__toks"))
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("tot"))
+    posting = counts.join(totals, "doc_id")
+    a = posting.select(
+        F.col("doc_id").alias("a"), "g", F.col("c").alias("ca"),
+        F.col("tot").alias("ta"),
+    )
+    b = posting.select(
+        F.col("doc_id").alias("b"), "g", F.col("c").alias("cb"),
+        F.col("tot").alias("tb"),
+    )
+    got = {
+        (r.a, r.b): r.m / (r.ta + r.tb - r.m)
+        for r in a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.any_value("ta").alias("ta"),
+            F.any_value("tb").alias("tb"),
+            F.sum(F.least("ca", "cb")).alias("m"),
+        )
+        .collect()
+    }
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-12, (docs, k, v, want[k])
+    # pairs absent from `got` share no gram: bag intersection is empty
+    for k, v in want.items():
+        if k not in got:
+            assert v == 0.0, (docs, k, v)
