@@ -371,13 +371,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
+    # Interleaved ambient timeline: the pre/post canaries bracket the
+    # run but cannot see a mid-run host spike (measured: a 292 s run
+    # with BOTH endpoint canaries in the reference window). One single
+    # canary sample every 25 queries (~12 samples, ~+4 s total) gives
+    # drift adjudication a per-segment ambient trace — a blip on
+    # queries 150-175 with a matching timeline spike is the host, not
+    # the code.
+    canary_timeline: list[float] = []
 
     def _run_once(q) -> float:
         t0 = time.time()
         force(q.spark(spark, sf_dir))
         return time.time() - t0
 
-    for name, q in QUERIES.items():
+    for q_idx, (name, q) in enumerate(QUERIES.items()):
+        if q_idx and q_idx % 25 == 0:
+            canary_timeline.append(round(_canary_once(), 3))
         t0 = time.time()
         try:
             t = _run_once(q)
@@ -458,6 +468,9 @@ def main() -> None:
             # host drift (canary moves proportionally) from code
             # regressions (canary flat, queries move)
             "canary_sec": {"pre": canary_pre, "post": canary_post},
+            # single samples (not median-of-3) every 25 queries, in run
+            # order — the ambient trace for mid-run spike adjudication
+            "canary_timeline": canary_timeline,
             "warmed": warmed,
         }
     )
