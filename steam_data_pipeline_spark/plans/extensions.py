@@ -15876,21 +15876,26 @@ def win_changepoint_sse(spark, sf_dir):
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.sum(cents).cast("long").alias("rev"))
     )
-    tot = daily.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("rev").cast("long").alias("s"),
-        F.sum(F.col("rev").cast("decimal(19,0)") * F.col("rev"))
-        .cast("decimal(38,0)")
-        .alias("s2"),
-    )
+    # totals come from a FULL-frame window over the same bounded day
+    # spine (not a separate aggregate): one events scan, not two —
+    # the window exchange is already paid for the cumulative pass
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_full = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = daily.select(
         "day",
         F.row_number().over(Window.orderBy("day")).cast("long").alias("k"),
         F.sum("rev").over(w).cast("long").alias("sl"),
+        F.count(F.lit(1)).over(w_full).cast("long").alias("n"),
+        F.sum("rev").over(w_full).cast("long").alias("s"),
+        F.sum(F.col("rev").cast("decimal(19,0)") * F.col("rev"))
+        .over(w_full)
+        .cast("decimal(38,0)")
+        .alias("s2"),
     )
     sc = (
-        cum.crossJoin(F.broadcast(tot))
+        cum
         .filter(F.col("k") < F.col("n"))
         .select(
             "day",
@@ -16390,25 +16395,32 @@ def qa_skew_report(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    tot = kc.agg(
-        F.sum("cnt").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.max("cnt").cast("long").alias("max_cnt"),
-    )
     hist = kc.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    # totals AND the cumulative rank live on the same bounded
+    # count-of-counts spine via one cumulative + one full-frame window
+    # (n = Σ cnt·n_keys, k = Σ n_keys): every scalar a separate
+    # aggregate branch would re-derive the fact scan for rides the
+    # single histogram pass — 2 lineitem scans total (this chain +
+    # the TakeOrdered top-key), down from 4
+    w_cum = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    w_full = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = hist.select(
         "cnt",
-        F.sum("n_keys")
-        .over(
-            Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
-        )
+        F.sum("n_keys").over(w_cum).cast("long").alias("cum_keys"),
+        F.sum(F.col("cnt") * F.col("n_keys"))
+        .over(w_full)
         .cast("long")
-        .alias("cum_keys"),
+        .alias("n"),
+        F.sum("n_keys").over(w_full).cast("long").alias("k"),
+        F.max("cnt").over(w_full).cast("long").alias("max_cnt"),
     )
-    p99 = (
-        cum.crossJoin(F.broadcast(tot.select("k")))
-        .filter(F.col("cum_keys") * 100 >= 99 * F.col("k"))
-        .agg(F.min("cnt").alias("p99_cnt"))
+    p99 = cum.filter(F.col("cum_keys") * 100 >= 99 * F.col("k")).agg(
+        F.min("cnt").alias("p99_cnt"),
+        F.any_value("n").alias("n"),
+        F.any_value("k").alias("k"),
+        F.any_value("max_cnt").alias("max_cnt"),
     )
     top1 = (
         kc.orderBy(F.col("cnt").desc(), F.col("l_partkey").asc())
@@ -16418,7 +16430,7 @@ def qa_skew_report(spark, sf_dir):
         )
     )
     return (
-        tot.crossJoin(F.broadcast(p99))
+        p99
         .crossJoin(F.broadcast(top1))
         .select(
             "n",
