@@ -1400,6 +1400,11 @@ def editdist_pairs(
         docs.select(F.col(key).alias("id"), F.col(text_col).alias("s"))
         .filter(F.col("s").isNotNull())
         .withColumn("len", F.length("s"))
+        # deliberately NOT cached despite 16 re-derivations of the
+        # document scan in one plan: an A/B at 1x and 10x measured
+        # caching slower both times (8.10 vs 6.89 s at 10x) — the
+        # downstream gram explode + prefix join dominates, and the
+        # cache barrier costs more than the pruned re-scans save
     )
 
     # -- gram leg: all pairs with max(len_a, len_b) >= min_long -------------

@@ -186,6 +186,14 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .dropDuplicates(["a", "b"])
+        # deliberately NOT cached: und feeds the degree count, the
+        # wedge self-join and the closing-edge probe (18 re-derivations
+        # of the pruned edge scan in one plan), but an A/B at 1x and
+        # 10x measured caching SLOWER both times (3.40 vs 2.50 s at
+        # 10x) — the cache barrier serializes branches that otherwise
+        # scan in parallel, and the materialized frame defeats
+        # per-branch column pruning. The iterative ops (kcore/bfs)
+        # still checkpoint, which they need for lineage truncation.
     )
     deg = (
         und.select(F.col("a").alias("v"))

@@ -119,7 +119,12 @@ def scalable_ntile_desc_multi(
                 f"(({m} - __mn_{m}) * {n_bins}) div (__mx_{m} - __mn_{m} + 1)"
             ).cast("long"),
         )
-    binned = out
+    # every per-metric histogram branch references this frame — cache
+    # it so k metrics cost ONE derivation of the upstream spine, not
+    # k+1 re-scans (measured: 8 scans of the fact source for the
+    # 3-metric RFM before caching)
+    binned = out.cache()
+    out = binned
     for m, _ in metrics:
         hist = (
             binned.groupBy(f"__bin_{m}")
@@ -219,6 +224,10 @@ def exact_cume_counts_multi(
                 f"(({m} - __mn_{m}) * {n_bins}) div (__mx_{m} - __mn_{m} + 1)"
             ).cast("long"),
         )
+    # cache: each metric's histogram branch re-derives this frame
+    # otherwise (same rationale as scalable_ntile_desc_multi — the
+    # 3-dim ECOD read its source 8x before caching)
+    binned = binned.cache()
     out = binned
     for m, _, _ in metrics:
         hist = (
