@@ -37,7 +37,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 @dataclass(frozen=True)
@@ -216,62 +216,65 @@ def psi_drift(
     are engine-specific; 1e-9 rounding removes them). Laplace
     smoothing (+1 per bin) keeps empty bins finite.
 
-    Scale shape: one union scan → one agg for min/max (broadcast back
-    as literals via a cross join of the 1-row bounds), one groupBy per
-    population — no collect of data rows.
+    Scale shape (scan-amplification study, round 10): ONE tagged
+    union (the two populations' disjoint pushed-filter scans ≈ one
+    full pass) feeds both the min/max bounds and a single
+    conditional-count groupBy; totals ride the bounded bin spine as
+    full-frame windows. The previous per-population binned() legs
+    re-derived each input 3x and the joined spine twice — 12
+    leg-scans per call, measured. No collect of data rows.
     """
-    both = ref.select(F.col(col).alias("x")).unionByName(
-        cur.select(F.col(col).alias("x"))
-    )
-    bounds = both.agg(
-        F.min("x").alias("vmin"), F.max("x").alias("vmax")
-    )
-
-    def binned(df: DataFrame, label: str) -> DataFrame:
-        # Constant column ⇒ vmax == vmin ⇒ zero width: clamp like
-        # layout.grid_scale so every row lands in bin 0 instead of a
-        # divide-by-zero (ANSI) / all-null bins (legacy).
-        w = F.greatest(
-            (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins)),
-            F.lit(1e-12),
+    tagged = (
+        ref.select(F.col(col).alias("x"), F.lit(True).alias("is_ref"))
+        .unionByName(
+            cur.select(F.col(col).alias("x"), F.lit(False).alias("is_ref"))
         )
-        b = F.floor((F.col("x") - F.col("vmin")) / w)
         # NULLs must be dropped BEFORE the least(): least(NULL, k)
         # skips NULL args and returns k, which would silently route
         # every NULL row into the last bin.
-        return (
-            df.select(F.col(col).alias("x"))
-            .filter(F.col("x").isNotNull())
-            .crossJoin(F.broadcast(bounds))
-            .select(
-                F.least(b, F.lit(n_bins - 1)).cast("long").alias("bin")
-            )
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).cast("long").alias(f"cnt_{label}"))
-        )
-    spine = ref.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
-    joined = (
-        spine.join(binned(ref, "ref"), "bin", "left")
-        .join(binned(cur, "cur"), "bin", "left")
-        .fillna(0, subset=["cnt_ref", "cnt_cur"])
+        .filter(F.col("x").isNotNull())
     )
-    tot = joined.agg(
-        F.sum("cnt_ref").alias("tr"), F.sum("cnt_cur").alias("tc")
+    bounds = tagged.agg(
+        F.min("x").alias("vmin"), F.max("x").alias("vmax")
+    )
+    # Constant column ⇒ vmax == vmin ⇒ zero width: clamp like
+    # layout.grid_scale so every row lands in bin 0 instead of a
+    # divide-by-zero (ANSI) / all-null bins (legacy).
+    w = F.greatest(
+        (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins)),
+        F.lit(1e-12),
+    )
+    b = F.floor((F.col("x") - F.col("vmin")) / w)
+    counts = (
+        tagged.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(b, F.lit(n_bins - 1)).cast("long").alias("bin"),
+            "is_ref",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("is_ref")).cast("long").alias("cnt_ref"),
+            F.count_if(~F.col("is_ref")).cast("long").alias("cnt_cur"),
+        )
+    )
+    spine = ref.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    joined = spine.join(counts, "bin", "left").fillna(
+        0, subset=["cnt_ref", "cnt_cur"]
+    )
+    w_full = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     p = (F.col("cnt_ref") + 1).cast("double") / (
-        (F.col("tr") + n_bins).cast("double")
+        (F.sum("cnt_ref").over(w_full) + n_bins).cast("double")
     )
     q = (F.col("cnt_cur") + 1).cast("double") / (
-        (F.col("tc") + n_bins).cast("double")
+        (F.sum("cnt_cur").over(w_full) + n_bins).cast("double")
     )
-    return (
-        joined.crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "cnt_ref",
-            "cnt_cur",
-            F.round((p - q) * F.log(p / q), 9).alias("contrib"),
-        )
+    return joined.select(
+        "bin",
+        "cnt_ref",
+        "cnt_cur",
+        F.round((p - q) * F.log(p / q), 9).alias("contrib"),
     )
 
 
@@ -440,16 +443,17 @@ def psi_drift_multi(
     j = spine.join(binned, on=["col", "bin"], how="left").fillna(
         0, subset=["cnt_ref", "cnt_cur"]
     )
-    tot = j.groupBy("col").agg(
-        F.sum("cnt_ref").alias("tr"), F.sum("cnt_cur").alias("tc")
-    )
+    # per-column totals as whole-partition windows over the bounded
+    # (col, bin) spine — a separate groupBy branch would re-derive the
+    # melt+bin pipeline a second time (scan-amplification study)
+    w_col = Window.partitionBy("col")
     p = (F.col("cnt_ref") + 1).cast("double") / (
-        (F.col("tr") + n_bins).cast("double")
+        (F.sum("cnt_ref").over(w_col) + n_bins).cast("double")
     )
     q = (F.col("cnt_cur") + 1).cast("double") / (
-        (F.col("tc") + n_bins).cast("double")
+        (F.sum("cnt_cur").over(w_col) + n_bins).cast("double")
     )
-    return j.join(F.broadcast(tot), on="col").select(
+    return j.select(
         "col",
         "bin",
         "cnt_ref",

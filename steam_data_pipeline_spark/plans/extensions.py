@@ -9267,46 +9267,49 @@ def win_survival_km(spark, sf_dir):
 def qa_ks_drift(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events")
-    ref = ev.filter(F.dayofmonth("ts") <= 15).select(F.col("value").alias("x"))
-    cur = ev.filter(F.dayofmonth("ts") > 15).select(F.col("value").alias("x"))
-    both = ref.unionByName(cur)
-    bounds = both.agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
-    n_bins = 256
-
-    def binned(df, label):
-        w = F.greatest(
-            (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins)),
-            F.lit(1e-12),
-        )
-        b = F.least(
-            F.floor((F.col("x") - F.col("vmin")) / w), F.lit(n_bins - 1)
-        ).cast("long")
-        return (
-            df.crossJoin(F.broadcast(bounds))
-            .select(b.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).cast("long").alias(f"c{label}"))
-        )
-
-    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
-    j = (
-        spine.join(binned(ref, "1"), "bin", "left")
-        .join(binned(cur, "2"), "bin", "left")
-        .fillna(0, subset=["c1", "c2"])
+    # single-pass tagged binning (scan-amplification study): the old
+    # per-sample binned() legs re-derived the events scan 12x across
+    # plan branches (ref/cur each rebuilt bounds and their own
+    # groupBy; j was re-derived for totals). One tagged projection +
+    # one conditional-count groupBy + full-frame window totals = TWO
+    # events scans (bounds, counts) and one shuffle instead of two.
+    ev = t(spark, sf_dir, "events").select(
+        F.col("value").alias("x"),
+        (F.dayofmonth("ts") <= 15).alias("is_ref"),
     )
+    bounds = ev.agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+    n_bins = 256
+    w = F.greatest(
+        (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins)),
+        F.lit(1e-12),
+    )
+    b = F.least(
+        F.floor((F.col("x") - F.col("vmin")) / w), F.lit(n_bins - 1)
+    ).cast("long")
+    counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(b.alias("bin"), "is_ref")
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("is_ref")).cast("long").alias("c1"),
+            F.count_if(~F.col("is_ref")).cast("long").alias("c2"),
+        )
+    )
+    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    j = spine.join(counts, "bin", "left").fillna(0, subset=["c1", "c2"])
     wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_full = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = j.select(
         "bin",
         F.sum("c1").over(wc).alias("m1"),
         F.sum("c2").over(wc).alias("m2"),
-    )
-    tot = j.agg(
-        F.sum("c1").cast("long").alias("n1"),
-        F.sum("c2").cast("long").alias("n2"),
+        F.sum("c1").over(w_full).cast("long").alias("n1"),
+        F.sum("c2").over(w_full).cast("long").alias("n2"),
     )
     return (
-        cum.crossJoin(F.broadcast(tot))
+        cum
         .groupBy("n1", "n2")
         .agg(
             F.max(F.abs(F.col("m1") * F.col("n2") - F.col("m2") * F.col("n1")))
@@ -9629,39 +9632,38 @@ def agg_entropy_source(spark, sf_dir):
 def agg_mwu_auc(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events")
-    x = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("value").alias("v")
+    # single-pass tagged binning (scan-amplification study): one
+    # pushed-filter scan feeds bounds, a second the conditional-count
+    # groupBy — the old per-sample binned() legs re-derived the events
+    # scan 6x across branches
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == "purchase").alias("is_x"),
+        )
     )
-    y = ev.filter(F.col("event_type") == "view").select(
-        F.col("value").alias("v")
-    )
-    bounds = x.unionByName(y).agg(
-        F.min("v").alias("vmin"), F.max("v").alias("vmax")
-    )
+    bounds = ev.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
     n_bins = 256
-
-    def binned(df, label):
-        w = F.greatest(
-            (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins)),
-            F.lit(1e-12),
-        )
-        b = F.least(
-            F.floor((F.col("v") - F.col("vmin")) / w), F.lit(n_bins - 1)
-        ).cast("long")
-        return (
-            df.crossJoin(F.broadcast(bounds))
-            .select(b.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).cast("long").alias(f"c{label}"))
-        )
-
-    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
-    j = (
-        spine.join(binned(x, "1"), "bin", "left")
-        .join(binned(y, "2"), "bin", "left")
-        .fillna(0, subset=["c1", "c2"])
+    w = F.greatest(
+        (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins)),
+        F.lit(1e-12),
     )
+    b = F.least(
+        F.floor((F.col("v") - F.col("vmin")) / w), F.lit(n_bins - 1)
+    ).cast("long")
+    counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(b.alias("bin"), "is_x")
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("is_x")).cast("long").alias("c1"),
+            F.count_if(~F.col("is_x")).cast("long").alias("c2"),
+        )
+    )
+    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    j = spine.join(counts, "bin", "left").fillna(0, subset=["c1", "c2"])
     wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = j.select(
         "bin",
@@ -10278,39 +10280,47 @@ def qa_freshness_lag(spark, sf_dir):
     tags=("agg", "approx", "sketch", "invariant"),
 )
 def agg_hll_intersection(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    k = (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("k")
-    a = ev.filter(F.col("event_type") == "purchase").select(k).distinct()
-    b = ev.filter(F.col("event_type") == "view").select(k).distinct()
-    n_a = a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
-    n_b = b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
-    n_inter = a.join(b, "k").agg(
-        F.count(F.lit(1)).cast("long").alias("n_inter")
+    # single-pass shape (scan-amplification study): the old per-side
+    # distincts were each re-derived by their count, the intersection
+    # join and their sketch — 6 events scans and 6 shuffles. One
+    # tagged groupBy(k) gives per-key membership flags; ONE global
+    # aggregate computes both exact counts, the exact intersection
+    # AND both HLL sketches (hll_sketch_agg skips the NULLs the
+    # when() leaves for the other side's keys) — 1 scan, 2 shuffles.
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("k"),
+            (F.col("event_type") == "purchase").alias("is_a"),
+        )
+    )
+    g = ev.groupBy("k").agg(
+        F.bool_or("is_a").alias("has_a"),
+        F.bool_or(~F.col("is_a")).alias("has_b"),
+    )
+    agg = g.agg(
+        F.count_if("has_a").cast("long").alias("n_a"),
+        F.count_if("has_b").cast("long").alias("n_b"),
+        F.count_if(F.col("has_a") & F.col("has_b"))
+        .cast("long")
+        .alias("n_inter"),
+        F.hll_sketch_agg(F.when(F.col("has_a"), F.col("k"))).alias("sa"),
+        F.hll_sketch_agg(F.when(F.col("has_b"), F.col("k"))).alias("sb"),
     )
     est = (
-        a.agg(F.hll_sketch_agg("k").alias("sa"))
-        .crossJoin(b.agg(F.hll_sketch_agg("k").alias("sb")))
-        .select(
-            (
-                F.hll_sketch_estimate("sa")
-                + F.hll_sketch_estimate("sb")
-                - F.hll_sketch_estimate(F.hll_union("sa", "sb"))
-            ).alias("__est")
-        )
+        F.hll_sketch_estimate("sa")
+        + F.hll_sketch_estimate("sb")
+        - F.hll_sketch_estimate(F.hll_union("sa", "sb"))
     )
-    return (
-        n_a.crossJoin(n_b)
-        .crossJoin(n_inter)
-        .crossJoin(est)
-        .select(
-            "n_a",
-            "n_b",
-            "n_inter",
-            (
-                F.abs(F.col("__est") - F.col("n_inter"))
-                <= 0.05 * (F.col("n_a") + F.col("n_b"))
-            ).alias("inter_ok"),
-        )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        (
+            F.abs(est - F.col("n_inter"))
+            <= 0.05 * (F.col("n_a") + F.col("n_b"))
+        ).alias("inter_ok"),
     )
 
 
@@ -11016,6 +11026,12 @@ def qa_chisq_categorical(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .groupBy("lang", (F.col("doc_id") % 2).alias("half"))
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # bounded contingency frame (|langs| x 2 rows) referenced by
+        # every marginal/total/spine branch — uncached, each branch
+        # re-derives the full documents scan (scan-amplification
+        # study); caching a bounded spine is the study's always-wins
+        # case
+        .cache()
     )
     rt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
     ct = cells.groupBy("half").agg(F.sum("o").cast("long").alias("ct"))
@@ -15391,6 +15407,12 @@ def agg_cramers_v(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .groupBy("lang", (F.col("doc_id") % 2).alias("half"))
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # bounded contingency frame (|langs| x 2 rows) referenced by
+        # every marginal/total/spine branch — uncached, each branch
+        # re-derives the full documents scan (scan-amplification
+        # study); caching a bounded spine is the study's always-wins
+        # case
+        .cache()
     )
     rt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
     ct = cells.groupBy("half").agg(F.sum("o").cast("long").alias("ct"))
