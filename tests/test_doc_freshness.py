@@ -125,3 +125,26 @@ def test_plan_audit_artifact_covers_registry():
     assert flagged == BNLJ_CONTRACT_BOUNDED, (
         f"stale whitelist entries: {sorted(BNLJ_CONTRACT_BOUNDED - flagged)}"
     )
+
+
+def test_no_duplicate_toplevel_class_names_in_tests():
+    """A second module-level ``class TestX:`` with the same name silently
+    shadows the first — pytest collects only the later definition, so an
+    entire block of tests stops running with no failure (round-10 ADVICE:
+    TestRound10WaveContracts was defined twice and six plan-contract tests
+    were dropped). Parse every test module with ast and fail on any
+    duplicate top-level class name.
+    """
+    import ast
+
+    for path in sorted((REPO / "tests").glob("test_*.py")):
+        tree = ast.parse(path.read_text())
+        seen: dict[str, int] = {}
+        for node in tree.body:
+            if isinstance(node, ast.ClassDef):
+                if node.name in seen:
+                    raise AssertionError(
+                        f"{path.name}:{node.lineno} class {node.name} "
+                        f"shadows the definition at line {seen[node.name]}"
+                    )
+                seen[node.name] = node.lineno

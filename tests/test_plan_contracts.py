@@ -1415,7 +1415,7 @@ class TestRound10WaveContracts:
             assert "HashAggregate" in lines[i + 1], lines[i + 1]
 
 
-class TestRound10WaveContracts:
+class TestRound10SecondWaveContracts:
     def test_greedy_allocation_one_fact_shuffle(self, spark):
         """Supply joins broadcast on the part dim; the priority window
         and the per-part rollup share ONE l_partkey exchange — the
