@@ -29,6 +29,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     t_start = time.time()
+    from steam_data_pipeline_spark.operators.caching import release_spines
     from steam_data_pipeline_spark.plans.registry import QUERIES
     from steam_data_pipeline_spark.session import get_spark
 
@@ -408,6 +409,9 @@ def main() -> None:
         # Queries that train models / checkpoint leave cached blocks
         # behind; drop them so later timings aren't GC-noise of earlier
         # queries (the cleanup cost is excluded from every timing).
+        # release_spines() additionally empties the registered-spine
+        # list so its strong references don't pin the JVM-side plans.
+        release_spines()
         spark.catalog.clearCache()
 
     # Second pass for queries whose registered form embeds an exact-

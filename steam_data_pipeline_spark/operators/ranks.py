@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from steam_data_pipeline_spark.operators.caching import spine_cache
+
 
 def exact_rank_desc(
     df: DataFrame,
@@ -122,8 +124,9 @@ def scalable_ntile_desc_multi(
     # every per-metric histogram branch references this frame — cache
     # it so k metrics cost ONE derivation of the upstream spine, not
     # k+1 re-scans (measured: 8 scans of the fact source for the
-    # 3-metric RFM before caching)
-    binned = out.cache()
+    # 3-metric RFM before caching); registered so long-lived sessions
+    # can free it via operators.caching.release_spines()
+    binned = spine_cache(out)
     out = binned
     for m, _ in metrics:
         hist = (
@@ -226,8 +229,9 @@ def exact_cume_counts_multi(
         )
     # cache: each metric's histogram branch re-derives this frame
     # otherwise (same rationale as scalable_ntile_desc_multi — the
-    # 3-dim ECOD read its source 8x before caching)
-    binned = binned.cache()
+    # 3-dim ECOD read its source 8x before caching); registered for
+    # release_spines()
+    binned = spine_cache(binned)
     out = binned
     for m, _, _ in metrics:
         hist = (

@@ -11022,7 +11022,9 @@ def agg_wilson_ci(spark, sf_dir):
 def qa_chisq_categorical(spark, sf_dir):
     from pyspark.sql import Window
 
-    cells = (
+    from steam_data_pipeline_spark.operators.caching import spine_cache
+
+    cells = spine_cache(
         t(spark, sf_dir, "documents")
         .groupBy("lang", (F.col("doc_id") % 2).alias("half"))
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
@@ -11030,8 +11032,7 @@ def qa_chisq_categorical(spark, sf_dir):
         # every marginal/total/spine branch — uncached, each branch
         # re-derives the full documents scan (scan-amplification
         # study); caching a bounded spine is the study's always-wins
-        # case
-        .cache()
+        # case; registered so release_spines() frees it
     )
     rt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
     ct = cells.groupBy("half").agg(F.sum("o").cast("long").alias("ct"))
@@ -15403,7 +15404,9 @@ def win_rolling_median(spark, sf_dir):
     tags=("agg", "stats", "drift"),
 )
 def agg_cramers_v(spark, sf_dir):
-    cells = (
+    from steam_data_pipeline_spark.operators.caching import spine_cache
+
+    cells = spine_cache(
         t(spark, sf_dir, "documents")
         .groupBy("lang", (F.col("doc_id") % 2).alias("half"))
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
@@ -15411,8 +15414,7 @@ def agg_cramers_v(spark, sf_dir):
         # every marginal/total/spine branch — uncached, each branch
         # re-derives the full documents scan (scan-amplification
         # study); caching a bounded spine is the study's always-wins
-        # case
-        .cache()
+        # case; registered so release_spines() frees it
     )
     rt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
     ct = cells.groupBy("half").agg(F.sum("o").cast("long").alias("ct"))

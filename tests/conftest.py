@@ -22,3 +22,16 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.fixture(autouse=True)
+def _release_registered_spines():
+    """Operators that cache a bounded spine register it with
+    operators.caching; unpersist after every test so the session-scoped
+    SparkSession doesn't accumulate cached blocks across the suite
+    (round-10 ADVICE). No-op (empty list pop) for the vast majority of
+    tests that never touch a spine-caching operator."""
+    yield
+    from steam_data_pipeline_spark.operators.caching import release_spines
+
+    release_spines()

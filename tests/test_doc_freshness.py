@@ -148,3 +148,38 @@ def test_no_duplicate_toplevel_class_names_in_tests():
                         f"shadows the definition at line {seen[node.name]}"
                     )
                 seen[node.name] = node.lineno
+
+
+def test_plan_audit_scan_amplification_pinned():
+    """Round 10's scan de-amplification wins are regression-guarded:
+    PLAN_AUDIT.json now carries per-query per-table file-scan counts,
+    and any query scanning one table >= SCAN_AMP_THRESHOLD times must
+    be adjudicated by name in tools/plan_audit.py::SCAN_AMPLIFIED_OK
+    (VERDICT r10 item 3). Regenerate with `python tools/plan_audit.py`
+    after a plan change."""
+    import json
+
+    from tools.plan_audit import SCAN_AMP_THRESHOLD, SCAN_AMPLIFIED_OK
+
+    audit = json.loads((REPO / "PLAN_AUDIT.json").read_text())
+    flagged = {
+        name
+        for name, row in audit["queries"].items()
+        for tbl, n in row.get("scans", {}).items()
+        if tbl != "__cached__" and n >= SCAN_AMP_THRESHOLD
+    }
+    assert flagged <= SCAN_AMPLIFIED_OK, (
+        f"new scan-amplified queries: {sorted(flagged - SCAN_AMPLIFIED_OK)}"
+    )
+    assert flagged == SCAN_AMPLIFIED_OK, (
+        f"stale SCAN_AMPLIFIED_OK entries: {sorted(SCAN_AMPLIFIED_OK - flagged)}"
+    )
+    # and the counters must exist at all — a regenerated audit from an
+    # older tool version would silently disable this guard. ~42 queries
+    # legitimately record no file scans (iterative algorithms whose
+    # final frame hangs off localCheckpoint RDD leaves), so the floor
+    # is a majority check, not 100%.
+    with_scans = sum(
+        1 for row in audit["queries"].values() if row.get("scans")
+    )
+    assert with_scans >= 0.8 * len(audit["queries"])

@@ -110,3 +110,53 @@ def test_literal_explode_propagates_bound(spark):
         .select(F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"), "s")
     )
     assert count_unbounded_bnlj(df.crossJoin(F.broadcast(spine))) == 0
+
+
+def test_cached_bounded_spine_keeps_its_proof(spark):
+    """Round-10 ADVICE: an InMemoryTableScan over a plan-time-bounded
+    subtree must not lose the bound at the cache wrapper — the walker
+    recurses into relation().cachedPlan() (unwrapping the AQE
+    ResultQueryStage a materialized cache stores)."""
+    b = spark.range(5).agg(F.count("*").alias("n")).cache()
+    try:
+        b.count()  # materialize -> cachedPlan is an AQE-wrapped stage
+        j = spark.range(10).crossJoin(F.broadcast(b))
+        assert count_unbounded_bnlj(j) == 0
+    finally:
+        b.unpersist()
+
+
+def test_cached_unbounded_build_side_still_flags(spark):
+    """The cache wrapper must not LAUNDER an unbounded build side
+    either: a cached grouped-agg-over-FILE-scan spine keeps flagging
+    (a Range source would be plan-time bounded and prove the bound)."""
+    src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet").select(
+        (F.col("n_nationkey") % 7).alias("k")
+    )
+    b = src.groupBy("k").agg(F.count("*").alias("n")).cache()
+    try:
+        b.count()
+        j = spark.range(10).crossJoin(F.broadcast(b))
+        assert count_unbounded_bnlj(j) == 1
+    finally:
+        b.unpersist()
+
+
+def test_table_scan_counts_sees_through_cache(spark, tmp_path):
+    """table_scan_counts counts each distinct cached relation's file
+    scans ONCE (materialization cost) and the references under
+    __cached__ — so a plan reading a cached parquet-backed frame twice
+    reports {table: 1, __cached__: 2}."""
+    from tools.plan_audit import table_scan_counts
+
+    p = str(tmp_path / "tbl.parquet")
+    spark.range(100).write.parquet(p)
+    c = spark.read.parquet(p).cache()
+    try:
+        c.count()
+        two = c.union(c)
+        counts = table_scan_counts(two)
+        assert counts.get("__cached__") == 2
+        assert counts.get("tbl") == 1
+    finally:
+        c.unpersist()
