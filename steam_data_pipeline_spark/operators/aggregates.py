@@ -80,15 +80,21 @@ def conditional_roi(
     in_cnt = F.count(F.when(in_flag, F.lit(1)))
     out_sum = F.sum(F.when(~in_flag, F.col(value).cast("decimal(18,2)")))
     out_cnt = F.count(F.when(~in_flag, F.lit(1)))
-    avg_in = (in_sum.cast("double") / in_cnt).alias(f"{out_prefix}avg_in")
-    avg_out = (out_sum.cast("double") / out_cnt).alias(f"{out_prefix}avg_out")
+    # try_divide, not /: Spark 4 is ANSI by default, and a key whose
+    # out-side average is exactly 0.0 (all non-flagged values zero)
+    # would make the ROI ratio a non-NULL/0 division -> DIVIDE_BY_ZERO
+    # crash; try_divide gives NULL, matching DuckDB's x/0. The avg
+    # legs' sums are NULL exactly when their counts are 0, so those
+    # divisions never see a non-NULL/0 — but try_divide costs nothing
+    # and keeps the whole expression total (round-11 module review).
+    avg_in = F.try_divide(in_sum.cast("double"), in_cnt)
+    avg_out = F.try_divide(out_sum.cast("double"), out_cnt)
     return df.groupBy(key).agg(
-        avg_in,
-        avg_out,
-        (
-            (in_sum.cast("double") / in_cnt) / (out_sum.cast("double") / out_cnt)
-            - F.lit(1.0)
-        ).alias(f"{out_prefix}roi"),
+        avg_in.alias(f"{out_prefix}avg_in"),
+        avg_out.alias(f"{out_prefix}avg_out"),
+        (F.try_divide(avg_in, avg_out) - F.lit(1.0)).alias(
+            f"{out_prefix}roi"
+        ),
     )
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 FORECAST_SCHEMA = (
     "user_id long, n_obs long, slope double, intercept double, forecast_next double"
@@ -130,7 +130,13 @@ def seasonal_ar_forecast_per_key(events: DataFrame) -> DataFrame:
     from steam_data_pipeline_spark.operators.grouped import sorted_grouped_map
 
     return sorted_grouped_map(
-        events.select("user_id", "event_id", "ts", "value"),
+        # NULL observations carry no fit information and round(NaN*100)
+        # crashes the exact-cents path — drop them on BOTH legs (the
+        # oracles filter value IS NOT NULL); a key that is all-NULL
+        # disappears entirely, consistently (round-11 module review)
+        events.select("user_id", "event_id", "ts", "value").filter(
+            F.col("value").isNotNull()
+        ),
         keys=["user_id"],
         order=["ts", "event_id"],
         fn=_fit_seasonal_group,
@@ -153,7 +159,10 @@ def linear_forecast_per_key(events: DataFrame) -> DataFrame:
     from steam_data_pipeline_spark.operators.grouped import sorted_grouped_map
 
     return sorted_grouped_map(
-        events.select("user_id", "event_id", "ts", "value"),
+        # same NULL-observation drop as the seasonal fit (see above)
+        events.select("user_id", "event_id", "ts", "value").filter(
+            F.col("value").isNotNull()
+        ),
         keys=["user_id"],
         order=["ts", "event_id"],
         fn=_fit_group,

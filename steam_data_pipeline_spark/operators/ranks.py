@@ -39,6 +39,29 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from steam_data_pipeline_spark.operators.caching import spine_cache
 
+# Below this Catalyst-estimated input size the histogram-rank machinery
+# is pure fixed cost: the whole spine sorts comfortably inside ONE task
+# (4 MiB sorts in milliseconds), so the plain window ntile/cume is both
+# faster and plan-simpler. 4 MiB is deliberately conservative — two
+# orders of magnitude under an executor's sort budget — so the gate can
+# only ever divert genuinely tiny spines; anything near real scale takes
+# the scalable path. Catalyst over-estimates aggregate outputs (it
+# propagates the child's size), which errs the same safe direction.
+# Callers pass small_bytes=0 to force the scalable path (the scale
+# rehearsals do, so the 10x exponents keep measuring the at-scale plan).
+SMALL_SPINE_BYTES = 4 << 20
+
+
+def _plan_estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's plan-time size estimate; 'unknown' counts as huge so
+    the scalable path is the fallback, never the single-partition sort."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 - api drift -> assume big
+        return 1 << 62
+
 
 def exact_rank_desc(
     df: DataFrame,
@@ -93,6 +116,7 @@ def scalable_ntile_desc_multi(
     metrics: list[tuple[str, str]],
     key: str,
     n_bins: int = 4096,
+    small_bytes: int = SMALL_SPINE_BYTES,
 ) -> DataFrame:
     """Add, for each ``(metric, out_col)`` pair, ``out_col`` =
     ``ntile(n_tiles) OVER (ORDER BY metric DESC, key)`` — the exact
@@ -106,7 +130,21 @@ def scalable_ntile_desc_multi(
     hash-partitioned per-bin ranking window. Windows CHAIN on the same
     frame (no input duplication), so the plan grows linearly in the
     metric count — a naive per-metric composition re-derives the
-    upstream spine 4^k times (measured: a 226 KB plan for k=3)."""
+    upstream spine 4^k times (measured: a 226 KB plan for k=3).
+
+    Size gate (round-10 verdict item 5): when Catalyst estimates the
+    input under ``small_bytes`` the plain window ntile runs instead —
+    bit-identical output (the property test drives both sides of the
+    gate), no histogram fixed cost at toy/interactive scale. Pass
+    ``small_bytes=0`` to force the scalable path."""
+    if small_bytes and _plan_estimated_bytes(df) <= small_bytes:
+        out = df
+        for m, out_col in metrics:
+            w = Window.orderBy(F.col(m).desc(), F.col(key).asc())
+            out = out.withColumn(
+                out_col, F.ntile(n_tiles).over(w).cast("long")
+            )
+        return out
     spine_aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for m, _ in metrics:
         spine_aggs += [
@@ -191,6 +229,7 @@ def exact_cume_counts_multi(
     df: DataFrame,
     metrics: list[tuple[str, str, str]],
     n_bins: int = 4096,
+    small_bytes: int = SMALL_SPINE_BYTES,
 ) -> DataFrame:
     """For each ``(metric, le_col, ge_col)`` triple, add ``le_col`` =
     count of rows with ``metric`` <= this row's and ``ge_col`` = the
@@ -212,7 +251,25 @@ def exact_cume_counts_multi(
     :func:`scalable_ntile_desc_multi` (a naive per-metric composition
     re-derives the upstream spine exponentially: chaining the
     single-metric version 3x measured 42 BroadcastNestedLoopJoin
-    nodes in one plan)."""
+    nodes in one plan).
+
+    Same size gate as :func:`scalable_ntile_desc_multi`: under
+    ``small_bytes`` (Catalyst estimate) the two plain RANGE-framed
+    global windows per metric run instead — identical output, no
+    histogram fixed cost; ``small_bytes=0`` forces the scalable path."""
+    if small_bytes and _plan_estimated_bytes(df) <= small_bytes:
+        out = df
+        for m, le_col, ge_col in metrics:
+            w_le = Window.orderBy(F.col(m).asc()).rangeBetween(
+                Window.unboundedPreceding, 0
+            )
+            w_ge = Window.orderBy(F.col(m).desc()).rangeBetween(
+                Window.unboundedPreceding, 0
+            )
+            out = out.withColumn(
+                le_col, F.count(F.lit(1)).over(w_le)
+            ).withColumn(ge_col, F.count(F.lit(1)).over(w_ge))
+        return out
     spine_aggs = []
     for m, _, _ in metrics:
         spine_aggs += [
@@ -292,9 +349,10 @@ def exact_cume_counts(
     le_col: str,
     ge_col: str,
     n_bins: int = 4096,
+    small_bytes: int = SMALL_SPINE_BYTES,
 ) -> DataFrame:
     """Single-metric convenience wrapper over
     :func:`exact_cume_counts_multi`."""
     return exact_cume_counts_multi(
-        df, [(metric, le_col, ge_col)], n_bins=n_bins
+        df, [(metric, le_col, ge_col)], n_bins=n_bins, small_bytes=small_bytes
     )

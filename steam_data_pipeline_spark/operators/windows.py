@@ -58,7 +58,15 @@ def islands(
     """
     order_cols = ts if isinstance(ts, list) else [ts]
     w = Window.partitionBy(key).orderBy(*order_cols)
-    flagged = df.withColumn("__flag", flag.cast("int"))
+    # when(flag, 1).otherwise(0), NOT flag.cast("int"): a NULL flag
+    # (e.g. value > 100 with value NULL) must count as NOT-flagged —
+    # CASE WHEN semantics, like the SQL oracles. cast("int") keeps the
+    # NULL, and a NULL-flag row between two flagged runs then produces
+    # NULL != comparisons on BOTH sides (chg=0 twice), silently MERGING
+    # the two islands into one (round-11 module review of analytics.py)
+    flagged = df.withColumn(
+        "__flag", F.when(flag, F.lit(1)).otherwise(F.lit(0))
+    )
     changed = flagged.withColumn(
         "__chg",
         F.when(

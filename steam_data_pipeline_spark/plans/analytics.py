@@ -308,7 +308,13 @@ def join_range_binned(spark, sf_dir):
       SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
     ),
     views AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+      -- one row per (user, ts): equal-ts right rows are a tie BOTH
+      -- engines break arbitrarily (DuckDB ASOF picks an unspecified
+      -- peer; the window pick depends on sort stability) — collapse to
+      -- MAX(value), the same row the Spark leg's tiebreak='value'
+      -- (greatest wins, backward) selects (round-11 module review)
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
     )
     SELECT p.event_id, p.user_id, p.ts, p.value,
            v.value AS asof_value, v.ts AS asof_ts
@@ -319,7 +325,9 @@ def join_range_binned(spark, sf_dir):
     doc=(
         "Generic backward as-of join (kdb/pandas merge_asof semantics): "
         "each purchase gets the latest prior view per key — union-tag + "
-        "one window, not a range join; oracle is DuckDB's native ASOF JOIN."
+        "one window, not a range join; oracle is DuckDB's native ASOF "
+        "JOIN. Equal-ts views are tie-broken deterministically (greatest "
+        "value wins) on both legs."
     ),
     tags=("join", "asof", "window"),
 )
@@ -334,8 +342,13 @@ def join_asof_backward(spark, sf_dir):
         "user_id", "ts", "value"
     )
     return asof_backward(
-        purchases, views, key="user_id", ts="ts", value_cols=["value"]
-    ).withColumnRenamed("asof_value", "asof_value")
+        purchases,
+        views,
+        key="user_id",
+        ts="ts",
+        value_cols=["value"],
+        tiebreak="value",  # greatest value wins on equal-ts views
+    )
 
 
 @ANALYTICS.add(
@@ -345,7 +358,11 @@ def join_asof_backward(spark, sf_dir):
       SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
     ),
     purchases AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      -- deterministic equal-ts collapse, mirroring the backward
+      -- variant: the forward pick is first/SMALLEST-tiebreak, so
+      -- MIN(value) here matches the Spark leg's tiebreak='value'
+      SELECT user_id, ts, MIN(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
     )
     SELECT v.event_id, v.user_id, v.ts, v.value,
            p.value AS asof_value, p.ts AS asof_ts
@@ -356,7 +373,9 @@ def join_asof_backward(spark, sf_dir):
     doc=(
         "Forward as-of join: each view gets the EARLIEST following "
         "purchase per key (time-to-conversion shape) — mirror of the "
-        "backward variant; oracle is DuckDB's native forward ASOF JOIN."
+        "backward variant; oracle is DuckDB's native forward ASOF JOIN. "
+        "Equal-ts purchases are tie-broken deterministically (smallest "
+        "value wins) on both legs."
     ),
     tags=("join", "asof", "window"),
 )
@@ -371,7 +390,12 @@ def join_asof_forward(spark, sf_dir):
         "user_id", "ts", "value"
     )
     return asof_forward(
-        views, purchases, key="user_id", ts="ts", value_cols=["value"]
+        views,
+        purchases,
+        key="user_id",
+        ts="ts",
+        value_cols=["value"],
+        tiebreak="value",  # smallest value wins on equal-ts purchases
     )
 
 
@@ -801,7 +825,7 @@ def fn_rand_jitter(spark, sf_dir):
     WITH numbered AS (
       SELECT user_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS x
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     sums AS (
       SELECT user_id,
@@ -812,12 +836,23 @@ def fn_rand_jitter(spark, sf_dir):
              CAST(SUM(CAST(x * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,2))) AS DOUBLE) AS sxy
       FROM numbered GROUP BY user_id
     )
-    SELECT user_id, n AS n_obs,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
-           ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
-             + ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * n AS forecast_next
-    FROM sums
+    , fitted AS (
+      -- zero x-variance (n = 1) takes slope 0, matching the operator's
+      -- documented n<2 semantics; the raw closed form would be 0/0 ->
+      -- NULL here but a valid (0, y, y) fit on the Spark leg (round-11
+      -- module review: divergence absent from fixtures, none of which
+      -- have single-observation keys)
+      SELECT user_id, n,  sy,
+             CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                  ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             END AS slope,
+             sx
+      FROM sums
+    )
+    SELECT user_id, n AS n_obs, slope,
+           (sy - slope * sx) / n AS intercept,
+           ((sy - slope * sx) / n) + slope * n AS forecast_next
+    FROM fitted
     """,
     doc=(
         "Grouped-map applyInPandas per-key linear trend fit + 1-step forecast "
@@ -839,7 +874,7 @@ def udtf_forecast(spark, sf_dir):
       SELECT user_id,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS x
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     sums AS (
       SELECT user_id,

@@ -779,7 +779,8 @@ def agg_distinct_pool(spark, sf_dir):
     )
     SELECT user_id, n,
            (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+             / (sqrt(GREATEST(n * sxx - sx * sx, 0.0))
+                * sqrt(GREATEST(n * syy - sy * sy, 0.0))) AS corr_xy
     FROM s
     """,
     doc=(
@@ -807,9 +808,29 @@ def agg_corr_price_players(spark, sf_dir):
         n.alias("n"), sx.alias("sx"), sy.alias("sy"),
         sxy.alias("sxy"), sxx.alias("sxx"), syy.alias("syy"),
     )
-    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # Zero-variance groups (n=1, or all values equal) need two guards
+    # the fixtures never exercised (round-11 module review):
+    # 1. clamp the variance terms at 0 before sqrt — double rounding
+    #    can make n*sxx - sx² fractionally negative, and DuckDB ERRORS
+    #    on sqrt(negative) (Spark would return NaN). The clamp fires
+    #    identically on both legs (identical IEEE intermediates).
+    # 2. try_divide, not / — Spark 4 runs ANSI mode, so 0.0/0.0 with a
+    #    non-NULL numerator THROWS DIVIDE_BY_ZERO; try_divide returns
+    #    NULL, which is exactly what DuckDB's x/0 yields.
+    corr = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(
+            F.greatest(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0.0),
+            )
+        )
+        * F.sqrt(
+            F.greatest(
+                F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"),
+                F.lit(0.0),
+            )
+        ),
     )
     return s.select("user_id", "n", corr.alias("corr_xy"))
 

@@ -1169,19 +1169,52 @@ class TestRound9ThirdWaveContracts:
         assert plan.count("Window") == 2, plan
         assert "partial_sum" in plan, plan  # map-side combine of deltas
 
-    def test_rfm_segments_spine_only(self, spark):
-        """Orders collapse to the customer spine map-side; the three
-        quintile scores come from scalable_ntile_desc (round 10) — the
-        customer spine itself is NEVER sorted on one partition: every
-        Exchange SinglePartition in the plan belongs to a <=4096-row
-        bin-histogram running sum (it sits directly above that
-        histogram's hash aggregate), and the per-row ranking windows
-        are hash-partitioned by __bin. No raw ntile anywhere."""
+    def test_rfm_segments_small_input_takes_plain_ntile(self, spark):
+        """Round-11 size gate: at smoke/interactive scale Catalyst
+        estimates the customer spine far under SMALL_SPINE_BYTES, so
+        the registered query runs the plain window ntile (no histogram
+        fixed cost) — property-tested bit-identical to the scalable
+        path. The at-scale histogram shape is pinned separately below
+        (small_bytes=0)."""
         plan = _plan(QUERIES["win_rfm_segments"].spark(spark, SF_SMOKE), "simple")
+        assert "ntile" in plan, plan
+        assert "__bin" not in plan, plan  # no histogram machinery paid
+
+    def test_rfm_segments_at_scale_plan_is_spine_only(self, spark):
+        """The AT-SCALE side of the gate (small_bytes=0 — what any
+        input over SMALL_SPINE_BYTES gets): the customer spine is
+        NEVER sorted on one partition — every Exchange
+        SinglePartition belongs to a <=4096-row bin-histogram running
+        sum (it sits directly above that histogram's hash aggregate),
+        the per-row ranking windows are hash-partitioned by __bin, and
+        no raw ntile appears anywhere."""
+        from steam_data_pipeline_spark.operators.ranks import (
+            scalable_ntile_desc_multi,
+        )
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        per_cust = (
+            read_table(spark, SF_SMOKE, "orders")
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("freq"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("cents"),
+            )
+        )
+        scored = scalable_ntile_desc_multi(
+            per_cust,
+            5,
+            [("freq", "f_score"), ("cents", "m_score")],
+            key="o_custkey",
+            small_bytes=0,
+        )
+        plan = _plan(scored, "simple")
         assert "ntile" not in plan, plan
         assert "__bin" in plan, plan  # hash-partitioned ranking windows
-        # the spine collapse + three per-bin window shuffles are keyed
-        assert plan.count("Exchange hashpartitioning") >= 4, plan
+        # the spine collapse + per-bin window shuffles are keyed
+        assert plan.count("Exchange hashpartitioning") >= 3, plan
         # every one-partition exchange must feed a BOUNDED subtree:
         # either the scalar min/max/count spine (keys=[]) or a
         # <=4096-row bin-histogram running sum (keys=[__bin_*]) —
@@ -1471,17 +1504,38 @@ class TestRound10SecondWaveContracts:
         assert plan.count("Exchange SinglePartition") == 2, plan
 
     def test_ecod_no_global_sort_of_part(self, spark):
-        """All three empirical-CDF passes share one scalar spine and
-        chain linearly (the exact_cume_counts_multi contract — the
-        naive composition measured 42 BNLJ nodes); within-bin windows
-        are hash-partitioned; top-20 is TakeOrdered, and no
-        single-partition exchange carries the un-aggregated part
-        rows."""
+        """The registered query at smoke scale takes the size-gated
+        plain-window CDF (part estimates ~KBs); the at-scale histogram
+        side (small_bytes=0) keeps the exact_cume_counts_multi
+        contract: one shared scalar spine, linear chaining (the naive
+        composition measured 42 BNLJ nodes), hash-partitioned
+        within-bin windows, and no single-partition exchange carrying
+        un-aggregated part rows."""
         plan = _plan(QUERIES["qa_outlier_ecod"].spark(spark, SF_SMOKE), "simple")
         assert "Python" not in plan, plan
         assert "SortMergeJoin" not in plan, plan
         assert "TakeOrderedAndProject" in plan, plan
+
+        from steam_data_pipeline_spark.operators.ranks import (
+            exact_cume_counts_multi,
+        )
+        from steam_data_pipeline_spark.sources.tables import read_table
+
+        part = read_table(spark, SF_SMOKE, "part").select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+            F.col("p_size").cast("long").alias("sz"),
+        )
+        at_scale = exact_cume_counts_multi(
+            part,
+            [("cents", "le_c", "ge_c"), ("sz", "le_s", "ge_s")],
+            small_bytes=0,
+        )
+        plan = _plan(at_scale, "simple")
+        assert "Python" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
         assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+        assert "__bin" in plan, plan
         lines = plan.splitlines()
         for i, ln in enumerate(lines):
             if "Exchange SinglePartition" in ln:

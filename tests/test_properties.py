@@ -750,12 +750,6 @@ def test_scalable_ntile_matches_ntile(spark, vals, q, n_bins):
 
     rows = [(i, v) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "k long, m long").repartition(3)
-    got = {
-        (r.k, r.s)
-        for r in scalable_ntile_desc_multi(
-            df, q, [("m", "s")], key="k", n_bins=n_bins
-        ).collect()
-    }
     want = {
         (r.k, r.s)
         for r in df.select(
@@ -766,7 +760,23 @@ def test_scalable_ntile_matches_ntile(spark, vals, q, n_bins):
             .alias("s"),
         ).collect()
     }
-    assert got == want, (vals, q, n_bins, got, want)
+    # BOTH sides of the size gate must match: small_bytes=0 forces the
+    # two-level histogram rank (createDataFrame estimates Long.Max, so
+    # this is also the default path here); small_bytes=1<<62 forces the
+    # small-input plain-window fast path (round-10 verdict item 5).
+    for small_bytes in (0, 1 << 62):
+        got = {
+            (r.k, r.s)
+            for r in scalable_ntile_desc_multi(
+                df,
+                q,
+                [("m", "s")],
+                key="k",
+                n_bins=n_bins,
+                small_bytes=small_bytes,
+            ).collect()
+        }
+        assert got == want, (vals, q, n_bins, small_bytes, got, want)
 
 
 @SETTINGS
@@ -824,15 +834,21 @@ def test_exact_cume_counts_matches_bruteforce(spark, vals, n_bins):
 
     rows = [(i, v) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "k long, v long").repartition(3)
-    got = {
-        (r.k, r.le, r.ge)
-        for r in exact_cume_counts(df, "v", "le", "ge", n_bins=n_bins).collect()
-    }
     want = {
         (i, sum(1 for x in vals if x <= v), sum(1 for x in vals if x >= v))
         for i, v in enumerate(vals)
     }
-    assert got == want, (vals, n_bins, got, want)
+    # both sides of the size gate: 0 forces the histogram path (also
+    # the default here — createDataFrame estimates Long.Max), 1<<62
+    # forces the small-input plain-window fast path
+    for small_bytes in (0, 1 << 62):
+        got = {
+            (r.k, r.le, r.ge)
+            for r in exact_cume_counts(
+                df, "v", "le", "ge", n_bins=n_bins, small_bytes=small_bytes
+            ).collect()
+        }
+        assert got == want, (vals, n_bins, small_bytes, got, want)
 
 
 @SETTINGS

@@ -19,7 +19,12 @@ def test_release_spines_unpersists_and_empties(spark):
     df = spark.range(100).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("m")
     )
-    out = scalable_ntile_desc_multi(df, 4, [("m", "tile")], key="k")
+    # small_bytes=0 forces the histogram path (the one that caches a
+    # spine) — the default gate would divert this tiny input to the
+    # plain-window fast path, which caches nothing
+    out = scalable_ntile_desc_multi(
+        df, 4, [("m", "tile")], key="k", small_bytes=0
+    )
     out.count()  # force — materializes the registered spine cache
     assert caching._LIVE, "scalable_ntile should have registered a spine"
     live = list(caching._LIVE)

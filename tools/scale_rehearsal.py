@@ -1145,9 +1145,130 @@ def rehearse_cume_fact(sf_dir: str, factors: list[int], repeats: int = 2) -> Non
             return min(walls), cs
 
         naive_s, naive_cs = timed(naive(df))
-        multi_s, multi_cs = timed(exact_cume_counts_multi(df, metrics))
+        # small_bytes=0: the rehearsal exists to measure the AT-SCALE
+        # histogram plan — never let the small-input gate divert it
+        multi_s, multi_cs = timed(
+            exact_cume_counts_multi(df, metrics, small_bytes=0)
+        )
         assert naive_cs == multi_cs, (naive_cs, multi_cs)
         print(f"{f}x\t{n}\t{naive_s:.2f}\t{multi_s:.2f}")
+    spark.stop()
+
+
+def rehearse_cache_ab(sf_dir: str, factor: int, repeats: int = 2) -> None:
+    """Re-verify the round-10 cache-vs-rescan verdicts at a deeper tier
+    (round-10 verdict item 2: every SCALE.md exponent comes from the 10x
+    corpus; the decisions extrapolate two more orders of magnitude, so
+    measure at 30x+ and record whether any verdict FLIPS).
+
+    Four A/B rows at the chosen factor, exact same operation on both
+    arms (results forced through the noop sink, min of ``repeats``):
+
+    * ``llm_dedup_editdist`` / ``llm_graph_triangles`` — the round-10
+      KEPT-UNCACHED cases. B-arm applies the textbook fix that was
+      rejected: cache every source-table read (patching the query
+      module's ``t``), so all plan branches share one materialization
+      instead of pruned parallel re-scans.
+    * ``ntile-multi`` / ``cume-multi`` — the round-10 CACHED cases
+      (the ranks.py binned-spine caches), run as the raw primitives on
+      scaled lineitem axes with ``small_bytes=0`` (the at-scale path).
+      B-arm disables the spine cache (patching ``ranks.spine_cache``
+      to identity), i.e. the pre-round-10 re-scan plan.
+
+    A verdict flips when the committed arm is SLOWER at this tier.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from steam_data_pipeline_spark.operators import caching, ranks
+    from steam_data_pipeline_spark.plans import extensions as ext
+    from steam_data_pipeline_spark.plans.registry import QUERIES
+    from steam_data_pipeline_spark.sources.tables import read_table
+
+    spark = _spark()
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_scaled_{factor}x_v3"
+    )
+    t0 = time.time()
+    build_scaled_dir(spark, sf_dir, factor, out_dir)
+    print(
+        f"# cache-ab rehearsal at {factor}x ({out_dir}, build/reuse "
+        f"{time.time() - t0:.1f} s), repeats={repeats}"
+    )
+
+    def timed(thunk):
+        walls = []
+        for _ in range(repeats):
+            caching.release_spines()
+            spark.catalog.clearCache()
+            t1 = time.time()
+            thunk()
+            walls.append(time.time() - t1)
+        return min(walls)
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    print("case\tcommitted_s\talternative_s\tverdict_holds")
+
+    # --- kept-uncached queries: committed = re-scan, alt = cache t() ---
+    orig_t = ext.t
+
+    def cached_t(spark_, d, name):
+        return caching.spine_cache(orig_t(spark_, d, name))
+
+    for name in ("llm_dedup_editdist", "llm_graph_triangles"):
+        q = QUERIES[name]
+        committed = timed(lambda: noop(q.spark(spark, out_dir)))
+        ext.t = cached_t
+        try:
+            alt = timed(lambda: noop(q.spark(spark, out_dir)))
+        finally:
+            ext.t = orig_t
+        print(
+            f"{name}(uncached)\t{committed:.2f}\t{alt:.2f}\t"
+            f"{committed <= alt}"
+        )
+
+    # --- cached ranks spines: committed = spine cache, alt = rescan ---
+    axes = read_table(spark, out_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_suppkey").cast("long").alias("sk"),
+        F.monotonically_increasing_id().alias("k"),
+    ).localCheckpoint(eager=True)
+    cases = {
+        "ntile-multi": lambda: noop(
+            ranks.scalable_ntile_desc_multi(
+                axes,
+                5,
+                [("cents", "t_c"), ("qty", "t_q"), ("sk", "t_s")],
+                key="k",
+                small_bytes=0,
+            )
+        ),
+        "cume-multi": lambda: noop(
+            ranks.exact_cume_counts_multi(
+                axes,
+                [("cents", "le_c", "ge_c"), ("qty", "le_q", "ge_q"),
+                 ("sk", "le_s", "ge_s")],
+                small_bytes=0,
+            )
+        ),
+    }
+    orig_cache = ranks.spine_cache
+    for label, thunk in cases.items():
+        committed = timed(thunk)
+        ranks.spine_cache = lambda df: df
+        try:
+            alt = timed(thunk)
+        finally:
+            ranks.spine_cache = orig_cache
+        print(
+            f"{label}(cached)\t{committed:.2f}\t{alt:.2f}\t"
+            f"{committed <= alt}"
+        )
     spark.stop()
 
 
@@ -1167,6 +1288,7 @@ def main() -> None:
             "ann-prune",
             "skyline",
             "cume-fact",
+            "cache-ab",
         ],
     )
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -1197,6 +1319,8 @@ def main() -> None:
         rehearse_skyline(args.sf_dir, args.factors, args.repeats)
     elif args.op == "cume-fact":
         rehearse_cume_fact(args.sf_dir, args.factors, args.repeats)
+    elif args.op == "cache-ab":
+        rehearse_cache_ab(args.sf_dir, args.factor, args.repeats)
     else:
         rehearse_substring_skew(args.sf_dir)
 
