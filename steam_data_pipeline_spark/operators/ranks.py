@@ -117,6 +117,7 @@ def scalable_ntile_desc_multi(
     key: str,
     n_bins: int = 4096,
     small_bytes: int = SMALL_SPINE_BYTES,
+    cache_spine: bool = False,
 ) -> DataFrame:
     """Add, for each ``(metric, out_col)`` pair, ``out_col`` =
     ``ntile(n_tiles) OVER (ORDER BY metric DESC, key)`` — the exact
@@ -159,13 +160,19 @@ def scalable_ntile_desc_multi(
                 f"(({m} - __mn_{m}) * {n_bins}) div (__mx_{m} - __mn_{m} + 1)"
             ).cast("long"),
         )
-    # every per-metric histogram branch references this frame — cache
-    # it so k metrics cost ONE derivation of the upstream spine, not
-    # k+1 re-scans (measured: 8 scans of the fact source for the
-    # 3-metric RFM before caching); registered so long-lived sessions
-    # can free it via operators.caching.release_spines()
-    binned = spine_cache(out)
-    out = binned
+    # UNCACHED by round-11 measurement: round 10 cached this frame
+    # (each histogram branch re-derives it otherwise — 8 scans for the
+    # 3-metric RFM) after a 1x/10x A/B win (3.04 -> 2.21 s at 10x/6M
+    # rows), but the 30x tier REVERSED it decisively (35.1 s cached vs
+    # 11.7 s uncached at 18M rows, tools/scale_rehearsal.py cache-ab):
+    # the columnar materialization of an n-ROW, extra-column-laden binned frame
+    # grows with the fact while the re-scans it saves are narrow
+    # pruned projections. Unlike the contingency cells (<=12 rows,
+    # genuinely bounded), this spine is O(n) — the 100 TB design point
+    # says re-scan. Toy inputs bypass via the small_bytes gate anyway.
+    # cache_spine=True re-enables the round-10 plan so the cache-ab
+    # rehearsal keeps measuring the same A/B every round.
+    binned = spine_cache(out) if cache_spine else out
     for m, _ in metrics:
         hist = (
             binned.groupBy(f"__bin_{m}")
@@ -230,6 +237,7 @@ def exact_cume_counts_multi(
     metrics: list[tuple[str, str, str]],
     n_bins: int = 4096,
     small_bytes: int = SMALL_SPINE_BYTES,
+    cache_spine: bool = False,
 ) -> DataFrame:
     """For each ``(metric, le_col, ge_col)`` triple, add ``le_col`` =
     count of rows with ``metric`` <= this row's and ``ge_col`` = the
@@ -284,11 +292,12 @@ def exact_cume_counts_multi(
                 f"(({m} - __mn_{m}) * {n_bins}) div (__mx_{m} - __mn_{m} + 1)"
             ).cast("long"),
         )
-    # cache: each metric's histogram branch re-derives this frame
-    # otherwise (same rationale as scalable_ntile_desc_multi — the
-    # 3-dim ECOD read its source 8x before caching); registered for
-    # release_spines()
-    binned = spine_cache(binned)
+    # uncached — same round-11 30x reversal as
+    # scalable_ntile_desc_multi (35.4 s cached vs 15.5 s uncached at
+    # 18M rows): the O(n) binned frame's materialization cost grows
+    # with the fact; re-scanning the narrow projection does not.
+    if cache_spine:
+        binned = spine_cache(binned)
     out = binned
     for m, _, _ in metrics:
         hist = (

@@ -19,11 +19,12 @@ def test_release_spines_unpersists_and_empties(spark):
     df = spark.range(100).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("m")
     )
-    # small_bytes=0 forces the histogram path (the one that caches a
-    # spine) — the default gate would divert this tiny input to the
-    # plain-window fast path, which caches nothing
+    # small_bytes=0 forces the histogram path and cache_spine=True the
+    # round-10 cached plan (the committed default is uncached after the
+    # round-11 30x reversal; the flag exists for the cache-ab rehearsal
+    # and registers through spine_cache exactly like any other site)
     out = scalable_ntile_desc_multi(
-        df, 4, [("m", "tile")], key="k", small_bytes=0
+        df, 4, [("m", "tile")], key="k", small_bytes=0, cache_spine=True
     )
     out.count()  # force — materializes the registered spine cache
     assert caching._LIVE, "scalable_ntile should have registered a spine"

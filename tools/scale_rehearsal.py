@@ -1169,11 +1169,12 @@ def rehearse_cache_ab(sf_dir: str, factor: int, repeats: int = 2) -> None:
       rejected: cache every source-table read (patching the query
       module's ``t``), so all plan branches share one materialization
       instead of pruned parallel re-scans.
-    * ``ntile-multi`` / ``cume-multi`` — the round-10 CACHED cases
-      (the ranks.py binned-spine caches), run as the raw primitives on
+    * ``ntile-multi`` / ``cume-multi`` — run as the raw primitives on
       scaled lineitem axes with ``small_bytes=0`` (the at-scale path).
-      B-arm disables the spine cache (patching ``ranks.spine_cache``
-      to identity), i.e. the pre-round-10 re-scan plan.
+      Round 10 CACHED these spines on a 1x/10x win; this rehearsal's
+      30x tier REVERSED that (35 s cached vs 12-16 s uncached at 18M
+      rows), so the committed arm is now UNCACHED and the B-arm
+      (``cache_spine=True``) is the round-10 plan.
 
     A verdict flips when the committed arm is SLOWER at this tier.
     """
@@ -1238,35 +1239,37 @@ def rehearse_cache_ab(sf_dir: str, factor: int, repeats: int = 2) -> None:
         F.col("l_suppkey").cast("long").alias("sk"),
         F.monotonically_increasing_id().alias("k"),
     ).localCheckpoint(eager=True)
-    cases = {
-        "ntile-multi": lambda: noop(
+    def ntile_case(cache_spine):
+        return lambda: noop(
             ranks.scalable_ntile_desc_multi(
                 axes,
                 5,
                 [("cents", "t_c"), ("qty", "t_q"), ("sk", "t_s")],
                 key="k",
                 small_bytes=0,
+                cache_spine=cache_spine,
             )
-        ),
-        "cume-multi": lambda: noop(
+        )
+
+    def cume_case(cache_spine):
+        return lambda: noop(
             ranks.exact_cume_counts_multi(
                 axes,
                 [("cents", "le_c", "ge_c"), ("qty", "le_q", "ge_q"),
                  ("sk", "le_s", "ge_s")],
                 small_bytes=0,
+                cache_spine=cache_spine,
             )
-        ),
-    }
-    orig_cache = ranks.spine_cache
-    for label, thunk in cases.items():
-        committed = timed(thunk)
-        ranks.spine_cache = lambda df: df
-        try:
-            alt = timed(thunk)
-        finally:
-            ranks.spine_cache = orig_cache
+        )
+
+    # committed arm = UNCACHED (the round-11 30x reversal of round
+    # 10's cached adoption); alternative = cache_spine=True, the
+    # round-10 plan — kept parameterized so this A/B re-runs verbatim
+    for label, case in (("ntile-multi", ntile_case), ("cume-multi", cume_case)):
+        committed = timed(case(False))
+        alt = timed(case(True))
         print(
-            f"{label}(cached)\t{committed:.2f}\t{alt:.2f}\t"
+            f"{label}(uncached)\t{committed:.2f}\t{alt:.2f}\t"
             f"{committed <= alt}"
         )
     spark.stop()
