@@ -33,7 +33,20 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canonical_repr(v) -> str:
     """repr with engine-independent canonicalization of sequence values
-    (numpy array vs Python list) and numpy scalars (np.int64(3) vs 3)."""
+    (numpy array vs Python list) and numpy scalars (np.int64(3) vs 3).
+
+    Null canonicalization: a nullable BOOLEAN (or other object-dtype)
+    column arrives as ``None`` from Spark's toPandas but ``nan`` from
+    DuckDB's .df() — same engine NULL, different Python scalar (found
+    by the round-11 adversarial NULL sweep: value-identical outputs
+    flagged on 'None' vs 'nan'). All NA-ish scalars map to one token.
+    Float COLUMNS are unaffected (they take the float64 dtype path,
+    where Spark already surfaces NULL as NaN — the engines were never
+    distinguishable there)."""
+    if v is None or v is pd.NaT or v is pd.NA:
+        return "NULL"
+    if isinstance(v, float) and v != v:
+        return "NULL"
     if isinstance(v, str):
         return repr(v)
     if isinstance(v, (bytes, bytearray, memoryview)):

@@ -138,6 +138,11 @@ def pack_sequences(
     token cumsum finds each bin boundary in O(log n). An oversized
     document gets a bin of its own.
     """
+    # NULL text has no tokens and cannot join a training sequence —
+    # drop before packing (oracle mirrors with text IS NOT NULL;
+    # round-11 adversarial sweep: size(split(NULL)) = -1 silently
+    # packed phantom "-1-token" docs)
+    docs = docs.filter(F.col(text_col).isNotNull())
     toks = docs.select(
         group,
         key,
@@ -522,7 +527,9 @@ def quality_model_report(
 
     from steam_data_pipeline_spark.llm.textstats import quality_score
 
-    scored = docs.select(
+    # NULL text cannot be tokenized (HashingTF NPEs on a NULL array),
+    # scored, or labeled — out of the training population on both legs
+    scored = docs.filter(F.col(text_col).isNotNull()).select(
         key,
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
         quality_score(F.col(text_col)).alias("__q"),

@@ -69,6 +69,14 @@ def with_shingles(
     (measured: ``split`` appearing 3× in the optimized plan and the
     per-element re-tokenization with it).
     """
+    # no-identity-no-merge (round-11 adversarial sweep): a NULL text has
+    # no shingles. Without this filter, split(NULL) -> NULL tokens ->
+    # concat_ws SKIPS the nulls and every NULL-text doc gets the single
+    # shared shingle "" — all such docs silently pair with each other
+    # (measured: 465 phantom pairs from 31 NULL docs), while the SQL
+    # oracles' unnest(split(NULL)) drops them. Same policy as
+    # exact_dedup: no content, no candidates.
+    docs = docs.filter(F.col(text_col).isNotNull())
     toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
@@ -101,6 +109,8 @@ def with_hashed_shingles(
     explode) or whose consumer is duplicate-insensitive (``array_min``
     minhash folds) should pass False; set-semantics consumers
     (``size``-based Jaccard/containment) need the default."""
+    # same NULL-text drop as with_shingles (no identity, no candidates)
+    docs = docs.filter(F.col(text_col).isNotNull())
     toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
@@ -959,8 +969,13 @@ def embedding_near_pairs(
     exactly (JVM sequential fold) within buckets only."""
     from steam_data_pipeline_spark.llm.simsearch import cosine_expr
 
-    tagged = embeddings.select(key, vec_col).withColumn(
-        "bucket", _srp_bucket_udf(n_planes)(F.col(vec_col))
+    # NULL-vector contract (see simsearch.drop_null_vectors): a NULL
+    # embedding has no perceptual identity — drop before the SRP UDF
+    # (which would crash on None) and mirror in the oracle
+    tagged = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(key, vec_col)
+        .withColumn("bucket", _srp_bucket_udf(n_planes)(F.col(vec_col)))
     )
     a = tagged.select(F.col(key).alias("a"), F.col(vec_col).alias("va"), "bucket")
     b = tagged.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"), "bucket")

@@ -102,6 +102,17 @@ def cosine_expr(a: str | Column, b: str | Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """NULL-vector contract (round-11 adversarial NULL sweep): a row
+    with a NULL embedding is unsearchable and unindexable — zip/dot
+    against it is undefined (DuckDB's list_zip(NULL, v) yields an
+    empty list and list_reduce then ERRORS; Spark's KMeans .fit and
+    the SRP bucket UDF crash outright). Every vector operator drops
+    such rows at ingestion; the oracles mirror with
+    ``embedding IS NOT NULL``."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -118,11 +129,13 @@ def brute_force_topk(
     Deterministic tie-break: (score desc, vec_id asc).
     """
     q = F.broadcast(
-        queries.select(
+        drop_null_vectors(queries, vec_col).select(
             F.col(query_key), F.col(vec_col).alias("__qvec")
         )
     )
-    scored = corpus.select(key, vec_col).crossJoin(q).select(
+    scored = drop_null_vectors(corpus, vec_col).select(
+        key, vec_col
+    ).crossJoin(q).select(
         query_key,
         key,
         cosine_expr(vec_col, "__qvec").alias("cosine"),
@@ -148,7 +161,7 @@ def _centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(
+    feats = drop_null_vectors(corpus, vec_col).select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     ).cache()  # Lloyd iterations re-scan the features; pay the read once
     try:
@@ -190,6 +203,7 @@ def build_ivf_index(
     lists). Returns an :class:`IvfIndex` (unpacks as ``(centroids,
     assignments)``); persist the assignments table partitioned by
     centroid_id for reuse."""
+    corpus = drop_null_vectors(corpus, vec_col)
     cents = _centroids(corpus, key, vec_col, n_centroids)
     c = F.broadcast(cents.select("centroid_id", "centroid"))
     scored = corpus.select(key, vec_col).crossJoin(c).select(
@@ -224,7 +238,7 @@ def build_lsh_index(
     cost only."""
     from steam_data_pipeline_spark.llm.dedup import _srp_bucket_udf
 
-    vecs = corpus.select(key, vec_col)
+    vecs = drop_null_vectors(corpus, vec_col).select(key, vec_col)
     tables = [
         vecs.withColumn(
             "__bucket",
@@ -398,8 +412,10 @@ def lsh_topk(
         for r in range(1, probe_radius + 1)
         for bits in itertools.combinations(range(n_planes), r)
     ]
-    vecs = corpus.select(key, vec_col)
-    qsel = queries.select(query_key, F.col(vec_col).alias("__qvec"))
+    vecs = drop_null_vectors(corpus, vec_col).select(key, vec_col)
+    qsel = drop_null_vectors(queries, vec_col).select(
+        query_key, F.col(vec_col).alias("__qvec")
+    )
     cands = None
     # Static touched-bucket pruning (the operators/upsert.py doctrine):
     # Spark's dynamic partition pruning does NOT fire for this
@@ -528,7 +544,8 @@ def ivf_topk(
         n_probe = max(5, round(actual_c * 5 / 16))
     c = F.broadcast(cents.select("centroid_id", "centroid"))
     qprobe = (
-        queries.select(query_key, F.col(vec_col).alias("__qvec"))
+        drop_null_vectors(queries, vec_col)
+        .select(query_key, F.col(vec_col).alias("__qvec"))
         .crossJoin(c)
         .select(
             query_key,
@@ -621,8 +638,8 @@ def quantized_topk(
     invariant (llm_sim_quantized: >= 0.9 measured with margin on
     64-dim vectors; int8 keeps ~2 decimal digits per coordinate).
     Deterministic tie-break: (score desc, key asc)."""
-    cq = quantize_int8(corpus, vec_col)
-    qq = quantize_int8(queries, vec_col)
+    cq = quantize_int8(drop_null_vectors(corpus, vec_col), vec_col)
+    qq = quantize_int8(drop_null_vectors(queries, vec_col), vec_col)
     q = F.broadcast(
         qq.select(
             F.col(query_key),

@@ -80,14 +80,28 @@ def _asof_union_tag(
     )
     w = Window.partitionBy(key).orderBy(*order).rowsBetween(*frame)
     pick = F.last if backward else F.first
-    filled = unioned.select(
+    # pick the right ROW, not each value independently: the carried
+    # fields travel in one struct that is non-NULL exactly for right
+    # rows, so ignorenulls skips only non-rows. Per-column ignorenulls
+    # picks would look PAST a matched row whose value is NULL to an
+    # older row's value (merge_asof/DuckDB ASOF match the row and
+    # return its NULL — round-11 adversarial NULL sweep).
+    row_struct = F.struct(
+        F.col("__r_ts").alias("__ts"),
+        *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+    )
+    marked = unioned.select(
         *l_cols,
         "__is_left",
-        *[
-            pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
-        pick("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *(["__r_tb"] if tiebreak else []),  # window order key
+        F.when(F.col("__is_left") == 0, row_struct).alias("__r_row"),
+    )
+    picked = pick("__r_row", ignorenulls=True).over(w)
+    filled = marked.select(
+        *l_cols,
+        "__is_left",
+        *[picked[c].alias(f"asof_{c}") for c in value_cols],
+        picked["__ts"].alias("asof_ts"),
     )
     out = filled.filter(F.col("__is_left") == 1).drop("__is_left")
     if tolerance is not None:

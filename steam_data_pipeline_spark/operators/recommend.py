@@ -29,7 +29,12 @@ def interaction_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBy.
     """
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    # a NULL quantity is no interaction: kept, an all-NULL (user, item)
+    # group sums to NULL strength and ALS hard-raises on NaN ratings
+    # (round-11 adversarial NULL sweep)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    ).filter(F.col("l_quantity").isNotNull())
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -157,7 +162,11 @@ def minhash_recommendations(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    p = read_table(spark, sf_dir, "part").select(
+    # no name, no tags: HashingTF NPEs on a NULL token array, and a
+    # nameless part has no content identity (round-11 NULL sweep)
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").isNotNull()
+    ).select(
         "p_partkey", F.array_distinct(F.split("p_name", " ")).alias("tags")
     )
     tf = HashingTF(

@@ -1001,7 +1001,10 @@ def udaf_fsum_value(spark, sf_dir):
 
     @pandas_udf("double")
     def fsum_udaf(v: pd.Series) -> float:
-        return math.fsum(v)
+        # SQL SUM semantics: NULLs (NaN in the Arrow batch) are
+        # skipped, not propagated — math.fsum would return nan for a
+        # group with ANY null (round-11 adversarial NULL sweep)
+        return math.fsum(v.dropna())
 
     @pandas_udf("long")
     def count_udaf(v: pd.Series) -> int:

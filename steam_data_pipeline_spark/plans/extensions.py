@@ -390,10 +390,10 @@ def llm_dedup_simhash(spark, sf_dir):
     "llm_dedup_embedding",
     oracle=f"""
     WITH u AS (
-      SELECT vec_id, embedding FROM embeddings
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 32
+      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL
     ),
     scored AS (
       SELECT a.vec_id AS a, b.vec_id AS b,
@@ -436,12 +436,12 @@ def llm_dedup_embedding(spark, sf_dir):
     "llm_sim_search",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
     ),
     scored AS (
       SELECT q.query_id, e.vec_id,
              {_COS_SQL.format(a="e.embedding", b="q.qv")} AS cosine
-      FROM embeddings e CROSS JOIN q
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN q
     )
     SELECT query_id, vec_id, cosine FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -458,9 +458,12 @@ def llm_dedup_embedding(spark, sf_dir):
 )
 def llm_sim_search(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # searchable probes only: NULL-embedding rows are dropped by every
+    # vector operator (simsearch.drop_null_vectors) and by the oracle's
+    # embedding IS NOT NULL filter — counts must agree with both
+    queries = emb.filter(
+        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     return S.brute_force_topk(emb, queries, k=10)
 
 
@@ -468,7 +471,7 @@ _ANN_RECALL_ORACLE = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
            CAST(COUNT(*) * 10 AS BIGINT) AS n_results,
            TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 5
+    FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
 """
 
 
@@ -478,9 +481,12 @@ def _ann_recall_invariant(spark, sf_dir, ann_fn, recall_bound: float, **ann_kwar
     agg_distinct_pool_approx pattern applied to recall@10. The approx
     path still fully executes; the oracle asserts the recall bound."""
     emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # searchable probes only: NULL-embedding rows are dropped by every
+    # vector operator (simsearch.drop_null_vectors) and by the oracle's
+    # embedding IS NOT NULL filter — counts must agree with both
+    queries = emb.filter(
+        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     # materialize both top-k sets once (|Q|·k rows each): the three
     # single-row aggregates below reference them across crossJoin legs,
     # which Spark plans as independent subtrees — without the
@@ -1746,7 +1752,7 @@ def llm_domain_mix(spark, sf_dir):
              CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
                AS n_tokens,
              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     pack AS (
       SELECT source, doc_id, rn, n_tokens, n_tokens AS fill,
@@ -1758,7 +1764,10 @@ def llm_domain_mix(spark, sf_dir):
                   THEN d.n_tokens ELSE p.fill + d.n_tokens END,
              CASE WHEN p.fill + d.n_tokens > 512
                   THEN p.bin_id + 1 ELSE p.bin_id END
-      FROM d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1
+      -- null-safe group match: a NULL source is a real packing group
+      -- (groupBy semantics on the Spark leg); plain = would drop it
+      FROM d JOIN pack p
+        ON d.source IS NOT DISTINCT FROM p.source AND d.rn = p.rn + 1
     )
     SELECT source, doc_id, n_tokens, bin_id FROM pack
     """,
@@ -2565,13 +2574,13 @@ def join_skew_salted(spark, sf_dir):
     "llm_dedup_embedding_cluster",
     oracle=f"""
     WITH RECURSIVE u AS (
-      SELECT vec_id, embedding FROM embeddings
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 32
+      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL
       UNION ALL
       SELECT vec_id + 2000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 16
+      FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL
     ),
     ep AS (
       SELECT a.vec_id AS a, b.vec_id AS b
@@ -3705,7 +3714,7 @@ def llm_dedup_substring(spark, sf_dir):
            CAST(COUNT(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS n_eval,
            TRUE AS acc_ok,
            TRUE AS auc_ok
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     doc=(
         "Model-based quality filter (fastText/linear-classifier shape): "
@@ -3879,8 +3888,10 @@ def stream_custom_datasource(spark, sf_dir):
     "udtf_text_chunks",
     oracle="""
     WITH toks AS (
+      -- no text, no chunks (the UDTF emits nothing for NULL; DuckDB's
+      -- greatest(NULL-1, 0) would otherwise fabricate one NULL chunk)
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), starts AS (
       SELECT doc_id, w,
              UNNEST(generate_series(0, greatest(len(w) - 1, 0), 8)) AS s
@@ -4800,7 +4811,10 @@ def llm_bpe_roundtrip(spark, sf_dir):
       SELECT doc_id + 1000000,
              concat(substring(substring(text, 1, 40), 1, 6), 'Z',
                     substring(substring(text, 1, 40), 8, 33))
-      FROM documents WHERE doc_id % 5 = 0
+      -- text IS NOT NULL: DuckDB's concat() SKIPS NULL args (Spark's
+      -- returns NULL), so a NULL-text source would plant the 1-char
+      -- string 'Z' here and nothing on the Spark leg
+      FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
            CAST(levenshtein(a.s, b.s) AS INT) AS dist
@@ -4837,7 +4851,9 @@ def llm_dedup_editdist(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     k40 = F.substring("text", 1, 40)
     base = docs.select("doc_id", k40.alias("s"))
-    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+    planted = docs.filter(
+        ((F.col("doc_id") % 5) == 0) & F.col("text").isNotNull()
+    ).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(
             F.substring(k40, 1, 6), F.lit("Z"), F.substring(k40, 8, 33)
@@ -5766,17 +5782,23 @@ def _simhash_operator_only(spark, sf_dir):
 
 def _ivf_operator_only(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # searchable probes only: NULL-embedding rows are dropped by every
+    # vector operator (simsearch.drop_null_vectors) and by the oracle's
+    # embedding IS NOT NULL filter — counts must agree with both
+    queries = emb.filter(
+        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     return S.ivf_topk(emb, queries, k=10, n_probe=6).select("query_id", "vec_id")
 
 
 def _lsh_operator_only(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # searchable probes only: NULL-embedding rows are dropped by every
+    # vector operator (simsearch.drop_null_vectors) and by the oracle's
+    # embedding IS NOT NULL filter — counts must agree with both
+    queries = emb.filter(
+        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     return S.lsh_topk(emb, queries, k=10).select("query_id", "vec_id")
 
 
@@ -5792,9 +5814,12 @@ def _ivf_persisted_operator_only(spark, sf_dir):
     per-query-batch production cost of llm_sim_ivf_persisted (the
     registered form adds the in-query brute-force truth leg)."""
     emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # searchable probes only: NULL-embedding rows are dropped by every
+    # vector operator (simsearch.drop_null_vectors) and by the oracle's
+    # embedding IS NOT NULL filter — counts must agree with both
+    queries = emb.filter(
+        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     idx = S.load_ivf_index(spark, _prepare_ivf_index(spark, sf_dir))
     return S.ivf_topk(emb, queries, k=10, index=idx, n_probe=6).select(
         "query_id", "vec_id"
@@ -5805,9 +5830,12 @@ def _lsh_persisted_operator_only(spark, sf_dir):
     """Probe-only cost against the pre-existing persisted LSH index —
     the per-query-batch production cost of llm_sim_lsh_persisted."""
     emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # searchable probes only: NULL-embedding rows are dropped by every
+    # vector operator (simsearch.drop_null_vectors) and by the oracle's
+    # embedding IS NOT NULL filter — counts must agree with both
+    queries = emb.filter(
+        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     idx = S.load_lsh_index(spark, _prepare_lsh_index(spark, sf_dir))
     return S.lsh_topk(emb, queries, k=10, index=idx).select(
         "query_id", "vec_id"
@@ -6019,7 +6047,7 @@ def samp_weighted_reservoir(spark, sf_dir):
     WITH q AS (
       SELECT list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     e AS (SELECT unnest(qv) AS qi, generate_subscripts(qv, 1) AS i FROM q),
     s AS (SELECT i,
@@ -6155,13 +6183,13 @@ def sink_cdc_diff(spark, sf_dir):
     "llm_semdedup",
     oracle=f"""
     WITH RECURSIVE u AS (
-      SELECT vec_id, embedding FROM embeddings
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 32
+      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL
       UNION ALL
       SELECT vec_id + 2000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 16
+      FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL
     ),
     ep AS (
       SELECT a.vec_id AS a, b.vec_id AS b
@@ -6769,7 +6797,8 @@ def _bm25_scores(spark, sf_dir):
       FROM contrib GROUP BY doc_id
       ORDER BY ROUND(CAST(SUM(c) AS DOUBLE), 6) DESC, doc_id LIMIT 20
     ),
-    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    qv AS (SELECT embedding AS v FROM embeddings
+           WHERE vec_id = 0 AND embedding IS NOT NULL),
     dense AS (
       SELECT vec_id AS doc_id,
              CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
@@ -6777,7 +6806,7 @@ def _bm25_scores(spark, sf_dir):
       FROM (
         SELECT e.vec_id,
                {_COS_SQL.format(a="e.embedding", b="qv.v")} AS cosine
-        FROM embeddings e CROSS JOIN qv
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN qv
       ) ORDER BY cosine DESC, vec_id LIMIT 20
     )
     SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
@@ -6820,11 +6849,16 @@ def llm_hybrid_search(spark, sf_dir):
         .select("doc_id", "r_lex")
     )
     emb = t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("v")
-    )
+    # a NULL probe or NULL corpus vector carries no dense signal: drop
+    # both (matching simsearch.drop_null_vectors and the oracle's
+    # embedding IS NOT NULL) — otherwise every cosine is NULL and the
+    # "ranking" degrades to vec_id order, differently per engine
+    qv = emb.filter(
+        (F.col("vec_id") == 0) & F.col("embedding").isNotNull()
+    ).select(F.col("embedding").alias("v"))
     dense = (
-        emb.crossJoin(F.broadcast(qv))
+        emb.filter(F.col("embedding").isNotNull())
+        .crossJoin(F.broadcast(qv))
         .select("vec_id", S.cosine_expr("embedding", "v").alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(20)
@@ -7175,7 +7209,9 @@ def stream_mv_refresh(spark, sf_dir):
              CAST(ROUND(CAST(0.25 AS DECIMAL(3,2)) * idx.n
                         + CAST(0.75 AS DECIMAL(3,2)) * r.ewma, 9)
                   AS DECIMAL(20,9))
-      FROM idx JOIN r ON idx.event_type = r.event_type AND idx.i = r.i + 1
+      FROM idx JOIN r
+        ON idx.event_type IS NOT DISTINCT FROM r.event_type
+       AND idx.i = r.i + 1
     )
     SELECT event_type, day, n, CAST(ewma AS DOUBLE) AS ewma FROM r
     """,
@@ -7363,7 +7399,9 @@ def win_resample_ffill(spark, sf_dir):
       UNION ALL
       SELECT idx.event_type, idx.day, idx.n, idx.i, idx.n1,
              GREATEST(CAST(0 AS BIGINT), r.cusum + idx.n - idx.n1 - 2)
-      FROM idx JOIN r ON idx.event_type = r.event_type AND idx.i = r.i + 1
+      FROM idx JOIN r
+        ON idx.event_type IS NOT DISTINCT FROM r.event_type
+       AND idx.i = r.i + 1
     )
     SELECT event_type, day, n, cusum, cusum > 10 AS alarm FROM r
     """,
@@ -7635,7 +7673,9 @@ def sink_cdc_apply(spark, sf_dir):
                              AS DECIMAL(20,9)) - r.lvl)
                         + CAST(0.75 AS DECIMAL(3,2)) * r.trd, 9)
                   AS DECIMAL(20,9))
-      FROM idx JOIN r ON idx.event_type = r.event_type AND idx.i = r.i + 1
+      FROM idx JOIN r
+        ON idx.event_type IS NOT DISTINCT FROM r.event_type
+       AND idx.i = r.i + 1
     )
     SELECT event_type, day, n,
            CAST(lvl AS DOUBLE) AS level,
@@ -12613,12 +12653,15 @@ def agg_hill_tail_index(spark, sf_dir):
              hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.s7,
              0.2 * (r.x - (0.3 * (r.x - hw.s1) + 0.7 * (hw.L + hw.B)))
                + 0.8 * hw.s1
-      FROM hw JOIN r ON r.event_type = hw.event_type AND r.rn = hw.t + 1
+      FROM hw JOIN r
+        ON r.event_type IS NOT DISTINCT FROM hw.event_type
+       AND r.rn = hw.t + 1
     ),
     fin AS (
       SELECT hw.* FROM hw
       JOIN (SELECT event_type, MAX(rn) AS n FROM r GROUP BY 1) nn
-        ON nn.event_type = hw.event_type AND hw.t = nn.n
+        ON nn.event_type IS NOT DISTINCT FROM hw.event_type
+       AND hw.t = nn.n
     )
     SELECT event_type, CAST(h AS INT) AS h,
            ROUND(L + h * B
@@ -12815,12 +12858,15 @@ BENCH_FIXTURES.append(_prepare_hw_stream_fixture)
              hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.s7,
              0.2 * (r.x - (0.3 * (r.x - hw.s1) + 0.7 * (hw.L + hw.B)))
                + 0.8 * hw.s1
-      FROM hw JOIN r ON r.event_type = hw.event_type AND r.rn = hw.t + 1
+      FROM hw JOIN r
+        ON r.event_type IS NOT DISTINCT FROM hw.event_type
+       AND r.rn = hw.t + 1
     ),
     fin AS (
       SELECT hw.* FROM hw
       JOIN (SELECT event_type, MAX(rn) AS n FROM r GROUP BY 1) nn
-        ON nn.event_type = hw.event_type AND hw.t = nn.n
+        ON nn.event_type IS NOT DISTINCT FROM hw.event_type
+       AND hw.t = nn.n
     )
     SELECT event_type, CAST(t AS BIGINT) AS n_days, CAST(h AS INT) AS h,
            ROUND(L + h * B

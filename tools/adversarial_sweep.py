@@ -1,0 +1,147 @@
+"""Adversarial differential sweep: NULLs + ties the fixtures never had.
+
+The round-11 module review's micro-fixture found 5 real cross-engine
+divergences (NULL flags merging islands, ANSI DIVIDE_BY_ZERO crashes,
+round(NaN) crashes, arbitrary equal-ts tie picks) — every one invisible
+at all three driver SFs because the generated testdata contains no
+NULLs and no (user_id, ts) collisions anywhere. This tool generalizes
+that method to the WHOLE registry:
+
+1. derive an sf0.001-based corpus where a deterministic ~4% of every
+   nullable VALUE column is NULL (keys and ordering spines are kept —
+   ts/user_id/event_id stay intact so the sweep isolates value-NULL
+   semantics from NULL-ordering semantics, which differ by engine and
+   deserve their own pass), plus ~2% duplicated (user_id, ts) tie rows
+   in events with fresh event_ids and shifted values;
+2. run EVERY registered query against its DuckDB oracle on that corpus
+   through the standard difftest harness (strict value-exact mode);
+3. print the failures — each one is a real robustness finding: a crash
+   class (ANSI arithmetic, sqrt(negative), round(NaN)) or a semantic
+   divergence (CASE vs cast NULL handling, tie nondeterminism).
+
+Usage:
+    python tools/adversarial_sweep.py [--base /root/testdata/sf0.001]
+                                      [--names q1 q2 ...]
+
+The corpus is rebuilt from scratch on every run (cheap at sf0.001) so
+the tool stays deterministic across testdata regenerations.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (table, key expression used to seed the deterministic hash, columns to
+# null at the standard rate). Keys, FK join columns and ordering spines
+# are deliberately absent — except customer.c_nationkey, included at a
+# lower rate because a NULL FK is a semantics-bearing input (LEFT joins
+# must keep the row, inner joins must drop it, identically on both
+# engines).
+NULL_PLAN: dict[str, tuple[str, list[str]]] = {
+    "part": ("p_partkey", ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"]),
+    "orders": ("o_orderkey", ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]),
+    "lineitem": (
+        "l_orderkey * 10 + l_linenumber",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"],
+    ),
+    "customer": ("c_custkey", ["c_name", "c_acctbal", "c_mktsegment"]),
+    "events": ("event_id", ["event_type", "value", "props"]),
+    "documents": ("doc_id", ["text", "lang", "source", "n_chars"]),
+    "embeddings": ("vec_id", ["embedding", "label"]),
+    "supplier": ("s_suppkey", ["s_name", "s_acctbal"]),
+}
+NULL_RATE = 25  # 1-in-25 = 4%
+FK_RATE = 50  # 1-in-50 = 2% for customer.c_nationkey
+TIE_RATE = 50  # 1-in-50 events rows duplicated at the same (user, ts)
+
+
+def build_adversarial_dir(base: str, out_dir: str) -> str:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        src = f"{base}/{name}.parquet"
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if name in ("region", "nation"):
+            shutil.copyfile(src, dst)  # tiny dims stay intact
+            continue
+        key, cols = NULL_PLAN[name]
+        sel = []
+        for row in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall():
+            colname = row[0]
+            if colname in cols:
+                sel.append(
+                    f"CASE WHEN hash(CAST({key} AS VARCHAR) || '{colname}') "
+                    f"% {NULL_RATE} = 0 THEN NULL ELSE {colname} END AS {colname}"
+                )
+            else:
+                sel.append(colname)
+        q = f"SELECT {', '.join(sel)} FROM '{src}'"
+        if name == "customer":
+            q = q.replace(
+                "c_nationkey",
+                f"CASE WHEN hash(CAST(c_custkey AS VARCHAR) || 'fk') "
+                f"% {FK_RATE} = 0 THEN NULL ELSE c_nationkey END AS c_nationkey",
+            )
+        if name == "events":
+            # tie rows: same (user_id, ts), fresh event_id past the max,
+            # value shifted so the tie actually distinguishes picks
+            q = f"""
+            WITH base AS ({q}),
+            mx AS (SELECT MAX(event_id) AS m FROM base),
+            dups AS (
+              SELECT (SELECT m FROM mx)
+                       + row_number() OVER (ORDER BY event_id) AS event_id,
+                     ts, user_id, event_type,
+                     value + 37.5 AS value, props
+              FROM base WHERE hash(CAST(event_id AS VARCHAR) || 'tie')
+                               % {TIE_RATE} = 0
+            )
+            SELECT * FROM base UNION ALL SELECT * FROM dups
+            """
+        con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
+    return out_dir
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", default="/root/testdata/sf0.001")
+    p.add_argument("--names", nargs="*", default=None)
+    args = p.parse_args()
+
+    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_adversarial")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    build_adversarial_dir(args.base, out_dir)
+    print(f"# adversarial corpus at {out_dir} ({time.time() - t0:.1f} s)")
+
+    from steam_data_pipeline_spark.difftest import run_all
+    from steam_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("adversarial-sweep")
+    t0 = time.time()
+    results = run_all(spark, out_dir, names=args.names)
+    n_pass = sum(r.ok for r in results)
+    print(
+        f"{n_pass}/{len(results)} pass ({len(results) - n_pass} findings) "
+        f"in {time.time() - t0:.1f} s"
+    )
+    for r in results:
+        if not r.ok:
+            print(f"[FINDING] {r}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
