@@ -664,7 +664,10 @@ def win_trailing_time_range(spark, sf_dir):
     SELECT event_id, user_id, value,
            percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pct_rank,
            cume_dist()    OVER (PARTITION BY user_id ORDER BY value, event_id) AS cume
-    FROM events
+    -- NULL values excluded: the engines place NULLs at opposite ends
+    -- of an ASC order (Spark FIRST, DuckDB LAST), so a NULL
+    -- observation has no engine-stable distribution position
+    FROM events WHERE value IS NOT NULL
     """,
     doc=(
         "Distribution-position windows: percent_rank + cume_dist of each "
@@ -677,7 +680,7 @@ def win_trailing_time_range(spark, sf_dir):
 )
 def win_pctrank_cumedist(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("value", "event_id")
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return ev.select(
         "event_id",
         "user_id",
@@ -1092,11 +1095,17 @@ def udf_recommender(spark, sf_dir):
     oracle="""
     WITH c AS (
       SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
       FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), ch AS (
-      SELECT * FROM c WHERE prev IS NULL OR prev <> event_type
+      -- null-safe change test, matching operators/windows.scd2_history:
+      -- NULL is a distinct STATE (a non-NULL -> NULL transition is a
+      -- real version), and rn=1 detects the first row even when its
+      -- state is NULL (prev IS NULL can't; IS DISTINCT FROM alone
+      -- misses a NULL-state first row)
+      SELECT * FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type AS state, ts AS valid_from,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

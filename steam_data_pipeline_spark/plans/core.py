@@ -1054,7 +1054,7 @@ def agg_grouping_sets(spark, sf_dir):
       SELECT lang, n_chars,
              row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
              COUNT(*) OVER (PARTITION BY lang) AS n
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     )
     SELECT lang,
            MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50,
@@ -1072,15 +1072,27 @@ def agg_grouping_sets(spark, sf_dir):
     tags=("agg", "percentile", "validation"),
 )
 def agg_percentiles_exact(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").select("lang", "n_chars")
+    # NULL n_chars carries no length information and the two engines
+    # place NULLs at opposite ends of an ASC sort (Spark FIRST, DuckDB
+    # LAST) — excluded from the order statistics on both legs, the
+    # same convention DuckDB's own percentile functions use
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("lang", "n_chars")
+        .filter(F.col("n_chars").isNotNull())
+    )
     w = Window.partitionBy("lang").orderBy("n_chars")
     # group sizes via map-side-combined groupBy + broadcast join, not
     # count() over an unordered window — that variant buffers each whole
     # partition in the window exec; row_number alone streams its frame
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # eqNullSafe: a NULL lang is a real percentile group (both engines'
+    # window PARTITION BY and GROUP BY treat NULLs as one group) — a
+    # plain equi-join here silently dropped it (round-11 NULL sweep)
     ranked = docs.withColumn("rn", F.row_number().over(w)).join(
-        F.broadcast(counts), on="lang"
-    )
+        F.broadcast(counts.withColumnRenamed("lang", "__cl")),
+        docs.lang.eqNullSafe(F.col("__cl")),
+    ).drop("__cl")
 
     def at(p):
         return F.max(
@@ -1099,7 +1111,7 @@ def agg_percentiles_exact(spark, sf_dir):
     oracle="""
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
            TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
-    FROM documents GROUP BY lang
+    FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
     """,
     doc=(
         "Mergeable-sketch quantiles — the 100 TB twin of "
@@ -1119,12 +1131,20 @@ def agg_percentiles_exact(spark, sf_dir):
 def agg_percentiles_approx(spark, sf_dir):
     accuracy = 1000
     ps = [0.5, 0.9, 0.99]
-    docs = t(spark, sf_dir, "documents").select("lang", "n_chars")
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("lang", "n_chars")
+        .filter(F.col("n_chars").isNotNull())  # same convention as exact
+    )
     apx = docs.groupBy("lang").agg(
         F.percentile_approx("n_chars", ps, accuracy).alias("q"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    j = docs.join(F.broadcast(apx), on="lang")
+    # eqNullSafe: keep the NULL-lang group (see agg_percentiles_exact)
+    j = docs.join(
+        F.broadcast(apx.withColumnRenamed("lang", "__cl")),
+        docs.lang.eqNullSafe(F.col("__cl")),
+    ).drop("__cl")
     aggs = []
     for i in range(len(ps)):
         v = F.col("q")[i]

@@ -4084,7 +4084,11 @@ def llm_corpus_overlap(spark, sf_dir):
     )
     SELECT n.user_id, n.start_ts, n.end_ts, n.n_obs
     FROM numbered n JOIN last_ev le ON n.user_id = le.user_id
-    WHERE NOT (n.rni = 1 AND le.flag)
+    -- COALESCE: a NULL-flag last event (value NULL) is NOT flagged —
+    -- it CLOSED the island in the stream, so the island must be kept;
+    -- bare le.flag makes the predicate NULL and drops it (round-11
+    -- adversarial NULL sweep)
+    WHERE NOT (n.rni = 1 AND COALESCE(le.flag, FALSE))
     """,
     doc=(
         "Custom stateful streaming operator (applyInPandasWithState, "
@@ -4682,7 +4686,9 @@ def llm_bigram_pmi(spark, sf_dir):
                       ['the','a','of','and','to','der','die','das','und','ist',
                        'le','la','et','les','des','el','que','de','y']))
                       AS DOUBLE) / 2.0, 1.0)) AS score
-      FROM documents
+      -- no text, no quality score (round-11 NULL sweep; the engines
+      -- also order NULL scores at opposite ends of the rank window)
+      FROM documents WHERE text IS NOT NULL
     ),
     ranked AS (
       SELECT lang, score,
@@ -4721,7 +4727,7 @@ def llm_bigram_pmi(spark, sf_dir):
 def llm_quality_adaptive(spark, sf_dir):
     from pyspark.sql.window import Window as W
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     scored = docs.select(
         "lang", TS.quality_score("text").alias("score")
     )
@@ -4996,7 +5002,14 @@ def _kcore_oracle():
         " o_orderkey % (SELECT COUNT(*) FROM customer) AS dst"
         " FROM orders WHERE o_orderpriority = '1-URGENT'",
         k=3,
-        rounds=18,
+        # 40 unrolled peels: the fixtures converge in 9-13 rounds, but
+        # the round-11 adversarial corpus (4% of the URGENT edges
+        # nulled away) needs >18 — at 18 the oracle under-peeled and
+        # reported a phantom 10-node "core" that the Spark fixpoint
+        # loop correctly peels to empty (it converges by 30).
+        # Converged rounds are no-op MATERIALIZED CTEs, so the margin
+        # is cheap.
+        rounds=40,
     )
 
 
@@ -5230,7 +5243,9 @@ def qa_check(spark, sf_dir):
              PERCENT_RANK() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_totalprice, o_orderkey) AS pr,
              o_totalprice
-      FROM orders
+      -- NULL price has no engine-stable rank position (Spark sorts
+      -- NULLs first, DuckDB last) — excluded from the deciles
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -5257,7 +5272,9 @@ def win_ntile_bands(spark, sf_dir):
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    r = t(spark, sf_dir, "orders").select(
+    r = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
         "o_orderpriority",
         F.ntile(10).over(w).alias("decile"),
         F.percent_rank().over(w).alias("pr"),
@@ -5713,8 +5730,14 @@ def qa_anomaly_days(spark, sf_dir):
 @EXT.add(
     "qa_psi_drift",
     oracle="""
-    WITH ref AS (SELECT value AS x FROM events WHERE day(ts) <= 15),
-    cur AS (SELECT value AS x FROM events WHERE day(ts) > 15),
+    -- x IS NOT NULL: DuckDB's LEAST *skips* NULL args, so binning via
+    -- LEAST(FLOOR(NULL), k) silently routes every NULL row into the
+    -- LAST bin — the trap the Spark operators' isNotNull filter avoids
+    -- (round-11 adversarial NULL sweep)
+    WITH ref AS (SELECT value AS x FROM events
+                 WHERE day(ts) <= 15 AND value IS NOT NULL),
+    cur AS (SELECT value AS x FROM events
+            WHERE day(ts) > 15 AND value IS NOT NULL),
     bounds AS (
       SELECT MIN(x) AS vmin, MAX(x) AS vmax
       FROM (SELECT x FROM ref UNION ALL SELECT x FROM cur)
@@ -6976,10 +6999,12 @@ def sink_mv_refresh(spark, sf_dir):
     "llm_mix_interleave",
     oracle="""
     WITH d AS (
+      -- a NULL source has no mix domain (and NULL sorts at opposite
+      -- ends of the schedule's ORDER BY on the two engines) — excluded
       SELECT doc_id, source,
              CAST(substr(source, 4, 10) AS INT) % 3 AS cls,
              ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-      FROM documents
+      FROM documents WHERE source IS NOT NULL
     ),
     vt AS (
       SELECT doc_id, source,
@@ -7016,7 +7041,7 @@ def sink_mv_refresh(spark, sf_dir):
 def llm_mix_interleave(spark, sf_dir):
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
     cls = F.substring("source", 4, 10).cast("int") % 3
     stride = F.when(cls == 0, 6).when(cls == 1, 3).otherwise(2)
     rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
@@ -7351,9 +7376,15 @@ def win_resample_ffill(spark, sf_dir):
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
     )
+    # map_from_entries over structs, NOT map_from_arrays over two
+    # collect_lists: collect_list SKIPS NULLs, so an all-NULL day (v
+    # NULL) shortens the value array and MapData crashes on the length
+    # mismatch (round-11 adversarial NULL sweep); a struct entry is
+    # non-null even when its v field is NULL, and a NULL map value is
+    # exactly the gap the ffill must skip
     per_user = daily.groupBy("user_id").agg(
-        F.map_from_arrays(
-            F.collect_list("day"), F.collect_list("v")
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("day"), F.col("v")))
         ).alias("vm"),
         F.min("day").alias("d0"),
         F.max("day").alias("d1"),
@@ -8114,7 +8145,11 @@ def feat_target_encode_loo(spark, sf_dir):
     )
 
 
-_SPLIT_BUCKET_SQL = _bucket_sql("'split:' || source", 100)
+# COALESCE the group key into the salted hash: NULL source is a real
+# group, but '||' yields NULL in DuckDB while Spark's xxhash64 hashes
+# a null field to a seed-derived value — the two engines would send
+# the NULL group to DIFFERENT splits (round-11 adversarial NULL sweep)
+_SPLIT_BUCKET_SQL = _bucket_sql("'split:' || COALESCE(source, '')", 100)
 
 
 @EXT.add(
@@ -8164,7 +8199,10 @@ def feat_split_groupwise(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select(
         "source",
         "n_chars",
-        _pbucket(F.concat(F.lit("split:"), F.col("source")), 100).alias("b"),
+        _pbucket(
+            F.concat(F.lit("split:"), F.coalesce(F.col("source"), F.lit(""))),
+            100,
+        ).alias("b"),
     )
     lab = d.select(
         "source",
@@ -8824,9 +8862,11 @@ def llm_graph_communities(spark, sf_dir):
     "feat_discretize_quantile",
     oracle="""
     WITH o AS (
+      -- NULL price excluded: a NULL has no quantile position and the
+      -- engines order NULLs at opposite ends (round-11 NULL sweep)
       SELECT o_orderpriority AS prio,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     g AS (SELECT prio, cents, CAST(COUNT(*) AS BIGINT) AS c
           FROM o GROUP BY 1, 2),
@@ -8865,7 +8905,9 @@ def llm_graph_communities(spark, sf_dir):
 def feat_discretize_quantile(spark, sf_dir):
     from pyspark.sql import Window
 
-    o = t(spark, sf_dir, "orders").select(
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    ).select(
         F.col("o_orderpriority").alias("prio"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
@@ -8893,12 +8935,15 @@ def feat_discretize_quantile(spark, sf_dir):
     oracle="""
     WITH c AS (
       SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
       FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), scd AS (
+      -- null-safe version test (matches operators/windows.scd2_history:
+      -- NULL is a distinct state; rn=1 keeps a NULL-state first row)
       SELECT user_id, event_type AS state, ts AS valid_from
-      FROM c WHERE prev IS NULL OR prev <> event_type
+      FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type
     ),
     probes AS (
       SELECT event_id, user_id, ts, value FROM events
@@ -9260,8 +9305,14 @@ def win_survival_km(spark, sf_dir):
 @EXT.add(
     "qa_ks_drift",
     oracle="""
-    WITH ref AS (SELECT value AS x FROM events WHERE day(ts) <= 15),
-    cur AS (SELECT value AS x FROM events WHERE day(ts) > 15),
+    -- x IS NOT NULL: DuckDB's LEAST *skips* NULL args, so binning via
+    -- LEAST(FLOOR(NULL), k) silently routes every NULL row into the
+    -- LAST bin — the trap the Spark operators' isNotNull filter avoids
+    -- (round-11 adversarial NULL sweep)
+    WITH ref AS (SELECT value AS x FROM events
+                 WHERE day(ts) <= 15 AND value IS NOT NULL),
+    cur AS (SELECT value AS x FROM events
+            WHERE day(ts) > 15 AND value IS NOT NULL),
     bounds AS (
       SELECT MIN(x) AS vmin, MAX(x) AS vmax
       FROM (SELECT x FROM ref UNION ALL SELECT x FROM cur)
@@ -9330,7 +9381,12 @@ def qa_ks_drift(spark, sf_dir):
     # groupBy; j was re-derived for totals). One tagged projection +
     # one conditional-count groupBy + full-frame window totals = TWO
     # events scans (bounds, counts) and one shuffle instead of two.
-    ev = t(spark, sf_dir, "events").select(
+    # NULL x dropped BEFORE least(): Spark's least also skips NULL args
+    # and would route every NULL row into the last bin (the psi_drift
+    # filter, applied here too — round-11 adversarial NULL sweep)
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
         F.col("value").alias("x"),
         (F.dayofmonth("ts") <= 15).alias("is_ref"),
     )
@@ -9392,7 +9448,7 @@ def qa_ks_drift(spark, sf_dir):
     WITH c AS (
       SELECT c_mktsegment AS seg,
              CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-      FROM customer
+      FROM customer WHERE c_acctbal IS NOT NULL  -- no rank position for NULL (round-11 NULL sweep)
     ),
     mn AS (SELECT seg, CAST(MIN(cents) AS BIGINT) AS vmin
            FROM c GROUP BY 1),
@@ -9442,7 +9498,9 @@ def qa_ks_drift(spark, sf_dir):
 def agg_gini_segment(spark, sf_dir):
     from pyspark.sql import Window
 
-    c = t(spark, sf_dir, "customer").select(
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+    ).select(
         F.col("c_mktsegment").alias("seg"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
     )
@@ -11545,9 +11603,10 @@ def win_theil_sen(spark, sf_dir):
     "agg_winsorized_mean",
     oracle="""
     WITH h AS (
+      -- NULL value has no rank position (engine-opposite NULL order)
       SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
              CAST(COUNT(*) AS BIGINT) AS f
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     c AS (
       SELECT event_type, cents, f,
@@ -11593,6 +11652,7 @@ def agg_winsorized_mean(spark, sf_dir):
 
     h = (
         t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
         .groupBy(
             "event_type",
             F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -14938,10 +14998,13 @@ def agg_conversion_lag(spark, sf_dir):
     "agg_skyline_pareto",
     oracle="""
     WITH p AS (
+      -- a NULL dimension cannot be dominance-compared: skyline rows
+      -- need both axes (the operator contract; round-11 NULL sweep)
       SELECT p_partkey,
              CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
              CAST(p_size AS BIGINT) AS size
       FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
     ),
     w AS (
       SELECT p_partkey, price_cents, size,
@@ -14989,7 +15052,13 @@ def agg_skyline_pareto(spark, sf_dir):
     )
 
     p = local_skyline_preprune(
-        t(spark, sf_dir, "part").select(
+        t(spark, sf_dir, "part")
+        .filter(
+            # both axes non-null: the pre-prune contract (a NULL
+            # dimension cannot be dominance-compared)
+            F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+        )
+        .select(
             "p_partkey",
             F.round(F.col("p_retailprice") * 100)
             .cast("long")
@@ -15208,10 +15277,12 @@ def llm_embedding_centroid(spark, sf_dir):
     "agg_skyline_pareto_fact",
     oracle="""
     WITH p AS (
+      -- both axes non-null (dominance contract; round-11 NULL sweep)
       SELECT l_orderkey * 10 + l_linenumber AS li_id,
              CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
              CAST(ROUND(l_quantity) AS BIGINT) AS qty
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
     w AS (
       SELECT li_id, price_cents, qty,
@@ -15254,7 +15325,12 @@ def agg_skyline_pareto_fact(spark, sf_dir):
     )
 
     p = local_skyline_preprune(
-        t(spark, sf_dir, "lineitem").select(
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .select(
             (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("li_id"),
             F.round(F.col("l_extendedprice") * 100)
             .cast("long")
@@ -15701,7 +15777,12 @@ def agg_churn_hazard(spark, sf_dir):
     "win_greedy_allocation",
     oracle="""
     WITH supply AS (
-      SELECT p_partkey, CAST(p_size AS BIGINT) * 50 AS supply FROM part
+      -- NULL size = undefined supply; NULL qty demands nothing; a NULL
+      -- ship date has no priority position (and LEAST/GREATEST skip
+      -- NULL args in DuckDB but propagate them in Spark — the
+      -- allocation caps would silently disagree): all excluded
+      SELECT p_partkey, CAST(p_size AS BIGINT) * 50 AS supply
+      FROM part WHERE p_size IS NOT NULL
     ),
     d AS (
       SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
@@ -15711,6 +15792,7 @@ def agg_churn_hazard(spark, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS BIGINT), 0) AS cum_before
       FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_shipdate IS NOT NULL
     ),
     a AS (
       SELECT d.l_partkey AS partkey, qty,
@@ -15749,7 +15831,9 @@ def agg_churn_hazard(spark, sf_dir):
 def win_greedy_allocation(spark, sf_dir):
     from pyspark.sql import Window
 
-    supply = t(spark, sf_dir, "part").select(
+    supply = t(spark, sf_dir, "part").filter(
+        F.col("p_size").isNotNull()
+    ).select(
         F.col("p_partkey").alias("partkey"),
         (F.col("p_size").cast("long") * 50).alias("supply"),
     )
@@ -15760,6 +15844,9 @@ def win_greedy_allocation(spark, sf_dir):
     )
     d = (
         t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull() & F.col("l_shipdate").isNotNull()
+        )
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("l_quantity").cast("long").alias("qty"),
@@ -16158,11 +16245,15 @@ def agg_runs_test(spark, sf_dir):
     "qa_outlier_ecod",
     oracle="""
     WITH p AS (
+      -- all three metrics non-null: the exact_cume_counts contract
+      -- (non-null integral), and a NULL has no empirical tail mass
       SELECT p_partkey,
              CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
              CAST(p_size AS BIGINT) AS sz,
              CAST(LENGTH(p_name) AS BIGINT) AS nl
       FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        AND p_name IS NOT NULL
     ),
     c AS (
       SELECT p_partkey,
@@ -16217,7 +16308,11 @@ def qa_outlier_ecod(spark, sf_dir):
         exact_cume_counts_multi,
     )
 
-    p = t(spark, sf_dir, "part").select(
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull()
+        & F.col("p_size").isNotNull()
+        & F.col("p_name").isNotNull()
+    ).select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
         F.col("p_size").cast("long").alias("sz"),

@@ -1,0 +1,64 @@
+"""Regression pins for the round-11 adversarial NULL+ties sweep.
+
+tools/adversarial_sweep.py found 57 real findings the pristine fixtures
+could never show (they contain no NULLs and no (user_id, ts) ties
+anywhere). The full sweep is a committed tool + artifact
+(ADVERSARIAL_r{N}.json); this test keeps a FAST representative subset
+of the fixed queries running against the derived corpus in every suite
+run — one query per fix family:
+
+* NULL-flag island merge        -> win_islands
+* engine-opposite NULL ordering -> win_pctrank_cumedist,
+                                   agg_percentiles_exact
+* DuckDB LEAST-skips-NULL bin   -> qa_psi_drift
+* collect_list NULL skew (map)  -> win_resample_ffill
+* NULL group key in recursion   -> llm_seq_pack
+* null-safe SCD change test     -> dim_scd2_history
+* NULL-text shingle identity    -> llm_dedup_jaccard
+* asof row-pick (NULL value)    -> join_asof_backward
+* ANSI divide / sqrt(negative)  -> agg_corr_price_players
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from steam_data_pipeline_spark.difftest import duckdb_connect, run_one
+from tests.conftest import SF_SMOKE
+
+QUERIES = [
+    "win_islands",
+    "win_pctrank_cumedist",
+    "agg_percentiles_exact",
+    "qa_psi_drift",
+    "win_resample_ffill",
+    "llm_seq_pack",
+    "dim_scd2_history",
+    "llm_dedup_jaccard",
+    "join_asof_backward",
+    "agg_corr_price_players",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    from tools.adversarial_sweep import build_adversarial_dir
+
+    d = str(tmp_path_factory.mktemp("adv_sf"))
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return build_adversarial_dir(SF_SMOKE, d)
+
+
+@pytest.fixture(scope="module")
+def adv_con(adv_dir):
+    return duckdb_connect(adv_dir)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_adversarial_corpus_hash_exact(spark, adv_dir, adv_con, name):
+    r = run_one(spark, adv_con, adv_dir, name)
+    assert r.ok, (name, r.issues)

@@ -118,6 +118,12 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--base", default="/root/testdata/sf0.001")
     p.add_argument("--names", nargs="*", default=None)
+    p.add_argument(
+        "--round",
+        type=int,
+        default=None,
+        help="write ADVERSARIAL_r{N}.json at the repo root",
+    )
     args = p.parse_args()
 
     out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_adversarial")
@@ -140,6 +146,28 @@ def main() -> None:
     for r in results:
         if not r.ok:
             print(f"[FINDING] {r}")
+    if args.round is not None:
+        import json
+
+        out = {
+            "round": args.round,
+            "base": args.base,
+            "null_rate": f"1/{NULL_RATE}",
+            "tie_rate": f"1/{TIE_RATE}",
+            "n": len(results),
+            "n_pass": n_pass,
+            "findings": {
+                r.name: r.issues[:3] for r in results if not r.ok
+            },
+        }
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"ADVERSARIAL_r{args.round:02d}.json",
+        )
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"-> {path}")
     spark.stop()
 
 
