@@ -360,13 +360,19 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "doc_id",
             "top_2gram",
             F.coalesce("top_2gram_cnt", F.lit(0)).cast("long").alias("top_2gram_cnt"),
-            (
-                F.coalesce(F.col("top_2gram_cnt") * F.length("top_2gram"), F.lit(0))
-                / F.col("__len")
+            # try_divide: an EMPTY document has __len 0 and Spark 4's
+            # ANSI mode throws on the non-NULL/0 division; DuckDB
+            # yields NULL — the fractions of a zero-length doc are
+            # NULL on both legs (round-11 adversarial empty-value axis)
+            F.try_divide(
+                F.coalesce(
+                    F.col("top_2gram_cnt") * F.length("top_2gram"), F.lit(0)
+                ),
+                F.col("__len"),
             ).alias("top_2gram_frac"),
-            (F.coalesce("__dup5_chars", F.lit(0)) / F.col("__len")).alias(
-                "dup_5gram_frac"
-            ),
+            F.try_divide(
+                F.coalesce("__dup5_chars", F.lit(0)), F.col("__len")
+            ).alias("dup_5gram_frac"),
             "__len",
         )
     )

@@ -973,7 +973,11 @@ def embedding_near_pairs(
     # embedding has no perceptual identity — drop before the SRP UDF
     # (which would crash on None) and mirror in the oracle
     tagged = (
-        embeddings.filter(F.col(vec_col).isNotNull())
+        embeddings.filter(
+            # NULL or EMPTY: no perceptual identity, and np.stack in
+            # the SRP UDF crashes on ragged shapes (round-11 sweeps)
+            F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+        )
         .select(key, vec_col)
         .withColumn("bucket", _srp_bucket_udf(n_planes)(F.col(vec_col)))
     )

@@ -103,14 +103,17 @@ def cosine_expr(a: str | Column, b: str | Column) -> Column:
 
 
 def drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
-    """NULL-vector contract (round-11 adversarial NULL sweep): a row
-    with a NULL embedding is unsearchable and unindexable — zip/dot
-    against it is undefined (DuckDB's list_zip(NULL, v) yields an
-    empty list and list_reduce then ERRORS; Spark's KMeans .fit and
-    the SRP bucket UDF crash outright). Every vector operator drops
-    such rows at ingestion; the oracles mirror with
-    ``embedding IS NOT NULL``."""
-    return df.filter(F.col(vec_col).isNotNull())
+    """NULL-or-EMPTY-vector contract (round-11 adversarial sweeps): a
+    row with a NULL or zero-length embedding is unsearchable and
+    unindexable — zip/dot against it is undefined (DuckDB's
+    list_zip(NULL, v) yields an empty list and list_reduce then
+    ERRORS; Spark's KMeans .fit and the SRP bucket UDF's np.stack
+    crash outright on NULL/ragged shapes). Every vector operator
+    drops such rows at ingestion; the oracles mirror with
+    ``embedding IS NOT NULL AND len(embedding) > 0``."""
+    return df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    )
 
 
 def brute_force_topk(

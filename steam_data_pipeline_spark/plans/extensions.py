@@ -390,10 +390,10 @@ def llm_dedup_simhash(spark, sf_dir):
     "llm_dedup_embedding",
     oracle=f"""
     WITH u AS (
-      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL AND len(embedding) > 0
     ),
     scored AS (
       SELECT a.vec_id AS a, b.vec_id AS b,
@@ -436,12 +436,12 @@ def llm_dedup_embedding(spark, sf_dir):
     "llm_sim_search",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) > 0
     ),
     scored AS (
       SELECT q.query_id, e.vec_id,
              {_COS_SQL.format(a="e.embedding", b="q.qv")} AS cosine
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN q
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) e CROSS JOIN q
     )
     SELECT query_id, vec_id, cosine FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -462,7 +462,9 @@ def llm_sim_search(spark, sf_dir):
     # vector operator (simsearch.drop_null_vectors) and by the oracle's
     # embedding IS NOT NULL filter — counts must agree with both
     queries = emb.filter(
-        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+        (F.col("vec_id") < 5)
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     return S.brute_force_topk(emb, queries, k=10)
 
@@ -471,7 +473,7 @@ _ANN_RECALL_ORACLE = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
            CAST(COUNT(*) * 10 AS BIGINT) AS n_results,
            TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+    FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) > 0
 """
 
 
@@ -485,7 +487,9 @@ def _ann_recall_invariant(spark, sf_dir, ann_fn, recall_bound: float, **ann_kwar
     # vector operator (simsearch.drop_null_vectors) and by the oracle's
     # embedding IS NOT NULL filter — counts must agree with both
     queries = emb.filter(
-        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+        (F.col("vec_id") < 5)
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     # materialize both top-k sets once (|Q|·k rows each): the three
     # single-row aggregates below reference them across crossJoin legs,
@@ -751,19 +755,25 @@ def llm_quota_per_source(spark, sf_dir):
 @EXT.add(
     "llm_embedding_stats",
     oracle="""
+    -- NULL/empty vectors carry no norm (DuckDB's list_reduce ERRORS on
+    -- an empty list) — the profile covers measurable vectors only
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(SUM(CAST(
              sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                              (acc, v) -> acc + v))
              AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_norm
-    FROM embeddings GROUP BY label
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
+    GROUP BY label
     """,
     doc="Per-label embedding profile: counts + exact-decimal mean L2 norm.",
     tags=("llm", "agg"),
 )
 def llm_embedding_stats(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings")
+    emb = S.drop_null_vectors(
+        t(spark, sf_dir, "embeddings"), "embedding"
+    )
     norm = S.norm_expr("embedding")
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -2574,13 +2584,13 @@ def join_skew_salted(spark, sf_dir):
     "llm_dedup_embedding_cluster",
     oracle=f"""
     WITH RECURSIVE u AS (
-      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL AND len(embedding) > 0
       UNION ALL
       SELECT vec_id + 2000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0
     ),
     ep AS (
       SELECT a.vec_id AS a, b.vec_id AS b
@@ -3888,10 +3898,11 @@ def stream_custom_datasource(spark, sf_dir):
     "udtf_text_chunks",
     oracle="""
     WITH toks AS (
-      -- no text, no chunks (the UDTF emits nothing for NULL; DuckDB's
-      -- greatest(NULL-1, 0) would otherwise fabricate one NULL chunk)
+      -- no tokens, no chunks: the UDTF emits nothing for NULL or
+      -- empty/whitespace-only text; DuckDB's split of '' yields ['']
+      -- and would fabricate a phantom 1-token chunk
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
     ), starts AS (
       SELECT doc_id, w,
              UNNEST(generate_series(0, greatest(len(w) - 1, 0), 8)) AS s
@@ -5809,7 +5820,9 @@ def _ivf_operator_only(spark, sf_dir):
     # vector operator (simsearch.drop_null_vectors) and by the oracle's
     # embedding IS NOT NULL filter — counts must agree with both
     queries = emb.filter(
-        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+        (F.col("vec_id") < 5)
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     return S.ivf_topk(emb, queries, k=10, n_probe=6).select("query_id", "vec_id")
 
@@ -5820,7 +5833,9 @@ def _lsh_operator_only(spark, sf_dir):
     # vector operator (simsearch.drop_null_vectors) and by the oracle's
     # embedding IS NOT NULL filter — counts must agree with both
     queries = emb.filter(
-        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+        (F.col("vec_id") < 5)
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     return S.lsh_topk(emb, queries, k=10).select("query_id", "vec_id")
 
@@ -5841,7 +5856,9 @@ def _ivf_persisted_operator_only(spark, sf_dir):
     # vector operator (simsearch.drop_null_vectors) and by the oracle's
     # embedding IS NOT NULL filter — counts must agree with both
     queries = emb.filter(
-        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+        (F.col("vec_id") < 5)
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     idx = S.load_ivf_index(spark, _prepare_ivf_index(spark, sf_dir))
     return S.ivf_topk(emb, queries, k=10, index=idx, n_probe=6).select(
@@ -5857,7 +5874,9 @@ def _lsh_persisted_operator_only(spark, sf_dir):
     # vector operator (simsearch.drop_null_vectors) and by the oracle's
     # embedding IS NOT NULL filter — counts must agree with both
     queries = emb.filter(
-        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+        (F.col("vec_id") < 5)
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     idx = S.load_lsh_index(spark, _prepare_lsh_index(spark, sf_dir))
     return S.lsh_topk(emb, queries, k=10, index=idx).select(
@@ -6070,7 +6089,7 @@ def samp_weighted_reservoir(spark, sf_dir):
     WITH q AS (
       SELECT list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     e AS (SELECT unnest(qv) AS qi, generate_subscripts(qv, 1) AS i FROM q),
     s AS (SELECT i,
@@ -6206,13 +6225,13 @@ def sink_cdc_diff(spark, sf_dir):
     "llm_semdedup",
     oracle=f"""
     WITH RECURSIVE u AS (
-      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL AND len(embedding) > 0
       UNION ALL
       SELECT vec_id + 2000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0
     ),
     ep AS (
       SELECT a.vec_id AS a, b.vec_id AS b
@@ -6821,7 +6840,7 @@ def _bm25_scores(spark, sf_dir):
       ORDER BY ROUND(CAST(SUM(c) AS DOUBLE), 6) DESC, doc_id LIMIT 20
     ),
     qv AS (SELECT embedding AS v FROM embeddings
-           WHERE vec_id = 0 AND embedding IS NOT NULL),
+           WHERE vec_id = 0 AND embedding IS NOT NULL AND len(embedding) > 0),
     dense AS (
       SELECT vec_id AS doc_id,
              CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
@@ -6829,7 +6848,7 @@ def _bm25_scores(spark, sf_dir):
       FROM (
         SELECT e.vec_id,
                {_COS_SQL.format(a="e.embedding", b="qv.v")} AS cosine
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e CROSS JOIN qv
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) e CROSS JOIN qv
       ) ORDER BY cosine DESC, vec_id LIMIT 20
     )
     SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
@@ -6877,10 +6896,14 @@ def llm_hybrid_search(spark, sf_dir):
     # embedding IS NOT NULL) — otherwise every cosine is NULL and the
     # "ranking" degrades to vec_id order, differently per engine
     qv = emb.filter(
-        (F.col("vec_id") == 0) & F.col("embedding").isNotNull()
+        (F.col("vec_id") == 0)
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
     ).select(F.col("embedding").alias("v"))
     dense = (
-        emb.filter(F.col("embedding").isNotNull())
+        emb.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        )
         .crossJoin(F.broadcast(qv))
         .select("vec_id", S.cosine_expr("embedding", "v").alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))

@@ -60,6 +60,13 @@ NULL_PLAN: dict[str, tuple[str, list[str]]] = {
 NULL_RATE = 25  # 1-in-25 = 4%
 FK_RATE = 50  # 1-in-50 = 2% for customer.c_nationkey
 TIE_RATE = 50  # 1-in-50 events rows duplicated at the same (user, ts)
+# empty-value axis (phase 2): empty strings / empty arrays are the most
+# realistic dirty input an LLM pipeline sees (blank documents, failed
+# embedding rows) and exercise a DIFFERENT code path than NULL — e.g.
+# split('') yields [''] and an all-empty-doc shared shingle, while
+# split(NULL) yields NULL. Injected on a residue class disjoint from
+# the NULL one so the two axes never collide on a row.
+EMPTY_RATE = 40  # 1-in-40 = 2.5%, residue 1 (NULLs use residue 0)
 
 
 def build_adversarial_dir(base: str, out_dir: str) -> str:
@@ -88,6 +95,20 @@ def build_adversarial_dir(base: str, out_dir: str) -> str:
             else:
                 sel.append(colname)
         q = f"SELECT {', '.join(sel)} FROM '{src}'"
+        if name == "documents":
+            # empty text on residue 1 (disjoint from the NULL residue 0)
+            q = q.replace(
+                "ELSE text END AS text",
+                f"WHEN hash(CAST(doc_id AS VARCHAR) || 'text') "
+                f"% {EMPTY_RATE} = 1 THEN '' ELSE text END AS text",
+            )
+        if name == "embeddings":
+            q = q.replace(
+                "ELSE embedding END AS embedding",
+                f"WHEN hash(CAST(vec_id AS VARCHAR) || 'embedding') "
+                f"% {EMPTY_RATE} = 1 THEN [] ELSE embedding END "
+                f"AS embedding",
+            )
         if name == "customer":
             q = q.replace(
                 "c_nationkey",
