@@ -488,7 +488,18 @@ def main() -> None:
     # an sf0.01 run no longer clobbers the sf0.1 detail and the committed
     # pair gives a 2-point per-query scaling curve.
     try:
-        base = "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+        if sf == 0.1:
+            base = "BENCH_DETAIL.json"
+        elif sf is not None:
+            base = f"BENCH_DETAIL_sf{sf}.json"
+        else:
+            # sf-dir name didn't match the sf regex: name by a sanitized
+            # dir basename instead of the nonsensical "sfNone"
+            # (round-12 advice fix).
+            dir_tag = re.sub(
+                r"[^A-Za-z0-9._-]", "_", os.path.basename(sf_dir.rstrip("/"))
+            ) or "unknown"
+            base = f"BENCH_DETAIL_dir_{dir_tag}.json"
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), base
         )

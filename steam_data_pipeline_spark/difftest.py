@@ -31,7 +31,7 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canonical_repr(v) -> str:
+def _canonical_repr(v, _top: bool = True) -> str:
     """repr with engine-independent canonicalization of sequence values
     (numpy array vs Python list) and numpy scalars (np.int64(3) vs 3).
 
@@ -42,22 +42,33 @@ def _canonical_repr(v) -> str:
     flagged on 'None' vs 'nan'). All NA-ish scalars map to one token.
     Float COLUMNS are unaffected (they take the float64 dtype path,
     where Spark already surfaces NULL as NaN — the engines were never
-    distinguishable there)."""
+    distinguishable there).
+
+    The NaN→NULL mapping applies ONLY to bare top-level scalars (the
+    None-vs-nan object-dtype case above). Inside arrays/structs both
+    engines deliver a genuine float NaN for a NaN and None for a NULL,
+    so a real NaN-vs-NULL divergence between the engines must stay
+    visible — mapping nested NaN to NULL would pass it silently
+    (round-12 advice fix)."""
     if v is None or v is pd.NaT or v is pd.NA:
         return "NULL"
-    if isinstance(v, float) and v != v:
+    if _top and isinstance(v, float) and v != v:
         return "NULL"
+    if isinstance(v, float) and v != v:
+        return "NaN"  # canonical nested-NaN token (np.float64 reprs vary)
     if isinstance(v, str):
         return repr(v)
     if isinstance(v, (bytes, bytearray, memoryview)):
         return repr(bytes(v))  # Spark bytearray vs DuckDB bytes
     if isinstance(v, dict):
-        return repr(sorted((repr(k), _canonical_repr(x)) for k, x in v.items()))
+        return repr(
+            sorted((repr(k), _canonical_repr(x, _top=False)) for k, x in v.items())
+        )
     item = getattr(v, "item", None)
     if item is not None and getattr(v, "ndim", 1) == 0:
         return repr(item())  # numpy scalar → Python scalar
     try:
-        return repr([_canonical_repr(x) for x in v])
+        return repr([_canonical_repr(x, _top=False) for x in v])
     except TypeError:
         return repr(v)
 

@@ -171,8 +171,13 @@ def scalable_ntile_desc_multi(
     # genuinely bounded), this spine is O(n) — the 100 TB design point
     # says re-scan. Toy inputs bypass via the small_bytes gate anyway.
     # cache_spine=True re-enables the round-10 plan so the cache-ab
-    # rehearsal keeps measuring the same A/B every round.
+    # rehearsal keeps measuring the same A/B every round. The per-row
+    # frame continues from the cached frame too — otherwise the B arm
+    # pays materialization AND a full uncached re-derivation, biasing
+    # the A/B (round-12 advice fix; exact_cume_counts_multi already
+    # did this via `out = binned`).
     binned = spine_cache(out) if cache_spine else out
+    out = binned
     for m, _ in metrics:
         hist = (
             binned.groupBy(f"__bin_{m}")

@@ -25,6 +25,7 @@ from steam_data_pipeline_spark.plans.analytics import ANALYTICS
 from steam_data_pipeline_spark.plans.base import Query, SparkQuery
 from steam_data_pipeline_spark.plans.core import CORE
 from steam_data_pipeline_spark.plans.extensions import EXT
+from steam_data_pipeline_spark.plans.fingerprint import query_fingerprint
 
 
 def _driver_correctness_rows(
@@ -88,6 +89,49 @@ for reg in (CORE, ANALYTICS, EXT):
         _ALL[name] = q
 
 
+def _stored_query_hashes(repo_root: str | None = None) -> dict[str, dict]:
+    """``QUERY_HASHES.json``: per-query source fingerprint recorded at
+    the code state of the query's last driver green (maintained by
+    ``tools/query_hashes.py update`` each round-start). Missing file →
+    empty map (every verified query then counts as modified, which
+    degrades to the pre-round-12 stalest-first order)."""
+    if repo_root is None:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    path = os.path.join(repo_root, "QUERY_HASHES.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def modified_since_green(
+    queries: dict[str, Query], stored: dict[str, dict]
+) -> dict[str, bool]:
+    """True per query whose CURRENT source fingerprint differs from the
+    one recorded at its last driver green (round-11 verdict item 2).
+    A query with no recorded hash, or whose fingerprint cannot be
+    computed, counts as modified — the safe (recheck-early) direction."""
+    out: dict[str, bool] = {}
+    for name, q in queries.items():
+        ent = stored.get(name)
+        if not isinstance(ent, dict) or "hash" not in ent:
+            out[name] = True
+            continue
+        try:
+            out[name] = query_fingerprint(q.spark, q.oracle) != ent["hash"]
+        except Exception:  # noqa: BLE001 - inspect drift -> recheck early
+            out[name] = True
+    return out
+
+
+_STORED_HASHES = _stored_query_hashes()
+_MODIFIED = modified_since_green(_ALL, _STORED_HASHES)
+
+
 def _verified_round(name: str) -> int | None:
     """Latest round this query was satisfactorily verified, or None.
 
@@ -118,14 +162,22 @@ def rotation_order(
     has_oracle: dict[str, bool],
     hash_green: dict[str, int],
     rows_only_green: dict[str, int],
+    modified: dict[str, bool] | None = None,
 ) -> list[str]:
-    """The load-bearing driver-contract ordering: never-verified
-    queries first (registration order), then verified queries ordered
-    stalest-green first — so the driver's bounded check window
-    re-verifies the longest-unchecked greens each round instead of
-    rechecking a fixed prefix forever (a regression in an already-green
-    query resurfaces within a few rounds)."""
+    """The load-bearing driver-contract ordering, three tiers:
+
+    0. never-verified queries (registration order) — every new query
+       and any query whose latest check failed;
+    1. verified queries whose Spark/oracle source changed since their
+       last driver green (``modified``), stalest-green first — changed
+       code deserves a fresh driver check before untouched staleness
+       (round-11 verdict item 2);
+    2. verified, unmodified queries, stalest-green first — so the
+       driver's bounded window re-verifies the longest-unchecked
+       greens instead of rechecking a fixed prefix forever.
+    """
     pos = {name: i for i, name in enumerate(names)}
+    modified = modified or {}
 
     def key(name: str) -> tuple[int, int, int]:
         rnd = verified_round(
@@ -133,7 +185,8 @@ def rotation_order(
         )
         if rnd is None:
             return (0, 0, pos[name])
-        return (1, rnd, pos[name])
+        tier = 1 if modified.get(name) else 2
+        return (tier, rnd, pos[name])
 
     return sorted(names, key=key)
 
@@ -145,6 +198,7 @@ QUERIES: dict[str, Query] = {
         {n: q.oracle is not None for n, q in _ALL.items()},
         _HASH_GREEN,
         _ROWS_ONLY_GREEN,
+        _MODIFIED,
     )
 }
 

@@ -159,6 +159,22 @@ class TestRotationOrder:
         # then stalest green first: r1 (a, c, e in reg order), then r2.
         assert order == ["f", "g", "a", "c", "e", "b", "d"]
 
+        # modified-since-green tier (round-11 verdict item 2): d's
+        # source changed after its r2 green -> d jumps ahead of EVERY
+        # unmodified green (even the staler r1 ones) but stays behind
+        # the never-verified tier; modified queries order stalest-first
+        # among themselves (b r2-mod after c r1-mod).
+        order = rotation_order(
+            names, has_oracle, hash_green, rows_only,
+            modified={"d": True},
+        )
+        assert order == ["f", "g", "d", "a", "c", "e", "b"]
+        order = rotation_order(
+            names, has_oracle, hash_green, rows_only,
+            modified={"d": True, "b": True, "c": True},
+        )
+        assert order == ["f", "g", "c", "b", "d", "a", "e"]
+
     def test_rows_only_green_expires_when_oracle_added(self):
         from steam_data_pipeline_spark.plans.registry import rotation_order
 
@@ -170,25 +186,54 @@ class TestRotationOrder:
         assert order == ["e", "a"]
 
     def test_live_registry_front_loads_stalest(self):
-        """On the real CORRECTNESS files: the first-50 window must hold
-        exactly the stalest verified rounds (plus any never-verified),
-        i.e. no fresher-green query may precede a staler one."""
+        """On the real CORRECTNESS files: never-verified first, then
+        the modified-since-green tier (stalest first within it), then
+        unmodified greens stalest first — no fresher-green query may
+        precede a staler one within its tier, and no unmodified green
+        may precede a modified one."""
         from steam_data_pipeline_spark.plans.registry import (
+            _MODIFIED,
             QUERIES,
             _verified_round,
         )
 
-        rounds = [_verified_round(n) for n in QUERIES]
-        # never-verified (None) must be a prefix
-        seen_verified = False
-        prev = 0
-        for r in rounds:
+        tiers = []
+        for n in QUERIES:
+            r = _verified_round(n)
             if r is None:
-                assert not seen_verified, "never-verified after verified"
-                continue
-            seen_verified = True
-            assert r >= prev, "fresher green precedes staler green"
-            prev = r
+                tiers.append((0, 0))
+            else:
+                tiers.append((1 if _MODIFIED.get(n) else 2, r))
+        assert tiers == sorted(tiers), (
+            "rotation must be (never-verified, modified-stalest, "
+            "unmodified-stalest) in that order"
+        )
+
+    def test_fingerprint_tracks_transitive_helpers(self):
+        """The modified-since-green tier only works if the fingerprint
+        sees changes in helpers the query function calls, not just the
+        query function's own body."""
+        from steam_data_pipeline_spark.llm import dedup as dedup_mod
+        from steam_data_pipeline_spark.plans.fingerprint import (
+            query_fingerprint,
+        )
+        from steam_data_pipeline_spark.plans.registry import _ALL
+
+        q = _ALL["llm_dedup_near"]
+        base = query_fingerprint(q.spark, q.oracle)
+        assert base == query_fingerprint(q.spark, q.oracle)  # stable
+        # the registered function reaches llm.dedup helpers; its
+        # fingerprint source-closure must include that module's code
+        import inspect
+
+        out = {}
+        from steam_data_pipeline_spark.plans import fingerprint as fp
+
+        fp._walk(inspect.unwrap(q.spark), out)
+        assert any(m.startswith("steam_data_pipeline_spark.llm.dedup")
+                   for m, _ in out), "transitive helper sources missing"
+        # and the oracle participates: same fn, different oracle -> new hash
+        assert query_fingerprint(q.spark, (q.oracle or "") + " -- x") != base
 
 
 def test_observe_does_not_poison_session(spark):
