@@ -386,12 +386,36 @@ def main() -> None:
         force(q.spark(spark, sf_dir))
         return time.time() - t0
 
-    for q_idx, (name, q) in enumerate(QUERIES.items()):
+    # Solo-adjudication mode: SPARK_GRAFT_ONLY=q1,q2 restricts the sweep
+    # to the named queries and SPARK_GRAFT_REPEAT=N records the MIN of N
+    # back-to-back runs per query (a host stall is additive noise, so
+    # the fastest run is the honest plan cost — same rationale as the
+    # stall guard). The per-SF detail artifact is NOT written in this
+    # mode (a filtered map must never clobber the full-sweep detail).
+    only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    only = {s.strip() for s in only_env.split(",") if s.strip()}
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "1")))
+    run_items = [
+        (name, q) for name, q in QUERIES.items() if not only or name in only
+    ]
+    if only:
+        missing = only - {name for name, _ in run_items}
+        if missing:
+            print(f"SPARK_GRAFT_ONLY: unknown queries {sorted(missing)}",
+                  file=sys.stderr)
+            sys.exit(2)
+
+    for q_idx, (name, q) in enumerate(run_items):
         if q_idx and q_idx % 25 == 0:
             canary_timeline.append(round(_canary_once(), 3))
         t0 = time.time()
         try:
             t = _run_once(q)
+            if repeat > 1:
+                for _ in range(repeat - 1):
+                    spark.catalog.clearCache()
+                    release_spines()
+                    t = min(t, _run_once(q))
             trailing = list(timings.values())[-30:]
             if (
                 stall_guard
@@ -423,6 +447,8 @@ def main() -> None:
 
     operator_sec: dict[str, float] = {}
     for name, fn in OPERATOR_ONLY.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             force(fn(spark, sf_dir))
@@ -478,6 +504,10 @@ def main() -> None:
             "warmed": warmed,
         }
     )
+    if only:
+        out["only"] = sorted(only)
+    if repeat > 1:
+        out["repeat"] = repeat
     print(json.dumps(out))
     # Committed per-query artifact: the driver archives only a stdout TAIL of
     # this run, which loses most of the per-query dict — writing the full map
@@ -486,8 +516,12 @@ def main() -> None:
     # item 8): BENCH_DETAIL.json stays the sf0.1 canonical artifact the
     # driver and judge diff; any other SF writes its own suffixed file, so
     # an sf0.01 run no longer clobbers the sf0.1 detail and the committed
-    # pair gives a 2-point per-query scaling curve.
+    # pair gives a 2-point per-query scaling curve. Filtered
+    # (SPARK_GRAFT_ONLY) runs never write it: a partial map must not
+    # clobber a full-sweep detail.
     try:
+        if only:
+            raise LookupError("filtered run")
         if sf == 0.1:
             base = "BENCH_DETAIL.json"
         elif sf is not None:

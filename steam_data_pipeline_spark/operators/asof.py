@@ -42,12 +42,31 @@ def _asof_union_tag(
     (inclusive <=), frame (-inf, 0], ``last(ignorenulls)`` — so among
     equal-ts right rows the GREATEST tiebreak wins (merge_asof picks
     the last right row in sort order). direction='forward' mirrors
-    every choice: left before right at equal ts (inclusive >=), frame
-    [0, +inf), ``first(ignorenulls)``, SMALLEST tiebreak wins.
+    every choice — and is EXECUTED as a backward running frame over
+    ``ts DESC`` (rights before left at equal ts, tiebreak DESC, frame
+    (-inf, 0], ``last``), which picks the earliest at-or-after right
+    row with the SMALLEST tiebreak: identical output to the
+    first-over-[0, +inf) formulation, but Spark evaluates an
+    UnboundedFollowing ROWS frame by RESCANNING from every row to the
+    partition end (O(rows²) per key — a hot key with k rows pays k²/2
+    struct reads; measured 0.68 s vs the backward twin's 0.44 s even
+    at sf0.1), while an UnboundedPreceding frame is one incremental
+    pass (round-11 verdict item 6).
+
+    NULL-timestamp contract (explicit as of round 12): a right row
+    with NULL ``ts`` can never be an as-of match (DuckDB ASOF's
+    inequality is never true on NULL; pandas merge_asof rejects NULL
+    keys outright) — filtered before the union. A left row with NULL
+    ``ts`` gets NULL asof columns: it sorts nulls-first in BOTH
+    directions, so its running frame holds only other NULL-ts left
+    rows. (Previously the forward frame of a NULL-ts left row saw the
+    whole partition and matched the globally earliest right row.)
+
     ``tiebreak`` must name a RIGHT column; it is carried through the
     union as ``__r_tb`` (ordering by a left-named column would be a
     no-op — right rows carry NULL in every left column)."""
     backward = direction == "backward"
+    right = right.filter(F.col(ts).isNotNull())
     l_cols = [c for c in left.columns]
     tagged_left = left.select(
         *l_cols,
@@ -71,15 +90,27 @@ def _asof_union_tag(
         *([F.col(tiebreak).alias("__r_tb")] if tiebreak else []),
     )
     unioned = tagged_left.unionByName(tagged_right)
-    side = F.col("__is_left") if backward else F.col("__is_left").desc()
-    order = [F.col(ts), side] + ([F.col("__r_tb")] if tiebreak else [])
-    frame = (
-        (Window.unboundedPreceding, 0)
-        if backward
-        else (0, Window.unboundedFollowing)
+    # Both directions run the SAME incremental frame shape: rights
+    # before left at equal ts (inclusive), (-inf, 0], last(ignorenulls).
+    # Backward orders ts ASC / tiebreak ASC (greatest tb is last);
+    # forward orders ts DESC / tiebreak DESC (smallest tb is last).
+    # desc_nulls_first keeps NULL-ts left rows framed with nothing but
+    # each other (see the NULL-timestamp contract above); plain asc is
+    # already nulls-first.
+    if backward:
+        order = [F.col(ts).asc(), F.col("__is_left").asc()] + (
+            [F.col("__r_tb").asc()] if tiebreak else []
+        )
+    else:
+        order = [F.col(ts).desc_nulls_first(), F.col("__is_left").asc()] + (
+            [F.col("__r_tb").desc()] if tiebreak else []
+        )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w = Window.partitionBy(key).orderBy(*order).rowsBetween(*frame)
-    pick = F.last if backward else F.first
+    pick = F.last
     # pick the right ROW, not each value independently: the carried
     # fields travel in one struct that is non-NULL exactly for right
     # rows, so ignorenulls skips only non-rows. Per-column ignorenulls
