@@ -98,6 +98,8 @@ def call_with_retry(
     and retry, fatal → stop with None immediately), or raises one of
     ``network_errors`` (always retriable, main.py:165-169).
     """
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
     schedule = backoff_schedule(max_retries, base_delay, seed)
     slept: list[float] = []
     for attempt in range(max_retries):
@@ -170,6 +172,11 @@ def retrying_foreach_batch(
        pass ``fatal_fn=lambda e: False`` to restore retry-everything,
        or a classifier that inspects the exception, not just its type.
     """
+    if max_retries < 1:
+        # caught at wrap time, not first-batch time: a zero-attempt
+        # writer would reach `raise last` with last=None (round-12
+        # streaming module review)
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
 
     def _writer(batch_df, batch_id: int):
         schedule = backoff_schedule(max_retries, base_delay, seed)

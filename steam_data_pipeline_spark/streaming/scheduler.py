@@ -35,7 +35,23 @@ def next_run_at(
     jitter_seed: int | None = None,
 ) -> datetime:
     """Next daily trigger: today at ``run_hour_utc`` (tomorrow if
-    already passed), plus seeded 0–120 min jitter (runner.py:62-80)."""
+    already passed), plus seeded 0–120 min jitter (runner.py:62-80).
+
+    Clock-edge contracts (round-12 streaming module review):
+    ``now`` must be timezone-aware — a naive datetime would silently be
+    reinterpreted in the HOST's local zone by ``astimezone`` and the
+    gate would fire hours off, so it is rejected loudly. ``now``
+    exactly AT the trigger hour schedules TOMORROW (``base <= now``,
+    runner.py:75). A fixed ``jitter_seed`` draws the SAME jitter every
+    call (reproducible tests); production passes None for a fresh
+    draw per scheduling decision, like the reference."""
+    if now.tzinfo is None:
+        raise ValueError(
+            "next_run_at requires a timezone-aware datetime; a naive one "
+            "would be reinterpreted in the host's local zone"
+        )
+    if not 0 <= run_hour_utc <= 23:
+        raise ValueError(f"run_hour_utc must be 0..23, got {run_hour_utc}")
     base = now.astimezone(timezone.utc).replace(
         hour=run_hour_utc, minute=0, second=0, microsecond=0
     )

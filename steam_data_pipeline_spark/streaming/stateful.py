@@ -84,7 +84,12 @@ def streaming_islands(events: DataFrame) -> DataFrame:
 
     ``events`` is a streaming DataFrame with (user_id, event_id, ts,
     value); batches must be per-key time-ordered (true for time-ordered
-    file arrival / kafka per-key ordering).
+    file arrival / kafka per-key ordering), and ``ts`` must be
+    non-NULL — it is the ordering spine (the batch twin sorts NULLS
+    FIRST where pandas sorts NaT last, so NULL-ts input is out of
+    contract for the equivalence guarantee; a NULL VALUE is in
+    contract and closes the island, same as the batch operator's
+    when(flag,1).otherwise(0)).
     """
     return (
         events.select("user_id", "event_id", "ts", "value")
@@ -148,7 +153,12 @@ def _hw_fold(
         s = s[1:] + [_HW_G * (v - lv) + _HW_1G * s[0]]
 
     for pdf in pdfs:
-        pdf = pdf.sort_values("day")
+        # same NULL-observation drop as the batch fit (operators/
+        # forecast.py:133-135): a NULL day carries no information, and
+        # int(NaN) would kill the task instead of skipping the row
+        # (round-12 streaming module review). The batch fold replays
+        # non-NULL observations in day order, so equivalence holds.
+        pdf = pdf.dropna(subset=["cents"]).sort_values("day")
         for v in [int(x) for x in pdf["cents"].tolist()]:
             n += 1
             if n <= 14:
