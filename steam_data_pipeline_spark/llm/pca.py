@@ -42,6 +42,28 @@ from pyspark.sql import DataFrame, functions as F
 #: fixed-point quantization scale for embedding components
 SCALE = 1_000_000
 
+#: micro-quantization DOMAIN (r12 numeric-extremes contract): a
+#: component with |x| beyond this cannot be quantized into signed-64
+#: micro units (x * SCALE would overflow), so the whole VECTOR is
+#: dropped at ingestion — NULLing one component would corrupt the
+#: moment matrix alignment. 9e12 * 1e6 = 9e18 < 2^63. Oracles mirror
+#: with len(list_filter(embedding, x -> ABS(...) > 9e12)) = 0.
+QUANT_BOUND = 9.0e12
+
+
+def quantizable_components(col) -> "F.Column":
+    """True iff every component is non-NULL and inside QUANT_BOUND."""
+    return (
+        F.size(
+            F.filter(
+                col,
+                lambda x: x.isNull()
+                | (F.abs(x.cast("double")) > F.lit(QUANT_BOUND)),
+            )
+        )
+        == 0
+    )
+
 
 def quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """(qv: array<long>) — exact fixed-point components.
@@ -61,10 +83,7 @@ def quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return (
         base.filter(
             (F.size(vec_col) == d)
-            & (
-                F.size(F.filter(F.col(vec_col), lambda x: x.isNull()))
-                == 0
-            )
+            & quantizable_components(F.col(vec_col))
         )
         .select(
             F.transform(
@@ -259,7 +278,7 @@ def pca_project(
     clean = emb.filter(
         F.col(vec_col).isNotNull()
         & (F.size(vec_col) == d)
-        & (F.size(F.filter(F.col(vec_col), lambda x: x.isNull())) == 0)
+        & quantizable_components(F.col(vec_col))
     )
     return clean.select(
         key,

@@ -19,9 +19,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def dec_sum(col: str | Column, scale: int = 2) -> Column:
-    """Exact, order-independent sum of a 2-dp double column."""
+    """Exact, order-independent sum of a 2-dp double column.
+
+    ``try_cast``: a measure outside the decimal(18,scale) range (the
+    money domain — e.g. an ingested ±1e308 garbage double) contributes
+    NULL, i.e. is excluded, instead of killing the job with an ANSI
+    CAST_OVERFLOW; DuckDB TRY_CAST agrees value-exactly (round-12
+    numeric-extremes contract). Oracles mirror with
+    ``SUM(TRY_CAST(x AS DECIMAL(18,s)))``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})"))
+    return F.sum(c.try_cast(f"decimal(18,{scale})"))
 
 
 def dec_avg(col: str | Column, scale: int = 2) -> Column:
@@ -31,7 +38,11 @@ def dec_avg(col: str | Column, scale: int = 2) -> Column:
     any partitioning (a plain avg(double) is summation-order-dependent).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return dec_sum(c, scale).cast("double") / F.count(c)
+    # count the IN-DOMAIN values (the summed population), so the mean
+    # stays a true mean under the try_cast domain contract
+    return dec_sum(c, scale).cast("double") / F.count(
+        c.try_cast(f"decimal(18,{scale})")
+    )
 
 
 def count_rows(df: DataFrame, label: str) -> DataFrame:
@@ -76,10 +87,10 @@ def conditional_roi(
 
     Single pass, two conditional exact-sum aggregates — no self-join.
     """
-    in_sum = F.sum(F.when(in_flag, F.col(value).cast("decimal(18,2)")))
-    in_cnt = F.count(F.when(in_flag, F.lit(1)))
-    out_sum = F.sum(F.when(~in_flag, F.col(value).cast("decimal(18,2)")))
-    out_cnt = F.count(F.when(~in_flag, F.lit(1)))
+    in_sum = F.sum(F.when(in_flag, F.col(value).try_cast("decimal(18,2)")))
+    in_cnt = F.count(F.when(in_flag, F.col(value).try_cast("decimal(18,2)")))
+    out_sum = F.sum(F.when(~in_flag, F.col(value).try_cast("decimal(18,2)")))
+    out_cnt = F.count(F.when(~in_flag, F.col(value).try_cast("decimal(18,2)")))
     # try_divide, not /: Spark 4 is ANSI by default, and a key whose
     # out-side average is exactly 0.0 (all non-flagged values zero)
     # would make the ROI ratio a non-NULL/0 division -> DIVIDE_BY_ZERO
@@ -118,3 +129,21 @@ def rollup_daily_by_type(df: DataFrame, ts: str, type_col: str) -> DataFrame:
         df.rollup(F.date_trunc("day", F.col(ts)).alias("day"), F.col(type_col))
         .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").cast("double").alias("sum_value"))
     )
+
+
+def try_cents(col: str | Column) -> Column:
+    """Exact integer cents of a measure double, NULL outside the
+    signed-64 cents domain (|x| ≳ 9.2e16) — and NULL for NULL input,
+    so out-of-domain measures flow through every operator exactly like
+    the NULL-measure contract the round-11 adversarial sweep pinned.
+
+    ``try_cast`` (not ``cast``) because Spark 4 is ANSI by default: a
+    single ±1e308 row would otherwise kill a whole job with
+    CAST_OVERFLOW — at 100 TB, one garbage row must cost one NULL, not
+    six hours (round-12 numeric-extremes sweep). DuckDB twin:
+    ``TRY_CAST(ROUND(x * 100) AS BIGINT)`` — verified value-equal
+    across the full double range including ±1e308/Inf (NULL), the
+    2^63 boundary (NULL both), and denormals (0 both).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).try_cast("long")

@@ -133,9 +133,13 @@ def seasonal_ar_forecast_per_key(events: DataFrame) -> DataFrame:
         # NULL observations carry no fit information and round(NaN*100)
         # crashes the exact-cents path — drop them on BOTH legs (the
         # oracles filter value IS NOT NULL); a key that is all-NULL
-        # disappears entirely, consistently (round-11 module review)
+        # disappears entirely, consistently (round-11 module review).
+        # |value| < 1e16 is the fit's measure domain (r12 extremes
+        # contract): round(inf*100) crashes Python, and 1e16 is the
+        # DECIMAL(18,2) bound the oracles sum under — out-of-domain
+        # observations drop exactly like NULLs.
         events.select("user_id", "event_id", "ts", "value").filter(
-            F.col("value").isNotNull()
+            F.col("value").isNotNull() & (F.abs("value") < F.lit(1e16))
         ),
         keys=["user_id"],
         order=["ts", "event_id"],
@@ -159,9 +163,10 @@ def linear_forecast_per_key(events: DataFrame) -> DataFrame:
     from steam_data_pipeline_spark.operators.grouped import sorted_grouped_map
 
     return sorted_grouped_map(
-        # same NULL-observation drop as the seasonal fit (see above)
+        # same NULL-observation + measure-domain drop as the seasonal
+        # fit (see above)
         events.select("user_id", "event_id", "ts", "value").filter(
-            F.col("value").isNotNull()
+            F.col("value").isNotNull() & (F.abs("value") < F.lit(1e16))
         ),
         keys=["user_id"],
         order=["ts", "event_id"],

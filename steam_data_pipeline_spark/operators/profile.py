@@ -231,8 +231,13 @@ def psi_drift(
         )
         # NULLs must be dropped BEFORE the least(): least(NULL, k)
         # skips NULL args and returns k, which would silently route
-        # every NULL row into the last bin.
-        .filter(F.col("x").isNotNull())
+        # every NULL row into the last bin. Finite-domain bound (r12
+        # numeric-extremes contract): a +-1e308 outlier makes the bin
+        # width overflow to inf and the bin expression NaN — drift
+        # monitors operate on |x| < 1e150 (half the double exponent
+        # range, so vmax-vmin can never overflow); wilder values are a
+        # data-quality finding for qa_check, not a drift observation.
+        .filter(F.col("x").isNotNull() & (F.abs(F.col("x")) < F.lit(1e150)))
     )
     bounds = tagged.agg(
         F.min("x").alias("vmin"), F.max("x").alias("vmax")
@@ -397,7 +402,8 @@ def psi_drift_multi(
         return (
             df.select(F.explode(pairs).alias("m"))
             .select("m.col", "m.x")
-            .filter(F.col("x").isNotNull())
+            # same finite-domain bound as psi_drift (r12 contract)
+            .filter(F.col("x").isNotNull() & (F.abs(F.col("x")) < F.lit(1e150)))
             .withColumn("side", F.lit(side))
         )
 

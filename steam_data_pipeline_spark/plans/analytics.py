@@ -111,7 +111,7 @@ def join_enrich_facts(spark, sf_dir):
     oracle="""
     SELECT r.r_name,
            CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -137,7 +137,10 @@ def join_dim_fact(spark, sf_dir):
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+    # try_cast: a price outside decimal(18,6)'s 12 integer digits is
+    # out of the revenue domain -> NULL, not an ANSI crash (r12
+    # numeric-extremes contract; TRY_CAST mirrored in the oracle)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).try_cast(
         "decimal(18,6)"
     )
     return joined.groupBy("r_name").agg(
@@ -527,7 +530,7 @@ def win_islands(spark, sf_dir):
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sessions GROUP BY user_id, session_id
     """,
     doc=(
@@ -587,11 +590,12 @@ def win_topn_per_key(spark, sf_dir):
     "win_growth_rate",
     oracle="""
     SELECT event_id, user_id, ts, value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,2)))
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS DOUBLE)
-             / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS trailing_avg
+             / COUNT(TRY_CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS trailing_avg
     FROM events
     """,
     doc=(
@@ -607,14 +611,14 @@ def win_growth_rate(spark, sf_dir):
         .rowsBetween(-5, -1)
     )
     ev = t(spark, sf_dir, "events")
+    v_dec = F.col("value").try_cast("decimal(18,2)")
     return ev.select(
         "event_id",
         "user_id",
         "ts",
         "value",
         (
-            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
-            / F.count("value").over(w)
+            F.sum(v_dec).over(w).cast("double") / F.count(v_dec).over(w)
         ).alias("trailing_avg"),
     )
 
@@ -623,11 +627,12 @@ def win_growth_rate(spark, sf_dir):
     "win_trailing_time_range",
     oracle="""
     SELECT event_id, user_id, ts, value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,2)))
                   OVER (PARTITION BY user_id ORDER BY ts
                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts
-                                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             / COUNT(TRY_CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
              AS hourly_avg
     FROM events
     """,
@@ -646,14 +651,14 @@ def win_trailing_time_range(spark, sf_dir):
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
+    v_dec = F.col("value").try_cast("decimal(18,2)")
     return ev.select(
         "event_id",
         "user_id",
         "ts",
         "value",
         (
-            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
-            / F.count("value").over(w)
+            F.sum(v_dec).over(w).cast("double") / F.count(v_dec).over(w)
         ).alias("hourly_avg"),
     )
 
@@ -828,7 +833,9 @@ def fn_rand_jitter(spark, sf_dir):
     WITH numbered AS (
       SELECT user_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS x
-      FROM events WHERE value IS NOT NULL
+      -- |value| < 1e16: the fit's measure domain (r12 extremes
+      -- contract), mirrored by the Spark leg's ingestion filter
+      FROM events WHERE value IS NOT NULL AND ABS(value) < 1e16
     ),
     sums AS (
       SELECT user_id,
@@ -877,7 +884,9 @@ def udtf_forecast(spark, sf_dir):
       SELECT user_id,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS x
-      FROM events WHERE value IS NOT NULL
+      -- |value| < 1e16: the fit's measure domain (r12 extremes
+      -- contract), mirrored by the Spark leg's ingestion filter
+      FROM events WHERE value IS NOT NULL AND ABS(value) < 1e16
     ),
     sums AS (
       SELECT user_id,
@@ -982,7 +991,7 @@ def udf_potential_score(spark, sf_dir):
     "udaf_fsum_value",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY event_type
     """,
@@ -1006,8 +1015,12 @@ def udaf_fsum_value(spark, sf_dir):
     def fsum_udaf(v: pd.Series) -> float:
         # SQL SUM semantics: NULLs (NaN in the Arrow batch) are
         # skipped, not propagated — math.fsum would return nan for a
-        # group with ANY null (round-11 adversarial NULL sweep)
-        return math.fsum(v.dropna())
+        # group with ANY null (round-11 adversarial NULL sweep).
+        # |x| < 1e16 is the oracle's DECIMAL(18,2) domain (r12
+        # extremes contract): out-of-domain measures drop like NULLs,
+        # and fsum raises "intermediate overflow" on ±1e308 inputs.
+        vv = v.dropna()
+        return math.fsum(vv[vv.abs() < 1e16])
 
     @pandas_udf("long")
     def count_udaf(v: pd.Series) -> int:

@@ -698,14 +698,14 @@ def agg_daily_counts(spark, sf_dir):
     "agg_roi_discount",
     oracle="""
     SELECT user_id,
-           CAST(SUM(CASE WHEN value > 100 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-             / COUNT(CASE WHEN value > 100 THEN 1 END) AS avg_in,
-           CAST(SUM(CASE WHEN NOT (value > 100) THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-             / COUNT(CASE WHEN NOT (value > 100) THEN 1 END) AS avg_out,
-           (CAST(SUM(CASE WHEN value > 100 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-             / COUNT(CASE WHEN value > 100 THEN 1 END))
-           / (CAST(SUM(CASE WHEN NOT (value > 100) THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-             / COUNT(CASE WHEN NOT (value > 100) THEN 1 END)) - 1.0 AS roi
+           CAST(SUM(CASE WHEN value > 100 THEN TRY_CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / COUNT(CASE WHEN value > 100 THEN TRY_CAST(value AS DECIMAL(18,2)) END) AS avg_in,
+           CAST(SUM(CASE WHEN NOT (value > 100) THEN TRY_CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / COUNT(CASE WHEN NOT (value > 100) THEN TRY_CAST(value AS DECIMAL(18,2)) END) AS avg_out,
+           (CAST(SUM(CASE WHEN value > 100 THEN TRY_CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / COUNT(CASE WHEN value > 100 THEN TRY_CAST(value AS DECIMAL(18,2)) END))
+           / (CAST(SUM(CASE WHEN NOT (value > 100) THEN TRY_CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / COUNT(CASE WHEN NOT (value > 100) THEN TRY_CAST(value AS DECIMAL(18,2)) END)) - 1.0 AS roi
     FROM events GROUP BY user_id
     """,
     doc=(
@@ -726,12 +726,14 @@ def agg_roi_discount(spark, sf_dir):
     SELECT 'events.value' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(value) AS BIGINT) AS n_nonnull,
            MIN(value) AS min_value, MAX(value) AS max_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(TRY_CAST(value AS DECIMAL(18,2))) AS avg_value
     FROM events
     UNION ALL
     SELECT 'lineitem.l_quantity', CAST(COUNT(*) AS BIGINT), CAST(COUNT(l_quantity) AS BIGINT),
            MIN(l_quantity), MAX(l_quantity),
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)
+           CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(TRY_CAST(l_quantity AS DECIMAL(18,2)))
     FROM lineitem
     """,
     doc="Null/anomaly validation profile: min/max/avg/null-rate (PLAN:26).",
@@ -764,17 +766,17 @@ def agg_distinct_pool(spark, sf_dir):
     oracle="""
     WITH m AS (
       SELECT user_id,
-             CAST(value AS DECIMAL(18,2)) AS x,
-             CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,2)) AS y
+             TRY_CAST(value AS DECIMAL(18,2)) AS x,
+             TRY_CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,2)) AS y
       FROM events
     ),
     s AS (
       SELECT user_id,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
+             CAST(SUM(TRY_CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(TRY_CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(TRY_CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
       FROM m GROUP BY user_id
     )
     SELECT user_id, n,
@@ -793,17 +795,25 @@ def agg_distinct_pool(spark, sf_dir):
 )
 def agg_corr_price_players(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    x = F.col("value").cast("decimal(18,2)")
+    x = F.col("value").try_cast("decimal(18,2)")
     y = (
-        F.get_json_object("props", "$.k").cast("bigint").cast("decimal(18,2)")
+        F.get_json_object("props", "$.k")
+        .cast("bigint")
+        .try_cast("decimal(18,2)")
     )
     m = ev.select("user_id", x.alias("x"), y.alias("y"))
     n = F.count(F.lit(1))
     sx = F.sum("x").cast("double")
     sy = F.sum("y").cast("double")
-    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(28,4)")).cast("double")
-    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(28,4)")).cast("double")
-    syy = F.sum((F.col("y") * F.col("y")).cast("decimal(28,4)")).cast("double")
+    sxy = F.sum(
+        (F.col("x") * F.col("y")).try_cast("decimal(28,4)")
+    ).cast("double")
+    sxx = F.sum(
+        (F.col("x") * F.col("x")).try_cast("decimal(28,4)")
+    ).cast("double")
+    syy = F.sum(
+        (F.col("y") * F.col("y")).try_cast("decimal(28,4)")
+    ).cast("double")
     s = m.groupBy("user_id").agg(
         n.alias("n"), sx.alias("sx"), sy.alias("sy"),
         sxy.alias("sxy"), sxx.alias("sxx"), syy.alias("syy"),
@@ -901,7 +911,7 @@ def agg_salted_daily(spark, sf_dir):
     oracle="""
     SELECT date_trunc('day', ts) AS day, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY ROLLUP(1, event_type)
     """,
     doc="ROLLUP(day, type) dashboard extension of the daily heartbeat (SURVEY §2.5).",
@@ -977,7 +987,7 @@ def smpl_deterministic(spark, sf_dir):
     )
     SELECT win_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM starts
     GROUP BY win_start
     """,

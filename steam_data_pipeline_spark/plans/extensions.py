@@ -759,7 +759,10 @@ def llm_quota_per_source(spark, sf_dir):
     -- an empty list) — the profile covers measurable vectors only
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(CAST(
+           -- TRY_CAST: an extreme-component vector's norm (~1e31)
+           -- overflows the 6 integer digits of DECIMAL(18,12) — it
+           -- contributes NULL to the mean numerator (r12 contract)
+           CAST(SUM(TRY_CAST(
              sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                              (acc, v) -> acc + v))
              AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_norm
@@ -778,7 +781,8 @@ def llm_embedding_stats(spark, sf_dir):
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         (
-            F.sum(norm.cast("decimal(18,12)")).cast("double") / F.count(F.lit(1))
+            F.sum(norm.try_cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
         ).alias("avg_norm"),
     )
 
@@ -2213,7 +2217,7 @@ def src_orc_roundtrip(spark, sf_dir):
     oracle="""
     SELECT date_trunc('day', ts) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     WHERE CAST(date_trunc('day', ts) AS DATE)
           IN (DATE '2024-01-05', DATE '2024-01-06', DATE '2024-01-07')
@@ -2531,7 +2535,7 @@ def llm_vocab_build(spark, sf_dir):
     "join_skew_salted",
     oracle="""
     SELECT c.c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(TRY_CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events e JOIN customer c ON e.user_id % 1500 = c.c_custkey % 1500
     WHERE c.c_custkey < 1500
     GROUP BY 1
@@ -3763,7 +3767,10 @@ def _bloom_join_plan(spark, sf_dir):
         )
         .select("o_orderkey")
     )
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+    # try_cast: a price outside decimal(18,6)'s 12 integer digits is
+    # out of the revenue domain -> NULL, not an ANSI crash (r12
+    # numeric-extremes contract; TRY_CAST mirrored in the oracle)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).try_cast(
         "decimal(18,6)"
     )
     return (
@@ -3809,8 +3816,8 @@ def _conf_overrides(spark, overrides: dict):
     oracle="""
     SELECT o.o_orderkey,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           CAST(SUM(TRY_CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderdate >= TIMESTAMP '1995-02-01'
       AND o.o_orderdate <  TIMESTAMP '1995-04-01'
@@ -4834,9 +4841,13 @@ def llm_bpe_roundtrip(spark, sf_dir):
       FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
+           -- DuckDB levenshtein is UTF-8 BYTE-based; the Spark leg
+           -- byte-expands its keys to match (r12 Unicode axis) — the
+           -- strlen band is in the same byte units and is implied by
+           -- dist <= 2, so it stays a pure pruning step
            CAST(levenshtein(a.s, b.s) AS INT) AS dist
     FROM k a JOIN k b ON a.doc_id < b.doc_id
-    WHERE abs(length(a.s) - length(b.s)) <= 2
+    WHERE abs(strlen(a.s) - strlen(b.s)) <= 2
       AND levenshtein(a.s, b.s) <= 2
     """,
     doc=(
@@ -4877,6 +4888,17 @@ def llm_dedup_editdist(spark, sf_dir):
         ).alias("s"),
     )
     corpus = base.unionByName(planted)
+    # BYTE-based distance contract (r12 Unicode axis): DuckDB's
+    # levenshtein counts UTF-8 BYTES where Spark's counts chars — on
+    # multi-byte text the two silently diverge (a CJK substitution is
+    # 3 byte-edits). The operator is pinned to byte-level Ed-Join:
+    # each key is byte-expanded via decode(encode(s, UTF-8),
+    # ISO-8859-1) (one char per byte, pure JVM), so the q-gram prefix
+    # lemma, the length band and levenshtein(threshold) all run over
+    # the byte alphabet — exactly DuckDB's semantics.
+    corpus = corpus.select(
+        "doc_id", F.decode(F.encode("s", "UTF-8"), "ISO-8859-1").alias("s")
+    )
     import os as _os
 
     ck = _os.path.abspath(sf_dir)
@@ -5532,9 +5554,11 @@ def _psi_multi_oracle(cols: tuple[str, ...], n_bins: int = 8) -> str:
                  9) AS contrib
     FROM (
       WITH r_{c} AS (SELECT CAST({c} AS DOUBLE) AS x FROM events
-                     WHERE day(ts) <= 15 AND {c} IS NOT NULL),
+                     WHERE day(ts) <= 15 AND {c} IS NOT NULL
+                       AND ABS({c}) < 1e150),
       c_{c} AS (SELECT CAST({c} AS DOUBLE) AS x FROM events
-                WHERE day(ts) > 15 AND {c} IS NOT NULL),
+                WHERE day(ts) > 15 AND {c} IS NOT NULL
+                  AND ABS({c}) < 1e150),
       bounds AS (SELECT MIN(x) AS vmin, MAX(x) AS vmax
                  FROM (SELECT x FROM r_{c} UNION ALL SELECT x FROM c_{c})),
       spine AS (SELECT CAST(g AS BIGINT) AS bin
@@ -5645,7 +5669,13 @@ def qa_observe_metrics(spark, sf_dir):
            CAST(CAST(SUM(CAST(concat('0x',
              substring(md5(concat_ws(chr(31),
                CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-               o_orderstatus, CAST(o_totalprice AS VARCHAR),
+               o_orderstatus,
+               -- float columns enter as exact integer CENTS: the raw
+               -- double->string form diverges per engine beyond 1e7
+               -- (Spark switches to scientific notation, DuckDB never
+               -- does) — invisible until the r12 extremes corpus
+               CAST(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR),
                CAST(o_orderdate AS VARCHAR), o_orderpriority)), 1, 15))
              AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
     FROM orders
@@ -5677,9 +5707,19 @@ def qa_observe_metrics(spark, sf_dir):
 def qa_table_checksum(spark, sf_dir):
     def one(tbl: str, cols: list[str]):
         df = t(spark, sf_dir, tbl)
-        payload = F.concat_ws(
-            "\x1f", *[F.col(c).cast("string") for c in cols]
-        )
+
+        def col_str(c: str):
+            # money doubles enter as exact integer cents: Spark's
+            # double->string turns scientific at >=1e7 where DuckDB
+            # never does (r12 extremes contract; NULL out-of-domain,
+            # skipped by concat_ws on both engines)
+            if c == "o_totalprice":
+                return (
+                    F.round(F.col(c) * 100).try_cast("long").cast("string")
+                )
+            return F.col(c).cast("string")
+
+        payload = F.concat_ws("\x1f", *[col_str(c) for c in cols])
         rowsum = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
             "decimal(38,0)"
         )
@@ -5746,9 +5786,11 @@ def qa_anomaly_days(spark, sf_dir):
     -- LAST bin — the trap the Spark operators' isNotNull filter avoids
     -- (round-11 adversarial NULL sweep)
     WITH ref AS (SELECT value AS x FROM events
-                 WHERE day(ts) <= 15 AND value IS NOT NULL),
+                 WHERE day(ts) <= 15 AND value IS NOT NULL
+                   AND ABS(value) < 1e150),
     cur AS (SELECT value AS x FROM events
-            WHERE day(ts) > 15 AND value IS NOT NULL),
+            WHERE day(ts) > 15 AND value IS NOT NULL
+              AND ABS(value) < 1e150),
     bounds AS (
       SELECT MIN(x) AS vmin, MAX(x) AS vmax
       FROM (SELECT x FROM ref UNION ALL SELECT x FROM cur)
@@ -6090,6 +6132,8 @@ def samp_weighted_reservoir(spark, sf_dir):
       SELECT list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
       FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+        -- micro-quantization domain (pca.QUANT_BOUND, r12 contract)
+        AND len(list_filter(embedding, x -> x IS NULL OR ABS(CAST(x AS DOUBLE)) > 9e12)) = 0
     ),
     e AS (SELECT unnest(qv) AS qi, generate_subscripts(qv, 1) AS i FROM q),
     s AS (SELECT i,
@@ -6225,13 +6269,16 @@ def sink_cdc_diff(spark, sf_dir):
     "llm_semdedup",
     oracle=f"""
     WITH RECURSIVE u AS (
-      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+      -- micro-quantization domain (pca.QUANT_BOUND, r12 contract):
+      -- the Spark corpus drops unquantizable vectors at ingestion
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR ABS(CAST(x AS DOUBLE)) > 9e12)) = 0
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL AND len(embedding) > 0
+      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR ABS(CAST(x AS DOUBLE)) > 9e12)) = 0
       UNION ALL
       SELECT vec_id + 2000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0
+      FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR ABS(CAST(x AS DOUBLE)) > 9e12)) = 0
     ),
     ep AS (
       SELECT a.vec_id AS a, b.vec_id AS b
@@ -6279,7 +6326,20 @@ def sink_cdc_diff(spark, sf_dir):
 def llm_semdedup(spark, sf_dir):
     from steam_data_pipeline_spark.llm import pca as P
 
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from steam_data_pipeline_spark.llm.pca import quantizable_components
+
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        # vector ingestion contract (r12): unquantizable vectors are
+        # dropped corpus-wide so the moments, clusters and verify legs
+        # all see the same row set (oracle u CTE mirrors)
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") > 0)
+            & quantizable_components(F.col("embedding"))
+        )
+    )
     p1 = emb.filter(F.col("vec_id") < 32).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
@@ -7105,7 +7165,7 @@ def llm_mix_interleave(spark, sf_dir):
     ev AS (
       SELECT event_type,
              date_diff('day', date_trunc('day', ts), ref) AS age,
-             CAST(ROUND(value, 6) AS DECIMAL(16,6)) AS val
+             TRY_CAST(ROUND(value, 6) AS DECIMAL(16,6)) AS val
       FROM events, mx
     ),
     w AS (
@@ -7141,7 +7201,7 @@ def agg_decay_halflife(spark, sf_dir):
     e = ev.crossJoin(F.broadcast(ref)).select(
         "event_type",
         F.datediff(F.to_date("ref"), F.to_date("ts")).alias("age"),
-        F.round("value", 6).cast("decimal(16,6)").alias("val"),
+        F.round("value", 6).try_cast("decimal(16,6)").alias("val"),
     )
     w = e.select(
         "event_type",
@@ -7352,7 +7412,7 @@ def qa_k_anonymity(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT user_id, date_trunc('day', ts) AS day,
-             SUM(CAST(value AS DECIMAL(18,2))) AS v
+             SUM(TRY_CAST(value AS DECIMAL(18,2))) AS v
       FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -7397,7 +7457,7 @@ def win_resample_ffill(spark, sf_dir):
     daily = (
         t(spark, sf_dir, "events")
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
-        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+        .agg(F.sum(F.col("value").try_cast("decimal(18,2)")).alias("v"))
     )
     # map_from_entries over structs, NOT map_from_arrays over two
     # collect_lists: collect_list SKIPS NULLs, so an all-NULL day (v
@@ -7799,9 +7859,13 @@ def win_holt_linear(spark, sf_dir):
     "agg_quantile_histogram",
     oracle="""
     WITH b AS (
+      -- finite sketch domain (r12 extremes contract): a bin index is
+      -- a BIGINT, so |value| must stay under 4.5e18*5; wilder values
+      -- are a data-quality finding, not a quantile observation
       SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bin,
              CAST(COUNT(*) AS BIGINT) AS c
-      FROM events WHERE value IS NOT NULL GROUP BY 1
+      FROM events WHERE value IS NOT NULL AND ABS(value) < 4.5e18
+      GROUP BY 1
     ),
     cum AS (
       SELECT bin, c,
@@ -7810,7 +7874,7 @@ def win_holt_linear(spark, sf_dir):
       FROM b
     ),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
-            WHERE value IS NOT NULL),
+            WHERE value IS NOT NULL AND ABS(value) < 4.5e18),
     pcts AS (SELECT CAST(g AS BIGINT) AS pct
              FROM (VALUES (50), (90), (99)) v(g))
     SELECT p.pct, t.n,
@@ -7847,7 +7911,10 @@ def agg_quantile_histogram(spark, sf_dir):
     # LAST), so on real data with NULLs the quantile estimate would
     # silently diverge — the fixture has none, which is exactly why
     # the differential harness could never catch it.
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        # finite sketch domain, mirrored in the oracle (r12 contract)
+        F.col("value").isNotNull() & (F.abs("value") < F.lit(4.5e18))
+    )
     hist = (
         ev.select(F.floor(F.col("value") / 5.0).cast("long").alias("bin"))
         .groupBy("bin")
@@ -8124,7 +8191,7 @@ from steam_data_pipeline_spark.llm.lm import (  # noqa: E402
     oracle="""
     WITH o AS (
       SELECT o_orderkey, o_orderpriority AS prio,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
     ),
     s AS (
@@ -8133,8 +8200,11 @@ from steam_data_pipeline_spark.llm.lm import (  # noqa: E402
       FROM o GROUP BY 1
     )
     SELECT o.o_orderkey, o.prio,
-           CAST(((s.sum_c - o.cents) * 10000) // (s.n_c - 1) AS BIGINT)
-             AS enc_micro
+           -- HUGEINT: in-domain cents SUMS still overflow BIGINT once
+           -- scaled x10000 (r12 extremes contract); exact wide integer
+           -- math, final TRY_CAST back to the BIGINT output type
+           TRY_CAST((CAST(s.sum_c AS HUGEINT) - o.cents) * 10000
+                    // (s.n_c - 1) AS BIGINT) AS enc_micro
     FROM o JOIN s USING (prio)
     """,
     doc=(
@@ -8155,7 +8225,7 @@ def feat_target_encode_loo(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_orderpriority").alias("prio"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("o_totalprice") * 100).try_cast("long").alias("cents"),
     )
     s = o.groupBy("prio").agg(
         F.sum("cents").cast("long").alias("sum_c"),
@@ -8164,7 +8234,13 @@ def feat_target_encode_loo(spark, sf_dir):
     return o.join(F.broadcast(s), "prio").select(
         "o_orderkey",
         "prio",
-        F.expr("((sum_c - cents) * 10000) div (n_c - 1)").alias("enc_micro"),
+        # decimal(38,0): the micro-scaled numerator overflows BIGINT
+        # for in-domain cents sums (r12 extremes contract); exact wide
+        # decimal math, final try_cast back to the BIGINT output type
+        F.expr(
+            "try_cast(((CAST(sum_c AS DECIMAL(38,0)) - cents) * 10000)"
+            " div (n_c - 1) AS BIGINT)"
+        ).alias("enc_micro"),
     )
 
 
@@ -8561,7 +8637,7 @@ def qa_benford_digits(spark, sf_dir):
         .filter(F.col("o_totalprice") > 0)
         .select(
             F.substring(
-                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                F.round(F.col("o_totalprice") * 100).try_cast("long").cast("string"),
                 1,
                 1,
             )
@@ -8932,7 +9008,7 @@ def feat_discretize_quantile(spark, sf_dir):
         F.col("o_totalprice").isNotNull()
     ).select(
         F.col("o_orderpriority").alias("prio"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("o_totalprice") * 100).try_cast("long").alias("cents"),
     )
     g = o.groupBy("prio", "cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
     w = (
@@ -9134,12 +9210,16 @@ def feat_standard_scale(spark, sf_dir):
       FROM c GROUP BY 1
     ),
     wtot AS (
-      SELECT CAST(SUM(nh * range_c) AS BIGINT) AS w FROM strata
+      -- HUGEINT weights: nh * range_c of in-domain extreme-cents
+      -- ranges scaled x1000 overflows BIGINT (r12 extremes contract)
+      SELECT SUM(CAST(nh AS HUGEINT) * range_c) AS w FROM strata
     ),
     base AS (
       SELECT seg, nh, range_c,
-             CAST((1000 * nh * range_c) // w AS BIGINT) AS alloc0,
-             CAST((1000 * nh * range_c) % w AS BIGINT) AS rem
+             CAST((1000 * CAST(nh AS HUGEINT) * range_c) // w AS BIGINT)
+               AS alloc0,
+             CAST((1000 * CAST(nh AS HUGEINT) * range_c) % w AS BIGINT)
+               AS rem
       FROM strata, wtot
     ),
     extras AS (
@@ -9173,23 +9253,29 @@ def samp_neyman_alloc(spark, sf_dir):
 
     c = t(spark, sf_dir, "customer").select(
         F.col("c_mktsegment").alias("seg"),
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.round(F.col("c_acctbal") * 100).try_cast("long").alias("cents"),
     )
     strata = c.groupBy("seg").agg(
         F.count(F.lit(1)).cast("long").alias("nh"),
         (F.max("cents") - F.min("cents")).cast("long").alias("range_c"),
     )
+    # decimal(38,0) weights: nh * range_c of in-domain extreme-cents
+    # ranges scaled x1000 overflows BIGINT (r12 extremes contract)
     wtot = strata.agg(
-        F.sum(F.col("nh") * F.col("range_c")).cast("long").alias("w")
+        F.sum(F.col("nh").cast("decimal(38,0)") * F.col("range_c")).alias("w")
     )
     base = strata.crossJoin(F.broadcast(wtot)).select(
         "seg",
         "nh",
         "range_c",
-        F.expr("(1000 * nh * range_c) div w").cast("long").alias("alloc0"),
-        ((1000 * F.col("nh") * F.col("range_c")) % F.col("w"))
-        .cast("long")
-        .alias("rem"),
+        F.expr(
+            "cast((1000 * CAST(nh AS DECIMAL(38,0)) * range_c) div w"
+            " AS BIGINT)"
+        ).alias("alloc0"),
+        F.expr(
+            "cast((1000 * CAST(nh AS DECIMAL(38,0)) * range_c) % w"
+            " AS BIGINT)"
+        ).alias("rem"),
     )
     extras = base.agg((1000 - F.sum("alloc0")).cast("long").alias("e"))
     rk = F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("seg")))
@@ -9333,9 +9419,11 @@ def win_survival_km(spark, sf_dir):
     -- LAST bin — the trap the Spark operators' isNotNull filter avoids
     -- (round-11 adversarial NULL sweep)
     WITH ref AS (SELECT value AS x FROM events
-                 WHERE day(ts) <= 15 AND value IS NOT NULL),
+                 WHERE day(ts) <= 15 AND value IS NOT NULL
+                   AND ABS(value) < 1e150),
     cur AS (SELECT value AS x FROM events
-            WHERE day(ts) > 15 AND value IS NOT NULL),
+            WHERE day(ts) > 15 AND value IS NOT NULL
+              AND ABS(value) < 1e150),
     bounds AS (
       SELECT MIN(x) AS vmin, MAX(x) AS vmax
       FROM (SELECT x FROM ref UNION ALL SELECT x FROM cur)
@@ -9408,7 +9496,8 @@ def qa_ks_drift(spark, sf_dir):
     # and would route every NULL row into the last bin (the psi_drift
     # filter, applied here too — round-11 adversarial NULL sweep)
     ev = t(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
+        # finite-domain bound, same as psi_drift (r12 contract)
+        F.col("value").isNotNull() & (F.abs("value") < F.lit(1e150))
     ).select(
         F.col("value").alias("x"),
         (F.dayofmonth("ts") <= 15).alias("is_ref"),
@@ -9525,7 +9614,7 @@ def agg_gini_segment(spark, sf_dir):
         F.col("c_acctbal").isNotNull()
     ).select(
         F.col("c_mktsegment").alias("seg"),
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.round(F.col("c_acctbal") * 100).try_cast("long").alias("cents"),
     )
     mn = c.groupBy("seg").agg(F.min("cents").cast("long").alias("vmin"))
     s = c.join(F.broadcast(mn), "seg").select(
@@ -9705,8 +9794,14 @@ def agg_entropy_source(spark, sf_dir):
 @EXT.add(
     "agg_mwu_auc",
     oracle="""
-    WITH x AS (SELECT value AS v FROM events WHERE event_type = 'purchase'),
-    y AS (SELECT value AS v FROM events WHERE event_type = 'view'),
+    -- finite-domain bound (r12 extremes contract): keep the r11 NULL
+    -- convention (NULL routes to the last bin on BOTH engines via
+    -- LEAST's null-skip) but exclude |v| >= 1e150, where the bin
+    -- width overflows and the bin expression turns NaN
+    WITH x AS (SELECT value AS v FROM events WHERE event_type = 'purchase'
+               AND (value IS NULL OR ABS(value) < 1e150)),
+    y AS (SELECT value AS v FROM events WHERE event_type = 'view'
+          AND (value IS NULL OR ABS(value) < 1e150)),
     bounds AS (
       SELECT MIN(v) AS vmin, MAX(v) AS vmax
       FROM (SELECT v FROM x UNION ALL SELECT v FROM y)
@@ -9777,6 +9872,8 @@ def agg_mwu_auc(spark, sf_dir):
     ev = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "view"))
+        # finite-domain bound; NULL v keeps its r11 last-bin convention
+        .filter(F.col("value").isNull() | (F.abs("value") < F.lit(1e150)))
         .select(
             F.col("value").alias("v"),
             (F.col("event_type") == "purchase").alias("is_x"),
@@ -9933,9 +10030,13 @@ def agg_autocorr_daily(spark, sf_dir):
       FROM w
     ),
     means AS (
+      -- HUGEINT micro means; a replicate whose micro mean overflows
+      -- BIGINT leaves the rank spine (r12 extremes contract) — the CI
+      -- is then over the finite replicates, deterministically
       SELECT b,
-             CAST((SUM(wt * x) // SUM(wt)) * 1000000
-                  + ((SUM(wt * x) % SUM(wt)) * 1000000) // SUM(wt)
+             TRY_CAST((SUM(CAST(wt AS HUGEINT) * x) // SUM(wt)) * 1000000
+                  + ((SUM(CAST(wt AS HUGEINT) * x) % SUM(wt)) * 1000000)
+                    // SUM(wt)
                   AS BIGINT) AS mean_micro
       FROM pw GROUP BY b HAVING SUM(wt) > 0
     ),
@@ -9943,7 +10044,7 @@ def agg_autocorr_daily(spark, sf_dir):
       SELECT b, mean_micro,
              row_number() OVER (ORDER BY mean_micro, b) AS rk,
              COUNT(*) OVER () AS nb
-      FROM means
+      FROM means WHERE mean_micro IS NOT NULL
     )
     SELECT CAST(MAX(nb) AS BIGINT) AS n_boot,
            CAST(MAX(CASE WHEN rk = 2 THEN mean_micro END) AS BIGINT)
@@ -9976,7 +10077,7 @@ def agg_bootstrap_ci(spark, sf_dir):
 
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("i"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100).try_cast("long").alias("x"),
     )
     b = spark.range(0, 40).select(F.col("id").alias("b"))
     w = o.crossJoin(F.broadcast(b)).select(
@@ -10006,18 +10107,22 @@ def agg_bootstrap_ci(spark, sf_dir):
         .filter(F.col("sw") > 0)
         .select(
             "b",
-            # long-division identity: floor(sx*1e6/sw) computed as
-            # quotient*1e6 + (remainder*1e6) div sw — overflow-free
-            # where the naive sx*1e6 blows past 2^63 once Σwt·x
-            # exceeds ~9e12 cents (the 10x rehearsal corpus did;
-            # sx itself has ~6e5x more headroom — swap the sum to
-            # DECIMAL(38,0) before sx approaches 2^63)
+            # DECIMAL(38,0) micro means (the long-division identity's
+            # documented escalation, triggered by the r12 extremes
+            # corpus): exact wide math, TRY_CAST back to BIGINT; a
+            # replicate whose micro mean overflows BIGINT leaves the
+            # rank spine below, deterministically on both engines
+            # Spark's `div` yields BIGINT even on decimal operands, so
+            # the quotient goes back through DECIMAL before the x1e6
             F.expr(
-                "(sx div sw) * 1000000 + ((sx % sw) * 1000000) div sw"
-            )
-            .cast("long")
-            .alias("mean_micro"),
+                "try_cast("
+                "CAST(CAST(sx AS DECIMAL(38,0)) div sw AS DECIMAL(38,0))"
+                " * 1000000"
+                " + ((CAST(sx AS DECIMAL(38,0)) % sw) * 1000000) div sw"
+                " AS BIGINT)"
+            ).alias("mean_micro"),
         )
+        .filter(F.col("mean_micro").isNotNull())
     )
     wr = Window.orderBy("mean_micro", "b")
     ranked = means.select(
@@ -10154,7 +10259,7 @@ def join_bucket_colocated(spark, sf_dir):
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            F.sum(F.round(F.col("l_extendedprice") * 100).try_cast("long"))
             .cast("long")
             .alias("rev_cents"),
         )
@@ -10167,10 +10272,10 @@ def join_bucket_colocated(spark, sf_dir):
     WITH d AS (
       SELECT date_trunc('day', ts) AS day,
              CAST(SUM(CASE WHEN event_type = 'purchase'
-                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           THEN TRY_CAST(ROUND(value * 100) AS BIGINT)
                            ELSE 0 END) AS BIGINT) AS p,
              CAST(SUM(CASE WHEN event_type = 'view'
-                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           THEN TRY_CAST(ROUND(value * 100) AS BIGINT)
                            ELSE 0 END) AS BIGINT) AS v
       FROM events WHERE event_type IN ('purchase', 'view')
       GROUP BY 1
@@ -10224,7 +10329,7 @@ def join_bucket_colocated(spark, sf_dir):
 def win_rolling_corr(spark, sf_dir):
     from pyspark.sql import Window
 
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = F.round(F.col("value") * 100).try_cast("long")
     d = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "view"))
@@ -10317,7 +10422,7 @@ def win_rolling_corr(spark, sf_dir):
     tags=("proj", "reshape"),
 )
 def proj_unpivot_melt(spark, sf_dir):
-    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cents = F.round(F.col("c_acctbal") * 100).try_cast("long")
     wide = (
         t(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
@@ -10533,7 +10638,7 @@ def join_anti_window(spark, sf_dir):
     oracle="""
     WITH obs AS (
       SELECT user_id, date_trunc('day', ts) AS day,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
     ),
     b AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM obs GROUP BY 1),
@@ -10601,7 +10706,7 @@ def win_gap_fill_interpolate(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
+            F.sum(F.round(F.col("value") * 100).try_cast("long"))
             .cast("long")
             .alias("cents")
         )
@@ -10662,8 +10767,8 @@ def win_gap_fill_interpolate(spark, sf_dir):
     WITH flows AS (
       SELECT user_id, ts, event_id,
              CASE WHEN event_type = 'purchase'
-                  THEN CAST(ROUND(value * 100) AS BIGINT)
-                  ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS flow
+                  THEN TRY_CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE -TRY_CAST(ROUND(value * 100) AS BIGINT) END AS flow
       FROM events WHERE event_type IN ('purchase', 'error')
     ),
     c1 AS (
@@ -10706,7 +10811,7 @@ def win_gap_fill_interpolate(spark, sf_dir):
 def win_drawdown(spark, sf_dir):
     from pyspark.sql import Window
 
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = F.round(F.col("value") * 100).try_cast("long")
     flows = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "error"))
@@ -10741,8 +10846,12 @@ def win_drawdown(spark, sf_dir):
     "qa_outlier_mad",
     oracle="""
     WITH v AS (
-      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
-      FROM events WHERE value IS NOT NULL
+      -- c IS NOT NULL: out-of-domain cents (r12 extremes contract)
+      -- leave the rank spine like NULLs do (engine-opposite order)
+      SELECT event_type, c FROM (
+        SELECT event_type, TRY_CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+      ) WHERE c IS NOT NULL
     ),
     r1 AS (
       SELECT event_type, c,
@@ -10800,8 +10909,11 @@ def qa_outlier_mad(spark, sf_dir):
         t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(
-            "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+            "event_type",
+            F.round(F.col("value") * 100).try_cast("long").alias("c"),
         )
+        # out-of-domain cents leave the rank spine (r12 contract)
+        .filter(F.col("c").isNotNull())
     )
     wt = Window.partitionBy("event_type")
     r1 = v.select(
@@ -10863,21 +10975,23 @@ def qa_outlier_mad(spark, sf_dir):
                AS s2,
              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
                   AS BIGINT) AS sy,
-             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
-                      * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
-               AS s11,
-             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
-                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
-               AS s12,
-             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
-                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
-               AS s22,
-             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
-                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
-                  AS BIGINT) AS s1y,
-             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
-                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
-                  AS BIGINT) AS s2y
+             -- HUGEINT second moments: an in-domain extreme row's
+             -- qty*price_cents product alone passes 2^63 (r12
+             -- extremes contract); the double casts downstream are
+             -- correctly rounded from the exact wide integers on
+             -- both engines
+             SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)) AS s11,
+             SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+                 * CAST(ROUND(l_discount * 100) AS BIGINT)) AS s12,
+             SUM(CAST(ROUND(l_discount * 100) AS HUGEINT)
+                 * CAST(ROUND(l_discount * 100) AS BIGINT)) AS s22,
+             SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+                 * TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               AS s1y,
+             SUM(CAST(ROUND(l_discount * 100) AS HUGEINT)
+                 * TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               AS s2y
       FROM lineitem
     ),
     c AS (
@@ -10924,17 +11038,19 @@ def feat_ols_normal_eq(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     x1 = F.round(F.col("l_quantity")).cast("long")
     x2 = F.round(F.col("l_discount") * 100).cast("long")
-    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).try_cast("long")
     m = li.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x1).cast("long").alias("s1"),
         F.sum(x2).cast("long").alias("s2"),
         F.sum(y).cast("long").alias("sy"),
-        F.sum(x1 * x1).cast("long").alias("s11"),
-        F.sum(x1 * x2).cast("long").alias("s12"),
-        F.sum(x2 * x2).cast("long").alias("s22"),
-        F.sum(x1 * y).cast("long").alias("s1y"),
-        F.sum(x2 * y).cast("long").alias("s2y"),
+        # decimal(38,0) second moments: an in-domain extreme row's
+        # qty*price_cents product alone passes 2^63 (r12 contract)
+        F.sum(x1.cast("decimal(38,0)") * x1).alias("s11"),
+        F.sum(x1.cast("decimal(38,0)") * x2).alias("s12"),
+        F.sum(x2.cast("decimal(38,0)") * x2).alias("s22"),
+        F.sum(x1.cast("decimal(38,0)") * y).alias("s1y"),
+        F.sum(x2.cast("decimal(38,0)") * y).alias("s2y"),
     )
     nd = F.col("n").cast("double")
     a11 = nd * F.col("s11") - F.col("s1").cast("double") * F.col("s1")
@@ -11218,11 +11334,11 @@ def qa_chisq_categorical(spark, sf_dir):
       SELECT user_id, user_id % 2 AS variant,
              CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
                        AND ts < TIMESTAMP '2024-01-16'
-                       THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                       THEN TRY_CAST(ROUND(value * 100) AS BIGINT) END), 0)
                   AS BIGINT) AS pre,
              CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
                        AND ts >= TIMESTAMP '2024-01-16'
-                       THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                       THEN TRY_CAST(ROUND(value * 100) AS BIGINT) END), 0)
                   AS BIGINT) AS post
       FROM events GROUP BY 1
     ),
@@ -11275,7 +11391,7 @@ def qa_chisq_categorical(spark, sf_dir):
     tags=("feat", "experiment", "stats"),
 )
 def feat_cuped_adjust(spark, sf_dir):
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = F.round(F.col("value") * 100).try_cast("long")
     split = F.lit("2024-01-16").cast("timestamp")
     is_p = F.col("event_type") == "purchase"
     u = (
@@ -11347,7 +11463,7 @@ def feat_cuped_adjust(spark, sf_dir):
     WITH u AS (
       SELECT user_id, user_id % 2 AS variant,
              CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
-                       THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                       THEN TRY_CAST(ROUND(value * 100) AS BIGINT) END), 0)
                   AS BIGINT) AS x,
              CAST(COUNT(*) AS BIGINT) AS n_ev
       FROM events GROUP BY 1
@@ -11399,7 +11515,7 @@ def feat_cuped_adjust(spark, sf_dir):
     tags=("agg", "experiment", "stats", "ci"),
 )
 def agg_delta_method_ci(spark, sf_dir):
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = F.round(F.col("value") * 100).try_cast("long")
     u = (
         t(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -11538,7 +11654,7 @@ def stream_stream_full_join(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+             CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
     slopes AS (
@@ -11584,7 +11700,7 @@ def win_theil_sen(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
+            F.sum(F.round(F.col("value") * 100).try_cast("long"))
             .cast("long")
             .alias("c")
         )
@@ -11627,9 +11743,11 @@ def win_theil_sen(spark, sf_dir):
     oracle="""
     WITH h AS (
       -- NULL value has no rank position (engine-opposite NULL order)
-      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
-             CAST(COUNT(*) AS BIGINT) AS f
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (
+        SELECT event_type, TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+      ) WHERE cents IS NOT NULL GROUP BY 1, 2
     ),
     c AS (
       SELECT event_type, cents, f,
@@ -11676,10 +11794,13 @@ def agg_winsorized_mean(spark, sf_dir):
     h = (
         t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
-        .groupBy(
+        .select(
             "event_type",
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.round(F.col("value") * 100).try_cast("long").alias("cents"),
         )
+        # out-of-domain cents leave the histogram spine (r12 contract)
+        .filter(F.col("cents").isNotNull())
+        .groupBy("event_type", "cents")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
     wc = (
@@ -11728,7 +11849,7 @@ def agg_winsorized_mean(spark, sf_dir):
     WITH u AS (
       SELECT user_id, user_id % 2 AS variant,
              CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
-                       THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                       THEN TRY_CAST(ROUND(value * 100) AS BIGINT) END), 0)
                   AS BIGINT) AS x
       FROM events GROUP BY 1
     ),
@@ -11775,7 +11896,7 @@ def agg_winsorized_mean(spark, sf_dir):
     tags=("agg", "experiment", "stats"),
 )
 def agg_ttest_welch(spark, sf_dir):
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = F.round(F.col("value") * 100).try_cast("long")
     u = (
         t(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -11842,7 +11963,7 @@ def agg_ttest_welch(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+             CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
     s AS (
@@ -11888,7 +12009,7 @@ def agg_mann_kendall(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
+            F.sum(F.round(F.col("value") * 100).try_cast("long"))
             .cast("long")
             .alias("c")
         )
@@ -11953,7 +12074,7 @@ def agg_mann_kendall(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+             CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
     r AS (
@@ -12056,7 +12177,7 @@ def win_forecast_ar2(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
+            F.sum(F.round(F.col("value") * 100).try_cast("long"))
             .cast("long")
             .alias("c")
         )
@@ -12161,7 +12282,7 @@ def win_forecast_ar2(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+             CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
     w AS (
@@ -12207,7 +12328,7 @@ def win_bollinger_bands(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
+            F.sum(F.round(F.col("value") * 100).try_cast("long"))
             .cast("long")
             .alias("c")
         )
@@ -12369,7 +12490,7 @@ def feat_isotonic_calibrate(spark, sf_dir):
     WITH u AS (
       SELECT user_id,
              CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
-                       THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                       THEN TRY_CAST(ROUND(value * 100) AS BIGINT) END), 0)
                   AS BIGINT) AS x
       FROM events GROUP BY 1
     ),
@@ -12410,7 +12531,7 @@ def feat_isotonic_calibrate(spark, sf_dir):
     tags=("agg", "experiment", "stats"),
 )
 def agg_power_mde(spark, sf_dir):
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = F.round(F.col("value") * 100).try_cast("long")
     u = (
         t(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -12450,7 +12571,7 @@ def agg_power_mde(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+             CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
     lagged AS (
@@ -12519,7 +12640,7 @@ def win_backtest_ar1(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
+            F.sum(F.round(F.col("value") * 100).try_cast("long"))
             .cast("long")
             .alias("x")
         )
@@ -12642,7 +12763,7 @@ def agg_hill_tail_index(spark, sf_dir):
     h = (
         t(spark, sf_dir, "orders")
         .groupBy(
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+            F.round(F.col("o_totalprice") * 100).try_cast("long").alias("cents")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
@@ -12689,7 +12810,7 @@ def agg_hill_tail_index(spark, sf_dir):
     oracle="""
     WITH RECURSIVE d AS (
       SELECT event_type, date_trunc('day', ts) AS day,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+             CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
       FROM events GROUP BY 1, 2
     ),
     r AS (
@@ -12785,7 +12906,7 @@ def udtf_forecast_hw(spark, sf_dir):
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
+            F.sum(F.round(F.col("value") * 100).try_cast("long"))
             .cast("long")
             .alias("cents")
         )
@@ -12859,7 +12980,7 @@ def _prepare_hw_stream_fixture(spark, sf_dir: str) -> str:
             t(spark, sf_dir, "events")
             .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
             .agg(
-                F.sum(F.round(F.col("value") * 100).cast("long"))
+                F.sum(F.round(F.col("value") * 100).try_cast("long"))
                 .cast("long")
                 .alias("cents")
             )
@@ -12894,7 +13015,7 @@ BENCH_FIXTURES.append(_prepare_hw_stream_fixture)
     oracle="""
     WITH RECURSIVE d AS (
       SELECT event_type, date_trunc('day', ts) AS day,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+             CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
       FROM events GROUP BY 1, 2
     ),
     r AS (
@@ -13133,7 +13254,7 @@ def agg_assoc_rules(spark, sf_dir):
              date_diff('day', TIMESTAMP '2024-01-01',
                        date_trunc('day', ts)) % 7 AS dow,
              user_id % 2 AS variant,
-             CAST(ROUND(value * 100) AS BIGINT) AS x
+             TRY_CAST(ROUND(value * 100) AS BIGINT) AS x
       FROM events
     ),
     m AS (
@@ -13224,7 +13345,7 @@ def agg_assoc_rules(spark, sf_dir):
 def agg_fdr_bh(spark, sf_dir):
     from pyspark.sql import Window
 
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = F.round(F.col("value") * 100).try_cast("long")
     d38 = "decimal(38,0)"
     cells = t(spark, sf_dir, "events").select(
         "event_type",
@@ -13428,18 +13549,18 @@ def feat_split_time_purged(spark, sf_dir):
              CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
                AS n1,
              CAST(COALESCE(SUM(CASE WHEN user_id % 2 = 0
-                   THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                   THEN TRY_CAST(ROUND(value * 100) AS BIGINT) END), 0)
                   AS BIGINT) AS s0,
              CAST(COALESCE(SUM(CASE WHEN user_id % 2 = 1
-                   THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                   THEN TRY_CAST(ROUND(value * 100) AS BIGINT) END), 0)
                   AS BIGINT) AS s1,
              CAST(COALESCE(SUM(CASE WHEN user_id % 2 = 0
-                   THEN CAST(ROUND(value * 100) AS BIGINT)
-                        * CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                   THEN TRY_CAST(ROUND(value * 100) AS BIGINT)
+                        * TRY_CAST(ROUND(value * 100) AS BIGINT) END), 0)
                   AS HUGEINT) AS q0,
              CAST(COALESCE(SUM(CASE WHEN user_id % 2 = 1
-                   THEN CAST(ROUND(value * 100) AS BIGINT)
-                        * CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                   THEN TRY_CAST(ROUND(value * 100) AS BIGINT)
+                        * TRY_CAST(ROUND(value * 100) AS BIGINT) END), 0)
                   AS HUGEINT) AS q1
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
@@ -13516,7 +13637,7 @@ def feat_split_time_purged(spark, sf_dir):
 def win_sprt_always_valid(spark, sf_dir):
     from pyspark.sql import Window
 
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = F.round(F.col("value") * 100).try_cast("long")
     d38 = "decimal(38,0)"
     v0 = F.col("user_id") % 2 == 0
     v1 = F.col("user_id") % 2 == 1
@@ -13627,7 +13748,7 @@ def win_sprt_always_valid(spark, sf_dir):
     oracle="""
     WITH p AS (
       SELECT event_id, user_id, ts,
-             CAST(ROUND(value * 100) AS BIGINT) AS cents
+             TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase'
     ),
     w AS (
@@ -13676,7 +13797,7 @@ def feat_target_encode_expanding(spark, sf_dir):
             "event_id",
             "user_id",
             "ts",
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.round(F.col("value") * 100).try_cast("long").alias("cents"),
         )
     )
     fr = (
@@ -13736,13 +13857,15 @@ def feat_target_encode_expanding(spark, sf_dir):
     ),
     dim_today AS (
       SELECT d.app_id, d.name, d.developer,
-             CAST(CAST(d.p_retailprice AS DECIMAL(10,2)) AS DOUBLE) AS price_numeric
+             -- TRY_CAST: a price past DECIMAL(10,2)'s 8 integer digits
+             -- is out of the money domain -> NULL (r12 contract)
+             CAST(TRY_CAST(d.p_retailprice AS DECIMAL(10,2)) AS DOUBLE) AS price_numeric
       FROM details d JOIN pool USING (app_id)
       WHERE d.name IS NOT NULL AND d.name <> ''
     ),
     dim_yday AS (
       SELECT d.app_id, 'stale:' || d.name AS name, d.developer,
-             CAST(CAST(d.p_retailprice + 1 AS DECIMAL(10,2)) AS DOUBLE) AS price_numeric
+             CAST(TRY_CAST(d.p_retailprice + 1 AS DECIMAL(10,2)) AS DOUBLE) AS price_numeric
       FROM details d JOIN yday_pool USING (app_id)
       WHERE d.name IS NOT NULL AND d.name <> ''
     ),
@@ -13833,7 +13956,7 @@ def pipeline_daily_run(spark, sf_dir):
         F.concat(F.lit("stale:"), F.col("name")).alias("name"),
         "developer",
         (F.col("retail_price") + 1)
-        .cast("decimal(10,2)")
+        .try_cast("decimal(10,2)")
         .cast("double")
         .alias("price_numeric"),
         "metadata_last_updated",
@@ -13845,7 +13968,7 @@ def pipeline_daily_run(spark, sf_dir):
         "name",
         "developer",
         F.col("retail_price")
-        .cast("decimal(10,2)")
+        .try_cast("decimal(10,2)")
         .cast("double")
         .alias("price_numeric"),
         "metadata_last_updated",
@@ -14140,12 +14263,20 @@ def llm_ngram_novelty(spark, sf_dir):
 @EXT.add(
     "win_interval_coverage",
     oracle="""
-    WITH iv AS (
+    WITH cents AS (
+      -- out-of-domain durations (cents beyond 9e12: the us product
+      -- would overflow BIGINT) -> NULL, same flow as a NULL value
+      SELECT user_id, event_id, ts,
+             CASE WHEN ABS(TRY_CAST(ROUND(value * 100) AS BIGINT))
+                       < 9000000000000
+                  THEN TRY_CAST(ROUND(value * 100) AS BIGINT) END AS c
+      FROM events
+    ),
+    iv AS (
       SELECT user_id, event_id,
              epoch_us(ts) AS s_us,
-             epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT) * 1000000
-               AS e_us
-      FROM events
+             epoch_us(ts) + c * 1000000 AS e_us
+      FROM cents
     ),
     marked AS (
       SELECT user_id, s_us, e_us,
@@ -14186,15 +14317,20 @@ def llm_ngram_novelty(spark, sf_dir):
 def win_interval_coverage(spark, sf_dir):
     from pyspark.sql import Window
 
+    from steam_data_pipeline_spark.operators.aggregates import try_cents
+
     ev = t(spark, sf_dir, "events")
+    # duration cents via the domain-total try_cents contract, with the
+    # tighter bound this operator needs (cents*1e6 must fit signed-64
+    # microseconds) — out-of-domain == NULL value == open interval end,
+    # the flow the round-11 NULL sweep already pinned here
+    cents = try_cents("value")
+    dur = F.when(F.abs(cents) < F.lit(9_000_000_000_000), cents)
     iv = ev.select(
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("s_us"),
-        (
-            F.unix_micros("ts")
-            + F.round(F.col("value") * 100).cast("long") * F.lit(1_000_000)
-        ).alias("e_us"),
+        (F.unix_micros("ts") + dur * F.lit(1_000_000)).alias("e_us"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -14314,7 +14450,9 @@ def win_debounce(spark, sf_dir):
     WITH cells AS (
       SELECT event_type, CAST(event_id % 5 AS BIGINT) AS fold,
              CAST(COUNT(*) AS BIGINT) AS n_in,
-             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+             -- TRY_CAST: out-of-domain cents -> NULL, excluded from
+             -- the target sum (counts still count rows) — r12 contract
+             SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS s
       FROM events GROUP BY event_type, event_id % 5
     )
     SELECT event_type, fold, n_in,
@@ -14345,12 +14483,14 @@ def win_debounce(spark, sf_dir):
 def feat_target_encode_kfold(spark, sf_dir):
     from pyspark.sql import Window
 
+    from steam_data_pipeline_spark.operators.aggregates import try_cents
+
     ev = t(spark, sf_dir, "events")
     cells = ev.groupBy(
         "event_type", (F.col("event_id") % 5).cast("long").alias("fold")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_in"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+        F.sum(try_cents("value")).alias("s"),
     )
     wt = Window.partitionBy("event_type")
     return cells.select(
@@ -14370,7 +14510,7 @@ def feat_target_encode_kfold(spark, sf_dir):
     oracle="""
     SELECT c.c_mktsegment, e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(TRY_CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
              AS cents
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY c.c_mktsegment, e.event_type
@@ -14400,13 +14540,15 @@ def stream_static_enrich(spark, sf_dir):
 
 def _build_stream_static_enrich(spark, sf_dir):
     """Pre-sink streaming plan, shared with the plan-contract test."""
+    from steam_data_pipeline_spark.operators.aggregates import try_cents
+
     dim = t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     ev = _read_events_stream(spark, sf_dir).select(
         "user_id",
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        try_cents("value").alias("cents"),
     )
     joined = ev.join(F.broadcast(dim), on="user_id", how="inner")
     return joined.groupBy("c_mktsegment", "event_type").agg(
@@ -14420,14 +14562,16 @@ def _build_stream_static_enrich(spark, sf_dir):
     oracle="""
     WITH per_user AS (
       SELECT user_id,
-             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+             SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS cents
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
     ranked AS (
+      -- NULL cents (user with no in-domain purchase) leave the rank
+      -- spine: engines order NULLs oppositely (r12 extremes contract)
       SELECT cents,
              row_number() OVER (ORDER BY cents, user_id) AS rk,
              COUNT(*) OVER () AS n
-      FROM per_user
+      FROM per_user WHERE cents IS NOT NULL
     ),
     dec AS (
       SELECT CAST(((rk - 1) * 10) // n AS BIGINT) AS decile,
@@ -14458,11 +14602,14 @@ def _build_stream_static_enrich(spark, sf_dir):
 def agg_lorenz_deciles(spark, sf_dir):
     from pyspark.sql import Window
 
+    from steam_data_pipeline_spark.operators.aggregates import try_cents
+
     per_user = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .agg(F.sum(try_cents("value")).alias("cents"))
+        .filter(F.col("cents").isNotNull())
     )
     ranked = per_user.select(
         "cents",
@@ -14551,7 +14698,7 @@ def qa_event_id_gaps(spark, sf_dir):
     WITH cat AS (
       SELECT CAST(FLOOR(SQRT(CAST(json_extract(props, '$.k') AS BIGINT)))
                   AS BIGINT) AS cat,
-             CAST(ROUND(value * 100) AS BIGINT) AS cents
+             TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
       FROM events
     ),
     counts AS (
@@ -14589,11 +14736,13 @@ def qa_event_id_gaps(spark, sf_dir):
 def feat_rare_category_collapse(spark, sf_dir):
     from pyspark.sql import Window
 
+    from steam_data_pipeline_spark.operators.aggregates import try_cents
+
     cat = t(spark, sf_dir, "events").select(
         F.floor(
             F.sqrt(F.get_json_object("props", "$.k").cast("long"))
         ).cast("long").alias("cat"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        try_cents("value").alias("cents"),
     )
     counts = cat.groupBy("cat").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
@@ -14766,7 +14915,7 @@ def win_rfm_segments(spark, sf_dir):
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).cast("long").alias("freq"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            F.sum(F.round(F.col("o_totalprice") * 100).try_cast("long")).alias(
                 "cents"
             ),
         )
@@ -14795,7 +14944,7 @@ def win_rfm_segments(spark, sf_dir):
     oracle="""
     WITH purch AS (
       SELECT user_id, date_trunc('week', ts) AS wk,
-             CAST(ROUND(value * 100) AS BIGINT) AS cents
+             TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase'
     ),
     cohort AS (
@@ -14844,13 +14993,15 @@ def win_rfm_segments(spark, sf_dir):
 def agg_cohort_ltv(spark, sf_dir):
     from pyspark.sql import Window
 
+    from steam_data_pipeline_spark.operators.aggregates import try_cents
+
     purch = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .select(
             "user_id",
             F.date_trunc("week", F.col("ts")).alias("wk"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            try_cents("value").alias("cents"),
         )
     )
     cohort = purch.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
@@ -15113,7 +15264,7 @@ def agg_skyline_pareto(spark, sf_dir):
     "feat_calibration_bins",
     oracle="""
     WITH scored AS (
-      SELECT (CAST(ROUND(value * 100) AS BIGINT) % 1000) / 1000.0 AS score,
+      SELECT (TRY_CAST(ROUND(value * 100) AS BIGINT) % 1000) / 1000.0 AS score,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
       FROM events
     ),
@@ -15146,10 +15297,10 @@ def agg_skyline_pareto(spark, sf_dir):
     tags=("feat", "ml", "evaluation"),
 )
 def feat_calibration_bins(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.aggregates import try_cents
+
     scored = t(spark, sf_dir, "events").select(
-        (
-            (F.round(F.col("value") * 100).cast("long") % 1000) / F.lit(1000.0)
-        ).alias("score"),
+        ((try_cents("value") % 1000) / F.lit(1000.0)).alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
     )
     binned = scored.groupBy(
@@ -15177,7 +15328,7 @@ def feat_calibration_bins(spark, sf_dir):
       SELECT event_type,
              (CAST(FLOOR(date_part('epoch', ts) / 86400) AS BIGINT) + 3) % 7
                + 1 AS dow_iso,
-             CAST(ROUND(value * 100) AS BIGINT) AS cents
+             TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
       FROM events
     ),
     per AS (
@@ -15210,12 +15361,14 @@ def feat_calibration_bins(spark, sf_dir):
     tags=("agg", "timeseries", "seasonality"),
 )
 def agg_dow_seasonality(spark, sf_dir):
+    from steam_data_pipeline_spark.operators.aggregates import try_cents
+
     d = t(spark, sf_dir, "events").select(
         "event_type",
         (
             (F.floor(F.unix_timestamp("ts") / 86400).cast("long") + 3) % 7 + 1
         ).alias("dow_iso"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        try_cents("value").alias("cents"),
     )
     per = d.groupBy("event_type", "dow_iso").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -15243,15 +15396,20 @@ def agg_dow_seasonality(spark, sf_dir):
       FROM embeddings,
            UNNEST(list_transform(range(1, len(embedding) + 1),
                   i -> {'d': i - 1,
-                        'q': CAST(ROUND(CAST(embedding[i] AS DOUBLE)
-                                        * 1000000)
-                                  AS BIGINT)})) AS t(u)
+                        'q': TRY_CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                                            * 1000000)
+                                      AS BIGINT)})) AS t(u)
     )
     SELECT label, CAST(dim AS BIGINT) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(SUM(q) AS BIGINT) AS sum_micro,
-           ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0, 9)
-             AS centroid
+           -- 9-dp mean via EXACT integer half-up division: ROUND of the
+           -- double quotient lands on ties whose half-up/half-even
+           -- resolution differs per engine (r12 extremes sweep, 1-ulp)
+           CASE WHEN SUM(q) >= 0
+                THEN  (SUM(q) * 2000 + COUNT(*)) // (2 * COUNT(*))
+                ELSE -((-SUM(q) * 2000 + COUNT(*)) // (2 * COUNT(*)))
+           END / 1e9 AS centroid
     FROM e GROUP BY 1, 2
     """,
     doc=(
@@ -15278,14 +15436,25 @@ def llm_embedding_centroid(spark, sf_dir):
         F.col("dim").cast("long").alias("dim"),
         # float32 -> double FIRST (exact), then scale in double: a
         # float-precision multiply rounds differently per engine
-        F.round(F.col("v").cast("double") * 1000000).cast("long").alias("q"),
+        F.round(F.col("v").cast("double") * 1000000)
+        .try_cast("long")
+        .alias("q"),
     )
-    return e.groupBy("label", "dim").agg(
+    agged = e.groupBy("label", "dim").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum("q").cast("long").alias("sum_micro"),
-        F.round(
-            F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 9
-        ).alias("centroid"),
+    )
+    # 9-dp mean via EXACT integer half-up division (`div`, never `/`):
+    # ROUND of the double quotient lands on ties whose half-up vs
+    # half-even resolution differs per engine (r12 extremes sweep)
+    nano = F.expr(
+        "CASE WHEN sum_micro >= 0 "
+        "THEN (sum_micro * 2000 + n_vecs) div (2 * n_vecs) "
+        "ELSE -((-sum_micro * 2000 + n_vecs) div (2 * n_vecs)) END"
+    )
+    return agged.select(
+        "label", "dim", "n_vecs", "sum_micro",
+        (nano / F.lit(1e9)).alias("centroid"),
     )
 
 
@@ -15454,8 +15623,11 @@ def agg_stickiness_dau_mau(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+             CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
       FROM events WHERE event_type = 'purchase' GROUP BY 1
+      -- a day with no in-domain revenue leaves the median spine: the
+      -- Spark leg's collect_list skips NULL while rn/n here count it
+      HAVING c IS NOT NULL
     ),
     fr AS (
       SELECT a.day, b.c AS v
@@ -15495,15 +15667,14 @@ def agg_stickiness_dau_mau(spark, sf_dir):
 def win_rolling_median(spark, sf_dir):
     from pyspark.sql import Window
 
+    from steam_data_pipeline_spark.operators.aggregates import try_cents
+
     d = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            .cast("long")
-            .alias("c")
-        )
+        .agg(F.sum(try_cents("value")).cast("long").alias("c"))
+        .filter(F.col("c").isNotNull())
     )
     fr = Window.orderBy(F.unix_date("day")).rangeBetween(-6, 0)
     w = d.select(
@@ -15911,8 +16082,8 @@ def win_greedy_allocation(spark, sf_dir):
     WITH ev AS (
       SELECT user_id, ts, event_id,
              CASE WHEN event_type = 'purchase'
-                  THEN CAST(ROUND(value * 100) AS BIGINT)
-                  ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS signed
+                  THEN TRY_CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE -TRY_CAST(ROUND(value * 100) AS BIGINT) END AS signed
       FROM events WHERE event_type IN ('purchase', 'click')
     ),
     p0 AS (
@@ -15959,7 +16130,9 @@ def win_greedy_allocation(spark, sf_dir):
 def win_max_subarray(spark, sf_dir):
     from pyspark.sql import Window
 
-    cents = F.round(F.col("value") * 100).cast("long")
+    from steam_data_pipeline_spark.operators.aggregates import try_cents
+
+    cents = try_cents("value")
     ev = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "click"))
@@ -16002,7 +16175,7 @@ def win_max_subarray(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev
+             CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
     tot AS (
@@ -16070,7 +16243,9 @@ def win_max_subarray(spark, sf_dir):
 def win_changepoint_sse(spark, sf_dir):
     from pyspark.sql import Window
 
-    cents = F.round(F.col("value") * 100).cast("long")
+    from steam_data_pipeline_spark.operators.aggregates import try_cents
+
+    cents = try_cents("value")
     daily = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -16337,7 +16512,7 @@ def qa_outlier_ecod(spark, sf_dir):
         & F.col("p_name").isNotNull()
     ).select(
         "p_partkey",
-        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("p_retailprice") * 100).try_cast("long").alias("cents"),
         F.col("p_size").cast("long").alias("sz"),
         F.length("p_name").cast("long").alias("nl"),
     )

@@ -153,8 +153,8 @@ def _hw_fold(
         s = s[1:] + [_HW_G * (v - lv) + _HW_1G * s[0]]
 
     for pdf in pdfs:
-        # same NULL-observation drop as the batch fit (operators/
-        # forecast.py:133-135): a NULL day carries no information, and
+        # same NULL-observation drop as the batch fit (the dropna in
+        # operators/forecast.py): a NULL day carries no information, and
         # int(NaN) would kill the task instead of skipping the row
         # (round-12 streaming module review). The batch fold replays
         # non-NULL observations in day order, so equivalence holds.

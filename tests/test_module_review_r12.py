@@ -161,7 +161,7 @@ class _FakeState:
 
 def test_hw_fold_skips_null_observations():
     """A NULL day in the streamed series must be SKIPPED (the batch
-    fit's NULL-observation drop, forecast.py:133) — int(NaN) used to
+    fit's NULL-observation drop in operators/forecast.py) — int(NaN) used to
     kill the task. State after folding [v, NaN, v'] equals folding
     [v, v']."""
     from steam_data_pipeline_spark.streaming.stateful import _hw_fold

@@ -249,3 +249,35 @@ def test_observe_does_not_poison_session(spark):
 
     assert QUERIES["qa_observe_metrics"].spark(spark, SF_SMOKE).count() == 1
     assert QUERIES["llm_quality_model"].spark(spark, SF_SMOKE).count() == 1
+
+
+def test_query_hashes_artifact_covers_verified_queries():
+    """QUERY_HASHES.json (the modified-since-green rotation tier's
+    memory) must hold an entry for every driver-verified query, each
+    recorded at or before that query's latest green round — otherwise
+    the tier silently treats coverage gaps as 'modified' forever and
+    the window wastes slots. Regenerate with
+    `python tools/query_hashes.py update` at round start."""
+    import json
+    import os
+
+    from steam_data_pipeline_spark.plans.registry import (
+        _ALL,
+        _verified_round,
+        _stored_query_hashes,
+    )
+
+    stored = _stored_query_hashes()
+    assert stored, "QUERY_HASHES.json missing or empty"
+    missing = {
+        n for n in _ALL if _verified_round(n) is not None and n not in stored
+    }
+    assert not missing, (
+        f"driver-verified queries without a recorded green-time hash: "
+        f"{sorted(missing)[:10]} — run `python tools/query_hashes.py update`"
+    )
+    for name, ent in stored.items():
+        assert set(ent) == {"hash", "round"} and isinstance(ent["round"], int)
+        rnd = _verified_round(name)
+        if rnd is not None:
+            assert ent["round"] <= rnd

@@ -67,6 +67,47 @@ TIE_RATE = 50  # 1-in-50 events rows duplicated at the same (user, ts)
 # split(NULL) yields NULL. Injected on a residue class disjoint from
 # the NULL one so the two axes never collide on a row.
 EMPTY_RATE = 40  # 1-in-40 = 2.5%, residue 1 (NULLs use residue 0)
+# Residue-disjointness proof for ALL the %40 classes vs the %25 NULL
+# class: gcd(25, 40) = 5, and 5 divides the NULL residue (0) but none
+# of 1/2/3 — so hash%25==0 ∧ hash%40∈{1,2,3} has no solution; the axes
+# never collide on one row.
+
+# round-12 axis (a): Unicode / multi-byte text — multi-byte shingles,
+# combining characters, RTL runs, astral-plane (surrogate-pair) chars.
+# Exercises BPE byte/char handling, shingling, langid, and any
+# length-vs-byte-length divergence between Spark and DuckDB. Residue 2
+# PREFIXES a snippet onto real text (tokenizer boundary stress);
+# residue 3 REPLACES the text with a pure-Unicode document (langid /
+# quality-scorer stress). No apostrophes in snippets (SQL literals).
+UNICODE_SNIPPETS = [
+    "深度学习模型训练数据 需要大规模语料库",  # CJK, no ASCII spacesaving
+    "👩‍💻🚀🔥 🧬🌍✨",  # emoji incl. ZWJ sequences
+    "café naïve résumé",  # combining accents (NFD)
+    "‏مرحبا بالعالم هذا نص عربي",  # RTL Arabic with RLM
+    "שלום עולם טקסט בדיקה",  # RTL Hebrew
+    "𝕳𝖊𝖑𝖑𝖔 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝒯𝑒𝓈𝓉",  # astral plane (UTF-16 surrogate pairs)
+    "Ωμέγα δοκιμή ΑΛΦΆΒΗΤΟ ß ẞ",  # Greek + sharp-s case edges
+]
+UNI_RATE = 40  # residues 2 (prefix) and 3 (replace)
+
+# round-12 axis (b): numeric extremes — ±1e308 doubles and true
+# denormals in events.value, boundary-magnitude prices (largest values
+# whose cents representation is still exact in a double: 1e13 scale,
+# cents < 2^53), a negative-extreme balance, and float32
+# overflow/denormal embedding components (×1e30 squares past the
+# float32 max into the double range; ×1e-40 lands below the float32
+# normal minimum). Exercises the exact-decimal-sum discipline and the
+# cosine/norm expressions. Residues 2 (big, hash-signed) and 3 (tiny).
+EXTREME_NUM: dict[tuple[str, str], tuple[str, str, bool]] = {
+    # (table, col) -> (big, tiny, signed_big)
+    ("events", "value"): ("1e308", "5e-324", True),
+    ("lineitem", "l_extendedprice"): ("9999999999999.99", "0.01", False),
+    ("lineitem", "l_quantity"): ("999999999.0", "1e-9", False),
+    ("orders", "o_totalprice"): ("9999999999999.99", "0.01", False),
+    ("customer", "c_acctbal"): ("9999999999999.99", "1e-300", True),
+    ("part", "p_retailprice"): ("99999999999.99", "1e-15", False),
+}
+EXTREME_RATE = 40  # residues 2 and 3, same disjointness argument
 
 
 def build_adversarial_dir(base: str, out_dir: str) -> str:
@@ -88,27 +129,58 @@ def build_adversarial_dir(base: str, out_dir: str) -> str:
         for row in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall():
             colname = row[0]
             if colname in cols:
+                h = f"hash(CAST({key} AS VARCHAR) || '{colname}')"
+                whens = [f"WHEN {h} % {NULL_RATE} = 0 THEN NULL"]
+                if name == "documents" and colname == "text":
+                    # empty text on residue 1 (disjoint from NULL res 0)
+                    whens.append(f"WHEN {h} % {EMPTY_RATE} = 1 THEN ''")
+                    pick = (
+                        f"hash(CAST({key} AS VARCHAR) || 'uni') "
+                        f"% {len(UNICODE_SNIPPETS)}"
+                    )
+                    snippet = (
+                        "CASE "
+                        + " ".join(
+                            f"WHEN {pick} = {i} THEN '{s}'"
+                            for i, s in enumerate(UNICODE_SNIPPETS)
+                        )
+                        + " END"
+                    )
+                    whens.append(
+                        f"WHEN {h} % {UNI_RATE} = 2 "
+                        f"THEN {snippet} || ' ' || text"
+                    )
+                    whens.append(f"WHEN {h} % {UNI_RATE} = 3 THEN {snippet}")
+                if name == "embeddings" and colname == "embedding":
+                    whens.append(f"WHEN {h} % {EMPTY_RATE} = 1 THEN []")
+                    whens.append(
+                        f"WHEN {h} % {EXTREME_RATE} = 2 THEN CAST("
+                        f"list_transform(embedding, x -> x * 1e30) "
+                        f"AS FLOAT[])"
+                    )
+                    whens.append(
+                        f"WHEN {h} % {EXTREME_RATE} = 3 THEN CAST("
+                        f"list_transform(embedding, x -> x * 1e-40) "
+                        f"AS FLOAT[])"
+                    )
+                if (name, colname) in EXTREME_NUM:
+                    big, tiny, signed = EXTREME_NUM[(name, colname)]
+                    sign = f"hash(CAST({key} AS VARCHAR) || 'sign') % 2"
+                    big_expr = (
+                        f"(CASE WHEN {sign} = 0 THEN {big} ELSE -{big} END)"
+                        if signed
+                        else big
+                    )
+                    whens.append(
+                        f"WHEN {h} % {EXTREME_RATE} = 2 THEN {big_expr}"
+                    )
+                    whens.append(f"WHEN {h} % {EXTREME_RATE} = 3 THEN {tiny}")
                 sel.append(
-                    f"CASE WHEN hash(CAST({key} AS VARCHAR) || '{colname}') "
-                    f"% {NULL_RATE} = 0 THEN NULL ELSE {colname} END AS {colname}"
+                    f"CASE {' '.join(whens)} ELSE {colname} END AS {colname}"
                 )
             else:
                 sel.append(colname)
         q = f"SELECT {', '.join(sel)} FROM '{src}'"
-        if name == "documents":
-            # empty text on residue 1 (disjoint from the NULL residue 0)
-            q = q.replace(
-                "ELSE text END AS text",
-                f"WHEN hash(CAST(doc_id AS VARCHAR) || 'text') "
-                f"% {EMPTY_RATE} = 1 THEN '' ELSE text END AS text",
-            )
-        if name == "embeddings":
-            q = q.replace(
-                "ELSE embedding END AS embedding",
-                f"WHEN hash(CAST(vec_id AS VARCHAR) || 'embedding') "
-                f"% {EMPTY_RATE} = 1 THEN [] ELSE embedding END "
-                f"AS embedding",
-            )
         if name == "customer":
             q = q.replace(
                 "c_nationkey",
@@ -175,6 +247,10 @@ def main() -> None:
             "base": args.base,
             "null_rate": f"1/{NULL_RATE}",
             "tie_rate": f"1/{TIE_RATE}",
+            "axes": [
+                "nulls", "null_fks", "ts_ties", "empty_strings",
+                "empty_vectors", "unicode_multibyte", "numeric_extremes",
+            ],
             "n": len(results),
             "n_pass": n_pass,
             "findings": {
