@@ -17,6 +17,23 @@ run — one query per fix family:
 * NULL-text shingle identity    -> llm_dedup_jaccard
 * asof row-pick (NULL value)    -> join_asof_backward
 * ANSI divide / sqrt(negative)  -> agg_corr_price_players
+
+Round-12 extremes/Unicode families (tools/adversarial_sweep.py axes
+(a)/(b); 62 numeric findings + 1 Unicode, all fixed both-leg under
+the numeric-domain contract):
+
+* try_cents / Inf->BIGINT cents fold     -> agg_lorenz_deciles
+* decimal(18,s) try_cast money domain    -> join_dim_fact
+* DECIMAL(38,0)/HUGEINT scaled products  -> feat_target_encode_loo,
+                                            feat_ols_normal_eq
+* finite sketch domain (bin width inf)   -> qa_ks_drift
+* NULL-cents rows leave order spines     -> qa_outlier_mad
+* unquantizable-vector ingestion drop    -> llm_embedding_pca
+* cents-canonical checksum strings       -> qa_table_checksum
+* exact-integer 9-dp tie rounding        -> llm_embedding_centroid
+* Python fold domain (fsum/int(inf))     -> udaf_fsum_value,
+                                            udtf_forecast
+* byte-level editdist (Unicode axis)     -> llm_dedup_editdist
 """
 
 from __future__ import annotations
@@ -40,6 +57,19 @@ QUERIES = [
     "llm_dedup_jaccard",
     "join_asof_backward",
     "agg_corr_price_players",
+    # round-12 extremes/Unicode fix families
+    "agg_lorenz_deciles",
+    "join_dim_fact",
+    "feat_target_encode_loo",
+    "feat_ols_normal_eq",
+    "qa_ks_drift",
+    "qa_outlier_mad",
+    "llm_embedding_pca",
+    "qa_table_checksum",
+    "llm_embedding_centroid",
+    "udaf_fsum_value",
+    "udtf_forecast",
+    "llm_dedup_editdist",
 ]
 
 
