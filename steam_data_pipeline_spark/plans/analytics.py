@@ -785,7 +785,17 @@ def fn_datetime_suite(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_s"),
         (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("next_day"),
         F.hour("ts").cast("long").alias("hour_of_day"),
-        F.unix_timestamp("ts").alias("epoch_s"),
+        # FLOOR of epoch seconds via exact integer micros: Spark's
+        # unix_timestamp truncates a fractional PRE-EPOCH timestamp
+        # toward zero (-2044997876) where DuckDB's FLOOR(epoch())
+        # floors (-2044997877) — off by one on every negative-epoch
+        # row with sub-second precision (r12 ts-extremes axis). pmod
+        # gives the non-negative remainder, so the subtraction lands
+        # on an exact multiple and the div is exact for any sign.
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 1000000))"
+            " div 1000000"
+        ).alias("epoch_s"),
         F.date_trunc("day", "ts").alias("day"),
     )
 

@@ -1543,7 +1543,11 @@ def stream_dedup_inpool(spark, sf_dir):
     "stream_dedup_watermarked",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_events FROM (
+      -- operational time domain (r12 ts-extremes contract): the
+      -- stream leg gates before withWatermark — one far-future event
+      -- would otherwise evict the dedup state and drop every older row
       SELECT DISTINCT event_id FROM events
+      WHERE ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
     )
     """,
     doc=(
@@ -1560,7 +1564,15 @@ def stream_dedup_inpool(spark, sf_dir):
     tags=("streaming", "dedup", "watermark"),
 )
 def stream_dedup_watermarked(spark, sf_dir):
-    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "31 days")
+    ev = (
+        _read_events_stream(spark, sf_dir)
+        # operational time domain before the watermark (see oracle)
+        .filter(
+            (F.col("ts") >= F.lit("1970-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2100-01-01").cast("timestamp"))
+        )
+        .withWatermark("ts", "31 days")
+    )
     deduped = ev.select("event_id", "ts").dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy().agg(F.count(F.lit(1)).alias("n_distinct_events"))
     return _run_stream_to_memory(agg, "dedup_wm", spark)
@@ -1898,7 +1910,7 @@ _LAYOUT_CACHE: dict[tuple, str] = {}
 
 # Bump when any layout/index build logic changes: the on-disk cache key
 # includes it, so old artifacts are never reused across logic changes.
-_LAYOUT_VERSION = 2  # v2: bucket-clustered ANN index writes (round 9)
+_LAYOUT_VERSION = 3  # v3: hw_stream drops NULL-cents days (int64); islands split in int64 us (round 12)
 
 
 def _cached_layout(kind: str, sf_dir: str, write_fn, disk: bool = True) -> str:
@@ -2034,12 +2046,16 @@ def _prepare_islands_stream_fixture(spark, sf_dir: str) -> str:
             .select("user_id", "event_id", "ts", "value")
             .toPandas()
         )
-        lo, hi = pdf["ts"].min(), pdf["ts"].max()
-        b0, b1 = lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3
+        # thirds computed on int64 MICROSECONDS, not Timestamp
+        # arithmetic: pandas Timedelta caps at ~292 years and the
+        # adversarial 1905..2260 span overflows it (r12 ts axis)
+        us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        lo, hi = int(us.min()), int(us.max())
+        b0, b1 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
         parts = [
-            pdf[pdf["ts"] < b0],
-            pdf[(pdf["ts"] >= b0) & (pdf["ts"] < b1)],
-            pdf[pdf["ts"] >= b1],
+            pdf[us < b0],
+            pdf[(us >= b0) & (us < b1)],
+            pdf[us >= b1],
         ]
         for i, p in enumerate(parts):
             path = _os.path.join(out_dir, f"part-{i}.parquet")
@@ -7411,9 +7427,15 @@ def qa_k_anonymity(spark, sf_dir):
     "win_resample_ffill",
     oracle="""
     WITH daily AS (
+      -- operational time domain (r12 ts-extremes contract): a dense
+      -- per-key daily fill across one corrupt 1905/2260 timestamp is
+      -- a 130k-row-per-key spine — out-of-window rows are a
+      -- data-quality finding, not a resample observation
       SELECT user_id, date_trunc('day', ts) AS day,
              SUM(TRY_CAST(value AS DECIMAL(18,2))) AS v
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
+      GROUP BY 1, 2
     ),
     bounds AS (
       SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
@@ -7456,6 +7478,13 @@ def win_resample_ffill(spark, sf_dir):
 
     daily = (
         t(spark, sf_dir, "events")
+        # operational time domain (r12 ts-extremes contract): dense
+        # fill across a corrupt far-out timestamp is an unbounded
+        # spine; out-of-window rows are excluded on both legs
+        .filter(
+            (F.col("ts") >= F.lit("1970-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2100-01-01").cast("timestamp"))
+        )
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.sum(F.col("value").try_cast("decimal(18,2)")).alias("v"))
     )
@@ -10639,7 +10668,10 @@ def join_anti_window(spark, sf_dir):
     WITH obs AS (
       SELECT user_id, date_trunc('day', ts) AS day,
              CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      FROM events WHERE event_type = 'purchase'
+        -- operational time domain (r12 ts-extremes contract)
+        AND ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
+      GROUP BY 1, 2
     ),
     b AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM obs GROUP BY 1),
     spine AS (
@@ -10704,6 +10736,11 @@ def win_gap_fill_interpolate(spark, sf_dir):
     obs = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
+        # operational time domain (r12 ts-extremes contract)
+        .filter(
+            (F.col("ts") >= F.lit("1970-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2100-01-01").cast("timestamp"))
+        )
         .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(
             F.sum(F.round(F.col("value") * 100).try_cast("long"))
@@ -11087,7 +11124,13 @@ def feat_ols_normal_eq(spark, sf_dir):
      AND e.event_type = 'error'
      AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
      AND e.ts < TIMESTAMP '2024-01-04'
+     -- operational time domain (r12 ts-extremes contract): the
+     -- streaming leg filters out-of-window rows BEFORE withWatermark
+     -- (a single far-future event would otherwise advance the
+     -- watermark past the whole stream and evict every in-flight row)
+     AND e.ts >= TIMESTAMP '1970-01-01'
     WHERE p.event_type = 'purchase' AND p.ts < TIMESTAMP '2024-01-04'
+      AND p.ts >= TIMESTAMP '1970-01-01'
     """,
     doc=(
         "Stream-stream LEFT OUTER join with watermark-bounded state — "
@@ -11125,10 +11168,18 @@ def _build_stream_stream_left_join(spark, sf_dir):
     the state-eviction range condition on the unstarted streaming
     DataFrame (``tests/test_plan_contracts.py``)."""
     cutoff = F.lit("2024-01-04").cast("timestamp")
-    # watermark FIRST (on the full-range raw ts), filters after: the
-    # final watermark must clear the cutoff so outer rows flush
+    # operational time domain BEFORE the watermark (r12 ts-extremes
+    # contract): one far-future event would advance the event-time
+    # watermark past the whole stream and silently evict every
+    # in-flight row — watermark POISONING, the event-time-skew hazard
+    # every production pipeline bounds at ingest. The in-domain max
+    # (2024-01-31) still clears the cutoff, so outer rows flush.
+    dom = (F.col("ts") >= F.lit("1970-01-01").cast("timestamp")) & (
+        F.col("ts") < F.lit("2100-01-01").cast("timestamp")
+    )
     left = (
         _read_events_stream(spark, sf_dir)
+        .filter(dom)
         .withWatermark("ts", "1 hour")
         .filter((F.col("event_type") == "purchase") & (F.col("ts") < cutoff))
         .select(
@@ -11139,6 +11190,7 @@ def _build_stream_stream_left_join(spark, sf_dir):
     )
     right = (
         _read_events_stream(spark, sf_dir)
+        .filter(dom)
         .withWatermark("ts", "1 hour")
         .filter((F.col("event_type") == "error") & (F.col("ts") < cutoff))
         .select(
@@ -11579,12 +11631,15 @@ def agg_delta_method_ci(spark, sf_dir):
     "stream_stream_full_join",
     oracle="""
     WITH p AS (
+      -- operational time domain: see stream_stream_left_join
       SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
       WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-04'
+        AND ts >= TIMESTAMP '1970-01-01'
     ),
     e AS (
       SELECT user_id AS e_user, event_id AS e_id, ts AS e_ts FROM events
       WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-04'
+        AND ts >= TIMESTAMP '1970-01-01'
     )
     SELECT COALESCE(p.user_id, e.e_user) AS user_id,
            p.p_id, e.e_id, p.p_ts, e.e_ts
@@ -11610,8 +11665,14 @@ def agg_delta_method_ci(spark, sf_dir):
 )
 def stream_stream_full_join(spark, sf_dir):
     cutoff = F.lit("2024-01-04").cast("timestamp")
+    # operational time domain BEFORE the watermark — watermark
+    # poisoning guard, see _build_stream_stream_left_join
+    dom = (F.col("ts") >= F.lit("1970-01-01").cast("timestamp")) & (
+        F.col("ts") < F.lit("2100-01-01").cast("timestamp")
+    )
     left = (
         _read_events_stream(spark, sf_dir)
+        .filter(dom)
         .withWatermark("ts", "1 hour")
         .filter((F.col("event_type") == "purchase") & (F.col("ts") < cutoff))
         .select(
@@ -11622,6 +11683,7 @@ def stream_stream_full_join(spark, sf_dir):
     )
     right = (
         _read_events_stream(spark, sf_dir)
+        .filter(dom)
         .withWatermark("ts", "1 hour")
         .filter((F.col("event_type") == "error") & (F.col("ts") < cutoff))
         .select(
@@ -12809,9 +12871,13 @@ def agg_hill_tail_index(spark, sf_dir):
     "udtf_forecast_hw",
     oracle="""
     WITH RECURSIVE d AS (
+      -- a day with no in-domain revenue leaves the series (r12
+      -- extremes contract): the Python fit's exact-cents recursion
+      -- skips what it cannot quantize, identically on both legs
       SELECT event_type, date_trunc('day', ts) AS day,
              CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
       FROM events GROUP BY 1, 2
+      HAVING x IS NOT NULL
     ),
     r AS (
       SELECT event_type, x,
@@ -12910,6 +12976,9 @@ def udtf_forecast_hw(spark, sf_dir):
             .cast("long")
             .alias("cents")
         )
+        # a day with no in-domain revenue leaves the series (r12
+        # extremes contract; oracle HAVING mirrors)
+        .filter(F.col("cents").isNotNull())
     )
     return holt_winters_per_key(daily)
 
@@ -12984,9 +13053,15 @@ def _prepare_hw_stream_fixture(spark, sf_dir: str) -> str:
                 .cast("long")
                 .alias("cents")
             )
+            # NULL-cents days leave the series (r12 extremes contract)
+            # — also keeps the parquet column int64: a NaN-bearing
+            # pandas column writes DOUBLE and the stream reader then
+            # fails on the bigint schema
+            .filter(F.col("cents").isNotNull())
             .toPandas()
             .sort_values(["day", "event_type"])
         )
+        pdf["cents"] = pdf["cents"].astype("int64")
         days = sorted(pdf["day"].unique())
         b0, b1 = days[len(days) // 3], days[2 * len(days) // 3]
         parts = [
@@ -13014,9 +13089,13 @@ BENCH_FIXTURES.append(_prepare_hw_stream_fixture)
     "stream_forecast_hw_stateful",
     oracle="""
     WITH RECURSIVE d AS (
+      -- a day with no in-domain revenue leaves the series (r12
+      -- extremes contract): the Python fit's exact-cents recursion
+      -- skips what it cannot quantize, identically on both legs
       SELECT event_type, date_trunc('day', ts) AS day,
              CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
       FROM events GROUP BY 1, 2
+      HAVING x IS NOT NULL
     ),
     r AS (
       SELECT event_type, x,

@@ -109,6 +109,32 @@ EXTREME_NUM: dict[tuple[str, str], tuple[str, str, bool]] = {
 }
 EXTREME_RATE = 40  # residues 2 and 3, same disjointness argument
 
+# round-12 axis (c): timestamp extremes — far-future (year 9999) and
+# PRE-EPOCH (1905: negative unix seconds/micros) event times and order
+# dates, on residues 4/5 (gcd(25,40)=5 divides neither, so disjoint
+# from the NULL class like the other %40 residues). Exercises
+# negative-epoch integer day/week arithmetic (floor vs truncating
+# division diverge below zero), date_trunc/dayofmonth parity far from
+# the fixture's 2024 window, interval halos near the datetime range
+# edge, and every time-ordered window's behavior when the spine spans
+# 8000 years. Timestamps stay NON-NULL (they are ordering spines).
+# Far-future bound is 2260, not 9999: pandas datetime64[ns] (the
+# comparison dtype of BOTH engines' to-dataframe paths) tops out at
+# 2262, so wilder values hit a HARNESS wall (ArrowInvalid on
+# toPandas), not an engine divergence — the axis probes the widest
+# differentially-verifiable window (1677..2262).
+TS_EXTREMES: dict[tuple[str, str], tuple[str, str]] = {
+    ("events", "ts"): (
+        "TIMESTAMP '2260-06-15 12:34:56.789012'",
+        "TIMESTAMP '1905-03-14 01:02:03.000042'",
+    ),
+    ("orders", "o_orderdate"): (
+        "TIMESTAMP '2259-11-30 00:00:00'",
+        "TIMESTAMP '1905-06-15 00:00:00'",
+    ),
+}
+TS_RATE = 40  # residues 4 (far future) and 5 (pre-epoch)
+
 
 def build_adversarial_dir(base: str, out_dir: str) -> str:
     import duckdb
@@ -163,6 +189,10 @@ def build_adversarial_dir(base: str, out_dir: str) -> str:
                         f"list_transform(embedding, x -> x * 1e-40) "
                         f"AS FLOAT[])"
                     )
+                if (name, colname) in TS_EXTREMES:
+                    far, pre = TS_EXTREMES[(name, colname)]
+                    whens.append(f"WHEN {h} % {TS_RATE} = 4 THEN {far}")
+                    whens.append(f"WHEN {h} % {TS_RATE} = 5 THEN {pre}")
                 if (name, colname) in EXTREME_NUM:
                     big, tiny, signed = EXTREME_NUM[(name, colname)]
                     sign = f"hash(CAST({key} AS VARCHAR) || 'sign') % 2"
@@ -177,6 +207,15 @@ def build_adversarial_dir(base: str, out_dir: str) -> str:
                     whens.append(f"WHEN {h} % {EXTREME_RATE} = 3 THEN {tiny}")
                 sel.append(
                     f"CASE {' '.join(whens)} ELSE {colname} END AS {colname}"
+                )
+            elif (name, colname) in TS_EXTREMES:
+                # ordering-spine column: mutate, never NULL
+                far, pre = TS_EXTREMES[(name, colname)]
+                h = f"hash(CAST({key} AS VARCHAR) || '{colname}')"
+                sel.append(
+                    f"CASE WHEN {h} % {TS_RATE} = 4 THEN {far} "
+                    f"WHEN {h} % {TS_RATE} = 5 THEN {pre} "
+                    f"ELSE {colname} END AS {colname}"
                 )
             else:
                 sel.append(colname)
@@ -250,6 +289,7 @@ def main() -> None:
             "axes": [
                 "nulls", "null_fks", "ts_ties", "empty_strings",
                 "empty_vectors", "unicode_multibyte", "numeric_extremes",
+                "timestamp_extremes",
             ],
             "n": len(results),
             "n_pass": n_pass,
