@@ -34,6 +34,12 @@ the numeric-domain contract):
 * Python fold domain (fsum/int(inf))     -> udaf_fsum_value,
                                             udtf_forecast
 * byte-level editdist (Unicode axis)     -> llm_dedup_editdist
+
+Round-12 timestamp-extremes families (axis (d)):
+
+* negative-epoch floor-vs-truncate       -> fn_datetime_suite
+* NULL-cents days leave fitted series    -> udtf_forecast_hw
+* operational time domain / dense fill   -> win_gap_fill_interpolate
 """
 
 from __future__ import annotations
@@ -70,6 +76,11 @@ QUERIES = [
     "udaf_fsum_value",
     "udtf_forecast",
     "llm_dedup_editdist",
+    # round-12 ts-extremes fix families (streaming ones stay in the
+    # full sweep — a stream query costs ~3 s of machinery per run)
+    "fn_datetime_suite",
+    "udtf_forecast_hw",
+    "win_gap_fill_interpolate",
 ]
 
 
