@@ -28,12 +28,41 @@ must not import pyspark or any package sibling at module level.
 
 from __future__ import annotations
 
+import ast
 import functools
 import hashlib
+import importlib
 import inspect
+import textwrap
 import types
 
 PKG_PREFIX = "steam_data_pipeline_spark"
+
+# Constant kinds whose repr is stable across processes (str hashing is
+# per-process-randomized, so sets/dicts are deliberately excluded).
+_CONST_TYPES = (int, float, complex, bool, str, bytes, type(None))
+
+
+def _is_const_name(name: str) -> bool:
+    """Dunder module attrs (``__file__``, ``__spec__``…) are
+    environment-dependent — a worktree snapshot and the live repo would
+    disagree forever — so they never participate."""
+    return not name.startswith("__")
+
+
+def _const_repr(v, depth: int = 0) -> str | None:
+    """Stable repr for a module-level constant, or None if ``v`` is not
+    a simple-constant kind. Behavior-bearing constants (thresholds,
+    scales, column tuples) must participate in the fingerprint — a
+    ``QUANT_BOUND``-style edit changes behavior without changing any
+    function source (round-12 ADVICE item 1)."""
+    if isinstance(v, _CONST_TYPES):
+        return repr(v)
+    if isinstance(v, tuple) and depth < 3:
+        parts = [_const_repr(x, depth + 1) for x in v]
+        if all(p is not None for p in parts):
+            return "(" + ",".join(parts) + ")"
+    return None
 
 # (module, qualname) -> source text; valid within one code state (one
 # process), which is how both the registry and the snapshot tool run.
@@ -88,7 +117,13 @@ def _walk(obj, out: dict[tuple[str, str], str]) -> None:
         g = obj.__globals__
         for name in sorted(names):
             if name in g:
-                _resolve(g[name], names, out)
+                v = g[name]
+                r = _const_repr(v) if _is_const_name(name) else None
+                if r is not None:
+                    out[(mod, f"<const:{name}>")] = r
+                else:
+                    _resolve(v, names, out)
+        _walk_local_imports(obj, names, out)
         for cell in obj.__closure__ or ():
             try:
                 v = cell.cell_contents
@@ -129,12 +164,66 @@ def _resolve(v, names: set[str], out: dict[tuple[str, str], str]) -> None:
         if (getattr(v, "__name__", "") or "").startswith(PKG_PREFIX):
             for name in sorted(names):
                 a = getattr(v, name, None)
-                if a is not None and (
-                    inspect.isfunction(a) or inspect.isclass(a)
-                ):
+                if a is None:
+                    continue
+                if inspect.isfunction(a) or inspect.isclass(a):
                     _walk(a, out)
+                elif _is_const_name(name):
+                    r = _const_repr(a)
+                    if r is not None:
+                        out[(v.__name__, f"<const:{name}>")] = r
     else:
         _walk(v, out)
+
+
+def _walk_local_imports(
+    fn, names: set[str], out: dict[tuple[str, str], str]
+) -> None:
+    """Resolve function-LOCAL package imports from the AST.
+
+    ``from pkg.mod import helper`` inside a function body binds at call
+    time, never through ``__globals__`` — so the globals walk alone
+    missed those helpers entirely (round-12 gap: the
+    ``operators/asof.py`` forward-asof rewrite did not re-flag
+    ``join_asof_forward``, whose only reference to the operator is a
+    local import). ``inspect.getsource`` returns the whole function
+    body, so ``ast.walk`` also covers imports in nested defs."""
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, SyntaxError, TypeError, ValueError):
+        return
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            if node.level != 0 or not (node.module or "").startswith(
+                PKG_PREFIX
+            ):
+                continue
+            try:
+                m = importlib.import_module(node.module)
+            except Exception:  # noqa: BLE001 - unimportable: skip
+                continue
+            for alias in node.names:
+                a = getattr(m, alias.name, None)
+                if a is None:
+                    continue
+                if inspect.ismodule(a):
+                    _resolve(a, names, out)
+                    continue
+                r = (_const_repr(a)
+                     if _is_const_name(alias.name) else None)
+                if r is not None:
+                    out[(node.module, f"<const:{alias.name}>")] = r
+                else:
+                    _walk(a, out)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if not alias.name.startswith(PKG_PREFIX):
+                    continue
+                try:
+                    m = importlib.import_module(alias.name)
+                except Exception:  # noqa: BLE001 - unimportable: skip
+                    continue
+                _resolve(m, names, out)
 
 
 def query_fingerprint(spark_fn, oracle: str | None) -> str:

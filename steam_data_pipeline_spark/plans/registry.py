@@ -157,27 +157,41 @@ def verified_round(
     return None
 
 
+# Queries whose PLAN was rewritten after their latest driver green and
+# that the round's verdict explicitly requires at the head of the next
+# check window (they would otherwise queue behind older-green modified
+# queries). Curated per round; drained entries are removed once the
+# driver re-greens them. r13: the r12 forward-asof rewrite
+# (operators/asof.py:44-106, green predates the rewrite).
+PRIORITY_RECHECK: tuple[str, ...] = ("join_asof_forward",)
+
+
 def rotation_order(
     names: list[str],
     has_oracle: dict[str, bool],
     hash_green: dict[str, int],
     rows_only_green: dict[str, int],
     modified: dict[str, bool] | None = None,
+    priority: tuple[str, ...] = (),
 ) -> list[str]:
-    """The load-bearing driver-contract ordering, three tiers:
+    """The load-bearing driver-contract ordering, four tiers:
 
     0. never-verified queries (registration order) — every new query
        and any query whose latest check failed;
-    1. verified queries whose Spark/oracle source changed since their
+    1. verdict-pinned rewritten queries (``priority``, registration
+       order) — a whole-plan rewrite after a green must not wait for
+       its staleness turn behind older-green modified queries;
+    2. verified queries whose Spark/oracle source changed since their
        last driver green (``modified``), stalest-green first — changed
        code deserves a fresh driver check before untouched staleness
        (round-11 verdict item 2);
-    2. verified, unmodified queries, stalest-green first — so the
+    3. verified, unmodified queries, stalest-green first — so the
        driver's bounded window re-verifies the longest-unchecked
        greens instead of rechecking a fixed prefix forever.
     """
     pos = {name: i for i, name in enumerate(names)}
     modified = modified or {}
+    pinned = set(priority)
 
     def key(name: str) -> tuple[int, int, int]:
         rnd = verified_round(
@@ -185,7 +199,9 @@ def rotation_order(
         )
         if rnd is None:
             return (0, 0, pos[name])
-        tier = 1 if modified.get(name) else 2
+        if name in pinned:
+            return (1, 0, pos[name])
+        tier = 2 if modified.get(name) else 3
         return (tier, rnd, pos[name])
 
     return sorted(names, key=key)
@@ -199,6 +215,7 @@ QUERIES: dict[str, Query] = {
         _HASH_GREEN,
         _ROWS_ONLY_GREEN,
         _MODIFIED,
+        PRIORITY_RECHECK,
     )
 }
 

@@ -193,6 +193,7 @@ class TestRotationOrder:
         may precede a modified one."""
         from steam_data_pipeline_spark.plans.registry import (
             _MODIFIED,
+            PRIORITY_RECHECK,
             QUERIES,
             _verified_round,
         )
@@ -202,11 +203,13 @@ class TestRotationOrder:
             r = _verified_round(n)
             if r is None:
                 tiers.append((0, 0))
+            elif n in PRIORITY_RECHECK:
+                tiers.append((1, 0))
             else:
-                tiers.append((1 if _MODIFIED.get(n) else 2, r))
+                tiers.append((2 if _MODIFIED.get(n) else 3, r))
         assert tiers == sorted(tiers), (
-            "rotation must be (never-verified, modified-stalest, "
-            "unmodified-stalest) in that order"
+            "rotation must be (never-verified, priority-pinned, "
+            "modified-stalest, unmodified-stalest) in that order"
         )
 
     def test_fingerprint_tracks_transitive_helpers(self):
