@@ -11010,7 +11010,7 @@ def qa_outlier_mad(spark, sf_dir):
              CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS s1,
              CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
                AS s2,
-             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             CAST(SUM(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT))
                   AS BIGINT) AS sy,
              -- HUGEINT second moments: an in-domain extreme row's
              -- qty*price_cents product alone passes 2^63 (r12
@@ -15485,10 +15485,12 @@ def agg_dow_seasonality(spark, sf_dir):
            -- 9-dp mean via EXACT integer half-up division: ROUND of the
            -- double quotient lands on ties whose half-up/half-even
            -- resolution differs per engine (r12 extremes sweep, 1-ulp)
-           CASE WHEN SUM(q) >= 0
+           -- TRY_CAST to BIGINT mirrors the Spark leg's nano domain
+           -- (HUGEINT would answer where Spark NULLs; r12 ADVICE)
+           TRY_CAST(CASE WHEN SUM(q) >= 0
                 THEN  (SUM(q) * 2000 + COUNT(*)) // (2 * COUNT(*))
                 ELSE -((-SUM(q) * 2000 + COUNT(*)) // (2 * COUNT(*)))
-           END / 1e9 AS centroid
+           END AS BIGINT) / 1e9 AS centroid
     FROM e GROUP BY 1, 2
     """,
     doc=(
@@ -15523,13 +15525,27 @@ def llm_embedding_centroid(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum("q").cast("long").alias("sum_micro"),
     )
-    # 9-dp mean via EXACT integer half-up division (`div`, never `/`):
-    # ROUND of the double quotient lands on ties whose half-up vs
-    # half-even resolution differs per engine (r12 extremes sweep)
+    # 9-dp mean via EXACT integer half-up division: ROUND of the double
+    # quotient lands on ties whose half-up vs half-even resolution
+    # differs per engine (r12 extremes sweep). The scaling runs in
+    # decimal(38,0) — BIGINT sum_micro * 2000 overflows for
+    # |sum_micro| > ~4.6e15 (ANSI crash where DuckDB's HUGEINT answers;
+    # r12 ADVICE) and Spark's `div` on decimals silently WRAPS
+    # out-of-long quotients, so the quotient is built exactly as
+    # (a - a % b) / b (remainder removed -> decimal division exact)
+    # and try_cast back to BIGINT, the feat_target_encode_loo pattern.
+    _q = (
+        "(({s} * 2000 + n_vecs)"
+        " - ({s} * 2000 + n_vecs) % (2 * n_vecs))"
+        " / (2 * n_vecs)"
+    )
+    # negation AFTER the decimal cast: -LONG_MIN overflows in BIGINT
     nano = F.expr(
-        "CASE WHEN sum_micro >= 0 "
-        "THEN (sum_micro * 2000 + n_vecs) div (2 * n_vecs) "
-        "ELSE -((-sum_micro * 2000 + n_vecs) div (2 * n_vecs)) END"
+        "try_cast(CASE WHEN sum_micro >= 0 THEN "
+        + _q.format(s="cast(sum_micro as decimal(38,0))")
+        + " ELSE -("
+        + _q.format(s="(-cast(sum_micro as decimal(38,0)))")
+        + ") END as bigint)"
     )
     return agged.select(
         "label", "dim", "n_vecs", "sum_micro",

@@ -111,8 +111,11 @@ EXTREME_RATE = 40  # residues 2 and 3, same disjointness argument
 
 # round-12 axis (c): timestamp extremes — far-future (year 9999) and
 # PRE-EPOCH (1905: negative unix seconds/micros) event times and order
-# dates, on residues 4/5 (gcd(25,40)=5 divides neither, so disjoint
-# from the NULL class like the other %40 residues). Exercises
+# dates, on residues 4 and 6: gcd(25,40)=5 divides neither 4 nor 6, so
+# both are disjoint from the NULL class. (Residue 5 — used through
+# round 12 — IS reachable together with hash%25==0, so on NULL-able
+# date columns the NULL branch silently swallowed 1-in-200 pre-epoch
+# rows; r12 ADVICE item 3.) Exercises
 # negative-epoch integer day/week arithmetic (floor vs truncating
 # division diverge below zero), date_trunc/dayofmonth parity far from
 # the fixture's 2024 window, interval halos near the datetime range
@@ -133,7 +136,7 @@ TS_EXTREMES: dict[tuple[str, str], tuple[str, str]] = {
         "TIMESTAMP '1905-06-15 00:00:00'",
     ),
 }
-TS_RATE = 40  # residues 4 (far future) and 5 (pre-epoch)
+TS_RATE = 40  # residues 4 (far future) and 6 (pre-epoch)
 
 
 def build_adversarial_dir(base: str, out_dir: str) -> str:
@@ -192,7 +195,7 @@ def build_adversarial_dir(base: str, out_dir: str) -> str:
                 if (name, colname) in TS_EXTREMES:
                     far, pre = TS_EXTREMES[(name, colname)]
                     whens.append(f"WHEN {h} % {TS_RATE} = 4 THEN {far}")
-                    whens.append(f"WHEN {h} % {TS_RATE} = 5 THEN {pre}")
+                    whens.append(f"WHEN {h} % {TS_RATE} = 6 THEN {pre}")
                 if (name, colname) in EXTREME_NUM:
                     big, tiny, signed = EXTREME_NUM[(name, colname)]
                     sign = f"hash(CAST({key} AS VARCHAR) || 'sign') % 2"
@@ -214,7 +217,7 @@ def build_adversarial_dir(base: str, out_dir: str) -> str:
                 h = f"hash(CAST({key} AS VARCHAR) || '{colname}')"
                 sel.append(
                     f"CASE WHEN {h} % {TS_RATE} = 4 THEN {far} "
-                    f"WHEN {h} % {TS_RATE} = 5 THEN {pre} "
+                    f"WHEN {h} % {TS_RATE} = 6 THEN {pre} "
                     f"ELSE {colname} END AS {colname}"
                 )
             else:
