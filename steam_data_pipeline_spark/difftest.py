@@ -31,6 +31,78 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _epoch_str_spark(sdf):
+    """Rewrite every TOP-LEVEL timestamp/date column to its exact epoch
+    integer AS A STRING (micros for timestamps, days for dates).
+
+    Why: both engines' to-dataframe paths land on pandas
+    ``datetime64[ns]``, which caps at year 2262 — so the r12
+    timestamp-extremes axis could only probe inside the HARNESS window,
+    never at the engine contract edge (r12 verdict item 7). Why string
+    and not int64: a NULL-bearing int64 column degrades to float64 in
+    pandas, and float64 spacing passes 1 µs already at year ~2255
+    (2^53 µs) — adjacent-microsecond divergences would compare equal.
+    Strings are exact at any magnitude (±292k-year int64 micros range).
+    Nested (struct/array) timestamps keep the pandas path — no corpus
+    mutates those."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DateType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    exprs, changed = [], False
+    for fld in sdf.schema.fields:
+        c = fld.name
+        if isinstance(fld.dataType, (TimestampType, TimestampNTZType)):
+            # NTZ → LTZ cast is identity under the UTC session zone
+            exprs.append(
+                F.unix_micros(F.col(c).cast("timestamp"))
+                .cast("string")
+                .alias(c)
+            )
+            changed = True
+        elif isinstance(fld.dataType, DateType):
+            # dates also map to MICROS (midnight) — Spark date_trunc
+            # returns TIMESTAMP where DuckDB returns DATE, and the old
+            # datetime64 normalization treated those as equal
+            exprs.append(
+                (
+                    F.datediff(F.col(c), F.lit("1970-01-01")).cast("long")
+                    * F.lit(86_400_000_000).cast("long")
+                )
+                .cast("string")
+                .alias(c)
+            )
+            changed = True
+        else:
+            exprs.append(F.col(c))
+    return sdf.select(*exprs) if changed else sdf
+
+
+def _epoch_str_oracle(con: duckdb.DuckDBPyConnection, sql: str) -> str:
+    """DuckDB twin of :func:`_epoch_str_spark`: wrap the oracle so its
+    timestamp/date result columns come back as epoch-integer strings.
+    ``DESCRIBE`` binds without executing, so the oracle still runs
+    once."""
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({sql}) _q").fetchall()
+    reps = []
+    for row in desc:
+        colname, coltype = row[0], (row[1] or "").upper()
+        qn = '"' + colname.replace('"', '""') + '"'
+        if coltype.startswith("TIMESTAMP"):
+            reps.append(f"CAST(epoch_us({qn}) AS VARCHAR) AS {qn}")
+        elif coltype == "DATE":
+            reps.append(
+                f"CAST(datediff('day', DATE '1970-01-01', {qn}) "
+                f"* 86400000000 AS VARCHAR) AS {qn}"
+            )
+    if not reps:
+        return sql
+    return f"SELECT * REPLACE ({', '.join(reps)}) FROM ({sql}) _q"
+
+
 def _canonical_repr(v, _top: bool = True) -> str:
     """repr with engine-independent canonicalization of sequence values
     (numpy array vs Python list) and numpy scalars (np.int64(3) vs 3).
@@ -154,12 +226,12 @@ def run_one(
     from steam_data_pipeline_spark.plans.registry import QUERIES
 
     q = QUERIES[name]
-    sdf = q.spark(spark, sf_dir)
+    sdf = _epoch_str_spark(q.spark(spark, sf_dir))
     spark_pdf = sdf.toPandas()
     if q.oracle is None:
         ok = len(spark_pdf) >= 0
         return DiffResult(name, ok, len(spark_pdf), None, ["rows-only (no oracle)"])
-    oracle_pdf = con.execute(q.oracle).df()
+    oracle_pdf = con.execute(_epoch_str_oracle(con, q.oracle)).df()
     return compare_frames(name, spark_pdf, oracle_pdf)
 
 

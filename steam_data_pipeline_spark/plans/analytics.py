@@ -11,7 +11,7 @@ from pyspark.sql import Window, functions as F
 from steam_data_pipeline_spark.operators import aggregates as agg
 from steam_data_pipeline_spark.operators import joins as J
 from steam_data_pipeline_spark.operators import windows as W
-from steam_data_pipeline_spark.plans.base import Registry, t
+from steam_data_pipeline_spark.plans.base import Registry, ops_time_domain, t
 
 ANALYTICS = Registry()
 
@@ -846,6 +846,8 @@ def fn_rand_jitter(spark, sf_dir):
       -- |value| < 1e16: the fit's measure domain (r12 extremes
       -- contract), mirrored by the Spark leg's ingestion filter
       FROM events WHERE value IS NOT NULL AND ABS(value) < 1e16
+        -- operational time domain (r13: pandas-path Arrow-ns contract)
+        AND ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
     ),
     sums AS (
       SELECT user_id,
@@ -884,7 +886,9 @@ def fn_rand_jitter(spark, sf_dir):
 def udtf_forecast(spark, sf_dir):
     from steam_data_pipeline_spark.operators.forecast import linear_forecast_per_key
 
-    return linear_forecast_per_key(t(spark, sf_dir, "events"))
+    # operational time domain: grouped-map pandas folds die on ns-
+    # unrepresentable timestamps (r13 ts-extremes contract, base.py)
+    return linear_forecast_per_key(ops_time_domain(t(spark, sf_dir, "events")))
 
 
 @ANALYTICS.add(
@@ -897,6 +901,8 @@ def udtf_forecast(spark, sf_dir):
       -- |value| < 1e16: the fit's measure domain (r12 extremes
       -- contract), mirrored by the Spark leg's ingestion filter
       FROM events WHERE value IS NOT NULL AND ABS(value) < 1e16
+        -- operational time domain (r13: pandas-path Arrow-ns contract)
+        AND ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
     ),
     sums AS (
       SELECT user_id,
@@ -961,7 +967,9 @@ def udtf_forecast_seasonal(spark, sf_dir):
         seasonal_ar_forecast_per_key,
     )
 
-    return seasonal_ar_forecast_per_key(t(spark, sf_dir, "events"))
+    return seasonal_ar_forecast_per_key(
+        ops_time_domain(t(spark, sf_dir, "events"))
+    )
 
 
 @ANALYTICS.add(

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from steam_data_pipeline_spark.llm import dedup as D
 from steam_data_pipeline_spark.llm import simsearch as S
 from steam_data_pipeline_spark.llm import textstats as TS
-from steam_data_pipeline_spark.plans.base import Registry, t
+from steam_data_pipeline_spark.plans.base import Registry, ops_time_domain, t
 
 EXT = Registry()
 
@@ -160,7 +160,13 @@ _CLUSTER_SURVIVOR_CTES = """
         "3-gram Jaccard >= 0.6 pair graph: the fixture's pair margin "
         "(true pairs est >= 0.69, noise < 0.3 at 32 hashes) makes the "
         "LSH-detected set provably equal the exact set at sf0.01 and "
-        "sf0.1, so the approximate path is held to the exact answer."
+        "sf0.1, so the approximate path is held to the exact answer. "
+        "At 100 TB this hand-rolled banding engine is the DEFAULT "
+        "dedup path (see the catalog's 'Near-dedup at 100 TB' note): "
+        "its 30x structure-preserving rehearsal measured exponent "
+        "0.89 (sublinear — band-bucket candidate generation, SCALE.md "
+        "round 11) vs the MLlib path's 1.03, and its band count "
+        "tightens PRECISION without the OR-construction recall trade."
     ),
     tags=("llm", "dedup", "flagship"),
 )
@@ -183,7 +189,15 @@ def llm_dedup_near(spark, sf_dir):
         "interchangeable with the hand-rolled banding engine. Oracle = "
         "the EXACT 3-gram Jaccard >= 0.6 pair set (ml distance 0.4 = "
         "similarity 0.6), which the ml path detects exactly on the "
-        "fixture at both sf0.01 and sf0.1 (measured)."
+        "fixture at both sf0.01 and sf0.1 (measured). At 100 TB "
+        "prefer llm_dedup_near's hand-rolled bands (see the catalog's "
+        "'Near-dedup at 100 TB' note): this MLlib path measured "
+        "exponent 1.03 at the 30x tier — honest linear, driven by "
+        "linear-in-corpus duplicate pairs (SCALE.md round 12), but "
+        "its recall knob is an OR-construction (more hash tables = "
+        "more candidates), so it cannot be tightened at scale without "
+        "trading recall; use it when the MLlib pipeline integration "
+        "(Pipeline stages, persisted models) is worth that trade."
     ),
     tags=("llm", "dedup", "ml"),
 )
@@ -1910,7 +1924,7 @@ _LAYOUT_CACHE: dict[tuple, str] = {}
 
 # Bump when any layout/index build logic changes: the on-disk cache key
 # includes it, so old artifacts are never reused across logic changes.
-_LAYOUT_VERSION = 3  # v3: hw_stream drops NULL-cents days (int64); islands split in int64 us (round 12)
+_LAYOUT_VERSION = 4  # v4: stream fixtures clamp to the operational time domain before toPandas (round 13)
 
 
 def _cached_layout(kind: str, sf_dir: str, write_fn, disk: bool = True) -> str:
@@ -2042,7 +2056,10 @@ def _prepare_islands_stream_fixture(spark, sf_dir: str) -> str:
         # (events at the bench SF), and four separate filtered scans
         # measured ~2.5 s of pure rework.
         pdf = (
-            t(spark, sf_dir, "events")
+            # operational time domain BEFORE toPandas: the replay
+            # materialization is itself a pandas path — one year-2500
+            # row is an ArrowInvalid crash, not data (r13 contract)
+            ops_time_domain(t(spark, sf_dir, "events"))
             .select("user_id", "event_id", "ts", "value")
             .toPandas()
         )
@@ -3239,8 +3256,17 @@ def stream_quality_gate(spark, sf_dir):
     out_dir = _cached_layout("qgate", sf_dir, _build, disk=False)
 
     def _summarize(sub: str):
+        # degenerate-shape contract (r13 skew axis): if every batch
+        # routed to the OTHER sink (or the day filter matched nothing),
+        # this sink's directory was never created — an empty sink is an
+        # empty summary, not a PATH_NOT_FOUND crash
+        path = _os.path.join(out_dir, sub)
+        if not _os.path.isdir(path):
+            return spark.createDataFrame(
+                [], "day string, n_rows long, n_bad long, status string"
+            )
         return (
-            spark.read.parquet(_os.path.join(out_dir, sub))
+            spark.read.parquet(path)
             .groupBy("day")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -4088,7 +4114,9 @@ def llm_corpus_overlap(spark, sf_dir):
     "stream_islands_stateful",
     oracle="""
     WITH f AS (
+      -- operational time domain (r13 pandas-path Arrow-ns contract)
       SELECT user_id, event_id, ts, (value > 100) AS flag FROM events
+      WHERE ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
     ), r AS (
       SELECT user_id, ts, flag,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -5343,10 +5371,15 @@ def win_ntile_bands(spark, sf_dir):
 @EXT.add(
     "join_asof_cogrouped",
     oracle="""
+    -- operational time domain (r13 pandas-path Arrow-ns contract)
     WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
-               FROM events WHERE event_type = 'purchase'),
+               FROM events WHERE event_type = 'purchase'
+                 AND ts >= TIMESTAMP '1970-01-01'
+                 AND ts < TIMESTAMP '2100-01-01'),
     c AS (SELECT user_id, ts, event_id, value
-          FROM events WHERE event_type = 'click'),
+          FROM events WHERE event_type = 'click'
+            AND ts >= TIMESTAMP '1970-01-01'
+            AND ts < TIMESTAMP '2100-01-01'),
     cand AS (
       SELECT p.purchase_id, c.ts, c.value,
              row_number() OVER (PARTITION BY p.purchase_id
@@ -5378,7 +5411,8 @@ def join_asof_cogrouped(spark, sf_dir):
         asof_backward_cogrouped,
     )
 
-    ev = t(spark, sf_dir, "events")
+    # operational time domain: cogrouped pandas asof (r13 contract)
+    ev = ops_time_domain(t(spark, sf_dir, "events"))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
@@ -7101,7 +7135,10 @@ def sink_mv_refresh(spark, sf_dir):
       -- a NULL source has no mix domain (and NULL sorts at opposite
       -- ends of the schedule's ORDER BY on the two engines) — excluded
       SELECT doc_id, source,
-             CAST(substr(source, 4, 10) AS INT) % 3 AS cls,
+             -- TRY_CAST (r13 skew axis): a source name with no numeric
+             -- suffix ('web') must schedule as the default class, not
+             -- crash the cast; NULL cls falls to each CASE's ELSE arm
+             TRY_CAST(substr(source, 4, 10) AS INT) % 3 AS cls,
              ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
       FROM documents WHERE source IS NOT NULL
     ),
@@ -7141,7 +7178,9 @@ def llm_mix_interleave(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
-    cls = F.substring("source", 4, 10).cast("int") % 3
+    # try_cast (r13 skew axis): suffix-less source names ('web') take
+    # the default class via the when-chains' otherwise, never a crash
+    cls = F.substring("source", 4, 10).try_cast("int") % 3
     stride = F.when(cls == 0, 6).when(cls == 1, 3).otherwise(2)
     rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
     sched = docs.select(
@@ -7153,11 +7192,21 @@ def llm_mix_interleave(spark, sf_dir):
     weight = (F.when(cls == 0, 1).when(cls == 1, 2).otherwise(3)).cast(
         "double"
     )
+    # total schedule weight computed from the LIVE source domain, not
+    # a fixture constant (r13 skew axis: a single-source collapse has
+    # W = that source's own weight and the mix check must still hold;
+    # on the pristine fixtures this sums to the old hard-coded 39)
+    wsum = (
+        docs.select("source")
+        .distinct()
+        .agg(F.sum(weight).alias("w_total"))
+    )
     pos_w = Window.orderBy("vtime", "source", "doc_id")
     run_w = Window.partitionBy("source").orderBy("pos")
     return (
         head.withColumn("pos", F.row_number().over(pos_w).cast("long"))
         .withColumn("running", F.count(F.lit(1)).over(run_w))
+        .crossJoin(F.broadcast(wsum))
         .select(
             "pos",
             "doc_id",
@@ -7166,7 +7215,7 @@ def llm_mix_interleave(spark, sf_dir):
             (
                 F.abs(
                     F.col("running")
-                    - F.col("pos") * weight / F.lit(39.0)
+                    - F.col("pos") * weight / F.col("w_total")
                 )
                 <= F.lit(3.0)
             ).alias("mix_ok"),
@@ -7241,7 +7290,11 @@ def agg_decay_halflife(spark, sf_dir):
     SELECT date_trunc('day', ts) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events GROUP BY 1
+    FROM events
+    -- operational time domain (r13: the replay fixture is a pandas
+    -- materialization; the stream sees only in-domain rows)
+    WHERE ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
+    GROUP BY 1
     """,
     doc=(
         "Streaming sibling of sink_mv_refresh: the daily-counts MV is "
@@ -7319,7 +7372,10 @@ def stream_mv_refresh(spark, sf_dir):
     WITH RECURSIVE daily AS (
       SELECT event_type, date_trunc('day', ts) AS day,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
+      FROM events
+      -- operational time domain (r13 pandas-path Arrow-ns contract)
+      WHERE ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
+      GROUP BY 1, 2
     ),
     idx AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
@@ -7361,7 +7417,9 @@ def win_ewma_recursive(spark, sf_dir):
     import pandas as pd
 
     daily = (
-        t(spark, sf_dir, "events")
+        # operational time domain: this day series feeds a pandas fold
+        # (r13 ts-extremes contract, plans/base.py)
+        ops_time_domain(t(spark, sf_dir, "events"))
         .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -7528,7 +7586,10 @@ def win_resample_ffill(spark, sf_dir):
     WITH RECURSIVE daily AS (
       SELECT event_type, date_trunc('day', ts) AS day,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
+      FROM events
+      -- operational time domain (r13 pandas-path Arrow-ns contract)
+      WHERE ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
+      GROUP BY 1, 2
     ),
     idx AS (
       SELECT *,
@@ -7566,7 +7627,9 @@ def win_cusum_drift(spark, sf_dir):
     import pandas as pd
 
     daily = (
-        t(spark, sf_dir, "events")
+        # operational time domain: this day series feeds a pandas fold
+        # (r13 ts-extremes contract, plans/base.py)
+        ops_time_domain(t(spark, sf_dir, "events"))
         .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -7794,7 +7857,10 @@ def sink_cdc_apply(spark, sf_dir):
     WITH RECURSIVE daily AS (
       SELECT event_type, date_trunc('day', ts) AS day,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
+      FROM events
+      -- operational time domain (r13 pandas-path Arrow-ns contract)
+      WHERE ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
+      GROUP BY 1, 2
     ),
     idx AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
@@ -7845,7 +7911,9 @@ def win_holt_linear(spark, sf_dir):
     import pandas as pd
 
     daily = (
-        t(spark, sf_dir, "events")
+        # operational time domain: this day series feeds a pandas fold
+        # (r13 ts-extremes contract, plans/base.py)
+        ops_time_domain(t(spark, sf_dir, "events"))
         .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -9489,8 +9557,13 @@ def win_survival_km(spark, sf_dir):
                    CAST(SUM(c2) AS BIGINT) AS n2 FROM j)
     SELECT n1, n2,
            CAST(MAX(ABS(m1 * n2 - m2 * n1)) AS BIGINT) AS d_num,
-           ROUND(CAST(MAX(ABS(m1 * n2 - m2 * n1)) AS DOUBLE)
-                 / CAST(n1 * n2 AS DOUBLE), 9) AS ks
+           -- degenerate-shape contract (r13 skew axis): single-day
+           -- collapse empties one sample — KS against an empty sample
+           -- is NULL, never a zero divide
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             ROUND(CAST(MAX(ABS(m1 * n2 - m2 * n1)) AS DOUBLE)
+                   / CAST(n1 * n2 AS DOUBLE), 9)
+           END AS ks
     FROM cum, tot GROUP BY n1, n2
     """,
     doc=(
@@ -9574,10 +9647,15 @@ def qa_ks_drift(spark, sf_dir):
             "n1",
             "n2",
             "d_num",
-            F.round(
-                F.col("d_num").cast("double")
-                / (F.col("n1") * F.col("n2")).cast("double"),
-                9,
+            # degenerate-shape contract (r13 skew axis): empty sample
+            # (single-day collapse) -> NULL KS, never DIVIDE_BY_ZERO
+            F.when(
+                (F.col("n1") > 0) & (F.col("n2") > 0),
+                F.round(
+                    F.col("d_num").cast("double")
+                    / (F.col("n1") * F.col("n2")).cast("double"),
+                    9,
+                ),
             ).alias("ks"),
         )
     )
@@ -10701,27 +10779,43 @@ def join_anti_window(spark, sf_dir):
                (PARTITION BY user_id ORDER BY day
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
       FROM j
+    ),
+    g AS (
+      -- EXACT 9-dp half-up interpolation (r13): the float form
+      -- (pv + (nv-pv)*frac rounded 9) diverged 1 ulp cross-engine at
+      -- extreme cents magnitudes (ROUND near-tie), and nv - pv can
+      -- overflow BIGINT at signed extremes; nano = half-up of
+      -- (pv*D + (nv-pv)*d1) * 1e9 / D in HUGEINT, one double cast +
+      -- one division at the end (the llm_embedding_centroid pattern)
+      SELECT user_id, day, cents, pv, nv,
+             (CAST(pv AS HUGEINT) * date_diff('day', pd, nd)
+              + (CAST(nv AS HUGEINT) - pv)
+                * date_diff('day', pd, day)) * 1000000000 AS nn,
+             CAST(date_diff('day', pd, nd) AS HUGEINT) AS dd
+      FROM f
     )
     SELECT user_id, day,
-           ROUND(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
-                 ELSE CAST(pv AS DOUBLE)
-                      + CAST(nv - pv AS DOUBLE)
-                        * (CAST(date_diff('day', pd, day) AS DOUBLE)
-                           / CAST(date_diff('day', pd, nd) AS DOUBLE))
-                 END, 9) AS filled,
+           CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                ELSE CAST(CASE WHEN nn >= 0
+                          THEN  (nn * 2 + dd) // (2 * dd)
+                          ELSE -(((-nn) * 2 + dd) // (2 * dd))
+                     END AS DOUBLE) / 1e9
+           END AS filled,
            cents IS NULL AS is_interp
-    FROM f
+    FROM g
     """,
     doc=(
         "Per-key time-series gap fill with LINEAR interpolation — the "
         "hypertable `interpolate()` companion to win_resample_ffill's "
         "locf: each user's daily purchase series gets its missing "
         "days minted from a per-key sequence() spine and filled as "
-        "prev + (next−prev)·frac. Determinism: observed values are "
-        "exact cents BIGINTs; frac is a ratio of small exact day "
-        "counts, so the fill is THREE float ops in a pinned order "
-        "(div, mul, add — identical in both engines, operands exact "
-        "in double), rounded 9. Boundary days are observed by "
+        "prev + (next−prev)·frac. Determinism (r13): observed values "
+        "are exact cents BIGINTs and the fill is computed as an EXACT "
+        "9-dp half-up integer division in decimal(38,0)/HUGEINT "
+        "(nano = half-up((pv*D + (nv−pv)*d1)*1e9 / D); the float "
+        "form's ROUND(x,9) diverged 1 ulp cross-engine at extreme "
+        "cents magnitudes, and nv−pv can overflow BIGINT), with one "
+        "double cast + one division at the end. Boundary days are observed by "
         "construction (spine spans min..max per key), so prev/next "
         "always exist on interpolated rows. Scale: the spine explode "
         "is bounded by per-key span (never a global calendar cross "
@@ -10779,21 +10873,42 @@ def win_gap_fill_interpolate(spark, sf_dir):
         F.first("cents", ignorenulls=True).over(fwd).alias("nv"),
         F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
     )
-    frac = F.datediff(F.col("day"), F.col("pd")).cast("double") / F.datediff(
-        F.col("nd"), F.col("pd")
-    ).cast("double")
-    return f.select(
+    # EXACT 9-dp half-up interpolation (r13): the float form diverged
+    # 1 ulp cross-engine at extreme cents (ROUND near-tie), and the
+    # raw nv - pv BIGINT subtraction can ANSI-overflow at signed
+    # extremes. nano = half-up((pv*D + (nv-pv)*d1) * 1e9 / D) in
+    # decimal(38,0) via the exact (a - a%b)/b quotient (remainder
+    # removed -> decimal division exact), one double cast + one final
+    # /1e9 — the llm_embedding_centroid discipline. |N| <= ~5e32 and
+    # the quotient <= ~9.3e27 both fit decimal(38).
+    g = f.withColumn(
+        "dd", F.datediff(F.col("nd"), F.col("pd")).cast("long")
+    ).withColumn(
+        "nn",
+        (
+            F.col("pv").cast("decimal(38,0)") * F.col("dd")
+            + (
+                F.col("nv").cast("decimal(38,0)")
+                - F.col("pv").cast("decimal(38,0)")
+            )
+            * F.datediff(F.col("day"), F.col("pd")).cast("long")
+        )
+        * F.lit(1000000000).cast("decimal(38,0)"),
+    )
+    _q = (
+        "(({s} * 2 + dd) - ({s} * 2 + dd) % (2 * dd)) / (2 * dd)"
+    )
+    nano = F.expr(
+        "CASE WHEN nn >= 0 THEN "
+        + _q.format(s="nn")
+        + " ELSE -(" + _q.format(s="(-nn)") + ") END"
+    )
+    return g.select(
         "user_id",
         "day",
-        F.round(
-            F.when(
-                F.col("cents").isNotNull(), F.col("cents").cast("double")
-            ).otherwise(
-                F.col("pv").cast("double")
-                + (F.col("nv") - F.col("pv")).cast("double") * frac
-            ),
-            9,
-        ).alias("filled"),
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+        .otherwise(nano.cast("double") / F.lit(1e9))
+        .alias("filled"),
         F.col("cents").isNull().alias("is_interp"),
     )
 
@@ -12042,11 +12157,17 @@ def agg_ttest_welch(spark, sf_dir):
       WHERE tf > 1
     )
     SELECT n.n AS n_days, s.s AS s_stat, s.n_pairs,
-           ROUND((CASE WHEN s.s > 0 THEN s.s - 1
-                       WHEN s.s < 0 THEN s.s + 1
-                       ELSE 0 END)
-                 / SQRT((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
-                         - ties.tie_term) / 18.0), 9) AS z_mk
+           -- degenerate-shape contract (r13 skew axis): a single-day
+           -- or all-tied series has zero MK variance — z is NULL,
+           -- not a crash (Spark) or NaN (DuckDB IEEE division)
+           CASE WHEN (CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                      - ties.tie_term) > 0 THEN
+             ROUND((CASE WHEN s.s > 0 THEN s.s - 1
+                         WHEN s.s < 0 THEN s.s + 1
+                         ELSE 0 END)
+                   / SQRT((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                           - ties.tie_term) / 18.0), 9)
+           END AS z_mk
     FROM s, n, ties
     """,
     doc=(
@@ -12126,7 +12247,11 @@ def agg_mann_kendall(spark, sf_dir):
             F.col("n").alias("n_days"),
             F.col("s").alias("s_stat"),
             "n_pairs",
-            F.round(corrected / F.sqrt(var), 9).alias("z_mk"),
+            # degenerate-shape contract (r13 skew axis): zero variance
+            # (single day / all tied) -> NULL, never DIVIDE_BY_ZERO
+            F.when(var > 0, F.round(corrected / F.sqrt(var), 9)).alias(
+                "z_mk"
+            ),
         )
     )
 
@@ -12876,7 +13001,10 @@ def agg_hill_tail_index(spark, sf_dir):
       -- skips what it cannot quantize, identically on both legs
       SELECT event_type, date_trunc('day', ts) AS day,
              CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
-      FROM events GROUP BY 1, 2
+      FROM events
+      -- operational time domain (r13 pandas-path Arrow-ns contract)
+      WHERE ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
+      GROUP BY 1, 2
       HAVING x IS NOT NULL
     ),
     r AS (
@@ -12969,7 +13097,9 @@ def udtf_forecast_hw(spark, sf_dir):
     )
 
     daily = (
-        t(spark, sf_dir, "events")
+        # operational time domain: this day series feeds a pandas fold
+        # (r13 ts-extremes contract, plans/base.py)
+        ops_time_domain(t(spark, sf_dir, "events"))
         .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.sum(F.round(F.col("value") * 100).try_cast("long"))
@@ -13046,7 +13176,8 @@ def _prepare_hw_stream_fixture(spark, sf_dir: str) -> str:
 
     def _write(out_dir: str) -> None:
         pdf = (
-            t(spark, sf_dir, "events")
+            # operational time domain (r13 contract; oracle mirrors)
+            ops_time_domain(t(spark, sf_dir, "events"))
             .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
             .agg(
                 F.sum(F.round(F.col("value") * 100).try_cast("long"))
@@ -13094,7 +13225,10 @@ BENCH_FIXTURES.append(_prepare_hw_stream_fixture)
       -- skips what it cannot quantize, identically on both legs
       SELECT event_type, date_trunc('day', ts) AS day,
              CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
-      FROM events GROUP BY 1, 2
+      FROM events
+      -- operational time domain (r13 pandas-path Arrow-ns contract)
+      WHERE ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
+      GROUP BY 1, 2
       HAVING x IS NOT NULL
     ),
     r AS (
@@ -14441,7 +14575,9 @@ def win_interval_coverage(spark, sf_dir):
     "win_debounce",
     oracle="""
     WITH RECURSIVE ev AS (
+      -- operational time domain (r13 pandas-path Arrow-ns contract)
       SELECT DISTINCT user_id, ts FROM events
+      WHERE ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
     ),
     acc AS (
       SELECT user_id, MIN(ts) AS ts FROM ev GROUP BY user_id
@@ -14484,7 +14620,10 @@ def win_interval_coverage(spark, sf_dir):
 def win_debounce(spark, sf_dir):
     import pandas as pd
 
-    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    # operational time domain: the fold runs in pandas (r13 contract)
+    ev = ops_time_domain(t(spark, sf_dir, "events")).select(
+        "user_id", "ts"
+    )
 
     def _debounce(pdf: pd.DataFrame) -> pd.DataFrame:
         # dedup + sort + chain-scan + per-user summary all inside the
@@ -15814,10 +15953,15 @@ def win_rolling_median(spark, sf_dir):
            ANY_VALUE(r_levels) AS r_levels,
            ANY_VALUE(c_levels) AS c_levels,
            CAST(SUM(contrib) AS DOUBLE) AS chi2,
-           ROUND(SQRT(CAST(SUM(contrib) AS DOUBLE)
-                      / (ANY_VALUE(n)
-                         * (LEAST(ANY_VALUE(r_levels),
-                                  ANY_VALUE(c_levels)) - 1))), 9) AS v
+           -- degenerate-shape contract (r13 skew axis): a one-level
+           -- contingency axis (single-language collapse) has no
+           -- association to measure — V is NULL, never a zero divide
+           CASE WHEN LEAST(ANY_VALUE(r_levels), ANY_VALUE(c_levels)) > 1
+                THEN ROUND(SQRT(CAST(SUM(contrib) AS DOUBLE)
+                           / (ANY_VALUE(n)
+                              * (LEAST(ANY_VALUE(r_levels),
+                                       ANY_VALUE(c_levels)) - 1))), 9)
+           END AS v
     FROM term, dims
     """,
     doc=(
@@ -15880,15 +16024,23 @@ def agg_cramers_v(spark, sf_dir):
         "r_levels",
         "c_levels",
         "chi2",
-        F.round(
-            F.sqrt(
-                F.col("chi2")
-                / (
-                    F.col("n")
-                    * (F.least(F.col("r_levels"), F.col("c_levels")) - 1)
-                )
+        # degenerate-shape contract (r13 skew axis): one-level axis
+        # (single-language collapse) -> NULL V, never DIVIDE_BY_ZERO
+        F.when(
+            F.least(F.col("r_levels"), F.col("c_levels")) > 1,
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n")
+                        * (
+                            F.least(F.col("r_levels"), F.col("c_levels"))
+                            - 1
+                        )
+                    )
+                ),
+                9,
             ),
-            9,
         ).alias("v"),
     )
 

@@ -161,8 +161,8 @@ def verified_round(
 # that the round's verdict explicitly requires at the head of the next
 # check window (they would otherwise queue behind older-green modified
 # queries). Curated per round; drained entries are removed once the
-# driver re-greens them. r13: the r12 forward-asof rewrite
-# (operators/asof.py:44-106, green predates the rewrite).
+# driver re-greens them. r13: the r12 forward-asof rewrite (see
+# operators/asof.py, asof_forward — its green predates the rewrite).
 PRIORITY_RECHECK: tuple[str, ...] = ("join_asof_forward",)
 
 

@@ -81,6 +81,13 @@ QUERIES = [
     "fn_datetime_suite",
     "udtf_forecast_hw",
     "win_gap_fill_interpolate",
+    # round-13 beyond-wall ts families (pandas-path operational time
+    # domain: grouped-map fold, cogrouped asof, recursive debounce;
+    # the exact-nano interpolation rides win_gap_fill_interpolate and
+    # the clamped stream fixtures stay in the full sweep)
+    "win_ewma_recursive",
+    "join_asof_cogrouped",
+    "win_debounce",
 ]
 
 
@@ -103,3 +110,37 @@ def adv_con(adv_dir):
 def test_adversarial_corpus_hash_exact(spark, adv_dir, adv_con, name):
     r = run_one(spark, adv_con, adv_dir, name)
     assert r.ok, (name, r.issues)
+
+
+def test_ts_axis_reaches_contract_edge_and_beyond_wall(adv_dir, adv_con):
+    """r13: the ts-extremes axis must actually LAND its four probe
+    values in the corpus — the beyond-ns-wall far future (2500), the
+    pre-epoch value, and both [1970, 2100) contract-edge instants.
+    Guards the residue arithmetic (the r12 ADVICE found residue 5
+    silently swallowed by the NULL class on o_orderdate)."""
+    evs = {
+        str(r[0])
+        for r in adv_con.execute(
+            "SELECT DISTINCT ts FROM "
+            f"'{adv_dir}/events.parquet' WHERE ts < TIMESTAMP '1970-01-01'"
+            " OR ts >= TIMESTAMP '2099-01-01'"
+        ).fetchall()
+    }
+    assert "2500-06-15 12:34:56.789012" in evs
+    assert "1905-03-14 01:02:03.000042" in evs
+    assert "2099-12-31 23:59:59.999999" in evs
+    assert "2100-01-01 00:00:00" in evs
+    ods = {
+        str(r[0])
+        for r in adv_con.execute(
+            "SELECT DISTINCT o_orderdate FROM "
+            f"'{adv_dir}/orders.parquet' WHERE o_orderdate IS NOT NULL AND ("
+            "o_orderdate < TIMESTAMP '1970-01-01'"
+            " OR o_orderdate >= TIMESTAMP '2099-01-01')"
+        ).fetchall()
+    }
+    assert "2500-11-30 00:00:00" in ods
+    assert "1905-06-15 00:00:00" in ods, (
+        "pre-epoch rows must survive the NULL branch (residue 6)"
+    )
+    assert "2100-01-01 00:00:00" in ods

@@ -121,22 +121,148 @@ EXTREME_RATE = 40  # residues 2 and 3, same disjointness argument
 # the fixture's 2024 window, interval halos near the datetime range
 # edge, and every time-ordered window's behavior when the spine spans
 # 8000 years. Timestamps stay NON-NULL (they are ordering spines).
-# Far-future bound is 2260, not 9999: pandas datetime64[ns] (the
-# comparison dtype of BOTH engines' to-dataframe paths) tops out at
-# 2262, so wilder values hit a HARNESS wall (ArrowInvalid on
-# toPandas), not an engine divergence — the axis probes the widest
-# differentially-verifiable window (1677..2262).
-TS_EXTREMES: dict[tuple[str, str], tuple[str, str]] = {
+# r13: difftest now compares timestamp/date columns as exact
+# epoch-micros STRINGS (difftest._epoch_str_spark/_oracle), so the old
+# pandas datetime64[ns] harness wall at 2262 is gone — the far-future
+# probe moved BEYOND it (2500), and two new residues pin the engine's
+# own [1970, 2100) operational-contract edge: the last in-contract
+# microsecond (2099-12-31 23:59:59.999999) and the first
+# out-of-contract instant (2100-01-01 00:00:00).
+# Values per (table, col): (far_beyond_wall, pre_epoch, edge_in,
+# edge_out) on residues 4 / 6 / 8 / 9 — none divisible by
+# gcd(25,40)=5, so all four stay disjoint from the %25 NULL class.
+TS_EXTREMES: dict[tuple[str, str], tuple[str, str, str, str]] = {
     ("events", "ts"): (
-        "TIMESTAMP '2260-06-15 12:34:56.789012'",
+        "TIMESTAMP '2500-06-15 12:34:56.789012'",
         "TIMESTAMP '1905-03-14 01:02:03.000042'",
+        "TIMESTAMP '2099-12-31 23:59:59.999999'",
+        "TIMESTAMP '2100-01-01 00:00:00'",
     ),
     ("orders", "o_orderdate"): (
-        "TIMESTAMP '2259-11-30 00:00:00'",
+        "TIMESTAMP '2500-11-30 00:00:00'",
         "TIMESTAMP '1905-06-15 00:00:00'",
+        "TIMESTAMP '2099-12-31 00:00:00'",
+        "TIMESTAMP '2100-01-01 00:00:00'",
     ),
 }
-TS_RATE = 40  # residues 4 (far future) and 6 (pre-epoch)
+TS_RATE = 40  # residues 4 (far), 6 (pre-epoch), 8 (edge-in), 9 (edge-out)
+
+
+# --------------------------------------------------------------------------
+# round-13 axis (e): degenerate distributions / SKEW. All prior axes
+# vary VALUES; this corpus varies SHAPE, with values kept pristine so
+# findings isolate to shape handling. Skew is the thing that kills real
+# clusters, and it is exactly what the uniform generated fixtures never
+# show: (a) ~90% of fact rows collapse onto ONE hot key (asof frames,
+# win_islands run-length state, join_skew_salted's actual salting, LSH
+# bucket occupancy all concentrate on one partition); (b) a large block
+# of ALL-IDENTICAL documents and ALL-IDENTICAL embeddings (dedup
+# clusters of size n — connected-components / cluster-representative /
+# banded-LSH candidate paths, ANN ties); (c) single-day and
+# single-language/source collapse (empty-group and one-group edges in
+# drift / entropy / mix queries; total tie collapse on date spines).
+HOT_RATE = 10  # 9-in-10 fact rows land on the hot key
+DUP_DOC_RATE = 5  # 2-in-5 documents become the one canonical text
+DUP_TEXT = (
+    "the quick brown fox jumps over the lazy dog while the patient "
+    "crane watches the river bend and counts the silver fish that "
+    "drift past the mossy stones every single morning without fail"
+)
+SKEW_DAY = "TIMESTAMP '2024-01-15 00:00:00'"
+
+
+def build_skew_dir(base: str, out_dir: str) -> str:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    hot_cust = con.execute(
+        f"SELECT MIN(c_custkey) FROM '{base}/customer.parquet'"
+    ).fetchone()[0]
+    hot_part = con.execute(
+        f"SELECT MIN(p_partkey) FROM '{base}/part.parquet'"
+    ).fetchone()[0]
+    hot_supp = con.execute(
+        f"SELECT MIN(s_suppkey) FROM '{base}/supplier.parquet'"
+    ).fetchone()[0]
+
+    def hot(key: str, col: str, hot_val) -> str:
+        h = f"hash(CAST({key} AS VARCHAR) || 'hot{col}')"
+        return (
+            f"CASE WHEN {h} % {HOT_RATE} != 0 THEN {hot_val} "
+            f"ELSE {col} END AS {col}"
+        )
+
+    plans: dict[str, str | None] = {
+        "region": None,
+        "nation": None,
+        "customer": None,
+        "supplier": None,
+        "part": None,
+        # dims copied intact: skew is a fact/corpus phenomenon, and the
+        # hot keys must keep their dimension rows for joins
+        "orders": (
+            "SELECT o_orderkey, "
+            + hot("o_orderkey", "o_custkey", hot_cust)
+            + f", o_orderstatus, o_totalprice, {SKEW_DAY} AS o_orderdate,"
+            " o_orderpriority FROM src"
+        ),
+        # lineitem keeps its (orderkey, linenumber) identity — breaking
+        # a primary key is corruption, not skew — and skews the
+        # grouping/join keys instead
+        "lineitem": (
+            "SELECT l_orderkey, "
+            + hot("l_orderkey * 10 + l_linenumber", "l_partkey", hot_part)
+            + ", "
+            + hot("l_orderkey * 10 + l_linenumber", "l_suppkey", hot_supp)
+            + ", * EXCLUDE (l_orderkey, l_partkey, l_suppkey) FROM src"
+        ),
+        # hot user + every row on one DAY (time-of-day kept so the ts
+        # spine still orders within the day; massive (user, ts)-tie
+        # density on the hot key is the point)
+        "events": (
+            "SELECT event_id, "
+            f"{SKEW_DAY} + (ts - date_trunc('day', ts)) AS ts, "
+            + hot("event_id", "user_id", hot_cust)
+            + ", event_type, value, props FROM src"
+        ),
+        # 40% of texts identical (one n-sized dup cluster), ALL rows one
+        # language and one source (one-group / empty-other-group edges)
+        "documents": (
+            "SELECT doc_id, "
+            f"CASE WHEN hash(CAST(doc_id AS VARCHAR) || 'dup') "
+            f"% {DUP_DOC_RATE} < 2 THEN '{DUP_TEXT}' ELSE text END AS text, "
+            "'en' AS lang, 'web' AS source, "
+            "* EXCLUDE (doc_id, text, lang, source) FROM src"
+        ),
+        # 40% identical vectors (ANN/LSH bucket collapse, SemDeDup
+        # clusters of size n, tied cosines), ALL rows one label
+        "embeddings": (
+            "SELECT vec_id, "
+            "CASE WHEN hash(CAST(vec_id AS VARCHAR) || 'dup') "
+            f"% {DUP_DOC_RATE} < 2 THEN "
+            "(SELECT embedding FROM src WHERE vec_id = "
+            " (SELECT MIN(vec_id) FROM src)) "
+            "ELSE embedding END AS embedding, "
+            "(SELECT MIN(label) FROM src WHERE label IS NOT NULL) AS label "
+            "FROM src"
+        ),
+    }
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        src = f"{base}/{name}.parquet"
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        q = plans.get(name)
+        if q is None:
+            shutil.copyfile(src, dst)
+            continue
+        q = q.replace("FROM src", f"FROM '{src}'").replace(
+            "FROM src WHERE", f"FROM '{src}' WHERE"
+        )
+        con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
+    return out_dir
 
 
 def build_adversarial_dir(base: str, out_dir: str) -> str:
@@ -193,9 +319,11 @@ def build_adversarial_dir(base: str, out_dir: str) -> str:
                         f"AS FLOAT[])"
                     )
                 if (name, colname) in TS_EXTREMES:
-                    far, pre = TS_EXTREMES[(name, colname)]
+                    far, pre, ein, eout = TS_EXTREMES[(name, colname)]
                     whens.append(f"WHEN {h} % {TS_RATE} = 4 THEN {far}")
                     whens.append(f"WHEN {h} % {TS_RATE} = 6 THEN {pre}")
+                    whens.append(f"WHEN {h} % {TS_RATE} = 8 THEN {ein}")
+                    whens.append(f"WHEN {h} % {TS_RATE} = 9 THEN {eout}")
                 if (name, colname) in EXTREME_NUM:
                     big, tiny, signed = EXTREME_NUM[(name, colname)]
                     sign = f"hash(CAST({key} AS VARCHAR) || 'sign') % 2"
@@ -213,11 +341,13 @@ def build_adversarial_dir(base: str, out_dir: str) -> str:
                 )
             elif (name, colname) in TS_EXTREMES:
                 # ordering-spine column: mutate, never NULL
-                far, pre = TS_EXTREMES[(name, colname)]
+                far, pre, ein, eout = TS_EXTREMES[(name, colname)]
                 h = f"hash(CAST({key} AS VARCHAR) || '{colname}')"
                 sel.append(
                     f"CASE WHEN {h} % {TS_RATE} = 4 THEN {far} "
                     f"WHEN {h} % {TS_RATE} = 6 THEN {pre} "
+                    f"WHEN {h} % {TS_RATE} = 8 THEN {ein} "
+                    f"WHEN {h} % {TS_RATE} = 9 THEN {eout} "
                     f"ELSE {colname} END AS {colname}"
                 )
             else:
@@ -254,6 +384,13 @@ def main() -> None:
     p.add_argument("--base", default="/root/testdata/sf0.001")
     p.add_argument("--names", nargs="*", default=None)
     p.add_argument(
+        "--axis",
+        choices=["values", "skew", "both"],
+        default="values",
+        help="values = the 4-axis value-mutation corpus (r11/r12); "
+        "skew = the r13 degenerate-shape corpus; both = run each",
+    )
+    p.add_argument(
         "--round",
         type=int,
         default=None,
@@ -261,29 +398,39 @@ def main() -> None:
     )
     args = p.parse_args()
 
-    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_adversarial")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    build_adversarial_dir(args.base, out_dir)
-    print(f"# adversarial corpus at {out_dir} ({time.time() - t0:.1f} s)")
+    corpora = []
+    if args.axis in ("values", "both"):
+        corpora.append(("values", build_adversarial_dir,
+                        "spark_graft_adversarial"))
+    if args.axis in ("skew", "both"):
+        corpora.append(("skew", build_skew_dir, "spark_graft_skew"))
 
     from steam_data_pipeline_spark.difftest import run_all
     from steam_data_pipeline_spark.session import get_spark
 
     spark = get_spark("adversarial-sweep")
-    t0 = time.time()
-    results = run_all(spark, out_dir, names=args.names)
-    n_pass = sum(r.ok for r in results)
-    print(
-        f"{n_pass}/{len(results)} pass ({len(results) - n_pass} findings) "
-        f"in {time.time() - t0:.1f} s"
-    )
-    for r in results:
-        if not r.ok:
-            print(f"[FINDING] {r}")
+    per_axis: dict[str, list] = {}
+    for axis, builder, dirname in corpora:
+        out_dir = os.path.join(tempfile.gettempdir(), dirname)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        builder(args.base, out_dir)
+        print(f"# {axis} corpus at {out_dir} ({time.time() - t0:.1f} s)")
+        t0 = time.time()
+        results = run_all(spark, out_dir, names=args.names)
+        per_axis[axis] = results
+        n_pass = sum(r.ok for r in results)
+        print(
+            f"[{axis}] {n_pass}/{len(results)} pass "
+            f"({len(results) - n_pass} findings) in {time.time() - t0:.1f} s"
+        )
+        for r in results:
+            if not r.ok:
+                print(f"[FINDING:{axis}] {r}")
     if args.round is not None:
         import json
 
+        all_results = [r for rs in per_axis.values() for r in rs]
         out = {
             "round": args.round,
             "base": args.base,
@@ -292,12 +439,23 @@ def main() -> None:
             "axes": [
                 "nulls", "null_fks", "ts_ties", "empty_strings",
                 "empty_vectors", "unicode_multibyte", "numeric_extremes",
-                "timestamp_extremes",
+                "timestamp_extremes", "skew_degenerate",
             ],
-            "n": len(results),
-            "n_pass": n_pass,
+            "axes_run": sorted(per_axis),
+            "n": len(all_results),
+            "n_pass": sum(r.ok for r in all_results),
+            "per_axis": {
+                axis: {
+                    "n": len(rs),
+                    "n_pass": sum(r.ok for r in rs),
+                }
+                for axis, rs in per_axis.items()
+            },
             "findings": {
-                r.name: r.issues[:3] for r in results if not r.ok
+                f"{axis}:{r.name}": r.issues[:3]
+                for axis, rs in per_axis.items()
+                for r in rs
+                if not r.ok
             },
         }
         path = os.path.join(

@@ -25,6 +25,30 @@ consolidations asserted in
 `fn_datetime_suite`; ops-layer behaviors like the scheduler loop,
 TTL cache, and graceful stop live in `streaming/scheduler.py` and
 `operators/state.py` with dedicated tests).
+
+## Near-dedup at 100 TB: which engine to use
+
+Both near-dedup paths are MinHash+LSH banding and both are held to the
+exact 3-gram Jaccard >= 0.6 answer on the fixtures; their measured
+scale profiles differ (30x structure-preserving rehearsals,
+`SCALE.md` rounds 11-12):
+
+* **Default: `llm_dedup_near`** (hand-rolled bands, `llm/dedup.py`).
+  Exponent **0.89** at 30x — candidate volume tracks band-bucket
+  occupancy, sublinear on real corpora. Its precision/recall knob is
+  the (bands x rows) split of a FIXED signature: tightening bands
+  raises the detection threshold without generating more candidates,
+  so it stays tunable at any corpus size. Also the only path with the
+  incremental / persisted-index variants (`llm_dedup_incremental*`,
+  4096-bucket partition-pruned probes, corpus-size exponent -0.01).
+* **Alternative: `llm_dedup_near_ml`** (MLlib `MinHashLSH` +
+  `approxSimilarityJoin`). Exponent **1.03** at 30x — honest LINEAR,
+  because within-corpus duplicate pairs grow linearly (the old 5.9x
+  cross-SF ratio was a fixture-density artifact, not superlinearity).
+  Its recall knob is an OR-construction (more hash tables = MORE
+  candidates), so recall cannot be traded tighter at scale without
+  extra candidate volume. Use it when MLlib Pipeline integration
+  (stage composition, model persistence) is worth that constraint.
 """
 
 
