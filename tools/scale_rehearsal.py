@@ -1275,6 +1275,116 @@ def rehearse_cache_ab(sf_dir: str, factor: int, repeats: int = 2) -> None:
     spark.stop()
 
 
+def rehearse_window_skew(
+    sf_dir: str, factors: list[int], repeats: int = 2
+) -> None:
+    """Per-key window/asof operators under a GROWING hot key.
+
+    Axis-5 (r13) showed the per-key operators are CORRECT under 90%
+    hot-key skew at sf0.001; this measures whether any of them still
+    hides an O(k^2)-in-key-size term at scale — the class the r12
+    forward-asof rewrite removed (an UnboundedFollowing ROWS frame
+    rescans row->partition-end per row). Method: for each factor f,
+    take the structure-preserving f-x corpus and remap ~90% of
+    events.user_id onto ONE existing key (time order kept), so the hot
+    key holds ~0.9 * f * |events| rows; time the per-key operators on
+    the hot corpus and report the exponent of wall vs hot-key size
+    between consecutive factors. Linear-ish (<= ~1.2) = the per-key
+    scan is O(k) / O(k log k); ~2 = a quadratic frame is back.
+
+    The absolute wall also documents the 100 TB skew floor: a per-key
+    window serializes per key, so ONE task owns the hot key's rows —
+    key-level parallelism is the semantic floor, and the operators'
+    job is to keep the per-key cost linear, which is what this
+    measures."""
+    import math
+
+    import duckdb
+
+    from steam_data_pipeline_spark.plans.registry import QUERIES
+
+    names = [
+        "win_islands",
+        "join_asof_forward",
+        "join_asof_backward",
+        "win_latest_per_key",
+    ]
+    spark = _spark()
+    walls: dict[str, dict[int, float]] = {n: {} for n in names}
+    hot_rows: dict[int, int] = {}
+    for f in factors:
+        scaled = build_scaled_dir(
+            spark,
+            sf_dir,
+            f,
+            os.path.join(tempfile.gettempdir(), f"spark_graft_scaled_{f}x_v3"),
+        )
+        hot_dir = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_winskew_{f}x"
+        )
+        if not os.path.exists(os.path.join(hot_dir, "_OK")):
+            os.makedirs(hot_dir, exist_ok=True)
+            con = duckdb.connect()
+            hot = con.execute(
+                f"SELECT MIN(user_id) FROM '{scaled}/events.parquet'"
+            ).fetchone()[0]
+            con.execute(
+                f"COPY (SELECT event_id, ts, "
+                f"CASE WHEN hash(CAST(event_id AS VARCHAR) || 'hot') "
+                f"% 10 != 0 THEN {hot} ELSE user_id END AS user_id, "
+                f"event_type, value, props "
+                f"FROM '{scaled}/events.parquet') "
+                f"TO '{hot_dir}/events.parquet' (FORMAT PARQUET)"
+            )
+            con.close()
+            for name in (
+                "region nation customer supplier part orders lineitem "
+                "documents embeddings".split()
+            ):
+                dst = os.path.join(hot_dir, f"{name}.parquet")
+                if not os.path.exists(dst):
+                    os.symlink(os.path.join(scaled, f"{name}.parquet"), dst)
+            with open(os.path.join(hot_dir, "_OK"), "w") as fh:
+                fh.write("ok")
+        con = duckdb.connect()
+        hot_rows[f] = con.execute(
+            f"SELECT COUNT(*) FROM '{hot_dir}/events.parquet' "
+            f"WHERE user_id = (SELECT MIN(user_id) "
+            f"FROM '{hot_dir}/events.parquet')"
+        ).fetchone()[0]
+        con.close()
+        for name in names:
+            runs = []
+            for _ in range(repeats):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                QUERIES[name].spark(spark, hot_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                runs.append(time.time() - t0)
+            walls[name][f] = min(runs)
+    print(
+        "# window-skew rehearsal: ~90% of events on ONE key; exponent "
+        "of wall vs HOT-KEY size between consecutive factors"
+    )
+    print("query\t" + "\t".join(
+        f"{f}x({hot_rows[f]} hot)" for f in factors
+    ) + "\texponent")
+    for name in names:
+        exps = []
+        for a, b in zip(factors, factors[1:]):
+            exps.append(
+                math.log(walls[name][b] / walls[name][a])
+                / math.log(hot_rows[b] / hot_rows[a])
+            )
+        print(
+            name + "\t"
+            + "\t".join(f"{walls[name][f]:.2f}" for f in factors)
+            + "\t" + ",".join(f"{e:.2f}" for e in exps)
+        )
+    spark.stop()
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
@@ -1292,6 +1402,7 @@ def main() -> None:
             "skyline",
             "cume-fact",
             "cache-ab",
+            "window-skew",
         ],
     )
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -1324,6 +1435,8 @@ def main() -> None:
         rehearse_cume_fact(args.sf_dir, args.factors, args.repeats)
     elif args.op == "cache-ab":
         rehearse_cache_ab(args.sf_dir, args.factor, args.repeats)
+    elif args.op == "window-skew":
+        rehearse_window_skew(args.sf_dir, args.factors, args.repeats)
     else:
         rehearse_substring_skew(args.sf_dir)
 
