@@ -50,9 +50,23 @@ SCALE = 1_000_000
 #: with len(list_filter(embedding, x -> ABS(...) > 9e12)) = 0.
 QUANT_BOUND = 9.0e12
 
+#: Lower edge of the micro-quantization domain (r13 combined-axis
+#: finding): a vector whose LARGEST |component| is below 5e-7 rounds
+#: to the ALL-ZERO fixed-point vector — no direction information
+#: survives quantization, so its PCA projection/cluster assignment is
+#: arbitrary while its ORIGINAL-space cosine can still be ~1 to a
+#: scaled twin (a float32-denormal x1e-40 copy broke SemDeDup's
+#: identical=>same-cluster completeness argument). Such vectors are
+#: out of the quantization domain, symmetric with QUANT_BOUND.
+#: Oracle mirror: AND list_max(list_transform(embedding,
+#: x -> ABS(CAST(x AS DOUBLE)))) >= 5e-7.
+QUANT_EPS = 5.0e-7
+
 
 def quantizable_components(col) -> "F.Column":
-    """True iff every component is non-NULL and inside QUANT_BOUND."""
+    """True iff every component is non-NULL and inside QUANT_BOUND,
+    and at least one component reaches QUANT_EPS (the quantized vector
+    is not identically zero)."""
     return (
         F.size(
             F.filter(
@@ -62,6 +76,11 @@ def quantizable_components(col) -> "F.Column":
             )
         )
         == 0
+    ) & (
+        F.array_max(
+            F.transform(col, lambda x: F.abs(x.cast("double")))
+        )
+        >= F.lit(QUANT_EPS)
     )
 
 

@@ -102,8 +102,15 @@ def _asof_union_tag(
             [F.col("__r_tb").asc()] if tiebreak else []
         )
     else:
+        # __r_tb DESC must be NULLS FIRST (r13 combined-axis finding):
+        # Spark's plain desc() is nulls-LAST, which let a NULL-tiebreak
+        # right row win an equal-ts tie — DuckDB's MIN(tiebreak)
+        # collapse skips NULLs, so a NULL tiebreak must LOSE the tie
+        # (it still matches when every tied row is NULL, mirroring
+        # MIN over an all-NULL group). The backward branch's plain
+        # asc() is already nulls-first = NULL loses, matching MAX.
         order = [F.col(ts).desc_nulls_first(), F.col("__is_left").asc()] + (
-            [F.col("__r_tb").desc()] if tiebreak else []
+            [F.col("__r_tb").desc_nulls_first()] if tiebreak else []
         )
     w = (
         Window.partitionBy(key)

@@ -6182,8 +6182,9 @@ def samp_weighted_reservoir(spark, sf_dir):
       SELECT list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
       FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
-        -- micro-quantization domain (pca.QUANT_BOUND, r12 contract)
-        AND len(list_filter(embedding, x -> x IS NULL OR ABS(CAST(x AS DOUBLE)) > 9e12)) = 0
+        -- micro-quantization domain (pca.QUANT_BOUND upper edge, r12;
+        -- pca.QUANT_EPS lower edge, r13 combined axis)
+        AND len(list_filter(embedding, x -> x IS NULL OR ABS(CAST(x AS DOUBLE)) > 9e12)) = 0 AND list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) >= 5e-7
     ),
     e AS (SELECT unnest(qv) AS qi, generate_subscripts(qv, 1) AS i FROM q),
     s AS (SELECT i,
@@ -6322,13 +6323,13 @@ def sink_cdc_diff(spark, sf_dir):
       -- micro-quantization domain (pca.QUANT_BOUND, r12 contract):
       -- the Spark corpus drops unquantizable vectors at ingestion
       SELECT vec_id, embedding FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR ABS(CAST(x AS DOUBLE)) > 9e12)) = 0
+      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR ABS(CAST(x AS DOUBLE)) > 9e12)) = 0 AND list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) >= 5e-7
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR ABS(CAST(x AS DOUBLE)) > 9e12)) = 0
+      FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR ABS(CAST(x AS DOUBLE)) > 9e12)) = 0 AND list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) >= 5e-7
       UNION ALL
       SELECT vec_id + 2000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR ABS(CAST(x AS DOUBLE)) > 9e12)) = 0
+      FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR ABS(CAST(x AS DOUBLE)) > 9e12)) = 0 AND list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) >= 5e-7
     ),
     ep AS (
       SELECT a.vec_id AS a, b.vec_id AS b

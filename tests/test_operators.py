@@ -141,6 +141,36 @@ class TestAsofJoins:
         assert got[("a", _ts(5))] == (None, None)   # nothing follows
         assert got[("b", _ts(3))] == (None, None)
 
+    def test_forward_null_tiebreak_loses_equal_ts_tie(self, spark):
+        """r13 combined-axis finding: Spark's plain desc() is
+        nulls-LAST, which let a NULL-tiebreak right row WIN an equal-ts
+        tie where the oracle's MIN(tiebreak) collapse skips NULLs. A
+        NULL tiebreak must lose the tie — unless every tied row is
+        NULL, in which case the match still happens (MIN over an
+        all-NULL group is NULL, the row set is non-empty)."""
+        from steam_data_pipeline_spark.operators.asof import asof_forward
+
+        left = spark.createDataFrame(
+            [("a", _ts(1), 1), ("b", _ts(1), 1)],
+            "k string, ts timestamp, lv int",
+        )
+        right = spark.createDataFrame(
+            [
+                ("a", _ts(2), None),  # NULL tiebreak: must lose
+                ("a", _ts(2), 7),
+                ("b", _ts(2), None),  # all-NULL tie: still a match
+            ],
+            "k string, ts timestamp, rv int",
+        )
+        got = {
+            r.k: (r.asof_rv, r.asof_ts)
+            for r in asof_forward(
+                left, right, "k", "ts", ["rv"], tiebreak="rv"
+            ).collect()
+        }
+        assert got["a"] == (7, _ts(2))
+        assert got["b"] == (None, _ts(2))
+
 
 class TestTrailingAvg:
     def test_excludes_current_row(self, spark):

@@ -133,3 +133,36 @@ class TestBadInputs:
         )
         with pytest.raises(ValueError, match="no usable rows"):
             P.pca_invariants(df)
+
+
+def test_quantization_lower_edge_drops_all_zero_vectors(spark):
+    """r13 combined-axis finding (QUANT_EPS): a float32-denormal
+    x1e-40 copy quantizes to the ALL-ZERO vector — no direction
+    survives, its cluster assignment is arbitrary while its
+    original-space cosine is ~1 to the scaled twin, which broke
+    SemDeDup's identical=>same-cluster completeness. Vectors whose
+    max |component| is below 5e-7 are out of the quantization
+    domain on both legs."""
+    from pyspark.sql import functions as F
+
+    from steam_data_pipeline_spark.llm.pca import quantizable_components
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0e-40, 3.0e-41]),   # all-zero quantization: out
+            (2, [0.2, 0.1]),           # normal: in
+            (3, [4.9e-7, 1.0e-9]),     # just below the edge: out
+            # NB 5.0e-7 itself is NOT float32-representable — it
+            # stores as ~4.9999997e-7, rounds to zero, and is
+            # correctly dropped; 6e-7 rounds to 1 and stays
+            (4, [6.0e-7, 0.0]),        # above the edge: in
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    kept = sorted(
+        r.vec_id
+        for r in df.filter(
+            quantizable_components(F.col("embedding"))
+        ).collect()
+    )
+    assert kept == [2, 4]

@@ -385,10 +385,13 @@ def main() -> None:
     p.add_argument("--names", nargs="*", default=None)
     p.add_argument(
         "--axis",
-        choices=["values", "skew", "both"],
+        choices=["values", "skew", "combined", "both", "all"],
         default="values",
         help="values = the 4-axis value-mutation corpus (r11/r12); "
-        "skew = the r13 degenerate-shape corpus; both = run each",
+        "skew = the r13 degenerate-shape corpus; combined = the value "
+        "mutations applied ON TOP of the skew corpus (axis "
+        "interactions: hot-key x NULLs, identical-docs x Unicode, "
+        "single-day x ts extremes); both = values+skew; all = all 3",
     )
     p.add_argument(
         "--round",
@@ -398,12 +401,23 @@ def main() -> None:
     )
     args = p.parse_args()
 
+    def build_combined_dir(base: str, out_dir: str) -> str:
+        skew_tmp = os.path.join(
+            tempfile.gettempdir(), "spark_graft_skew_base"
+        )
+        shutil.rmtree(skew_tmp, ignore_errors=True)
+        build_skew_dir(base, skew_tmp)
+        return build_adversarial_dir(skew_tmp, out_dir)
+
     corpora = []
-    if args.axis in ("values", "both"):
+    if args.axis in ("values", "both", "all"):
         corpora.append(("values", build_adversarial_dir,
                         "spark_graft_adversarial"))
-    if args.axis in ("skew", "both"):
+    if args.axis in ("skew", "both", "all"):
         corpora.append(("skew", build_skew_dir, "spark_graft_skew"))
+    if args.axis in ("combined", "all"):
+        corpora.append(("combined", build_combined_dir,
+                        "spark_graft_combined"))
 
     from steam_data_pipeline_spark.difftest import run_all
     from steam_data_pipeline_spark.session import get_spark
@@ -440,6 +454,7 @@ def main() -> None:
                 "nulls", "null_fks", "ts_ties", "empty_strings",
                 "empty_vectors", "unicode_multibyte", "numeric_extremes",
                 "timestamp_extremes", "skew_degenerate",
+                "combined_skew_x_values",
             ],
             "axes_run": sorted(per_axis),
             "n": len(all_results),
