@@ -348,16 +348,44 @@ def minhash_dedup(
     pairs → components → min-id per component keeps exactly one doc per
     duplicate cluster, matching the transitive-closure oracle.
     """
+    # EXACT-COLLAPSE FIRST (r13 skew axis): an identical-text block of
+    # m docs shares EVERY band hash, so the banding self-join emits
+    # Theta(m^2) candidate pairs — corpus-wide boilerplate at 100 TB is
+    # exactly this shape (the skew corpus's 40% identical block makes
+    # it measurable). Identical texts are mutual duplicates at any
+    # threshold (J = 1), so each byte-identical text group collapses to
+    # its min-id representative BEFORE signatures (sha2 groupBy, ~64 B
+    # per doc — the llm_dedup_exact shuffle), candidates run on
+    # representatives (a block contributes ONE row), and members rejoin
+    # their representative's cluster at the end. Output is provably
+    # unchanged: a member's signature equals its rep's, so rep-level
+    # banding detects exactly what member-level banding did, and the
+    # cluster survivor (min id over all expanded members) equals the
+    # component id because each rep is already its group's min.
+    # NULL-text docs are untouched (the shingle path drops them — no
+    # identity, no candidates — so they all survive, same as before).
+    hashed = docs.select(
+        key, F.sha2(F.col(text_col), 256).alias("__h")
+    ).filter(F.col("__h").isNotNull())
+    reps = hashed.groupBy("__h").agg(F.min(key).alias("__rep"))
+    members = hashed.join(reps, "__h").select(
+        F.col(key).alias("node"), F.col("__rep").alias("rep")
+    )
+    rep_docs = docs.join(
+        reps.select(F.col("__rep").alias(key)), on=key, how="leftsemi"
+    )
     pairs = (
-        minhash_candidate_pairs(docs, key, text_col, **kwargs)
+        minhash_candidate_pairs(rep_docs, key, text_col, **kwargs)
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b")
     )
     comps = connected_components(pairs)
-    losers = (
-        comps.filter(F.col("node") != F.col("component"))
-        .select(F.col("node").alias(key))
+    expanded = members.join(
+        comps.withColumnRenamed("node", "rep"), on="rep", how="left"
     )
+    losers = expanded.filter(
+        F.col("node") != F.coalesce(F.col("component"), F.col("rep"))
+    ).select(F.col("node").alias(key))
     return docs.join(losers, on=key, how="left_anti")
 
 

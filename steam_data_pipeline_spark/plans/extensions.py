@@ -166,7 +166,12 @@ _CLUSTER_SURVIVOR_CTES = """
         "its 30x structure-preserving rehearsal measured exponent "
         "0.89 (sublinear — band-bucket candidate generation, SCALE.md "
         "round 11) vs the MLlib path's 1.03, and its band count "
-        "tightens PRECISION without the OR-construction recall trade."
+        "tightens PRECISION without the OR-construction recall trade. "
+        "r13: the operator EXACT-COLLAPSES byte-identical texts to "
+        "one representative before banding, deleting the Theta(m^2) "
+        "candidate blowup an identical-text block of m docs otherwise "
+        "causes (measured 502 s at m=8k pre-fix vs 20 s post-fix, "
+        "SCALE.md dup-block; output provably unchanged)."
     ),
     tags=("llm", "dedup", "flagship"),
 )

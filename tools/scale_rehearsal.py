@@ -1385,6 +1385,95 @@ def rehearse_window_skew(
     spark.stop()
 
 
+def rehearse_dup_block(
+    sf_dir: str, sizes: list[int] | None = None, repeats: int = 2
+) -> None:
+    """Identical-document BLOCK blowup A/B (r13 skew axis at scale).
+
+    An identical-text block of m docs shares every LSH band hash, so
+    the banding self-join emits Theta(m^2) candidate pairs — the
+    corpus-wide-boilerplate shape that kills near-dedup jobs at 100 TB.
+    Measures, per block size m: (a) the RAW pair path
+    (minhash_candidate_pairs on the full corpus — the pre-r13
+    minhash_dedup shape; skipped above RAW_CAP where the pair count
+    alone passes ~5e7) and (b) the fixed exact-collapse-first
+    minhash_dedup (block contributes ONE representative row). The
+    claim: raw wall/pairs grow ~quadratically in m; the fixed operator
+    is flat in m."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from steam_data_pipeline_spark.llm.dedup import (
+        minhash_candidate_pairs,
+        minhash_dedup,
+    )
+    from steam_data_pipeline_spark.sources.tables import read_table
+
+    sizes = sizes or [2000, 8000, 32000]
+    RAW_CAP = 8000
+    spark = _spark()
+    docs0 = read_table(spark, sf_dir, "documents")
+    boiler = (
+        "subscribe to our newsletter for the latest updates terms of "
+        "service privacy policy all rights reserved contact us about "
+        "careers press kit sitemap help center community guidelines"
+    )
+    print(
+        "# dup-block rehearsal: identical-text block of m docs; "
+        "raw = banding pairs on the full corpus (pre-r13 shape), "
+        "fixed = exact-collapse-first minhash_dedup"
+    )
+    print("m\traw_pairs\traw_s\tfixed_s\tsurvivors")
+    rows = []
+    for m in sizes:
+        docs = docs0.withColumn(
+            "text",
+            F.when(F.col("doc_id") < m, F.lit(boiler)).otherwise(
+                F.col("text")
+            ),
+        ).localCheckpoint(eager=True)
+        # EFFECTIVE block size: doc_id space may be sparse/smaller
+        # than the requested m — exponents must use what was built
+        m_eff = docs.filter(F.col("doc_id") < m).count()
+        raw_pairs = raw_wall = None
+        if m <= RAW_CAP:
+            t0 = time.time()
+            raw_pairs = (
+                minhash_candidate_pairs(docs)
+                .filter(F.col("est_jaccard") >= 0.6)
+                .count()
+            )
+            raw_wall = time.time() - t0
+        walls = []
+        n_surv = None
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n_surv = minhash_dedup(docs, threshold=0.6).count()
+            walls.append(time.time() - t0)
+        fixed = min(walls)
+        rows.append((m_eff, raw_pairs, raw_wall, fixed))
+        print(
+            f"{m}(eff {m_eff})\t{raw_pairs}\t"
+            f"{raw_wall if raw_wall is None else round(raw_wall, 2)}\t"
+            f"{fixed:.2f}\t{n_surv}"
+        )
+    done_raw = [(m, w) for m, _, w, _ in rows if w is not None]
+    if len(done_raw) >= 2:
+        (m1, w1), (m2, w2) = done_raw[0], done_raw[-1]
+        print(
+            f"raw wall exponent {math.log(w2 / w1) / math.log(m2 / m1):.2f}"
+            f" over m {m1}->{m2}"
+        )
+    (m1, _, _, f1), (m2, _, _, f2) = rows[0], rows[-1]
+    print(
+        f"fixed wall exponent {math.log(f2 / f1) / math.log(m2 / m1):.2f}"
+        f" over m {m1}->{m2}"
+    )
+    spark.stop()
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
@@ -1403,6 +1492,7 @@ def main() -> None:
             "cume-fact",
             "cache-ab",
             "window-skew",
+            "dup-block",
         ],
     )
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -1437,6 +1527,8 @@ def main() -> None:
         rehearse_cache_ab(args.sf_dir, args.factor, args.repeats)
     elif args.op == "window-skew":
         rehearse_window_skew(args.sf_dir, args.factors, args.repeats)
+    elif args.op == "dup-block":
+        rehearse_dup_block(args.sf_dir, args.factors, args.repeats)
     else:
         rehearse_substring_skew(args.sf_dir)
 
