@@ -299,7 +299,11 @@ def api_read_sample(spark, sf_dir):
     "proj_flatten_details",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           -- malformed-JSON contract (r13 axis f): a corrupt props
+           -- string behaves like NULL props on both legs (DuckDB's
+           -- json_extract ERRORS on invalid JSON; the cast errors on
+           -- non-numeric / out-of-BIGINT fields)
+           TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k_value,
            event_type
     FROM events
     """,
@@ -767,7 +771,8 @@ def agg_distinct_pool(spark, sf_dir):
     WITH m AS (
       SELECT user_id,
              TRY_CAST(value AS DECIMAL(18,2)) AS x,
-             TRY_CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,2)) AS y
+             -- malformed-JSON contract (r13 axis f)
+             TRY_CAST(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS DECIMAL(18,2)) AS y
       FROM events
     ),
     s AS (
@@ -797,8 +802,10 @@ def agg_corr_price_players(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     x = F.col("value").try_cast("decimal(18,2)")
     y = (
+        # try_cast (r13 malformed-JSON contract): an out-of-BIGINT or
+        # non-numeric k field costs one NULL, not CAST_INVALID_INPUT
         F.get_json_object("props", "$.k")
-        .cast("bigint")
+        .try_cast("bigint")
         .try_cast("decimal(18,2)")
     )
     m = ev.select("user_id", x.alias("x"), y.alias("y"))

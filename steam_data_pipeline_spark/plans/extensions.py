@@ -3292,8 +3292,9 @@ def stream_quality_gate(spark, sf_dir):
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+           -- malformed-JSON contract (r13 axis f): corrupt props = NULL k
+           CAST(SUM(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS max_k
     FROM events
     GROUP BY event_type
     """,
@@ -3311,7 +3312,11 @@ def stream_quality_gate(spark, sf_dir):
     tags=("projection", "variant", "json"),
 )
 def proj_variant_props(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").withColumn("v", F.parse_json("props"))
+    # try_parse_json (r13 malformed-JSON contract): parse_json is
+    # FAILFAST — one truncated record kills the whole aggregate
+    ev = t(spark, sf_dir, "events").withColumn(
+        "v", F.try_parse_json("props")
+    )
     return (
         ev.select(
             "event_type",
@@ -14920,8 +14925,8 @@ def qa_event_id_gaps(spark, sf_dir):
     "feat_rare_category_collapse",
     oracle="""
     WITH cat AS (
-      SELECT CAST(FLOOR(SQRT(CAST(json_extract(props, '$.k') AS BIGINT)))
-                  AS BIGINT) AS cat,
+      -- malformed-JSON contract (r13 axis f): corrupt props = NULL cat
+      SELECT CAST(FLOOR(SQRT(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT))) AS BIGINT) AS cat,
              TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
       FROM events
     ),
@@ -14963,8 +14968,9 @@ def feat_rare_category_collapse(spark, sf_dir):
     from steam_data_pipeline_spark.operators.aggregates import try_cents
 
     cat = t(spark, sf_dir, "events").select(
+        # try_cast (r13 malformed-JSON contract)
         F.floor(
-            F.sqrt(F.get_json_object("props", "$.k").cast("long"))
+            F.sqrt(F.get_json_object("props", "$.k").try_cast("long"))
         ).cast("long").alias("cat"),
         try_cents("value").alias("cents"),
     )

@@ -88,6 +88,13 @@ QUERIES = [
     "win_ewma_recursive",
     "join_asof_cogrouped",
     "win_debounce",
+    # round-13 malformed-JSON axis (f) fix families: FAILFAST variant
+    # parse, json-extract casts on out-of-BIGINT / non-numeric fields,
+    # DuckDB-side json_valid guard for truncated objects
+    "proj_variant_props",
+    "proj_flatten_details",
+    # (agg_corr_price_players, also a JSON-cast fix, is already
+    # pinned in the round-11 block above)
 ]
 
 

@@ -109,6 +109,23 @@ EXTREME_NUM: dict[tuple[str, str], tuple[str, str, bool]] = {
 }
 EXTREME_RATE = 40  # residues 2 and 3, same disjointness argument
 
+# round-13 axis (f): MALFORMED JSON in events.props — truncated
+# objects, wrong-typed fields, bare scalars, empty containers, and a
+# huge-int field (out of BIGINT). The NULL axis covers absent props;
+# this covers CORRUPT props, the realest 100 TB dirty shape for a
+# semi-structured column, and the place Spark (from_json/parse_json/
+# get_json_object permissive mode) and DuckDB (json_extract_string)
+# disagree most readily. Residues 2/3/4/6 (same %40 disjointness
+# argument as the other axes; per-column hash seeds make them
+# independent of the value-extreme residues on events.value).
+MALFORMED_JSON = [
+    '\'{"k": 12\'',  # truncated object
+    '\'{"k": "notanint"}\'',  # wrong-typed field
+    '\'[]\'',  # wrong container kind
+    '\'{"k": 99999999999999999999999999}\'',  # out-of-BIGINT int
+]
+JSON_RATE = 40
+
 # round-12 axis (c): timestamp extremes — far-future (year 9999) and
 # PRE-EPOCH (1905: negative unix seconds/micros) event times and order
 # dates, on residues 4 and 6: gcd(25,40)=5 divides neither 4 nor 6, so
@@ -318,6 +335,11 @@ def build_adversarial_dir(base: str, out_dir: str) -> str:
                         f"list_transform(embedding, x -> x * 1e-40) "
                         f"AS FLOAT[])"
                     )
+                if name == "events" and colname == "props":
+                    for ri, lit in zip((2, 3, 4, 6), MALFORMED_JSON):
+                        whens.append(
+                            f"WHEN {h} % {JSON_RATE} = {ri} THEN {lit}"
+                        )
                 if (name, colname) in TS_EXTREMES:
                     far, pre, ein, eout = TS_EXTREMES[(name, colname)]
                     whens.append(f"WHEN {h} % {TS_RATE} = 4 THEN {far}")
@@ -453,7 +475,7 @@ def main() -> None:
             "axes": [
                 "nulls", "null_fks", "ts_ties", "empty_strings",
                 "empty_vectors", "unicode_multibyte", "numeric_extremes",
-                "timestamp_extremes", "skew_degenerate",
+                "timestamp_extremes", "malformed_json", "skew_degenerate",
                 "combined_skew_x_values",
             ],
             "axes_run": sorted(per_axis),
