@@ -364,9 +364,16 @@ def minhash_dedup(
     # component id because each rep is already its group's min.
     # NULL-text docs are untouched (the shingle path drops them — no
     # identity, no candidates — so they all survive, same as before).
-    hashed = docs.select(
-        key, F.sha2(F.col(text_col), 256).alias("__h")
-    ).filter(F.col("__h").isNotNull())
+    # localCheckpoint: `hashed` is tiny (key + 32-byte hash) but is
+    # referenced twice (reps, members) and `docs` may carry expensive
+    # upstream lineage (llm_corpus_export's cleaned corpus) — without
+    # the cut, every reference re-derives that lineage (plan audit
+    # showed documents scans 3 -> 15 in the export pipeline)
+    hashed = (
+        docs.select(key, F.sha2(F.col(text_col), 256).alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     reps = hashed.groupBy("__h").agg(F.min(key).alias("__rep"))
     members = hashed.join(reps, "__h").select(
         F.col(key).alias("node"), F.col("__rep").alias("rep")
