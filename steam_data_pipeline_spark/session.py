@@ -94,12 +94,26 @@ def ship_package(spark: SparkSession) -> None:
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply dynamic confs to a session we did not build (driver's)."""
+    """Apply dynamic confs to a session we did not build (driver's).
+
+    Idempotent per session object: each ``conf.set`` is a py4j round
+    trip (~0.2-0.6 ms), and this runs on EVERY ``read_table`` call —
+    across a full 298-query registry run that is thousands of calls
+    re-setting values that never change (measured 3-10 ms per
+    application). The in-package code that overrides one of these keys
+    (``_conf_overrides``, the streaming fixture's shuffle-partition
+    scope) always restores the previous value in a ``finally``, so
+    apply-once is equivalent to apply-every-time.
+    """
+    if getattr(spark, "_sdp_confs_applied", False):
+        ship_package(spark)
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - immutable conf on some builds
             pass
+    spark._sdp_confs_applied = True
     ship_package(spark)
     return spark
 

@@ -77,6 +77,47 @@ def _events_ts_unit_cached(target: str, mtime_ns: int, size: int) -> str:
     return "ns" if unit == "ns" else "us"
 
 
+def _freshness_token(path: str) -> tuple:
+    """A cheap change-detection token for a parquet file or directory:
+    (mtime_ns, size) of the path plus, for directories, of every
+    direct child. In-place regeneration between rounds (the testdata
+    has flipped ts precision once) always moves at least one mtime."""
+    st = os.stat(path)
+    tok: list = [st.st_mtime_ns, st.st_size]
+    if os.path.isdir(path):
+        with os.scandir(path) as it:
+            for e in sorted(it, key=lambda e: e.name):
+                s = e.stat()
+                tok.append((e.name, s.st_mtime_ns, s.st_size))
+    return tuple(tok)
+
+
+# Analyzed-plan memo: per-SESSION-OBJECT dict attribute mapping
+# (sf_dir, table, freshness) -> the LAZY DataFrame returned by
+# read_table. Resolving a parquet relation is driver-side metadata
+# work (DataSource resolution + file listing + schema conversion,
+# measured ~28-40 ms per call) repeated for every query in a registry
+# run — ~hundreds of identical resolutions per bench invocation, all
+# producing the same immutable lazy plan. The memo holds NO DATA and
+# skips NO COMPUTE: every action still scans parquet; only the
+# repeated driver-side relation resolution is shared, the same way
+# Spark's own catalog shares a resolved relation across
+# ``spark.table`` references (and its session file-listing cache
+# shares listings). The memo lives ON the Python session object (not
+# a module-level dict keyed by applicationId): ``spark.newSession()``
+# clones share one applicationId but MUST NOT share DataFrames —
+# qa_observe_metrics isolates its Observation on a cloned session
+# precisely so the registration cannot poison the parent session's
+# closure serialization (see plans/extensions.py qa_observe_metrics),
+# and an appId-keyed memo was observed to defeat that isolation
+# (llm_quality_model's localCheckpoint failing with
+# NotSerializableException: ObservationManager). Attribute lifetime ==
+# session-object lifetime, so a stopped/rebuilt session never serves
+# stale JVM plan handles; the freshness token invalidates on in-place
+# testdata regeneration.
+_MEMO_ATTR = "_sdp_table_memo"
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its pinned schema.
 
@@ -88,12 +129,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {schemas.TABLE_NAMES}")
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    memo = getattr(spark, _MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _MEMO_ATTR, memo)
+    key = (os.path.abspath(sf_dir), name, _freshness_token(path))
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         if _events_ts_unit(path) == "ns":
             df = spark.read.schema(schemas.TESTDATA_SCHEMAS[name]).parquet(path)
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return spark.read.schema(_events_micros_schema()).parquet(path)
-    return spark.read.schema(schemas.TESTDATA_SCHEMAS[name]).parquet(path)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = spark.read.schema(_events_micros_schema()).parquet(path)
+    else:
+        df = spark.read.schema(schemas.TESTDATA_SCHEMAS[name]).parquet(path)
+    if len(memo) > 256:  # bound growth across many sf_dirs
+        memo.clear()
+    memo[key] = df
+    return df
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, **options: str) -> DataFrame:
