@@ -333,6 +333,7 @@ def minhash_dedup(
     key: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    collapse_identical: bool = True,
     **kwargs,
 ) -> DataFrame:
     """Near-duplicate removal with cluster-correct survivor selection:
@@ -369,6 +370,25 @@ def minhash_dedup(
     # upstream lineage (llm_corpus_export's cleaned corpus) — without
     # the cut, every reference re-derives that lineage (plan audit
     # showed documents scans 3 -> 15 in the export pipeline)
+    #
+    # collapse_identical=False: callers whose input PROVABLY carries no
+    # byte-identical non-NULL texts (e.g. the output of exact_dedup)
+    # skip the collapse outright — on such input every sha2 group is a
+    # singleton, reps == docs and members == identity, so the collapse
+    # is the identity transformation computed at the cost of one
+    # eager materialization + one shuffle + two joins.
+    if not collapse_identical:
+        pairs = (
+            minhash_candidate_pairs(docs, key, text_col, **kwargs)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("a", "b")
+        )
+        comps = connected_components(pairs)
+        losers = (
+            comps.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(key))
+        )
+        return docs.join(losers, on=key, how="left_anti")
     hashed = (
         docs.select(key, F.sha2(F.col(text_col), 256).alias("__h"))
         .filter(F.col("__h").isNotNull())

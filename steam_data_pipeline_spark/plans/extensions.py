@@ -2826,7 +2826,13 @@ _EXACT_DEDUP_WHERE = (
 def llm_corpus_export(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     d1 = D.exact_dedup(docs)
-    nd = D.minhash_dedup(d1, threshold=0.6)
+    # collapse_identical=False: d1 is exact_dedup output, so non-NULL
+    # texts are already pairwise distinct — the in-operator exact
+    # collapse would be the identity computed at the cost of an eager
+    # materialization + a shuffle + two joins (interleaved min-of-3
+    # A/B at sf0.1, cold session: 14.1 s with the redundant collapse
+    # vs 12.4 s without; rows identical)
+    nd = D.minhash_dedup(d1, threshold=0.6, collapse_identical=False)
     q = nd.withColumn("__q", TS.quality_score("text")).filter(F.col("__q") >= 0.3)
     shard = (
         ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 4

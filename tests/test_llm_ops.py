@@ -62,6 +62,24 @@ class TestMinHash:
         assert 0 in kept and 1 not in kept and 2 not in kept
         assert 3 in kept and 4 in kept
 
+    def test_collapse_skip_equivalent_on_exact_deduped_input(self, spark, docs):
+        """collapse_identical=False (the llm_corpus_export fast path) is
+        only declared safe when the input provably carries no
+        byte-identical non-NULL texts — i.e. exact_dedup output. On such
+        input it must return exactly the same survivors as the default
+        (collapsing) path."""
+        d1 = exact_dedup(docs)
+        default = sorted(
+            r.doc_id for r in minhash_dedup(d1, threshold=0.5).collect()
+        )
+        skipped = sorted(
+            r.doc_id
+            for r in minhash_dedup(
+                d1, threshold=0.5, collapse_identical=False
+            ).collect()
+        )
+        assert default == skipped
+
     def test_estimate_tracks_exact_jaccard(self, spark, docs):
         exact = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs).collect()}
         est = {
