@@ -17169,38 +17169,51 @@ def llm_dedup_jaccard_weighted(spark, sf_dir):
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(2), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
     )
+    # The gram Generate + per-doc count aggregate is the dominant cost
+    # and fed FOUR plan references before this revision (each leg's
+    # counts plus a totals re-derivation inside each leg's posting
+    # join): 4 document scans, 4 tokenize+gram explosions, no exchange
+    # reuse (the leg projections differ, so the subtrees never
+    # canonicalize equal). localCheckpoint the counts posting ONCE —
+    # the inverted-index persisted intermediate at production scale —
+    # and attach the doc-bounded totals to the AGGREGATED pair rows at
+    # the end instead of riding `tot` through the gram-keyed join
+    # (narrower join rows). Output identical: any_value(per-doc tot)
+    # == the joined per-doc total. Plan: 4 scans -> 1, Generate x4 ->
+    # x1; measurements in OPTIMIZATION_r13.md.
     counts = (
         docs.select("doc_id", F.explode(grams).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     totals = counts.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("tot")
     )
-    posting = counts.join(totals, "doc_id")
-    a = posting.select(
-        F.col("doc_id").alias("a"),
-        "g",
-        F.col("c").alias("ca"),
-        F.col("tot").alias("ta"),
+    a = counts.select(
+        F.col("doc_id").alias("a"), "g", F.col("c").alias("ca")
     )
-    b = posting.select(
-        F.col("doc_id").alias("b"),
-        "g",
-        F.col("c").alias("cb"),
-        F.col("tot").alias("tb"),
+    b = counts.select(
+        F.col("doc_id").alias("b"), "g", F.col("c").alias("cb")
     )
     pairs = (
         a.join(b, "g")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(
-            F.any_value("ta").alias("ta"),
-            F.any_value("tb").alias("tb"),
-            F.sum(F.least("ca", "cb")).cast("long").alias("m"),
-        )
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("m"))
+    )
+    out = pairs.join(
+        F.broadcast(
+            totals.select(F.col("doc_id").alias("a"), F.col("tot").alias("ta"))
+        ),
+        "a",
+    ).join(
+        F.broadcast(
+            totals.select(F.col("doc_id").alias("b"), F.col("tot").alias("tb"))
+        ),
+        "b",
     )
     wj = F.col("m").cast("double") / (F.col("ta") + F.col("tb") - F.col("m"))
-    return pairs.select(
+    return out.select(
         "a", "b", "ta", "tb", "m", wj.alias("wjaccard")
     ).filter(wj >= 0.4)
