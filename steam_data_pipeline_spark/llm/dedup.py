@@ -222,10 +222,11 @@ def banded_signatures(
     ).select(key, "minhash", "band.band_idx", "band.band_hash")
 
 
-#: partition count for the persisted signature index. 4096 keeps each
-#: partition a handful of parquet files at sf<=1; a 100 TB corpus would
-#: raise it (partitions should stay ~100-500 MB) — probe pruning below
-#: only needs it to match between writer and reader.
+#: bucket count for the persisted signature index (the PRUNING
+#: granularity — directories are coarser bucket GROUPS, see
+#: _index_group_shift). A 100 TB corpus would raise it so each
+#: bucket's row span stays modest — probe pruning below only needs it
+#: to match between writer and reader.
 INDEX_BUCKETS = 4096
 
 
@@ -236,23 +237,49 @@ def _index_bucket(n_buckets: int = INDEX_BUCKETS):
     return F.pmod(F.xxhash64("band_idx", "band_hash"), F.lit(n_buckets))
 
 
+def _index_group_shift(n_buckets: int) -> int:
+    """Bucket-GROUP partitioning shift for the persisted signature
+    index: directories are ``bucket >> shift``, capped at 32 groups.
+    Derived from ``n_buckets`` ALONE so writer and prober agree by
+    construction whenever their ``n_buckets`` match — and a mismatched
+    ``n_buckets`` was already a correctness bug (different bucket ids),
+    not a new failure mode. One directory per bucket (the pre-r13
+    layout) paid a full directory listing plus one tiny file per
+    touched bucket on every probe — measured 2.6 s over 3 MB of index
+    at sf0.1; grouped + sorted-by-bucket files keep pruning at
+    near-bucket granularity (parquet min/max stats on the bucket IN
+    predicate) with ~n_buckets/32 fewer files."""
+    return max(0, n_buckets.bit_length() - 1 - 5)
+
+
 def persist_signature_index(
     sigs: DataFrame, path: str, n_buckets: int = INDEX_BUCKETS
 ) -> None:
     """Write a :func:`banded_signatures` table as the standing-corpus
-    LSH index: parquet partitioned by a bounded bucket of the band
-    coordinates. Incoming batches then read ONLY the partitions their
-    own band hashes touch (:func:`probe_signature_index`) — per-batch
-    probe cost is the touched-bucket volume, independent of corpus
-    size. Same touched-partition convention as the upsert sink's
-    pruning predicate (operators/upsert.py)."""
-    # cluster rows by bucket BEFORE the partitioned write: otherwise
-    # every write task opens (up to) n_buckets partition writers and the
-    # dynamic-partition sort dominates; clustered, each task streams a
-    # few whole buckets (measured 65 s -> ~8 s at sf0.1, 4096 buckets)
-    sigs.withColumn("bucket", _index_bucket(n_buckets)).repartition(
-        F.col("bucket")
-    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    LSH index: parquet partitioned by a bounded GROUP of the band-
+    coordinate bucket (``bucket >> _index_group_shift``), each file
+    sorted by ``bucket``. Incoming batches then read ONLY the
+    partitions their own band hashes touch, with parquet stats
+    pruning inside each group (:func:`probe_signature_index`) —
+    per-batch probe cost is the touched-bucket volume, independent of
+    corpus size. Same touched-partition convention as the upsert
+    sink's pruning predicate (operators/upsert.py)."""
+    shift = _index_group_shift(n_buckets)
+    # cluster rows by group BEFORE the partitioned write: otherwise
+    # every write task opens (up to) one writer per group and the
+    # dynamic-partition sort dominates (measured 65 s -> ~8 s at
+    # sf0.1 when this index partitioned per-bucket); the
+    # within-partition sort by bucket is what lets parquet row-group
+    # stats prune at bucket granularity on the probe side
+    (
+        sigs.withColumn("bucket", _index_bucket(n_buckets))
+        .withColumn("bucket_grp", F.shiftright(F.col("bucket"), shift))
+        .repartition(F.col("bucket_grp"))
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket_grp")
+        .parquet(path)
+    )
 
 
 def probe_signature_index(
@@ -264,18 +291,28 @@ def probe_signature_index(
     partition-pruning predicate — the collect is the same
     driver-bounded convention as the upsert sink, not a data move.
     Exact, never lossy: a colliding (band_idx, band_hash) always
-    hashes to a touched bucket."""
+    hashes to a touched bucket, and the directory filter is the
+    IMAGE of the touched set under the group map, so every touched
+    bucket's group is read. Indexes written before the bucket-group
+    layout (one directory per bucket, no ``bucket_grp`` column) are
+    detected from the schema and probed with the legacy filter."""
     touched = [
-        r[0]
+        int(r[0])
         for r in new_sigs.select(_index_bucket(n_buckets).alias("b"))
         .distinct()
         .collect()
     ]
-    return (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin(touched))
-        .drop("bucket")
-    )
+    idx = spark.read.parquet(path)
+    if "bucket_grp" in idx.columns:
+        shift = _index_group_shift(n_buckets)
+        return (
+            idx.filter(
+                F.col("bucket_grp").isin(sorted({b >> shift for b in touched}))
+                & F.col("bucket").isin(touched)
+            )
+            .drop("bucket", "bucket_grp")
+        )
+    return idx.filter(F.col("bucket").isin(touched)).drop("bucket")
 
 
 def minhash_candidate_pairs(

@@ -39,12 +39,20 @@ class LshIndex:
     tables: list[DataFrame]
     n_planes: int = 8
     seed_base: int = 42
-    # True only for indexes reloaded from a persisted __bucket-
+    # True only for indexes reloaded from a persisted bucket-
     # partitioned layout (load_lsh_index sets it): static touched-
     # bucket pruning can only cut FILE reads, so lsh_topk's auto
     # default prunes exactly when this is set — an in-memory index has
     # no scan to prune and the probe-code collect would be pure cost.
     reloaded: bool = False
+    # Bucket-GROUP partitioning shift of the persisted layout (None =
+    # legacy one-directory-per-bucket layout, or an in-memory index).
+    # When set, the on-disk tables are partitioned by
+    # ``__bgrp = __bucket >> bgrp_shift`` and sorted by ``__bucket``
+    # within files, so probe pruning is two-level: directory pruning on
+    # the probed GROUPS plus parquet row-group/file pruning on the
+    # probed buckets (save_lsh_index explains the file-count math).
+    bgrp_shift: int | None = None
 
     def __post_init__(self) -> None:
         if not self.tables:
@@ -252,48 +260,83 @@ def build_lsh_index(
     return LshIndex(tables, n_planes=n_planes, seed_base=seed_base)
 
 
-def save_lsh_index(index: LshIndex, path: str) -> None:
+def save_lsh_index(
+    index: LshIndex, path: str, bucket_group_shift: int | None = None
+) -> None:
     """Persist an LSH index WITH its build parameters — the durable
     form of the :class:`LshIndex` contract. Layout::
 
-        <path>/_params            1-row parquet (n_planes, seed_base, n_tables)
-        <path>/table_000/...      bucket assignments, partitioned by __bucket
+        <path>/_params            1-row parquet (n_planes, seed_base,
+                                  n_tables, bgrp_shift)
+        <path>/table_000/...      bucket assignments, partitioned by
+                                  __bgrp = __bucket >> bgrp_shift and
+                                  SORTED by __bucket within files
 
     Everything is written through Spark (object-store safe, no driver-
-    local filesystem assumptions). Partitioning each table by
-    ``__bucket`` means a probe against a RELOADED index prunes at the
-    file-listing level: ``lsh_topk`` collects the bounded probed-bucket
-    set and pushes it as a static IN partition predicate (Spark's
-    dynamic partition pruning does not fire for this broadcast join —
-    measured), so each query batch reads only the probed buckets'
-    files — at 100 TB that is the difference between scanning the
-    index and scanning the probed fraction of it."""
+    local filesystem assumptions).
+
+    Partition granularity: one directory PER BUCKET (the pre-r13
+    layout) makes probe pruning trivial but pays 2^n_planes directory
+    listings + one tiny file per bucket per table on every reload —
+    measured 2.6 s of the 2.7 s persisted-probe leg at sf0.1 (256
+    dirs x 2 tables over 3 MB of data/table) was discovery + per-file
+    open cost, and object stores at 100 TB charge the same way. So
+    buckets are grouped: ``bgrp_shift`` (default: n_planes - 5, i.e.
+    32 directories/table) coarsens the partition key while each file
+    stays SORTED by ``__bucket`` — ``lsh_topk``'s probe then prunes
+    directories on the probed GROUP set and parquet min/max stats
+    prune row groups/files on the probed bucket IN predicate, so the
+    probed-fraction read survives at near-bucket granularity with
+    ~2^bgrp_shift fewer files (measured 2.63 -> 1.12 s on the probe
+    scan at sf0.1, identical rows). ``bucket_group_shift=0`` keeps
+    one-directory-per-bucket semantics (files still carry __bucket).
+    The shift travels in ``_params``, so readers never guess it.
+    """
+    if bucket_group_shift is None:
+        bucket_group_shift = max(0, index.n_planes - 5)
     spark = index.tables[0].sparkSession
     spark.createDataFrame(
-        [(index.n_planes, index.seed_base, index.n_tables)],
-        "n_planes int, seed_base int, n_tables int",
+        [(index.n_planes, index.seed_base, index.n_tables, bucket_group_shift)],
+        "n_planes int, seed_base int, n_tables int, bgrp_shift int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
     for i, t in enumerate(index.tables):
-        # cluster rows by bucket BEFORE the partitioned write — without
-        # this every write task opens up to 2^n_planes partition writers
-        # and the dynamic-partition sort dominates (same fix measured
-        # 65s -> 8s on the dedup signature index, llm/dedup.py)
-        t.repartition(F.col("__bucket")).write.mode("overwrite").partitionBy(
-            "__bucket"
-        ).parquet(f"{path}/table_{i:03d}")
+        # cluster rows by group BEFORE the partitioned write — without
+        # this every write task opens up to 2^(n_planes - shift)
+        # partition writers and the dynamic-partition sort dominates
+        # (same fix measured 65s -> 8s on the dedup signature index,
+        # llm/dedup.py); the within-partition sort by __bucket is what
+        # makes parquet stats prune at bucket granularity on reload
+        (
+            t.withColumn(
+                "__bgrp", F.shiftright(F.col("__bucket"), bucket_group_shift)
+            )
+            .repartition(F.col("__bgrp"))
+            .sortWithinPartitions("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bgrp")
+            .parquet(f"{path}/table_{i:03d}")
+        )
 
 
 def load_lsh_index(spark, path: str) -> LshIndex:
     """Reload a persisted LSH index; the build parameters travel with
     it, so ``lsh_topk`` probes with the exact planes the buckets were
     built under — the mismatch/out-of-order failure mode ADVICE r4
-    flagged cannot occur through this path."""
+    flagged cannot occur through this path. Indexes written before the
+    bucket-group layout (no ``bgrp_shift`` in ``_params``) load with
+    ``bgrp_shift=None`` and probe with the legacy per-bucket
+    partition filter."""
     p = spark.read.parquet(f"{path}/_params").first()
+    shift = p.bgrp_shift if "bgrp_shift" in p.__fields__ else None
     tables = [
         spark.read.parquet(f"{path}/table_{i:03d}") for i in range(p.n_tables)
     ]
     return LshIndex(
-        tables, n_planes=p.n_planes, seed_base=p.seed_base, reloaded=True
+        tables,
+        n_planes=p.n_planes,
+        seed_base=p.seed_base,
+        reloaded=True,
+        bgrp_shift=shift,
     )
 
 
@@ -466,7 +509,19 @@ def lsh_topk(
         if prebuilt:
             if not blists[table]:
                 continue
-            tagged = tagged.filter(F.col("__bucket").isin(blists[table]))
+            flt = F.col("__bucket").isin(blists[table])
+            if index.bgrp_shift is not None:
+                # bucket-group layout (save_lsh_index): directory
+                # pruning on the probed groups, then the __bucket IN
+                # predicate prunes row groups/files via parquet stats
+                # (files are sorted by __bucket within each group)
+                flt = (
+                    F.col("__bgrp").isin(
+                        sorted({b >> index.bgrp_shift for b in blists[table]})
+                    )
+                    & flt
+                )
+            tagged = tagged.filter(flt).select(key, "__bucket")
         pairs = tagged.join(F.broadcast(probes), on="__bucket").select(query_key, key)
         cands = pairs if cands is None else cands.union(pairs)
     if cands is None:

@@ -625,16 +625,19 @@ def llm_sim_ivf_persisted(spark, sf_dir):
     oracle=_ANN_RECALL_ORACLE,
     doc=(
         "LSH sibling of llm_sim_ivf_persisted: build the SRP bucket "
-        "index once, persist it (per-table assignments PARTITIONED BY "
-        "__bucket + the build parameters), reload, probe. The reloaded "
-        "index carries its own (n_planes, seed_base), so the probe "
-        "planes match the build by construction — the mismatched/"
+        "index once, persist it (per-table assignments partitioned by "
+        "bucket GROUP with bucket-sorted files + the build "
+        "parameters), reload, probe. The reloaded index carries its "
+        "own (n_planes, seed_base, bgrp_shift), so the probe planes "
+        "match the build by construction — the mismatched/"
         "out-of-order-reload failure ADVICE r4 flagged is structurally "
-        "impossible through this path — and bucket probes partition-"
-        "prune the scan to the probed buckets via a static touched-"
-        "bucket IN predicate (plan-contracted PartitionFilters; DPP "
-        "does not fire for this join shape). Same recall contract as "
-        "llm_sim_lsh (>= 0.75 vs in-query brute force)."
+        "impossible through this path — and bucket probes prune the "
+        "scan two-level via a static touched-set predicate: directory "
+        "pruning on the probed groups (plan-contracted "
+        "PartitionFilters; DPP does not fire for this join shape) "
+        "plus parquet-stats pruning on the probed-bucket IN "
+        "(PushedFilters). Same recall contract as llm_sim_lsh "
+        "(>= 0.75 vs in-query brute force)."
     ),
     tags=("llm", "similarity", "invariant", "persistence"),
 )
@@ -1929,7 +1932,7 @@ _LAYOUT_CACHE: dict[tuple, str] = {}
 
 # Bump when any layout/index build logic changes: the on-disk cache key
 # includes it, so old artifacts are never reused across logic changes.
-_LAYOUT_VERSION = 4  # v4: stream fixtures clamp to the operational time domain before toPandas (round 13)
+_LAYOUT_VERSION = 5  # v5: LSH/signature indexes use the bucket-GROUP layout (round 13)
 
 
 def _cached_layout(kind: str, sf_dir: str, write_fn, disk: bool = True) -> str:
@@ -14290,11 +14293,13 @@ BENCH_FIXTURES.append(_prepare_minhash_index)
         "The PRODUCTION incremental-dedup calling convention end-to-"
         "end, driver-checked: the standing corpus's band-signature "
         "index is persisted ONCE (parquet partitioned by a bounded "
-        "bucket of the band coordinates, llm/dedup.py "
-        "persist_signature_index), and the incoming batch (doc_id % 4 "
-        "= 0) probes ONLY the partitions its own band hashes touch "
-        "(probe_signature_index — the touched-bucket list is a bounded "
-        "collect that IS the partition-pruning predicate, exact by "
+        "GROUP of the band-coordinate bucket with bucket-sorted "
+        "files, llm/dedup.py persist_signature_index), and the "
+        "incoming batch (doc_id % 4 = 0) probes ONLY the partitions "
+        "its own band hashes touch (probe_signature_index — the "
+        "touched-bucket list is a bounded collect that IS the "
+        "pruning predicate: directory pruning on touched groups, "
+        "parquet-stats pruning on touched buckets, exact by "
         "construction since colliding hashes share a bucket). Same "
         "two-stage semantics and oracle as llm_dedup_incremental, "
         "which recomputes the corpus signatures in-query; this "

@@ -263,8 +263,58 @@ class TestSimSearch:
         )
         rel = lsh_topk(emb, queries, k=5, index=lloaded)
         assert a == sorted((r.query_id, r.vec_id) for r in rel.collect())
+        # bucket-GROUP layout (r13): DPP does not fire for this join
+        # shape (measured r9), so pruning is the STATIC probed-set
+        # predicate — group directories in PartitionFilters, the
+        # probed-bucket IN pushed to parquet stats
+        assert lloaded.bgrp_shift is not None
         plan2 = rel._jdf.queryExecution().executedPlan().toString()
-        assert "dynamicpruning" in plan2.lower()
+        assert "__bgrp" in plan2 and "PartitionFilters" in plan2, plan2
+
+    def test_persisted_lsh_legacy_layout_backcompat(
+        self, spark, emb, tmp_path
+    ):
+        """Indexes persisted BEFORE the bucket-group layout (r13) —
+        ``_params`` without ``bgrp_shift``, one directory per
+        ``__bucket`` — must still load (``bgrp_shift=None``) and probe
+        with results identical to a freshly-written grouped index."""
+        from steam_data_pipeline_spark.llm.simsearch import (
+            build_lsh_index,
+            load_lsh_index,
+            lsh_topk,
+            save_lsh_index,
+        )
+
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        lidx = build_lsh_index(emb, n_planes=8, n_tables=2)
+        new_d = str(tmp_path / "new")
+        save_lsh_index(lidx, new_d)
+        # hand-write the pre-r13 layout: params without bgrp_shift,
+        # tables partitioned per-bucket
+        old_d = str(tmp_path / "old")
+        spark.createDataFrame(
+            [(lidx.n_planes, lidx.seed_base, lidx.n_tables)],
+            "n_planes int, seed_base int, n_tables int",
+        ).coalesce(1).write.parquet(f"{old_d}/_params")
+        for i, tab in enumerate(lidx.tables):
+            tab.repartition(F.col("__bucket")).write.partitionBy(
+                "__bucket"
+            ).parquet(f"{old_d}/table_{i:03d}")
+        old_loaded = load_lsh_index(spark, old_d)
+        assert old_loaded.bgrp_shift is None and old_loaded.reloaded
+        new_loaded = load_lsh_index(spark, new_d)
+        assert new_loaded.bgrp_shift is not None
+        a = sorted(
+            (r.query_id, r.vec_id)
+            for r in lsh_topk(emb, queries, k=5, index=new_loaded).collect()
+        )
+        b = sorted(
+            (r.query_id, r.vec_id)
+            for r in lsh_topk(emb, queries, k=5, index=old_loaded).collect()
+        )
+        assert a == b
 
     def test_index_contract_enforced(self, spark, emb):
         """ADVICE r4: the prebuilt-index contract must be enforced, not
@@ -609,6 +659,42 @@ class TestIncrementalDedup:
             ).collect()
         )
         assert got == want == [11]
+
+    def test_signature_index_legacy_layout_backcompat(self, spark, tmp_path):
+        """A signature index persisted BEFORE the bucket-group layout
+        (r13) — partitioned per-bucket, no ``bucket_grp`` column — is
+        detected from its schema and probed with the legacy filter,
+        returning the same rows as a freshly-written grouped index."""
+        from steam_data_pipeline_spark.llm.dedup import (
+            _index_bucket,
+            banded_signatures,
+            persist_signature_index,
+            probe_signature_index,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, " ".join(f"t{i}x{j}" for j in range(40))) for i in range(12)],
+            "doc_id long, text string",
+        )
+        new_sigs = banded_signatures(
+            spark.createDataFrame(
+                [(50, " ".join(f"t3x{j}" for j in range(40)))],
+                "doc_id long, text string",
+            )
+        )
+        sigs = banded_signatures(corpus)
+        new_p = str(tmp_path / "grouped")
+        persist_signature_index(sigs, new_p)
+        old_p = str(tmp_path / "legacy")
+        sigs.withColumn("bucket", _index_bucket()).repartition(
+            F.col("bucket")
+        ).write.partitionBy("bucket").parquet(old_p)
+        key = lambda df: sorted(
+            (r.doc_id, r.band_idx, r.band_hash) for r in df.collect()
+        )
+        a = key(probe_signature_index(spark, new_p, new_sigs))
+        b = key(probe_signature_index(spark, old_p, new_sigs))
+        assert a == b and a  # identical and non-empty (self-collision)
 
 
 class TestContainment:

@@ -1048,9 +1048,14 @@ class TestRound9PlanContracts:
         plan = _plan(probe_signature_index(spark, path, new_b), "formatted")
         pf = [
             ln for ln in plan.splitlines()
-            if "PartitionFilters" in ln and "bucket" in ln
+            if "PartitionFilters" in ln and "bucket_grp" in ln
         ]
         assert pf and any("IN" in ln or "in(" in ln for ln in pf), plan
+        # and the fine-grained bucket IN must reach parquet stats
+        assert any(
+            "bucket" in ln.split("PushedFilters:")[-1]
+            for ln in plan.splitlines() if "PushedFilters" in ln
+        ), plan
         # and the registered composite stays cartesian-free
         qplan = _plan(
             QUERIES["llm_dedup_incremental_persisted"].spark(spark, SF_SMOKE),
@@ -1281,10 +1286,15 @@ class TestAnnPersistedPruningContracts:
         )
         out = S.lsh_topk(emb, queries, k=5, index=S.load_lsh_index(spark, d))
         plan = _plan(out, "simple")
+        # bucket-GROUP layout (r13): directory pruning on the probed
+        # groups (PartitionFilters on __bgrp) AND the probed-bucket IN
+        # pushed to parquet stats (PushedFilters on __bucket)
         pruned = [
             ln for ln in plan.splitlines()
             if "FileScan" in ln
-            and "PartitionFilters: [__bucket" in ln and "INSET" in ln
+            and "PartitionFilters: [__bgrp" in ln
+            and ("INSET" in ln or " IN (" in ln)
+            and "__bucket" in ln.split("PushedFilters:")[-1]
         ]
         assert len(pruned) == 2, plan  # both tables' scans pruned
 
