@@ -1299,7 +1299,6 @@ def corpus_overlap(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sizes = flat.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     # exact leg: per-shingle sorted group set -> HOF pair expansion
     # (|groups|^2 combinations per shingle, never a corpus self-join)
@@ -1319,16 +1318,27 @@ def corpus_overlap(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
 
-    # sketch leg: component-wise min signature per group (mergeable)
+    # sketch leg + sizes in ONE group_col-keyed aggregation pass over
+    # the checkpoint (they were two identical-keyed groupBys reading
+    # flat twice; count and the component-wise mins partial-aggregate
+    # side by side, values unchanged): component-wise min signature per
+    # group (mergeable), plus the group's distinct-shingle count
     mins = [
         F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"__s{i}")
         for i in range(num_hashes)
     ]
-    sig = (
+    grp = (
         flat.groupBy(group_col)
-        .agg(*mins)
-        .select(group_col, F.array(*[f"__s{i}" for i in range(num_hashes)]).alias("sig"))
+        .agg(F.count(F.lit(1)).alias("n_sh"), *mins)
+        .select(
+            group_col,
+            "n_sh",
+            F.array(*[f"__s{i}" for i in range(num_hashes)]).alias("sig"),
+        )
+        .localCheckpoint(eager=True)  # |groups| rows; feeds sizes + est
     )
+    sizes = grp.select(group_col, "n_sh")
+    sig = grp.select(group_col, "sig")
     est = (
         sig.select(F.col(group_col).alias("source_a"), F.col("sig").alias("__sa"))
         .join(

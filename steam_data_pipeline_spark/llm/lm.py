@@ -108,7 +108,15 @@ def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     100 TB the materialized table is the standard tokenize-once
     artifact a multi-read curation pass stores anyway.
     """
-    toks = tokenize(docs, text_col)
+    # tokenize ONCE: the token table is materialized eagerly and feeds
+    # both the bigram side and the vocabulary count — without it the
+    # vocab leg re-ran the full corpus scan + tokenize (split/lower/
+    # trim per document) as a second pass just to count distinct words.
+    # At 100 TB this is the tokenize-once persisted artifact the module
+    # docstring names; dm stays checkpointed below because TWO
+    # consumers (model counts + the scoring join) read the collapsed
+    # multiplicities.
+    toks = tokenize(docs, text_col).localCheckpoint(eager=True)
     dm = (
         _doc_bigrams(toks)
         .groupBy("doc_id", "a", "b")
