@@ -1123,15 +1123,26 @@ def connected_components(
     sym = edges.union(edges.select(F.col("dst"), F.col("src")))
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    label_type = labels.schema["label"].dataType  # key-generic NULL leg
     changed = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        # the union's own-label leg is tagged so the round's aggregate
+        # can carry each node's PREVIOUS label alongside the min — the
+        # convergence check then reads the round's already-materialized
+        # checkpoint instead of paying a separate new-vs-old join+count
+        # job per round (a node appears exactly once in the own leg, so
+        # max(own-tagged label) IS its previous label)
         neighbor_labels = (
             sym.join(labels, sym.dst == labels.node)
-            .select(F.col("src").alias("node"), "label")
-            .union(labels)
+            .select(
+                F.col("src").alias("node"),
+                "label",
+                F.lit(None).cast(label_type).alias("__own"),
+            )
+            .union(labels.select("node", "label", F.col("label").alias("__own")))
         )
         propagated = neighbor_labels.groupBy("node").agg(
-            F.min("label").alias("label")
+            F.min("label").alias("label"), F.max("__own").alias("__old")
         )
         # pointer jump: follow each label to its own current label
         # (every label value is itself a node, so the join is total)
@@ -1140,16 +1151,20 @@ def connected_components(
         )
         new_labels = (
             propagated.join(lmap, propagated.label == lmap.__l_node)
-            .select("node", F.col("__l_label").alias("label"))
+            .select("node", F.col("__l_label").alias("label"), "__old")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
+        if it == 0 and max_iter > 1:
+            # round 1 always changes a label when any edge exists (the
+            # larger endpoint of every edge takes a smaller label), and
+            # on an empty graph every round is a no-op over empty
+            # tables — the convergence count here is provably wasted,
+            # so the first count that can observe a fixpoint is round
+            # 2's (one driver action saved per call)
+            changed = -1
+            continue
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
         if changed == 0:
             break
     if changed != 0:

@@ -120,23 +120,20 @@ def moment_sums(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     Returns (i, j, v: decimal(38,0)) rows: upper-triangle Gramian
     entries Σ q_i·q_j for i ≤ j, component sums Σ q_i as (i, -1), and
-    the row count as (-1, -1).  One mapInPandas pass + one tiny
-    map-side-combined shuffle of d(d+1)/2 + d + 1 keys per partition.
+    the row count as (-1, d) — the count row's otherwise-unused j slot
+    carries the dimension, so the whole operator is ONE mapInPandas
+    pass + one tiny map-side-combined shuffle of d(d+1)/2 + d + 1 keys
+    per partition, with no extra driver probe job (the previous
+    ``q.first()`` dimension probe cost one full scan-start per call;
+    every surviving row has exactly d components by ``quantized``'s
+    size filter, so each partition reports the same j and the groupBy
+    merges the count rows). Empty input (every row dropped by the
+    quantization domain) yields zero rows; :func:`_moment_model`
+    raises the messy-embeddings ValueError on that.
     """
     import pandas as pd
 
     q = quantized(emb, vec_col)
-    first = q.first()  # bounded: one row
-    if first is None:
-        # the probe row pinned d but was itself dropped (e.g. it had a
-        # NULL component) and nothing else matched — surface the
-        # messy-embeddings policy error, not a TypeError on None
-        raise ValueError(
-            f"pca: no usable rows in {vec_col!r} "
-            "(every row NULL, ragged vs the probed dimension, or "
-            "containing NULL components)"
-        )
-    d_probe = len(first["qv"])
 
     def partials(batches):
         import numpy as np
@@ -154,18 +151,16 @@ def moment_sums(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
                         [iu, np.arange(m.shape[1]), [-1]]
                     ).astype("int32"),
                     "j": np.concatenate(
-                        [ju, np.full(m.shape[1], -1), [-1]]
+                        [ju, np.full(m.shape[1], -1), [m.shape[1]]]
                     ).astype("int32"),
                     "v": np.concatenate([g[iu, ju], s, [m.shape[0]]]),
                 }
             )
 
     parts = q.mapInPandas(partials, schema="i int, j int, v long")
-    out = parts.groupBy("i", "j").agg(
+    return parts.groupBy("i", "j").agg(
         F.sum(F.col("v").cast("decimal(38,0)")).alias("v")
     )
-    # d travels on the count row's i slot-free channel: re-attach via lit
-    return out.withColumn("d", F.lit(d_probe))
 
 
 def _moment_model(emb: DataFrame, vec_col: str):
@@ -179,8 +174,18 @@ def _moment_model(emb: DataFrame, vec_col: str):
     import numpy as np
 
     rows = moment_sums(emb, vec_col).collect()
-    d = rows[0]["d"]
+    if not rows:
+        # the probe row pinned d but every row was dropped (ragged vs
+        # the probed dimension, or NULL components) — surface the
+        # messy-embeddings policy error, not an IndexError
+        raise ValueError(
+            f"pca: no usable rows in {vec_col!r} "
+            "(every row NULL, ragged vs the probed dimension, or "
+            "containing NULL components)"
+        )
+    # the count row (i = -1) carries d in its j slot (see moment_sums)
     n = None
+    d = next(r["j"] for r in rows if r["i"] == -1)
     G = np.zeros((d, d), dtype=object)
     s = [0] * d
     for r in rows:

@@ -160,7 +160,12 @@ def brute_force_topk(
 
 
 def _centroids(
-    corpus: DataFrame, key: str, vec_col: str, n_centroids: int, max_iter: int = 5
+    corpus: DataFrame,
+    key: str,
+    vec_col: str,
+    n_centroids: int,
+    max_iter: int = 5,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """Seeded ``ml.clustering.KMeans`` centroids (k-means|| init, a few
     Lloyd iterations): genuine cluster structure, which the probe
@@ -177,7 +182,11 @@ def _centroids(
     ).cache()  # Lloyd iterations re-scan the features; pay the read once
     try:
         model = KMeans(
-            k=n_centroids, maxIter=max_iter, seed=42, featuresCol="features"
+            k=n_centroids,
+            maxIter=max_iter,
+            seed=42,
+            featuresCol="features",
+            initMode=init_mode,
         ).fit(feats)
     finally:
         feats.unpersist(blocking=False)
@@ -209,13 +218,26 @@ def build_ivf_index(
     key: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
+    max_iter: int = 5,
+    init_mode: str = "k-means||",
 ) -> IvfIndex:
     """Assign every vector to its nearest centroid (the IVF inverted
     lists). Returns an :class:`IvfIndex` (unpacks as ``(centroids,
     assignments)``); persist the assignments table partitioned by
-    centroid_id for reuse."""
+    centroid_id for reuse.
+
+    ``max_iter``/``init_mode`` tune the Lloyd budget. The defaults
+    (k-means||, 5 iterations) are the probe-recall posture every ANN
+    caller keeps — recall depends on centroid quality there. Callers
+    whose OUTPUT is provably invariant to cluster boundaries and whose
+    per-vector assignment is cosine-based (SemDeDup: candidates are
+    verified with exact cosine; identical-direction duplicates share
+    an argmax under ANY centroid set) may pass a cheaper budget —
+    centroid quality then only moves candidate volume, not results."""
     corpus = drop_null_vectors(corpus, vec_col)
-    cents = _centroids(corpus, key, vec_col, n_centroids)
+    cents = _centroids(
+        corpus, key, vec_col, n_centroids, max_iter=max_iter, init_mode=init_mode
+    )
     c = F.broadcast(cents.select("centroid_id", "centroid"))
     scored = corpus.select(key, vec_col).crossJoin(c).select(
         key,

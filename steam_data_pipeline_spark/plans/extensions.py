@@ -6423,8 +6423,17 @@ def llm_semdedup(spark, sf_dir):
     # vectors), only candidate volume
     k = max(16, int(corpus.count() ** 0.5))
     red = P.pca_project(corpus, key="vec_id", vec_col="embedding", top_k=8)
+    # cheap clustering budget (random init, 2 Lloyd rounds): SemDeDup's
+    # output is invariant to WHERE the cluster boundaries fall (exact
+    # cosine verify on original vectors; cosine-argmax assignment puts
+    # identical-direction duplicates in one cell under any centroid
+    # set) — the k-means|| init's extra distributed passes buy only
+    # candidate-volume tuning here, not correctness or recall
     idx = S.build_ivf_index(
-        red.select("vec_id", F.col("pc").alias("embedding")), n_centroids=k
+        red.select("vec_id", F.col("pc").alias("embedding")),
+        n_centroids=k,
+        max_iter=2,
+        init_mode="random",
     )
     # materialize the cluster assignments once: build_ivf_index returns
     # a LAZY assignment plan (corpus x broadcast-centroids scoring +

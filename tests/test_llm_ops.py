@@ -448,6 +448,27 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(edges, max_iter=1)
 
+    def test_empty_edge_set_returns_empty(self, spark):
+        """No pairs -> no components, cleanly (the round-1 convergence
+        count is skipped as provably nonzero on any nonempty graph, so
+        the empty graph exits via round 2's count over empty tables —
+        r13 fused-convergence path)."""
+        from steam_data_pipeline_spark.llm.dedup import connected_components
+
+        edges = spark.createDataFrame([], "a long, b long")
+        assert connected_components(edges).count() == 0
+
+    def test_string_keys_supported(self, spark):
+        """The fused convergence check's NULL own-label leg must cast
+        to the label's actual type — keys are not always longs."""
+        from steam_data_pipeline_spark.llm.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], "a string, b string"
+        )
+        comps = {r.node: r.component for r in connected_components(edges).collect()}
+        assert comps == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
 
 class TestMinhashClusterSurvivors:
     def test_transitive_chain_keeps_exactly_min_id(self, spark):

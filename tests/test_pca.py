@@ -42,6 +42,16 @@ class TestMoments:
         b = P.pca_invariants(planted.repartition(13), top_k=3).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
+    def test_moment_count_row_carries_dimension(self, spark, planted):
+        """The count row is (i=-1, j=d): d rides the otherwise-unused
+        j slot so the operator needs no separate dimension-probe job
+        (r13), and the groupBy merges every partition's count row into
+        one because all surviving rows share d by the size filter."""
+        rows = P.moment_sums(planted).collect()
+        count_rows = [r for r in rows if r["i"] == -1]
+        assert len(count_rows) == 1
+        assert count_rows[0]["j"] == 4 and int(count_rows[0]["v"]) == 120
+
 
 class TestProjection:
     def test_projects_onto_planted_axes(self, spark, planted):
