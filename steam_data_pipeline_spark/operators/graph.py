@@ -300,21 +300,27 @@ def kcore(
     # cheap and buys one-action-per-round convergence: nxt ⊆ active,
     # so |nxt| == |active| IS the fixpoint test — no anti-join probe,
     # and the count reuses the checkpoint instead of recomputing the
-    # semi-join pipeline.
+    # semi-join pipeline. The checkpoint keeps core_deg alongside v:
+    # at the fixpoint nxt == active as SETS (the filter dropped
+    # nothing), so the round's degrees — computed within active — ARE
+    # the final core degrees, and returning them skips the one-more
+    # _deg recomputation the convergence exit used to pay.
     active = sym.select("v").distinct().localCheckpoint(eager=True)
     n_active = active.count()
     for _rnd in range(max_rounds):
         nxt = (
             _deg(active)
             .filter(F.col("core_deg") >= k)
-            .select("v")
             .localCheckpoint(eager=True)
         )
         n_nxt = nxt.count()
         converged = n_nxt == n_active
-        active, n_active = nxt, n_nxt
+        active, n_active = nxt.select("v"), n_nxt
         if converged:
-            break
+            return nxt.select(F.col("v").alias("node"), "core_deg")
+    # max_rounds exhausted without a fixpoint (the safety cap): the
+    # last round's degrees are NOT final — recompute within the last
+    # active set, preserving the capped-peel semantics exactly
     return _deg(active).filter(F.col("core_deg") >= k).select(
         F.col("v").alias("node"), "core_deg"
     )
