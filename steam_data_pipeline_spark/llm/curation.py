@@ -186,12 +186,12 @@ def pack_sequences(
     return toks.groupBy(group).applyInPandas(pack, schema)
 
 
-def word_ngrams(
-    df: DataFrame, text_col: str, n: int, keep_key: bool
-) -> DataFrame:
-    """One row per DISTINCT word n-gram per document (``gram`` column,
-    plus ``doc_id`` when keep_key). Documents with fewer than n words
-    contribute no rows."""
+def word_ngram_arrays(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, __grams: array<string>) — each document's DISTINCT word
+    n-grams as an array (empty for documents with fewer than n words).
+    The un-exploded form lets consumers that only need per-document
+    COUNTS read ``size(__grams)`` as a narrow map instead of paying an
+    explode + re-aggregate shuffle."""
     # materialize the token array BEFORE the lambda: an expression
     # embedded in a higher-order-function body re-evaluates per
     # element (the split would run O(words²) per document)
@@ -203,10 +203,33 @@ def word_ngrams(
             lambda i: F.concat_ws(" ", F.slice(w, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    cols = (["doc_id"] if keep_key else []) + [
+    return df.withColumn("__w", _words(text_col)).select(
+        "doc_id", F.array_distinct(g).alias("__grams")
+    )
+
+
+def word_ngrams(
+    df: DataFrame, text_col: str, n: int, keep_key: bool
+) -> DataFrame:
+    """One row per DISTINCT word n-gram per document (``gram`` column,
+    plus ``doc_id`` when keep_key). Documents with fewer than n words
+    contribute no rows."""
+    if keep_key:
+        return word_ngram_arrays(df, text_col, n).select(
+            "doc_id", F.explode("__grams").alias("gram")
+        )
+    # keyless form must not require a doc_id column on df
+    w = F.col("__w")
+    g = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn("__w", _words(text_col)).select(
         F.explode(F.array_distinct(g)).alias("gram")
-    ]
-    return df.withColumn("__w", _words(text_col)).select(*cols)
+    )
 
 
 def contamination(
@@ -269,7 +292,16 @@ def decontam_bloom(
     dense = SK.bloom_dense(
         SK.bloom_build(bench_grams, "gram", n_bits, n_hashes), n_bits
     )
-    doc_grams = word_ngrams(docs, text_col, n, keep_key=True)
+    # materialize the per-document distinct-gram ARRAYS once: both legs
+    # below consume them, and without the barrier each leg re-runs the
+    # full tokenize + n-gram construction (worse, a filter over the
+    # derived size() pushes below the projection and re-evaluates the
+    # array expression AGAIN — measured 2.5 → 5.4 s when tried
+    # barrier-free). With the checkpoint the gram build runs once per
+    # corpus pass instead of twice; at scale this is the persisted
+    # gram-table intermediate.
+    garr = word_ngram_arrays(docs, text_col, n).localCheckpoint(eager=True)
+    doc_grams = garr.select("doc_id", F.explode("__grams").alias("gram"))
     candidates = doc_grams.filter(
         SK.bloom_contains(dense, F.col("gram"), n_bits, n_hashes)
     )
@@ -278,9 +310,14 @@ def decontam_bloom(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
     )
-    totals = doc_grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
-    )
+    # per-document totals as a NARROW MAP over the checkpoint: size of
+    # the distinct-gram array — the previous explode + re-aggregate
+    # paid a second Generate and a groupBy exchange to count what the
+    # array already knows. size > 0 reproduces the explode leg's
+    # semantics exactly (documents with < n words emit no rows there).
+    totals = garr.select(
+        "doc_id", F.size("__grams").cast("long").alias("n_grams")
+    ).filter(F.col("n_grams") > 0)
     return totals.join(matched, "doc_id", "left").select(
         "doc_id",
         "n_grams",

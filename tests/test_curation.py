@@ -85,6 +85,22 @@ class TestContamination:
         out = contamination(docs, docs, n=5)
         assert {r.doc_id for r in out.collect()} == {0}
 
+    def test_ngram_arrays_distinct_and_short_doc_empty(self, spark):
+        """word_ngram_arrays (the un-exploded primitive decontam_bloom's
+        totals leg reads size() from, r13): distinct grams per document,
+        empty array below n words — so size(__grams) reproduces the
+        explode leg's per-document counts exactly."""
+        from steam_data_pipeline_spark.llm.curation import word_ngram_arrays
+
+        rows = [(0, "s", "a b a b a b"), (1, "s", "a b")]
+        docs = _docs(spark, rows)
+        # r["__grams"], not r.__grams: attribute access would trigger
+        # Python's class-private name mangling inside this test class
+        got = {r.doc_id: sorted(r["__grams"]) for r in
+               word_ngram_arrays(docs, "text", 3).collect()}
+        assert got[0] == ["a b a", "b a b"]  # repeats collapsed
+        assert got[1] == []
+
 
 class TestQualitySignals:
     def test_signals_and_gate(self, spark):
