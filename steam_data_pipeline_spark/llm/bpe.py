@@ -118,32 +118,95 @@ def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
+def _safe_merge_batch(
+    rows, min_count: int, saw_all_pairs: bool
+) -> list[tuple[str, str, int]]:
+    """From ONE collected top-K pair-count list (ordered cnt desc, pair
+    asc), the maximal rank-order prefix that provably equals the
+    sequential merge sequence. Safety argument, pair by pair:
+
+    * Greedy replacement of (a, b) by ab leaves every pair DISJOINT
+      from {a, b} with an exactly unchanged count (no adjacency of
+      untouched symbols is created or destroyed), so an accepted pair's
+      collected count IS its count at merge time.
+    * Pairs touching an earlier batch symbol only lose count, and on a
+      tie they rank after the candidate already (same cnt, larger
+      string, else they'd precede it in the list) — but their NEW
+      counts are unknown, so the scan must STOP (not skip) at the
+      first touching pair: it may still be the true argmax.
+    * Every pair CREATED by merging (a, b) contains the new symbol ab
+      and each of its occurrences consumes an old (x, a) / (b, y) /
+      (b, a) adjacency, so its count is bounded by an old count of a
+      pair touching {a, b} — all of which rank BELOW the candidate
+      (see previous point). A created pair's string is arbitrary, so
+      it wins a tie: accept the candidate only if every touching pair
+      below it (and, when the list was truncated at K, the K-th count
+      as the bound on unseen pairs) is STRICTLY below the candidate's
+      count.
+    """
+    split = [(r["pair"].partition(PAIR_SEP), int(r["cnt"])) for r in rows]
+    parsed = [(a, b, cnt) for ((a, _, b), cnt) in split]
+    accepted: list[tuple[str, str, int]] = []
+    touched: set[str] = set()
+    for i, (a, b, cnt) in enumerate(parsed):
+        if cnt < min_count:
+            break
+        if touched:
+            if a in touched or b in touched:
+                break
+            threat = max(
+                (
+                    c
+                    for (x, y, c) in parsed[i + 1 :]
+                    if x in touched or y in touched
+                ),
+                default=-1,
+            )
+            if not saw_all_pairs:
+                threat = max(threat, parsed[-1][2])
+            if threat >= cnt:
+                break
+        accepted.append((a, b, cnt))
+        touched.update((a, b))
+    return accepted
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_count: int = 2,
     checkpoint_every: int = 6,
+    batch_topk: int = 24,
 ) -> tuple[list[Merge], DataFrame]:
     """Learn up to `n_merges` BPE merges; returns (merges, final vocab
     DataFrame (word, freq, syms)). Stops early when the best pair's
-    weighted count drops below `min_count`."""
+    weighted count drops below `min_count`.
+
+    Each round collects the top ``batch_topk`` pairs in ONE job and
+    applies the maximal provably-sequential prefix of them
+    (:func:`_safe_merge_batch`), so the driver pays one pair-count
+    aggregation per BATCH instead of per merge; ``batch_topk=1``
+    recovers the classic one-merge-per-job loop. The learned merge
+    sequence (pairs AND counts) is identical by construction."""
     vocab = init_symbols(word_frequencies(docs, text_col)).localCheckpoint(eager=True)
     merges: list[Merge] = []
-    for rank in range(n_merges):
-        top = (
+    topk = max(1, batch_topk)
+    while len(merges) < n_merges:
+        rows = (
             _pair_counts(vocab)
             .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-            .limit(1)
+            .limit(topk)
             .collect()
         )
-        if not top or top[0]["cnt"] < min_count:
+        batch = _safe_merge_batch(rows, min_count, saw_all_pairs=len(rows) < topk)
+        if not batch:
             break
-        a, _, b = top[0]["pair"].partition(PAIR_SEP)
-        merges.append(Merge(rank=rank, a=a, b=b, count=int(top[0]["cnt"])))
-        vocab = _apply_merge(vocab, a, b)
-        if (rank + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+        for a, b, cnt in batch[: n_merges - len(merges)]:
+            merges.append(Merge(rank=len(merges), a=a, b=b, count=cnt))
+            vocab = _apply_merge(vocab, a, b)
+            if len(merges) % checkpoint_every == 0:
+                vocab = vocab.localCheckpoint(eager=True)
     return merges, vocab
 
 

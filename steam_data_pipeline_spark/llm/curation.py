@@ -299,7 +299,10 @@ def decontam_bloom(
     # array expression AGAIN — measured 2.5 → 5.4 s when tried
     # barrier-free). With the checkpoint the gram build runs once per
     # corpus pass instead of twice; at scale this is the persisted
-    # gram-table intermediate.
+    # gram-table intermediate — and persisted durably (parquet or
+    # persist(MEMORY_AND_DISK), which recompute on executor loss)
+    # rather than localCheckpoint, whose executor-local unreplicated
+    # blocks fail the job if an executor dies mid-run.
     garr = word_ngram_arrays(docs, text_col, n).localCheckpoint(eager=True)
     doc_grams = garr.select("doc_id", F.explode("__grams").alias("gram"))
     candidates = doc_grams.filter(

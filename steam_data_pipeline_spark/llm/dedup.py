@@ -1122,6 +1122,14 @@ def connected_components(
     )
     sym = edges.union(edges.select(F.col("dst"), F.col("src")))
     nodes = sym.select(F.col("src").alias("node")).distinct()
+    # a self-loop cannot change any label (the own-label leg already
+    # keeps each node), so drop them from the propagation edge set —
+    # AFTER nodes is derived, so a self-loop-only node still appears in
+    # the output as its own singleton component. NULL-safe: an edge
+    # with one NULL endpoint is not a self-loop and keeps its current
+    # (no-op on the NULL side) behavior. This also makes the round-1
+    # convergence-skip below exact: any surviving edge changes a label.
+    sym = sym.filter(~F.col("src").eqNullSafe(F.col("dst")))
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
     label_type = labels.schema["label"].dataType  # key-generic NULL leg
     changed = 0
@@ -1156,12 +1164,13 @@ def connected_components(
         )
         labels = new_labels.select("node", "label")
         if it == 0 and max_iter > 1:
-            # round 1 always changes a label when any edge exists (the
-            # larger endpoint of every edge takes a smaller label), and
-            # on an empty graph every round is a no-op over empty
-            # tables — the convergence count here is provably wasted,
-            # so the first count that can observe a fixpoint is round
-            # 2's (one driver action saved per call)
+            # round 1 always changes a label when any propagation edge
+            # exists (self-loops are filtered above, so the larger
+            # endpoint of every surviving edge takes a smaller label),
+            # and on an edge-free graph every round is a no-op over
+            # empty neighbor legs — the convergence count here is
+            # provably wasted, so the first count that can observe a
+            # fixpoint is round 2's (one driver action saved per call)
             changed = -1
             continue
         changed = new_labels.filter(F.col("label") != F.col("__old")).count()

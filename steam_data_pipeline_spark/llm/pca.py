@@ -178,10 +178,12 @@ def _moment_model(emb: DataFrame, vec_col: str):
         # the probe row pinned d but every row was dropped (ragged vs
         # the probed dimension, or NULL components) — surface the
         # messy-embeddings policy error, not an IndexError
+        # all-NULL / empty input raises in quantized() before this point,
+        # so only the policy-filtered shapes below can land here
         raise ValueError(
             f"pca: no usable rows in {vec_col!r} "
-            "(every row NULL, ragged vs the probed dimension, or "
-            "containing NULL components)"
+            "(ragged vs the probed dimension, or containing NULL "
+            "components)"
         )
     # the count row (i = -1) carries d in its j slot (see moment_sums)
     n = None

@@ -228,12 +228,16 @@ def build_ivf_index(
 
     ``max_iter``/``init_mode`` tune the Lloyd budget. The defaults
     (k-means||, 5 iterations) are the probe-recall posture every ANN
-    caller keeps — recall depends on centroid quality there. Callers
-    whose OUTPUT is provably invariant to cluster boundaries and whose
-    per-vector assignment is cosine-based (SemDeDup: candidates are
-    verified with exact cosine; identical-direction duplicates share
-    an argmax under ANY centroid set) may pass a cheaper budget —
-    centroid quality then only moves candidate volume, not results."""
+    caller keeps — recall depends on centroid quality there. SemDeDup
+    passes a cheaper budget: its candidates are verified with exact
+    cosine (no false pairs ever) and exactly-identical embeddings
+    share a cosine-argmax cell under ANY centroid set, so those are
+    always found; for every other near-dup pair (non-parallel, or
+    scaled copies — the projection is mean-centered), within-cell
+    candidate generation is an approximation under any budget, and
+    the measured recall of the cheap and default budgets is
+    equivalent (round 14, tests/test_llm_ops.py::
+    TestSemdedupClusterBudget)."""
     corpus = drop_null_vectors(corpus, vec_col)
     cents = _centroids(
         corpus, key, vec_col, n_centroids, max_iter=max_iter, init_mode=init_mode

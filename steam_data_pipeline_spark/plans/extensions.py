@@ -1455,6 +1455,15 @@ def llm_multimodal_cols(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _stream_partitions(partitions: int | None) -> str:
+    """Shuffle-partition count for a memory-sink stream run: explicit
+    per-call value > SPARK_GRAFT_STREAM_PARTITIONS env (cluster-sizes
+    the DEFAULT only) > measured local default 4."""
+    if partitions:
+        return str(partitions)
+    return os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS") or "4"
+
+
 def _run_stream_to_memory(
     sdf,
     name_prefix: str,
@@ -1467,9 +1476,13 @@ def _run_stream_to_memory(
     # store commit), not per row — run with fewer state partitions.
     # The partition count is a per-checkpoint property, so this scopes
     # to this query's fresh checkpoint, it is an execution detail
-    # (results are oracle-value-exact at any setting), and at
-    # production scale it's sized to the cluster via the env override,
-    # which beats the per-call value. Measured on the progress metrics
+    # (results are oracle-value-exact at any setting). Precedence: an
+    # explicit per-call ``partitions`` (a measured per-query decision,
+    # e.g. stream_islands_stateful's 8) beats the
+    # SPARK_GRAFT_STREAM_PARTITIONS env override, which re-sizes only
+    # the DEFAULT to the cluster (round-13 advice: the env must not
+    # silently clobber a deliberate per-call value). Measured on the
+    # progress metrics
     # (stream_stream_join, sf0.1): addBatch + queryPlanning scale with
     # the state-store instance count, 4.0 s at 8 partitions → 2.3 s at
     # 2; the 4 default keeps a multi-task exchange in every stateful
@@ -1479,11 +1492,7 @@ def _run_stream_to_memory(
     # the store commit count, sets the wall (stream_islands_stateful
     # interleaved A/B: 5.97 s at 8 vs 8.37 s at 4, median-of-3).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
-        or (str(partitions) if partitions else "4"),
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_partitions(partitions))
     try:
         q = (
             sdf.writeStream.format("memory")
@@ -6446,17 +6455,26 @@ def llm_semdedup(spark, sf_dir):
     )
     corpus = emb.union(p1).union(p2).localCheckpoint(eager=True)
     # self-size the cluster count at sqrt(n) (SemDeDup's published
-    # sizing): per-cluster all-pairs stays ~n total as the corpus
-    # grows; k never affects OUTPUT (exact verify on original
-    # vectors), only candidate volume
+    # sizing): per-cluster all-pairs stays ~n total as the corpus grows
     k = max(16, int(corpus.count() ** 0.5))
     red = P.pca_project(corpus, key="vec_id", vec_col="embedding", top_k=8)
-    # cheap clustering budget (random init, 2 Lloyd rounds): SemDeDup's
-    # output is invariant to WHERE the cluster boundaries fall (exact
-    # cosine verify on original vectors; cosine-argmax assignment puts
-    # identical-direction duplicates in one cell under any centroid
-    # set) — the k-means|| init's extra distributed passes buy only
-    # candidate-volume tuning here, not correctness or recall
+    # cheap clustering budget (random init, 2 Lloyd rounds). What is
+    # guaranteed under ANY centroid set: candidates are verified with
+    # exact cosine (no false pairs), and EXACTLY IDENTICAL embeddings
+    # share a PC projection and hence a cosine-argmax cell
+    # (deterministic centroid_id tie-break), so they are always found
+    # — the fixture generator's planted chains are exactly that shape,
+    # which is why this pipeline equals the brute-force oracle. What
+    # is NOT guaranteed (by SemDeDup itself, under any budget): any
+    # OTHER cos>=0.95 pair — non-parallel, or even a scaled copy (the
+    # projection is mean-centered, so s*x-mean is not parallel to
+    # x-mean) — that straddles a cell boundary is missed;
+    # within-cluster candidate generation is the published
+    # approximation. Measured (round 14, 5 seeded non-parallel
+    # corpora, 36 planted pairs each): this budget finds 31-35/36 vs
+    # k-means||/5's 33-35/36, each beating the other on some seeds —
+    # the budget moves candidate volume, not systematic recall
+    # (pinned by tests/test_llm_ops.py::TestSemdedupClusterBudget)
     idx = S.build_ivf_index(
         red.select("vec_id", F.col("pc").alias("embedding")),
         n_centroids=k,

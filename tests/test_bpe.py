@@ -86,6 +86,109 @@ class TestTrainMatchesReference:
         assert merges == []
 
 
+class TestBatchedMergeSafety:
+    """The top-K batched merge loop (round 14) must reproduce the
+    one-merge-per-job sequence EXACTLY — pairs, counts, ranks — on
+    shapes built to stress every guard in _safe_merge_batch."""
+
+    def _assert_batched_eq_sequential(self, spark, texts, n_merges=12):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        seq_m, seq_v = B.train_bpe(docs, n_merges=n_merges, batch_topk=1)
+        bat_m, bat_v = B.train_bpe(docs, n_merges=n_merges)  # default top-K
+        assert [(m.rank, m.a, m.b, m.count) for m in bat_m] == [
+            (m.rank, m.a, m.b, m.count) for m in seq_m
+        ]
+        seq = {r["word"]: list(r["syms"]) for r in seq_v.collect()}
+        bat = {r["word"]: list(r["syms"]) for r in bat_v.collect()}
+        assert bat == seq
+
+    def test_chained_shared_symbols(self, spark):
+        # 'the' chains t-h-e: after (t,h), the next best (th,e) is a
+        # CREATED pair — the batch must stop rather than take a stale
+        # list entry.
+        self._assert_batched_eq_sequential(
+            spark, ["the the the the then then hen hen he he"]
+        )
+
+    def test_count_ties_break_batch(self, spark):
+        # every pair count tied: the strict threat guard must refuse
+        # everything past the first merge in each round.
+        self._assert_batched_eq_sequential(
+            spark, ["ab ab ab cd cd cd ef ef ef gh gh gh"]
+        )
+
+    def test_random_corpora_match_reference(self, spark):
+        import random
+
+        for seed in (7, 13, 99):
+            rng = random.Random(seed)
+            alphabet = "abcdef"
+            words = [
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+                for _ in range(40)
+            ]
+            text = " ".join(rng.choice(words) for _ in range(300))
+            docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+            wf = {
+                r["word"]: r["freq"] for r in B.word_frequencies(docs).collect()
+            }
+            ref_merges, _ = _ref_bpe(wf, n_merges=10)
+            merges, _ = B.train_bpe(docs, n_merges=10)
+            assert [(m.rank, m.a, m.b, m.count) for m in merges] == ref_merges, (
+                f"seed {seed}"
+            )
+
+    def test_safe_batch_unit_guards(self):
+        rows = [
+            {"pair": f"a{B.PAIR_SEP}b", "cnt": 100},
+            {"pair": f"c{B.PAIR_SEP}d", "cnt": 90},
+            {"pair": f"x{B.PAIR_SEP}a", "cnt": 85},
+        ]
+        # disjoint, strictly above every touching pair → both accepted
+        assert B._safe_merge_batch(rows, 2, saw_all_pairs=True) == [
+            ("a", "b", 100),
+            ("c", "d", 90),
+        ]
+        # touching pair ranked second → stop after one
+        rows2 = [rows[0], rows[2], rows[1]]
+        assert B._safe_merge_batch(rows2, 2, saw_all_pairs=True) == [
+            ("a", "b", 100)
+        ]
+        # a touching pair TIES the candidate → created-pair threat,
+        # stop after one
+        rows3 = [
+            {"pair": f"a{B.PAIR_SEP}b", "cnt": 100},
+            {"pair": f"c{B.PAIR_SEP}d", "cnt": 90},
+            {"pair": f"x{B.PAIR_SEP}a", "cnt": 90},
+        ]
+        assert B._safe_merge_batch(rows3, 2, saw_all_pairs=True) == [
+            ("a", "b", 100)
+        ]
+        # truncated list: the K-th count bounds unseen pairs → the
+        # second acceptance needs strict dominance over it
+        rows4 = [
+            {"pair": f"a{B.PAIR_SEP}b", "cnt": 100},
+            {"pair": f"c{B.PAIR_SEP}d", "cnt": 90},
+        ]
+        assert B._safe_merge_batch(rows4, 2, saw_all_pairs=False) == [
+            ("a", "b", 100)
+        ]
+        assert B._safe_merge_batch(rows4, 2, saw_all_pairs=True) == [
+            ("a", "b", 100),
+            ("c", "d", 90),
+        ]
+        # min_count cuts the batch, never the pairs before it
+        rows5 = [
+            {"pair": f"a{B.PAIR_SEP}b", "cnt": 3},
+            {"pair": f"c{B.PAIR_SEP}d", "cnt": 1},
+        ]
+        assert B._safe_merge_batch(rows5, 2, saw_all_pairs=True) == [
+            ("a", "b", 3)
+        ]
+
+
 class TestFoldEdgeCases:
     def test_overlapping_same_symbol(self, spark):
         """'xxxx' under merge (x,x): greedy left-to-right gives

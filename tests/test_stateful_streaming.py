@@ -101,6 +101,20 @@ def test_memory_sink_queries_leak_no_temp_views(spark):
     assert leftover == []
 
 
+def test_stream_partition_precedence(monkeypatch):
+    """Explicit per-call partitions beat the env override; the env
+    re-sizes only the default (round-13 advice: a cluster-tuned env
+    value must not clobber stream_islands_stateful's measured 8)."""
+    from steam_data_pipeline_spark.plans.extensions import _stream_partitions
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS", raising=False)
+    assert _stream_partitions(None) == "4"
+    assert _stream_partitions(8) == "8"
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "64")
+    assert _stream_partitions(None) == "64"
+    assert _stream_partitions(8) == "8"
+
+
 class TestStreamingHoltWinters:
     def test_mid_stream_emissions_and_batch_equality(self, spark, tmp_path):
         """The stateful HW stream must (a) emit a live forecast per
