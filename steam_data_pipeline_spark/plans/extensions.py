@@ -1464,6 +1464,33 @@ def _stream_partitions(partitions: int | None) -> str:
     return os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS") or "4"
 
 
+def _join_state_partitions(spark) -> int:
+    """State partitions for the stream-stream joins. Each partition
+    carries FOUR state-store instances per join (left/right ×
+    keyToNumValues/keyWithIndex), so the per-batch commit cost is 4×
+    the single-operator queries' — and the watermark-flush no-data
+    batch pays it again on empty input. Measured interleaved at
+    local[32], sf0.1 (round 14): ss_join 1.97 → 1.82 s, ss_full_join
+    1.75 → 1.56 s, ss_left_join 1.81 → 1.77 s median at 2 vs the
+    default 4. Scale-adaptive (cores/16, floor 2) rather than a pinned
+    constant so a cluster-sized session grows the join state
+    parallelism with it."""
+    return max(2, spark.sparkContext.defaultParallelism // 16)
+
+
+def _python_state_partitions(spark) -> int:
+    """State partitions for applyInPandasWithState queries whose
+    per-key PYTHON compute dominates (stream_islands_stateful: ~100 k
+    replayed rows/batch through pandas folds): worker parallelism sets
+    the wall, not store commits. Measured curve at local[32], sf0.1
+    (round 14, interleaved medians): 8 → 4.7 s, 16 → 3.45 s,
+    24 → 3.19 s, 32 → 3.54 s — flat past half the cores, regressing at
+    full cores (commit + task overhead). Half the session parallelism,
+    floor 8, tracks that optimum at any core count (at 8 cores it
+    reproduces round 13's measured winner, 8)."""
+    return max(8, spark.sparkContext.defaultParallelism // 2)
+
+
 def _run_stream_to_memory(
     sdf,
     name_prefix: str,
@@ -2367,7 +2394,13 @@ def stream_stream_join(spark, sf_dir):
             "AND e_ts <= p_ts + interval 1 hour"
         ),
     ).select("user_id", "p_id", "e_id", "p_ts", "e_ts")
-    return _run_stream_to_memory(joined, "ss_join", spark, output_mode="append")
+    return _run_stream_to_memory(
+        joined,
+        "ss_join",
+        spark,
+        output_mode="append",
+        partitions=_join_state_partitions(spark),
+    )
 
 
 @EXT.add(
@@ -4233,8 +4266,9 @@ def stream_islands_stateful(spark, sf_dir):
         output_mode="append",
         # per-key Python compute dominates here (~3 M replayed rows
         # through applyInPandasWithState): worker parallelism beats
-        # store-commit savings — see the helper's A/B note
-        partitions=8,
+        # store-commit savings — sized by the measured curve in
+        # _python_state_partitions
+        partitions=_python_state_partitions(spark),
     )
     return out.select("user_id", "start_ts", "end_ts", "n_obs")
 
@@ -11349,6 +11383,7 @@ def stream_stream_left_join(spark, sf_dir):
         "ss_left_join",
         spark,
         output_mode="append",
+        partitions=_join_state_partitions(spark),
     )
 
 
@@ -11897,7 +11932,11 @@ def stream_stream_full_join(spark, sf_dir):
         "e_ts",
     )
     return _run_stream_to_memory(
-        joined, "ss_full_join", spark, output_mode="append"
+        joined,
+        "ss_full_join",
+        spark,
+        output_mode="append",
+        partitions=_join_state_partitions(spark),
     )
 
 
@@ -13406,6 +13445,11 @@ def stream_forecast_hw_stateful(spark, sf_dir):
         "hw_stateful",
         spark,
         output_mode="append",
+        # state keys = event_type values (single-digit domain), so
+        # state parallelism beyond the key count only multiplies
+        # store commits: 3 batches × 50 rows measured 1.88 → 1.75 s
+        # median at 2 vs 4 partitions (round-14 interleaved A/B)
+        partitions=2,
     )
     w = Window.partitionBy("event_type", "h").orderBy(
         F.col("n_days").desc()
