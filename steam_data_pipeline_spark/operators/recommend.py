@@ -16,6 +16,8 @@ implicit strength (the steam analog: players × games with playtime).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from steam_data_pipeline_spark.operators.aggregates import dec_sum
@@ -45,6 +47,29 @@ def interaction_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _als_num_blocks(spark: SparkSession, sf_dir: str) -> int:
+    """Size ALS's factor blocks from the INTERACTION SOURCE size, not a
+    constant: blocks are the unit of the alternating-solve shuffles, so
+    too few serialize the solve at scale and too many drown a small fit
+    in task overhead. Measured on the 30× rehearsal tier (18 M
+    interactions, local[32]): blocks 4/8/16/32 → 13.4/9.5/8.0/11.3 s
+    fit+score; at fixture scale (600 k): 4/8/16 → 1.4/1.5/2.7 s. One
+    8 MiB-of-lineitem per block tracks both optima (sf0.1 → 4 via the
+    floor, 30× → ~13) and keeps growing with the input on a real
+    cluster, capped at the session's parallelism. Driver-side stat
+    walk only — no Spark job."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(path)
+        size = st.st_size
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                size = sum(e.stat().st_size for e in it)
+    except OSError:
+        return 4
+    return max(4, min(spark.sparkContext.defaultParallelism, size >> 23))
+
+
 def als_recommendations(
     spark: SparkSession,
     sf_dir: str,
@@ -53,7 +78,7 @@ def als_recommendations(
     max_iter: int = 2,
     seed: int = 42,
     user_limit: int = 1000,
-    num_blocks: int = 4,
+    num_blocks: int | None = None,
     interactions: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k item recommendations via implicit-feedback ALS for the
@@ -64,10 +89,10 @@ def als_recommendations(
     fixture); raise it for production factor quality.
 
     ``num_blocks`` sizes ALS's user/item factor blocks — the unit of
-    its alternating-solve shuffles. Like shuffle partitions it is a
-    cluster-sizing knob: 4 halves the fixture's fit+score wall versus
-    the default 10 (fewer, fuller tasks on 600 k interactions); on a
-    1000-executor cluster it would be hundreds.
+    its alternating-solve shuffles. Default: size-derived by
+    :func:`_als_num_blocks` (round 14 — the previous pinned 4 was the
+    fixture optimum but a measured 1.7× serial cap at the 30× tier);
+    on a 1000-executor cluster it would be hundreds.
 
     Seeded for run-to-run determinism; factors are distributed block
     matrices, so training scales with executors. Scoring is bounded
@@ -84,6 +109,8 @@ def als_recommendations(
     caller_owns_cache = interactions is not None
     if interactions is None:
         interactions = interaction_matrix(spark, sf_dir).cache()
+    if num_blocks is None:
+        num_blocks = _als_num_blocks(spark, sf_dir)
     als = ALS(
         rank=rank,
         maxIter=max_iter,

@@ -13516,10 +13516,22 @@ def stream_forecast_hw_stateful(spark, sf_dir):
 )
 def agg_assoc_rules(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
+    # materialize the two reused spines ONCE: b feeds ic + the semi-join
+    # + the basket-count leg (3 re-derivations of the scan+dropDuplicates
+    # shuffle without the barrier) and ic feeds freq + both broadcast
+    # count legs. Round 13 A/B'd an item-bounded variant of this and
+    # declined it (3.11 vs 3.83 s); the round-14 re-measure of THIS
+    # simpler shape (checkpoint the spines verbatim, nothing else
+    # changes) wins at BOTH tiers — sf0.1 interleaved med 2.23 → 1.96 s
+    # (6 rounds, faster every round), 30× rehearsal med 71 → 53 s —
+    # so it is unconditional, not size-gated. Outputs identical
+    # (collected-set equality at sf0.1).
     b = li.select(
         F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
-    ).dropDuplicates(["bid", "item"])
-    ic = b.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ).dropDuplicates(["bid", "item"]).localCheckpoint(eager=True)
+    ic = b.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)
     freq = ic.filter(F.col("cnt") >= 25).select("item")
     bf = b.join(F.broadcast(freq), "item", "left_semi")
     arr = (
